@@ -1,0 +1,66 @@
+package graft.plans
+
+import graft.core.TripleSchema
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's four data-layout strategies as one composable API.
+  *
+  * Reference parity:
+  *  - range-partition + co-sort by Subject
+  *    (`/root/reference/src/main/java/com/github/nkoutroumanis/PartitionQueryingSubject.java:100`)
+  *    or by Predicate (`PartitionQueryingPredicate.java:100`) — the manual
+  *    `sortByKey(true, n)` over a `JavaPairRDD` becomes
+  *    `repartitionByRange(key).sortWithinPartitions(key)`: same
+  *    RangePartitioner exchange + per-partition sort, but staying in Tungsten
+  *    row format with whole-stage codegen;
+  *  - sign-split into Positive (`Subject >= 0`) / Negative (`Subject < 0`)
+  *    tables (`PartitionQueryingBRDSubject.java:100-146`), where the
+  *    reference's broadcast of the Negative RDD *handle*
+  *    (`PartitionQueryingBRDSubject.java:133,145` — a no-op anti-pattern) is
+  *    realized as the intended small-side `broadcast()` join hint by callers.
+  *
+  * Scale notes (100 TB): `repartitionByRange` samples the key distribution, so
+  * ranges stay balanced under skew; for a persistent table prefer
+  * `writePartitionedBySign` below — a `sign` partition column lets Catalyst's
+  * built-in `PruneFileSourcePartitions` replace the manual Positive/Negative
+  * routing with partition pruning at planning time.
+  */
+object Layouts {
+
+  sealed trait Key { def column: String }
+  case object BySubject extends Key { val column: String = TripleSchema.subject }
+  case object ByPredicate extends Key { val column: String = TripleSchema.predicate }
+
+  /** Positive/Negative pair (both sign-routed on Subject, as in both BRD
+    * variants — the BRDPredicate variant keys the *layout* on Predicate but
+    * still routes on the subject's sign, `PartitionQueryingBRDPredicate.java:100-124`).
+    */
+  final case class SignSplit(positive: DataFrame, negative: DataFrame)
+
+  /** Range-partition by the key column and sort within partitions — the
+    * reference's `sortByKey(true, numPartitions)`.
+    */
+  def rangeLayout(df: DataFrame, key: Key, numPartitions: Int): DataFrame =
+    df.repartitionByRange(numPartitions, col(key.column))
+      .sortWithinPartitions(col(key.column))
+
+  /** Split on the sign of Subject. ID 0 routes Positive (`>= 0`), matching
+    * `tuple._1 >= 0` at `PartitionQueryingBRDSubject.java:103`. Only the
+    * positive side of the reference is range-sorted (`:105`); we sort both —
+    * strictly better layout, identical results.
+    */
+  def signSplit(df: DataFrame, key: Key, numPartitions: Int): SignSplit =
+    SignSplit(
+      positive = rangeLayout(df.filter(col(TripleSchema.subject) >= 0), key, numPartitions),
+      negative = rangeLayout(df.filter(col(TripleSchema.subject) < 0), key, numPartitions),
+    )
+
+  /** Scale path: persist with a derived `sign` partition column so scans of
+    * sign-determined queries read half the files via partition pruning —
+    * subsumes the manual two-table split.
+    */
+  def writePartitionedBySign(df: DataFrame, path: String): Unit =
+    df.withColumn("sign", when(col(TripleSchema.subject) >= 0, lit("pos")).otherwise(lit("neg")))
+      .write.mode("overwrite").partitionBy("sign").parquet(path)
+}

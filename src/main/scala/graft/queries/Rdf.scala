@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.operators.QueryEngine
+import graft.plans.Layouts
+import graft.sources.RdfBridge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** RDF / SPARQL capability queries (SURVEY §2.2 Q1/Q2/Q3 + §2.3 translator),
+  * run over the TPC-H-derived triple bridge so each is verifiable against a
+  * DuckDB oracle computing the identical triple set as a CTE.
+  *
+  * Q1/Q2 keep the reference's exact SQL shape
+  * (`/root/reference/src/main/java/com/github/nkoutroumanis/PartitionQueryingSubject.java:130`,
+  * `PartitionQueryingBRDSubject.java:152-157`) with typed int literals in
+  * place of the reference's `'-39'` string coercions (ANSI-safe, same
+  * semantics — SURVEY §7 risk (c)). The bound subject is a scalar subquery
+  * (the placed-predicate's minimum subject) so the query is non-empty at
+  * every scale factor.
+  */
+object Rdf {
+
+  private def engine(s: SparkSession, dir: String): QueryEngine =
+    new QueryEngine(s, RdfBridge.dictionary(s, dir))
+
+  /** CTE prefix defining triples/Positive/Negative for the DuckDB oracle. */
+  private val cte: String = RdfBridge.oracleCte +
+    """, Positive AS (SELECT * FROM triples WHERE Subject >= 0),
+      |Negative AS (SELECT * FROM triples WHERE Subject < 0)
+      |""".stripMargin
+
+  private val q1Sql =
+    """SELECT t.Object AS o1, t1.Object AS o2, t2.Object AS o3
+      |FROM %TBL% t
+      |INNER JOIN %TBL% t1 ON t.Object = t1.Subject
+      |INNER JOIN %TBL% t2 ON t1.Object = t2.Subject
+      |WHERE t.Subject = (SELECT MIN(Subject) FROM %TBL% WHERE Predicate = -2)
+      |  AND t.Predicate = -2 AND t1.Predicate = -13 AND t2.Predicate = -21""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- Q1: 3-hop chain self-join, subject-range layout. The point
+    // predicates prune to one range partition of the sorted layout; the two
+    // chain joins shuffle on the join key (at cluster scale: subject-bucketed
+    // table elides the probe-side exchange). ----
+    QueryDef("rdf_q1_chain", cte + q1Sql.replace("%TBL%", "triples")) { (s, dir) =>
+      engine(s, dir)
+        .registerSingleTable(RdfBridge.triples(s, dir), Layouts.BySubject)
+        .sql(q1Sql.replace("%TBL%", "`table`"))
+    },
+
+    // ---- Q1 again on the predicate-keyed layout: same results by
+    // construction (layout invariance is part of the capability — reference
+    // runs the same SQL over both layouts). ----
+    QueryDef("rdf_q1_chain_predlayout", cte + q1Sql.replace("%TBL%", "triples")) { (s, dir) =>
+      engine(s, dir)
+        .registerSingleTable(RdfBridge.triples(s, dir), Layouts.ByPredicate)
+        .sql(q1Sql.replace("%TBL%", "`table`"))
+    },
+
+    // ---- Q2: sign-split tables, derived-table subquery, inner join then
+    // left-outer join re-inner-ized by the post-join predicate — the
+    // reference's exact shape at PartitionQueryingBRDSubject.java:152-157.
+    // The neg→pos→neg chain (customer→order→part) exercises both tables. ----
+    QueryDef("rdf_q2_split", cte +
+      """SELECT Negative.Object AS result_obj FROM (
+        |  SELECT Positive.Object AS Object FROM Negative
+        |  INNER JOIN Positive ON Negative.Object = Positive.Subject
+        |  WHERE Negative.Subject = (SELECT MIN(Subject) FROM Negative WHERE Predicate = -2)
+        |    AND Negative.Predicate = -2 AND Positive.Predicate = -13
+        |) AS Table1
+        |LEFT OUTER JOIN Negative ON (Negative.Subject = Table1.Object)
+        |WHERE Negative.Predicate = -21""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTables(RdfBridge.triples(s, dir), Layouts.BySubject)
+        .sql(
+          """SELECT Negative.Object AS result_obj FROM (
+            |  SELECT Positive.Object AS Object FROM Negative
+            |  INNER JOIN Positive ON Negative.Object = Positive.Subject
+            |  WHERE Negative.Subject = (SELECT MIN(Subject) FROM Negative WHERE Predicate = -2)
+            |    AND Negative.Predicate = -2 AND Positive.Predicate = -13
+            |) AS Table1
+            |LEFT OUTER JOIN Negative ON (Negative.Subject = Table1.Object)
+            |WHERE Negative.Predicate = -21""".stripMargin)
+    },
+
+    // ---- Q3 family: translator-shaped point lookup with unbound subject →
+    // UNION ALL over both sign tables (MyOpVisitorBase.java:104-125). ----
+    QueryDef("rdf_q3_point", cte +
+      """SELECT Subject AS s, Predicate AS p, Object AS o FROM Positive
+        |WHERE Object = (SELECT MIN(Object) FROM Negative WHERE Predicate = -21)
+        |UNION ALL
+        |SELECT Subject AS s, Predicate AS p, Object AS o FROM Negative
+        |WHERE Object = (SELECT MIN(Object) FROM Negative WHERE Predicate = -21)""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTables(RdfBridge.triples(s, dir), Layouts.BySubject)
+        .sql(
+          """SELECT Subject AS s, Predicate AS p, Object AS o FROM Positive
+            |WHERE Object = (SELECT MIN(Object) FROM Negative WHERE Predicate = -21)
+            |UNION ALL
+            |SELECT Subject AS s, Predicate AS p, Object AS o FROM Negative
+            |WHERE Object = (SELECT MIN(Object) FROM Negative WHERE Predicate = -21)""".stripMargin)
+    },
+
+    // ---- SPARQL frontend end-to-end: parse → encode via dictionary → plan
+    // multi-pattern BGP as joins (the generalization past the reference's
+    // last-pattern-wins bug, MyOpVisitorBase.java:42-45). ----
+    QueryDef("rdf_sparql_bgp",
+      RdfBridge.oracleCte +
+        """SELECT t1.Object AS o, t2.Object AS p2
+          |FROM triples t1 JOIN triples t2 ON t1.Object = t2.Subject
+          |WHERE t1.Subject = CAST(-(1000 + (SELECT MIN(o_custkey) FROM orders)) AS INTEGER)
+          |  AND t1.Predicate = -2 AND t2.Predicate = -13""".stripMargin) { (s, dir) =>
+      val minCust = graft.sources.Tables.load(s, dir, "orders")
+        .agg(min(col("o_custkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTables(RdfBridge.triples(s, dir), Layouts.BySubject)
+        .sparql(s"SELECT ?o ?p2 WHERE { 'cust_$minCust' :placed ?o . ?o :contains ?p2 }")
+    },
+
+    // ---- dictionary decode: bound results back to lexical forms via
+    // broadcast join (replaces the reference's driver-map mapPartitions
+    // decode, PartitionQueryingSubject.java:136-151). ----
+    QueryDef("rdf_decode",
+      """SELECT 'nation_' || CAST(c_nationkey AS VARCHAR) AS n FROM customer
+        |WHERE c_custkey = (SELECT MIN(o_custkey) FROM orders)""".stripMargin) { (s, dir) =>
+      val minCust = graft.sources.Tables.load(s, dir, "orders")
+        .agg(min(col("o_custkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSingleTable(RdfBridge.triples(s, dir), Layouts.BySubject)
+        .sparqlDecoded(s"SELECT ?n WHERE { 'cust_$minCust' :in_nation ?n }")
+    },
+  )
+}

@@ -1,0 +1,229 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational query surface (SURVEY §2.2): scan, projection, filter,
+  * inner/left-outer/semi/anti joins, self-join, subquery, union, aggregation,
+  * window, sort/limit — each as a DataFrame plan with a DuckDB oracle.
+  *
+  * Scale notes are per-query; the shared principles: filters/projections are
+  * plain `Column` expressions (pushed into the parquet scan by Catalyst),
+  * dimension sides of joins carry an explicit `broadcast()` hint, aggregates
+  * are all map-side-combinable (partial aggregation before the exchange).
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- aggregation over one fact table (map-side combine; one shuffle on
+    // the tiny group key; scan prunes to 5 of 11 columns) ----
+    QueryDef("q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ---- filter + projection, predicates pushed to parquet (PushedFilters
+    // on l_shipdate/l_discount/l_quantity; ReadSchema = 4 columns) ----
+    QueryDef("q2_filter_project",
+      """SELECT l_orderkey, l_linenumber,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_shipdate < TIMESTAMP '1995-09-01'
+        |  AND l_discount >= 0.05 AND l_quantity < 10""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-09-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"), col("l_quantity"))
+    },
+
+    // ---- TPC-H Q6 shape: tight scan-filter-agg, fully codegen'd ----
+    QueryDef("q3_scan_agg",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem WHERE l_quantity < 25 AND l_discount BETWEEN 0.04 AND 0.08""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") < 25 && col("l_discount").between(0.04, 0.08))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // ---- 3-table join; dims broadcast (no shuffle of the fact side beyond
+    // the final group-by exchange) ----
+    QueryDef("q4_join_broadcast",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .join(broadcast(Tables.load(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
+    },
+
+    // ---- left outer join preserving unmatched left rows (COUNT(col) skips
+    // nulls — zero-order customers kept with 0) ----
+    QueryDef("q5_left_outer",
+      """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    },
+
+    // ---- anti join (NOT EXISTS): customers with no finished order ----
+    QueryDef("q6_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin) { (s, dir) =>
+      val finished = Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      Tables.load(s, dir, "customer")
+        .join(finished, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+
+    // ---- semi join (EXISTS) ----
+    QueryDef("q7_semi_join",
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      Tables.load(s, dir, "customer")
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+    },
+
+    // ---- UNION ALL (bag semantics) of two filtered scans + re-aggregation ----
+    QueryDef("q8_union",
+      """SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT 'big' AS bucket, o_orderkey FROM orders WHERE o_totalprice > 200000
+        |  UNION ALL
+        |  SELECT 'urgent' AS bucket, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |) u GROUP BY bucket""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      o.filter(col("o_totalprice") > 200000).select(lit("big").as("bucket"), col("o_orderkey"))
+        .unionAll(o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(lit("urgent").as("bucket"), col("o_orderkey")))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    },
+
+    // ---- derived-table subquery + window: top-3 orders per customer,
+    // deterministic tie-break on o_orderkey ----
+    QueryDef("q9_window_topk",
+      """SELECT o_custkey, o_orderkey, CAST(rnk AS BIGINT) AS rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk").cast("long").as("rnk"))
+    },
+
+    // ---- distinct aggregation ----
+    QueryDef("q10_count_distinct",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+    },
+
+    // ---- date functions + group by derived key ----
+    QueryDef("q11_date_agg",
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    },
+
+    // ---- string functions ----
+    QueryDef("q12_string_funcs",
+      """SELECT c_custkey, UPPER(c_name) AS name_upper,
+        |  CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+        |  SUBSTRING(c_mktsegment, 1, 4) AS seg4,
+        |  c_mktsegment || '#' || c_name AS tagged
+        |FROM customer WHERE c_acctbal > 0""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_custkey"), upper(col("c_name")).as("name_upper"),
+          length(col("c_name")).as("name_len"),
+          substring(col("c_mktsegment"), 1, 4).as("seg4"),
+          concat(col("c_mktsegment"), lit("#"), col("c_name")).as("tagged"))
+    },
+
+    // ---- JSON extraction from the events props column ----
+    QueryDef("q13_json",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("int")).cast("long").as("k_sum"),
+          count(lit(1)).as("n"))
+    },
+
+    // ---- sort + limit (top-k with deterministic tie-break) ----
+    QueryDef("q14_order_limit",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+
+    // ---- self-join: pairs of lineitems of the same order from different
+    // suppliers (bounded by linenumber ordering to halve the pairs) ----
+    QueryDef("q15_self_join",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM lineitem a
+        |JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+        |WHERE a.l_suppkey <> b.l_suppkey""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+      val a = li.as("a")
+      val b = li.as("b")
+      a.join(b, col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_linenumber") < col("b.l_linenumber") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+  )
+}

@@ -1,0 +1,116 @@
+package graft.sparql
+
+import graft.core.{Dictionary, TripleSchema}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Compiles a basic graph pattern to a DataFrame plan over the triple table.
+  *
+  * Replaces the reference's 8-template SQL string generator
+  * (`/root/reference/src/main/java/com/github/nkoutroumanis/MyOpVisitorBase.java:80-127`):
+  * instead of emitting SQL text per bound/unbound case, each pattern becomes a
+  * filtered scan and shared variables become equi-join conditions — the
+  * general BGP→relational translation the reference's last-pattern-wins bug
+  * (`MyOpVisitorBase.java:42-45`) prevented it from reaching.
+  *
+  * Sign routing (reference `MyOpVisitorBase.java:81-86,104-125`): when the
+  * split layout is in use and a pattern's subject is bound, only the
+  * sign-matching table is scanned; when the subject is a variable, the two
+  * tables are UNION ALL'd (bag semantics, as the reference's `UNION ALL`).
+  * With the partition-column layout (`Layouts.writePartitionedBySign`) the
+  * same effect comes free from Catalyst partition pruning on a plain
+  * `sign = 'pos'` filter.
+  *
+  * Scale notes: per-pattern constant filters are pushed into the parquet scan
+  * by Catalyst (point predicates on int columns → row-group pruning via
+  * min/max stats, strongest when the table is range-laid-out on that column —
+  * `Layouts.rangeLayout`). Chain joins shuffle on the shared variable; with a
+  * subject-bucketed table the exchange on the subject side is elided.
+  */
+object BgpPlanner {
+
+  /** The triple store view the planner reads: either one table, or the
+    * sign-split pair for routed scans.
+    */
+  sealed trait Store
+  final case class SingleTable(df: DataFrame) extends Store
+  final case class SplitTables(positive: DataFrame, negative: DataFrame) extends Store
+
+  /** Plan `query` over `store`, encoding constants through `dict`.
+    * Output: one int column per distinct variable (projection order), encoded;
+    * decode with `Dictionary.decode`. A constant term that is absent from the
+    * dictionary yields an empty (not failing) result — it can match nothing.
+    */
+  def plan(query: BgpQuery, store: Store, dict: Dictionary): DataFrame = {
+    // Encode every constant in one dictionary round-trip (single pushed-down
+    // isin scan, not one scan per term).
+    val constants = query.patterns.flatMap(p => Seq(p.s, p.p, p.o)).collect {
+      case Constant(l) => l
+    }.distinct
+    val enc: Map[String, Int] = dict.encodeTerms(constants)
+
+    val planned = query.patterns.zipWithIndex.map { case (pat, i) =>
+      planPattern(pat, i, store, enc)
+    }
+
+    // Join patterns left-to-right on shared variables; disjoint patterns
+    // cross-join (correct per SPARQL semantics, logged as a scale hazard).
+    val joined = planned.reduceLeft { (acc, next) =>
+      val shared = acc.columns.toSet.intersect(next.columns.toSet).toSeq.sorted
+      if (shared.isEmpty) acc.crossJoin(next)
+      else acc.join(next, shared, "inner")
+    }
+
+    val projection =
+      if (query.projection.nonEmpty) query.projection
+      else joined.columns.toSeq.filterNot(_.startsWith("__exists_")).sorted
+    if (projection.isEmpty) joined // fully-bound BGP: non-empty iff it matches
+    else joined.select(projection.map(col): _*)
+  }
+
+  /** One pattern → filtered scan projected to its variable columns. */
+  private def planPattern(
+      pat: TriplePattern, idx: Int, store: Store, enc: Map[String, Int]): DataFrame = {
+
+    val base: DataFrame = (store, pat.s) match {
+      case (SingleTable(df), _) => df
+      case (SplitTables(pos, neg), Constant(l)) =>
+        // sign routing on the bound subject (MyOpVisitorBase.java:81-86)
+        enc.get(l) match {
+          case Some(id) if id >= 0 => pos
+          case Some(_) => neg
+          case None => pos.limit(0) // unknown term: empty
+        }
+      case (SplitTables(pos, neg), _: Variable) => pos.unionAll(neg)
+    }
+
+    val positions = Seq(
+      (pat.s, TripleSchema.subject),
+      (pat.p, TripleSchema.predicate),
+      (pat.o, TripleSchema.objekt))
+
+    val filters: Seq[Column] = positions.collect {
+      case (Constant(l), c) =>
+        enc.get(l) match {
+          case Some(id) => col(c) === lit(id)
+          case None => lit(false)
+        }
+    }
+    // Same variable twice in one pattern (e.g. ?x p ?x) ⇒ intra-pattern equality.
+    val varCols = positions.collect { case (Variable(v), c) => (v, c) }
+    val selfEq: Seq[Column] = varCols.groupBy(_._1).values.collect {
+      case vs if vs.size > 1 => vs.map(_._2).sliding(2).map {
+        case Seq(a, b) => col(a) === col(b)
+      }.reduce(_ && _)
+    }.toSeq
+
+    val filtered = (filters ++ selfEq).foldLeft(base)(_.filter(_))
+    // project to variable columns named after the variables (dedup repeats)
+    val distinctVars = varCols.distinctBy(_._1)
+    if (distinctVars.isEmpty)
+      // fully-bound pattern: existence check; keep a marker column set
+      filtered.select(lit(1).as(s"__exists_$idx")).limit(1)
+    else
+      filtered.select(distinctVars.map { case (v, c) => col(c).as(v) }: _*)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.sparql
+
+/** Minimal SPARQL-subset AST.
+  *
+  * The reference parses with Jena (`/root/reference/src/main/java/com/github/nkoutroumanis/MyOpVisitorBase.java:48-52`)
+  * but only ever consumes basic graph patterns; Jena is unavailable offline,
+  * so the subset grammar — `SELECT <vars|*> WHERE { s p o . s p o . ... }` —
+  * is parsed by hand. Terms: `?var`, `'literal'` (quoted, may be
+  * `:`-prefixed), `<uri>` / `<a>` (angle-bracketed), or a bare prefixed name.
+  */
+sealed trait Term
+final case class Variable(name: String) extends Term
+final case class Constant(lexical: String) extends Term
+
+final case class TriplePattern(s: Term, p: Term, o: Term)
+
+/** A basic graph pattern plus the query's projection (Nil = `*`). */
+final case class BgpQuery(projection: Seq[String], patterns: Seq[TriplePattern])
+
+object SparqlParser {
+
+  /** Parse the SPARQL subset. Unlike the reference — whose visitor keeps only
+    * the LAST pattern of a multi-pattern BGP (static field overwritten per
+    * iteration, `MyOpVisitorBase.java:42-45`) — all patterns are kept, making
+    * multi-hop BGPs expressible (the generalization called for in SURVEY §2.3).
+    */
+  def parse(query: String): BgpQuery = {
+    val normalized = query.trim.replaceAll("\\s+", " ")
+    val re = "(?is)SELECT\\s+(.*?)\\s+WHERE\\s*\\{(.*)\\}".r
+    normalized match {
+      case re(proj, body) =>
+        val projection =
+          if (proj.trim == "*") Nil
+          else proj.trim.split("\\s+").toSeq.map { v =>
+            require(v.startsWith("?"), s"projection must be variables or *, got: $v")
+            v.substring(1)
+          }
+        val patterns = body.split("\\s*\\.\\s*(?=(?:[^']*'[^']*')*[^']*$)")
+          .map(_.trim).filter(_.nonEmpty).toSeq.map(parsePattern)
+        require(patterns.nonEmpty, "empty BGP")
+        BgpQuery(projection, patterns)
+      case _ => throw new IllegalArgumentException(s"unsupported SPARQL: $query")
+    }
+  }
+
+  private def parsePattern(text: String): TriplePattern = {
+    val toks = tokenize(text)
+    require(toks.length == 3, s"triple pattern needs 3 terms, got ${toks.length} in: $text")
+    TriplePattern(toTerm(toks(0)), toTerm(toks(1)), toTerm(toks(2)))
+  }
+
+  /** Split on spaces outside single quotes (lexical forms may contain spaces,
+    * as the reference dictionary's do — `PartitionQueryingSubject.java:66`'s
+    * limit-2 split implies multi-word terms).
+    */
+  private def tokenize(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case c if c == ' ' && !inQuote =>
+        if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toArray
+  }
+
+  private def toTerm(tok: String): Term =
+    if (tok.startsWith("?")) Variable(tok.substring(1))
+    else Constant(graft.core.Dictionary.normalizeTerm(tok))
+}
