@@ -12,10 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def all: Seq[QueryDef] =
-    queries_relational ++ queries_rdf
+    queries_relational ++ queries_rdf ++ queries_pipeline
 
   private def queries_relational = graft.queries.Relational.defs
   private def queries_rdf = graft.queries.Rdf.defs
+  private def queries_pipeline = graft.queries.Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

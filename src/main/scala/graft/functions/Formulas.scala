@@ -1,0 +1,185 @@
+package graft.functions
+
+/** Cross-dialect SQL formula builder for the training-data pipeline operators
+  * (dedup, similarity, text analysis).
+  *
+  * Every operator's Spark implementation and its DuckDB oracle are generated
+  * from ONE template parameterized by [[Dialect]], so the two sides compute
+  * the identical arithmetic — the driver's hash-compare then passes by
+  * construction, not by coincidence. All hashes are pure-SQL polynomial
+  * arithmetic over md5 hex digits (md5 is bit-identical everywhere), kept
+  * below 2^62 so BIGINT never overflows.
+  *
+  * Scale note: everything here is a deterministic scalar expression over one
+  * row's columns — codegen-friendly, no UDFs, no driver state — so the same
+  * SQL runs unchanged on a 1000-executor cluster.
+  */
+sealed trait Dialect {
+  def transform(l: String, x: String, body: String): String
+  /** Left fold with explicit init — defined evaluation order in both engines. */
+  def reduce(l: String, init: String, acc: String, x: String, body: String): String
+  def filter(l: String, x: String, body: String): String
+  /** Inclusive int range [a, b] as a literal-bounded sequence. */
+  def seq(a: String, b: String): String
+  def elem(l: String, i: String): String
+  def arrayMin(l: String): String
+  def len(l: String): String
+  def contains(l: String, e: String): String
+  def distinct(l: String): String
+  def slice(l: String, from: String, n: String): String
+  def joinWs(l: String): String
+  def splitWs(e: String): String
+  def regexpCount(e: String, pat: String): String
+  def shiftRight(e: String, i: String): String
+  def shiftLeft1(i: String): String
+  def xor(a: String, b: String): String
+  def bitCount(e: String): String
+  def sort(l: String): String
+  def arrayLit(items: Seq[String]): String
+  def explodeSelect(cols: String, from: String, arrayExpr: String, alias: String): String
+}
+
+object SparkDialect extends Dialect {
+  def transform(l: String, x: String, body: String) = s"transform($l, $x -> $body)"
+  def reduce(l: String, init: String, acc: String, x: String, body: String) =
+    s"aggregate($l, $init, ($acc, $x) -> $body)"
+  def filter(l: String, x: String, body: String) = s"filter($l, $x -> $body)"
+  def seq(a: String, b: String) =
+    s"slice(sequence($a, greatest($b, $a)), 1, greatest(($b) - ($a) + 1, 0))"
+  def elem(l: String, i: String) = s"element_at($l, $i)"
+  def arrayMin(l: String) = s"array_min($l)"
+  def len(l: String) = s"size($l)"
+  def contains(l: String, e: String) = s"array_contains($l, $e)"
+  def distinct(l: String) = s"array_distinct($l)"
+  def slice(l: String, from: String, n: String) = s"slice($l, $from, $n)"
+  def joinWs(l: String) = s"array_join($l, ' ')"
+  def splitWs(e: String) = s"split(trim($e), '\\\\s+')"
+  def regexpCount(e: String, pat: String) = s"size(regexp_extract_all($e, '$pat', 0))"
+  def shiftRight(e: String, i: String) = s"shiftright($e, $i)"
+  def shiftLeft1(i: String) = s"shiftleft(CAST(1 AS BIGINT), $i)"
+  def xor(a: String, b: String) = s"($a ^ $b)"
+  def bitCount(e: String) = s"bit_count($e)"
+  def sort(l: String) = s"array_sort($l)"
+  def arrayLit(items: Seq[String]) = items.map(i => s"'$i'").mkString("array(", ", ", ")")
+  def explodeSelect(cols: String, from: String, arrayExpr: String, alias: String) =
+    s"SELECT $cols, explode($arrayExpr) AS $alias FROM $from"
+}
+
+object DuckDialect extends Dialect {
+  def transform(l: String, x: String, body: String) = s"list_transform($l, $x -> $body)"
+  def reduce(l: String, init: String, acc: String, x: String, body: String) =
+    s"list_reduce(list_prepend($init, $l), ($acc, $x) -> $body)"
+  def filter(l: String, x: String, body: String) = s"list_filter($l, $x -> $body)"
+  def seq(a: String, b: String) = s"range($a, ($b) + 1)"
+  def elem(l: String, i: String) = s"$l[$i]"
+  def arrayMin(l: String) = s"list_min($l)"
+  def len(l: String) = s"len($l)"
+  def contains(l: String, e: String) = s"list_contains($l, $e)"
+  def distinct(l: String) = s"list_distinct($l)"
+  def slice(l: String, from: String, n: String) = s"list_slice($l, $from, ($from) + ($n) - 1)"
+  def joinWs(l: String) = s"array_to_string($l, ' ')"
+  def splitWs(e: String) = s"regexp_split_to_array(trim($e), '\\s+')"
+  def regexpCount(e: String, pat: String) = s"len(regexp_extract_all($e, '$pat'))"
+  def shiftRight(e: String, i: String) = s"($e >> ($i))"
+  def shiftLeft1(i: String) = s"(CAST(1 AS BIGINT) << ($i))"
+  def xor(a: String, b: String) = s"xor($a, $b)"
+  def bitCount(e: String) = s"bit_count(CAST($e AS BIGINT))"
+  def sort(l: String) = s"list_sort($l)"
+  def arrayLit(items: Seq[String]) = items.map(i => s"'$i'").mkString("[", ", ", "]")
+  def explodeSelect(cols: String, from: String, arrayExpr: String, alias: String) =
+    s"SELECT $cols, unnest($arrayExpr) AS $alias FROM $from"
+}
+
+object Formulas {
+  /** Mersenne prime 2^31 - 1: hash range [0, P). */
+  val P = "2147483647"
+
+  /** Deterministic 31-bit string hash: polynomial (base 31) over the 32 hex
+    * digits of md5(s). Well-mixed, overflow-free, identical in both engines.
+    */
+  def strHash(d: Dialect, s: String): String =
+    d.reduce(
+      d.transform(d.seq("1", "32"), "i", s"CAST(ascii(substr(md5($s), i, 1)) AS BIGINT)"),
+      "CAST(0 AS BIGINT)", "acc", "x", s"(acc*31 + x) % $P")
+
+  /** Whitespace tokens of a text column. */
+  def tokens(d: Dialect, text: String): String = d.splitWs(text)
+
+  /** Word n-gram shingles (space-joined) of a token-array expression. */
+  def shingles(d: Dialect, toks: String, n: Int): String =
+    d.transform(
+      d.seq("1", s"${d.len(toks)} - ${n - 1}"),
+      "i", d.joinWs(d.slice(toks, "i", n.toString)))
+
+  /** Hash each element of a string-array expression. */
+  def hashAll(d: Dialect, arr: String): String =
+    d.transform(arr, "s", strHash(d, "s"))
+
+  /** MinHash signature (K values) of a hash-array expression `hs`:
+    * sig[k] = min over h of ((2k+3)*h + k*k + 1) mod P. Multipliers are odd
+    * and < 2^6, so (2k+3)*h < 2^38 — no overflow.
+    */
+  def minhashSig(d: Dialect, hs: String, k: Int): String =
+    d.transform(d.seq("0", (k - 1).toString), "k",
+      d.arrayMin(d.transform(hs, "h", s"((2*k + 3)*h + k*k + 1) % $P")))
+
+  /** Band keys of a signature array: bands of `r` consecutive sig values,
+    * each folded to one BIGINT. nBands = K / r.
+    */
+  def bandKeys(d: Dialect, sig: String, k: Int, r: Int): String = {
+    val nBands = k / r
+    d.transform(d.seq("0", (nBands - 1).toString), "b",
+      d.reduce(d.slice(sig, s"b*$r + 1", r.toString),
+        "CAST(0 AS BIGINT)", "acc", "x", s"(acc*1000003 + x) % $P"))
+  }
+
+  /** Estimated Jaccard from two signature arrays: fraction of equal slots. */
+  def sigSim(d: Dialect, sigA: String, sigB: String, k: Int): String =
+    s"CAST(${d.len(d.filter(d.seq("1", k.toString), "i",
+      s"${d.elem(sigA, "i")} = ${d.elem(sigB, "i")}"))} AS DOUBLE) / $k"
+
+  /** Exact Jaccard similarity of two string-array sets (inputs must be
+    * distinct-ified). |A∩B| / (|A|+|B|-|A∩B|).
+    */
+  def jaccard(d: Dialect, a: String, b: String): String = {
+    val inter = d.len(d.filter(a, "x", d.contains(b, "x")))
+    s"CAST($inter AS DOUBLE) / (${d.len(a)} + ${d.len(b)} - $inter)"
+  }
+
+  /** 32-bit SimHash over a hash-array expression `hs` (precompute token
+    * hashes once, e.g. as a CTE column): bit i is set when the sum over
+    * tokens of ±1 (sign of bit i of the token hash) is positive.
+    */
+  def simhash32(d: Dialect, hs: String): String = {
+    val perBit = d.reduce(hs, "CAST(0 AS BIGINT)", "a2", "h",
+      s"a2 + (CASE WHEN (${d.shiftRight("h", "i")} & 1) = 1 THEN 1 ELSE -1 END)")
+    d.reduce(d.seq("0", "31"), "CAST(0 AS BIGINT)", "acc", "i",
+      s"acc + (CASE WHEN ($perBit) > 0 THEN ${d.shiftLeft1("i")} ELSE 0 END)")
+  }
+
+  /** Dot product of two float-array columns over dims [1, n], computed as
+    * double with defined left-to-right order — bit-identical across engines.
+    */
+  def dot(d: Dialect, a: String, b: String, n: Int): String =
+    d.reduce(
+      d.transform(d.seq("1", n.toString), "i",
+        s"CAST(${d.elem(a, "i")} AS DOUBLE) * CAST(${d.elem(b, "i")} AS DOUBLE)"),
+      "CAST(0.0 AS DOUBLE)", "acc", "x", "acc + x")
+
+  /** L2 norm (sqrt of self-dot). */
+  def norm(d: Dialect, a: String, n: Int): String = s"sqrt(${dot(d, a, a, n)})"
+
+  /** Deterministic pseudo-random hyperplane component j,i in [-499.5, 499.5]:
+    * LCG-mixed, expressible identically in both engines.
+    */
+  def planeComponent(j: String, i: String): String =
+    s"CAST(((CAST($j AS BIGINT)*1103515245 + CAST($i AS BIGINT)*12345 + 54321) % 1000 + 1000) % 1000 AS DOUBLE) - 499.5"
+
+  /** LSH bucket id from `nPlanes` hyperplane sign bits of embedding `v`. */
+  def lshBucket(d: Dialect, v: String, dim: Int, nPlanes: Int): String =
+    d.reduce(d.seq("0", (nPlanes - 1).toString), "CAST(0 AS BIGINT)", "acc", "j",
+      s"acc*2 + (CASE WHEN (${d.reduce(
+        d.transform(d.seq("1", dim.toString), "i",
+          s"CAST(${d.elem(v, "i")} AS DOUBLE) * (${planeComponent("j", "i")})"),
+        "CAST(0.0 AS DOUBLE)", "a2", "x", "a2 + x")}) > 0 THEN 1 ELSE 0 END)")
+}

@@ -1,0 +1,264 @@
+package graft.queries
+
+import graft.functions.{Dialect, DuckDialect, Formulas => F, SparkDialect}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data pipeline operators (the beyond-parity north star of
+  * SURVEY §7.7): deduplication (exact, MinHash+LSH, n-gram Jaccard with
+  * prefix filtering, SimHash), similarity search (exact cosine top-k,
+  * LSH-bucketed ANN), and text analysis (token stats, quality, language id,
+  * fingerprints) over the `documents` / `embeddings` tables.
+  *
+  * Each operator's Spark SQL and its DuckDB oracle come from ONE
+  * dialect-parameterized template ([[graft.functions.Formulas]]), so both
+  * engines compute identical arithmetic — including bit-identical doubles
+  * (defined-order folds) — and the driver's hash compare passes by
+  * construction.
+  *
+  * Scale design: no UDFs, no driver state — all per-row scalar expressions
+  * (codegen-able) plus standard shuffles. The LSH/banding/prefix-filter
+  * variants exist precisely so the pairwise steps never materialize the
+  * full O(n²) cross join at 100 TB: candidates come from equi-joins on
+  * band/bucket/prefix keys (shuffle-partitionable by key), and the exact
+  * verification runs only on candidates.
+  */
+object Pipeline {
+
+  private val K = 16 // minhash signature length
+  private val R = 4  // rows per LSH band -> 4 bands
+  private val DIM = 64 // embedding dimension (TESTDATA embeddings)
+
+  private def views(s: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+
+  private def docQuery(name: String, sql: Dialect => String): QueryDef =
+    QueryDef(name, sql(DuckDialect)) { (s, dir) =>
+      views(s, dir, "documents"); s.sql(sql(SparkDialect))
+    }
+
+  private def embQuery(name: String, sql: Dialect => String): QueryDef =
+    QueryDef(name, sql(DuckDialect)) { (s, dir) =>
+      views(s, dir, "embeddings"); s.sql(sql(SparkDialect))
+    }
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup by content hash: one group per distinct text, keeper = min
+    * doc_id. At scale: a single hash-partitioned groupBy on a 31-bit (then
+    * 64/128-bit) content hash — no text column in the shuffle.
+    */
+  private def dedupExact(d: Dialect): String =
+    s"""SELECT h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_copies
+       |FROM (SELECT doc_id, ${F.strHash(d, "text")} AS h FROM documents) t
+       |GROUP BY h""".stripMargin
+
+  /** MinHash(K=16) + LSH(4 bands × r=4) near-dup candidate pairs with
+    * signature-estimated Jaccard >= 0.5. Candidates come ONLY from band-key
+    * equi-joins (the scale path — shuffle by band key, no cross join); the
+    * oracle replicates the banding, so recall semantics are part of the
+    * operator contract.
+    */
+  private def dedupMinhashLsh(d: Dialect): String = {
+    val toks = F.tokens(d, "text")
+    val sig = F.minhashSig(d, F.hashAll(d, F.shingles(d, toks, 3)), K)
+    s"""WITH t AS (SELECT doc_id, $sig AS sig FROM documents),
+       |b AS (${d.explodeSelect("doc_id", "t", F.bandKeys(d, "sig", K, R), "bk")}),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM b x JOIN b y ON x.bk = y.bk AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id)
+       |SELECT * FROM (
+       |  SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
+       |    ${F.sigSim(d, "sa.sig", "sb.sig", K)} AS est_sim
+       |  FROM pairs p
+       |  JOIN t sa ON p.a = sa.doc_id
+       |  JOIN t sb ON p.b = sb.doc_id) s
+       |WHERE est_sim >= 0.5""".stripMargin
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard similarity join, threshold 0.5, via
+    * PREFIX FILTERING (AllPairs/PPJoin): sort each doc's distinct shingle
+    * hashes, emit only the first floor(n/2)+1 as candidate keys — any pair
+    * with J >= 0.5 must share one (pigeonhole), so recall is exact while the
+    * join stays an equi-join on shingle hash. Length-ratio pruning (|A| <=
+    * 2|B|) is implied by the threshold and applied early.
+    */
+  private def dedupNgramJaccard(d: Dialect): String = {
+    val sh = d.sort(d.distinct(F.hashAll(d, F.shingles(d, F.tokens(d, "text"), 3))))
+    s"""WITH t AS (SELECT doc_id, $sh AS sh FROM documents),
+       |tp AS (SELECT doc_id, sh, ${d.len("sh")} AS n FROM t),
+       |c AS (${d.explodeSelect("doc_id, sh, n", "tp",
+             d.slice("sh", "1", s"CAST(n/2 AS INT) + 1"), "p")}),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM c x JOIN c y ON x.p = y.p AND x.doc_id < y.doc_id
+       |    AND x.n <= 2*y.n AND y.n <= 2*x.n
+       |  GROUP BY x.doc_id, y.doc_id)
+       |SELECT * FROM (
+       |  SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
+       |    ${F.jaccard(d, "ta.sh", "tb.sh")} AS sim
+       |  FROM pairs p
+       |  JOIN t ta ON p.a = ta.doc_id
+       |  JOIN t tb ON p.b = tb.doc_id) s
+       |WHERE sim >= 0.5""".stripMargin
+  }
+
+  /** Per-document 32-bit SimHash fingerprint. */
+  private def dedupSimhash(d: Dialect): String = {
+    val hs = F.hashAll(d, F.tokens(d, "text"))
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, ${F.simhash32(d, "hs")} AS simhash
+       |FROM (SELECT doc_id, $hs AS hs FROM documents) t""".stripMargin
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= 3, candidates from
+    * 4×8-bit band equi-joins — exact recall by pigeonhole (<=3 differing
+    * bits cannot touch all 4 bands). The scale path for billion-doc dedup:
+    * 4 shuffles on one-byte keys, then a cheap popcount verify.
+    */
+  private def dedupSimhashPairs(d: Dialect): String = {
+    val hs = F.hashAll(d, F.tokens(d, "text"))
+    val bands = d.transform(d.seq("0", "3"), "b",
+      s"(((${d.shiftRight("simhash", "b*8")}) & 255) * 4) + b")
+    s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    ${F.simhash32(d, "hs")} AS simhash
+       |  FROM (SELECT doc_id, $hs AS hs FROM documents) t0),
+       |b AS (${d.explodeSelect("doc_id, simhash", "t", bands, "bk")}),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |    MIN(x.simhash) AS ha, MIN(y.simhash) AS hb
+       |  FROM b x JOIN b y ON x.bk = y.bk AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id)
+       |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       |  CAST(${d.bitCount(d.xor("ha", "hb"))} AS BIGINT) AS hamming
+       |FROM pairs WHERE ${d.bitCount(d.xor("ha", "hb"))} <= 3""".stripMargin
+  }
+
+  // ---------------------------------------------------------- similarity
+
+  /** Exact cosine top-k (k=5): brute-force baseline over a query subset
+    * (every 50th vector). Dot/norm folds are defined-order, so scores are
+    * bit-identical across engines. At scale the probe side is small and
+    * broadcast; the corpus scan is a single pass.
+    */
+  private def simTopkCosine(d: Dialect): String = {
+    val cos = s"(${F.dot(d, "qv", "ev", DIM)}) / ((${F.norm(d, "qv", DIM)}) * (${F.norm(d, "ev", DIM)}))"
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT qid, e.vec_id AS nid, $cos AS score
+       |  FROM q CROSS JOIN (SELECT vec_id, embedding AS ev FROM embeddings) e
+       |  WHERE e.vec_id <> qid)
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, score,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM (SELECT qid, nid, score,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+       |  FROM scored) s
+       |WHERE rnk <= 5""".stripMargin
+  }
+
+  /** LSH-bucketed ANN (8 deterministic hyperplanes → 256 buckets): top-3
+    * within the probe's bucket. The scale variant of top-k: candidates come
+    * from a bucket equi-join instead of a cross join.
+    */
+  private def simAnnLsh(d: Dialect): String = {
+    val cos = s"(${F.dot(d, "qv", "ev", DIM)}) / ((${F.norm(d, "qv", DIM)}) * (${F.norm(d, "ev", DIM)}))"
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    ${F.lshBucket(d, "embedding", DIM, 8)} AS bkt FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, bkt FROM e
+       |  WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id AS nid, $cos AS score
+       |  FROM q JOIN (SELECT vec_id, embedding AS ev, bkt FROM e) e
+       |    ON q.bkt = e.bkt AND e.vec_id <> q.qid)
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, score,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM (SELECT qid, nid, score,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+       |  FROM scored) s
+       |WHERE rnk <= 3""".stripMargin
+  }
+
+  // -------------------------------------------------------- text analysis
+
+  /** Token statistics: whitespace tokens + a BPE-ish subword count (maximal
+    * consonant*-vowel+-consonant* runs) + mean token length.
+    */
+  private def textTokenStats(d: Dialect): String = {
+    val toks = F.tokens(d, "text")
+    val sumLen = d.reduce(d.transform("toks", "t", "CAST(length(t) AS BIGINT)"),
+      "CAST(0 AS BIGINT)", "acc", "x", "acc + x")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(${d.len("toks")} AS BIGINT) AS n_tokens,
+       |  CAST(${d.regexpCount("text", "[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*")} AS BIGINT) AS n_subwords,
+       |  CAST($sumLen AS DOUBLE) / ${d.len("toks")} AS mean_token_len
+       |FROM (SELECT doc_id, text, $toks AS toks FROM documents) t""".stripMargin
+  }
+
+  /** Quality scoring: char length, non-alphanumeric ratio, stopword ratio,
+    * and a composite score — the standard cheap pre-training filters.
+    */
+  private def textQuality(d: Dialect): String = {
+    val toks = F.tokens(d, "text")
+    val stop = d.arrayLit(Seq("the", "a", "and", "of", "to", "in", "is"))
+    val stopRatio =
+      s"CAST(${d.len(d.filter("toks", "t", d.contains(stop, "t")))} AS DOUBLE) / ${d.len("toks")}"
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(${d.regexpCount("text", "[^a-z0-9 ]")} AS DOUBLE) / length(text) AS punct_ratio,
+       |  $stopRatio AS stopword_ratio,
+       |  CASE WHEN ${d.len("toks")} >= 20 AND ($stopRatio) >= 0.05
+       |    THEN 1.0 ELSE 0.0 END AS quality_keep
+       |FROM (SELECT doc_id, text, $toks AS toks FROM documents) t""".stripMargin
+  }
+
+  /** Language id by stopword-list voting (n-gram-free heuristic): score per
+    * language = fraction of tokens in that language's marker list; argmax
+    * with a fixed priority order for ties.
+    */
+  private def textLangid(d: Dialect): String = {
+    val markers = Seq(
+      "en" -> Seq("the", "a", "and", "of", "to"),
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "es" -> Seq("el", "la", "los", "y", "es"),
+      "fr" -> Seq("le", "une", "les", "et", "est"),
+      "zh" -> Seq("de0", "shi", "le0", "wo", "ni"))
+    val scores = markers.map { case (lang, words) =>
+      lang -> s"(CAST(${d.len(d.filter("toks", "t", d.contains(d.arrayLit(words), "t")))} AS DOUBLE) / ${d.len("toks")})"
+    }
+    val scoreCols = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n  ")
+    val best = scores.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val pred = scores.map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }
+      .mkString("CASE ", " ", " END")
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, $pred AS pred_lang,
+       |  $best AS best_score
+       |FROM (SELECT doc_id, $scoreCols
+       |  FROM (SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM documents) t0) t""".stripMargin
+  }
+
+  /** Document fingerprints: full-content hash + min-shingle (winnowing-style)
+    * hash — the cheap keys for incremental / cross-corpus dedup.
+    */
+  private def textFingerprint(d: Dialect): String = {
+    val shs = F.hashAll(d, F.shingles(d, F.tokens(d, "text"), 3))
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  ${F.strHash(d, "text")} AS content_fp,
+       |  ${d.arrayMin("shs")} AS min_shingle_fp
+       |FROM (SELECT doc_id, text, $shs AS shs FROM documents) t""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    docQuery("dedup_exact", dedupExact),
+    docQuery("dedup_minhash_lsh", dedupMinhashLsh),
+    docQuery("dedup_ngram_jaccard", dedupNgramJaccard),
+    docQuery("dedup_simhash", dedupSimhash),
+    docQuery("dedup_simhash_pairs", dedupSimhashPairs),
+    embQuery("sim_topk_cosine", simTopkCosine),
+    embQuery("sim_ann_lsh", simAnnLsh),
+    docQuery("text_token_stats", textTokenStats),
+    docQuery("text_quality", textQuality),
+    docQuery("text_langid", textLangid),
+    docQuery("text_fingerprint", textFingerprint),
+  )
+}
