@@ -248,6 +248,52 @@ object Pipeline {
        |FROM (SELECT doc_id, text, $shs AS shs FROM documents) t""".stripMargin
   }
 
+  // ------------------------------------------------- multimodal / sessions
+
+  /** Typed binary-payload feature extraction (graft.operators.Multimodal):
+    * the Spark side runs the REAL plumbing — binary column, metadata struct,
+    * mapPartitions on executors — with a deterministic byte-level stub where
+    * a codec would sit. The oracle recomputes the same bytes from the source
+    * text (ASCII ⇒ chars == bytes).
+    */
+  private def multimodalFeatures: QueryDef = {
+    val d = DuckDialect
+    val byteFold = d.reduce(
+      d.transform(d.seq("1", "length(text)"), "i", "CAST(ascii(substr(text, i, 1)) AS BIGINT)"),
+      "CAST(0 AS BIGINT)", "acc", "x", "(acc*31 + x) % 2147483647")
+    QueryDef("multimodal_features",
+      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+         |  CAST(length(text) AS BIGINT) AS byte_len,
+         |  $byteFold AS checksum,
+         |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS head_byte,
+         |  CAST(ascii(substr(text, length(text), 1)) AS INTEGER) AS tail_byte
+         |FROM documents""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.mediaTable(s, dir)).toDF()
+    }
+  }
+
+  /** Session windows over the events stream table (30-minute inactivity
+    * gap) — Spark's session_window vs a gaps-and-islands oracle. At scale:
+    * one shuffle on user_id; state per active session only in streaming.
+    */
+  private def eventsSessionWindow: QueryDef =
+    QueryDef("events_session_window",
+      """WITH x AS (SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+        |y AS (SELECT user_id, ts, value,
+        |    SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM y GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      graft.streaming.EventStreams.sessionWindows(
+        Tables.load(s, dir, "events"), "30 minutes")
+    }
+
   def defs: Seq[QueryDef] = Seq(
     docQuery("dedup_exact", dedupExact),
     docQuery("dedup_minhash_lsh", dedupMinhashLsh),
@@ -260,5 +306,7 @@ object Pipeline {
     docQuery("text_quality", textQuality),
     docQuery("text_langid", textLangid),
     docQuery("text_fingerprint", textFingerprint),
+    multimodalFeatures,
+    eventsSessionWindow,
   )
 }

@@ -225,5 +225,99 @@ object Relational {
           col("a.l_suppkey") =!= col("b.l_suppkey"))
         .agg(count(lit(1)).as("n_pairs"))
     },
+
+    // ---- ROLLUP: hierarchical subtotals (year, priority) with grouping
+    // indicators; one shuffle, subtotals computed by Expand (no re-scan) ----
+    QueryDef("q16_rollup",
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+        |  o_orderpriority,
+        |  CAST(GROUPING(EXTRACT(year FROM o_orderdate)) AS INTEGER) AS g_year,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP(EXTRACT(year FROM o_orderdate), o_orderpriority)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .withColumn("order_year", year(col("o_orderdate")))
+        .rollup(col("order_year"), col("o_orderpriority"))
+        .agg(grouping(col("order_year")).cast("int").as("g_year"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(col("order_year"), col("o_orderpriority"),
+          col("g_year"), col("g_prio"), col("n"), col("total"))
+    },
+
+    // ---- CASE WHEN buckets against a scalar subquery (uncorrelated →
+    // planned as a broadcast of one row) ----
+    QueryDef("q17_case_scalar",
+      """SELECT CASE WHEN o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders) THEN 'high'
+        |    WHEN o_totalprice > (SELECT AVG(o_totalprice) FROM orders) THEN 'above'
+        |    ELSE 'below' END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT CASE WHEN o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders) THEN 'high'
+          |    WHEN o_totalprice > (SELECT AVG(o_totalprice) FROM orders) THEN 'above'
+          |    ELSE 'below' END AS bucket,
+          |  CAST(COUNT(*) AS BIGINT) AS n
+          |FROM orders GROUP BY 1""".stripMargin)
+    },
+
+    // ---- event-time tumbling window (batch form; the streaming form with
+    // watermark is in graft.streaming) ----
+    QueryDef("q18_time_window",
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    },
+
+    // ---- pivot (priority columns per year) = conditional aggregation ----
+    QueryDef("q19_pivot",
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS low
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "5-LOW"))
+        .count()
+        .select(col("order_year"),
+          coalesce(col("1-URGENT"), lit(0L)).as("urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).as("high"),
+          coalesce(col("5-LOW"), lit(0L)).as("low"))
+    },
+
+    // ---- exact interpolated percentiles (Spark percentile == DuckDB
+    // quantile_cont: both use the (n-1)*p rank-interpolation definition) ----
+    QueryDef("q20_percentile",
+      """SELECT l_returnflag,
+        |  CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS p50,
+        |  CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("CAST(percentile(l_quantity, 0.5) AS DOUBLE)").as("p50"),
+          expr("CAST(percentile(l_quantity, 0.9) AS DOUBLE)").as("p90"))
+    },
+
+    // ---- array aggregation with deterministic ordering ----
+    QueryDef("q21_array_agg",
+      """SELECT n_nationkey,
+        |  list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_nationkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(broadcast(Tables.load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_nationkey"))
+        .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+          count(lit(1)).as("n_customers"))
+    },
   )
 }

@@ -21,7 +21,7 @@ object Tables {
     * does with TIMESTAMP_NS, so oracle comparisons agree. Integer `div`
     * (not `/`): a double division would lose precision past 2^53 ns.
     */
-  private def normalizeEventTs(df: DataFrame): DataFrame =
+  def normalizeEventTs(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df

@@ -35,7 +35,9 @@ object SparqlParser {
             require(v.startsWith("?"), s"projection must be variables or *, got: $v")
             v.substring(1)
           }
-        val patterns = body.split("\\s*\\.\\s*(?=(?:[^']*'[^']*')*[^']*$)")
+        // Pattern separator: a dot DELIMITED BY WHITESPACE (or line end) and
+        // outside quotes — dots inside <uri>s or quoted literals don't split.
+        val patterns = body.split("\\s+\\.(?=\\s|$)(?=(?:[^']*'[^']*')*[^']*$)")
           .map(_.trim).filter(_.nonEmpty).toSeq.map(parsePattern)
         require(patterns.nonEmpty, "empty BGP")
         BgpQuery(projection, patterns)

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming over the events table (beyond reference parity —
+  * the reference is batch-only, SURVEY §2.2 "Streaming: no").
+  *
+  * Streams are the same declarative plans as batch: `readStream` on the
+  * events schema → windowed aggregation with a watermark (bounded state) →
+  * any sink. At cluster scale the aggregation state is hash-partitioned by
+  * (window, event_type) across executors and checkpointed incrementally;
+  * the watermark bounds state size regardless of input volume.
+  */
+object EventStreams {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+
+  private final case class SessionState(
+      start: Long, last: Long, n: Long, total: Double)
+
+  /** File-source stream over an events parquet directory (schema locked from
+    * a batch peek — required by streaming sources).
+    */
+  def readEventStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(path))
+  }
+
+  /** Tumbling event-time window counts with a watermark: the streaming form
+    * of Relational q18_time_window. Late data beyond the watermark is
+    * dropped; state for closed windows is evicted.
+    */
+  def windowedCounts(events: DataFrame, windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Per-user sessionization with an inactivity gap, via
+    * flatMapGroupsWithState + processing-time timeout: custom state the
+    * built-in operators can't express. State is one small record per active
+    * user, partitioned by user_id.
+    */
+  /** Timestamp <-> epoch-micros (java.sql.Timestamp.getTime is only
+    * millisecond-precision; event time here is microsecond).
+    */
+  private def toMicros(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapMillis * 1000L
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          // Events within a micro-batch arrive unordered: sort this batch.
+          val sorted = it.toSeq.sortBy(e => toMicros(e.ts))
+          var st = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          sorted.foreach { e =>
+            val t = toMicros(e.ts)
+            st match {
+              case null =>
+                st = SessionState(t, t, 1, e.value)
+              case s if t - s.last >= gapMicros =>
+                closed += Session(userId, fromMicros(s.start),
+                  fromMicros(s.last), s.n, s.total)
+                st = SessionState(t, t, 1, e.value)
+              case s =>
+                st = SessionState(s.start, t, s.n + 1, s.total + e.value)
+            }
+          }
+          if (st != null) state.update(st) else state.remove()
+          closed.iterator
+      }
+  }
+
+  /** Batch-mode sessionization with the built-in session_window — the
+    * declarative equivalent (works in streaming with a watermark too).
+    */
+  def sessionWindows(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"),
+        col("total_value"))
+}

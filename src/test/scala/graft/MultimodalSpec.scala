@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing specs: schema, distribution shape, and the
+  * deterministic byte-level stubs standing in for real codecs.
+  */
+class MultimodalSpec extends SparkTestBase {
+
+  private lazy val media = Multimodal.mediaTable(spark, sf)
+
+  test("media table: binary payload + typed metadata struct") {
+    val schema = media.toDF().schema
+    assert(schema("payload").dataType.typeName == "binary")
+    assert(schema("meta").dataType.typeName == "struct")
+    assert(media.count() == 500)
+  }
+
+  test("extractFeatures computes checksum over payload bytes on executors") {
+    val feats = Multimodal.extractFeatures(media)
+    val one = feats.filter(_.doc_id == 0).head()
+    val text = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") === 0).head().getAs[String]("text")
+    var h = 0L
+    text.getBytes("UTF-8").foreach(b => h = (h * 31 + (b & 0xff)) % Multimodal.P)
+    assert(one.checksum == h)
+    assert(one.byte_len == text.length)
+  }
+
+  test("resize downsamples payload and clamps metadata width") {
+    val resized = Multimodal.resize(media, targetWidth = 64)
+    val both = media.toDF().select(col("doc_id"), length(col("payload")).as("orig"))
+      .join(resized.toDF().select(col("doc_id"), length(col("payload")).as("small"),
+        col("meta.width").as("w")), "doc_id")
+    assert(both.filter(col("small") > col("orig")).count() == 0)
+    assert(both.filter(col("w") > 64).count() == 0)
+  }
+
+  test("sampleFrames explodes video rows into strided fixed-size frames") {
+    val frames = Multimodal.sampleFrames(media, frameSize = 32, stride = 2)
+    assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+    assert(frames.filter(col("frame_len") > 32).count() == 0)
+    // only video rows contribute
+    val videoIds = media.filter(_.modality == "video").toDF()
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val frameIds = frames.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(frameIds.subsetOf(videoIds) && frameIds.nonEmpty)
+  }
+}

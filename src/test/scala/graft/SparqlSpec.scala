@@ -1,0 +1,111 @@
+package graft
+
+import graft.core.{Dictionary, TripleSchema}
+import graft.operators.QueryEngine
+import graft.sparql._
+import org.apache.spark.sql.functions._
+
+/** Parser + BGP planner specs: the 8-template routing matrix of the
+  * reference translator (MyOpVisitorBase.java:88-125) plus the multi-pattern
+  * generalization its last-pattern-wins bug prevented.
+  */
+class SparqlSpec extends SparkTestBase {
+
+  test("parser keeps ALL patterns of a multi-pattern BGP") {
+    val q = SparqlParser.parse(
+      "SELECT ?x ?z WHERE { ?x :p1 ?y . ?y :p2 ?z . ?z :p3 'end node' }")
+    assert(q.patterns.length == 3)
+    assert(q.projection == Seq("x", "z"))
+    assert(q.patterns(2).o == Constant("end node"))
+  }
+
+  test("parser: star projection, variable/constant/uri terms") {
+    val q = SparqlParser.parse("SELECT * WHERE { 'subj' <http://ex.org/pred> ?o }")
+    assert(q.projection.isEmpty)
+    assert(q.patterns.head.s == Constant("subj"))
+    assert(q.patterns.head.p == Constant("pred")) // URI reduced to last segment
+    assert(q.patterns.head.o == Variable("o"))
+  }
+
+  test("parser rejects non-BGP input") {
+    intercept[IllegalArgumentException](SparqlParser.parse("ASK { ?s ?p ?o }"))
+  }
+
+  test("term normalization: variables, quotes, URIs, prefixed names") {
+    assert(Dictionary.normalizeTerm("?v") == null)
+    assert(Dictionary.normalizeTerm("'lit'") == "lit")
+    assert(Dictionary.normalizeTerm("<http://a/b/c>") == "c")
+    assert(Dictionary.normalizeTerm(":name") == ":name")
+  }
+
+  private def fixture: (QueryEngine, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val triples = Seq(
+      (-5, 1, 10), (10, 2, -7), (-7, 3, 20), // chain: -5 -> 10 -> -7 -> 20
+      (6, 1, 11), (11, 2, -8),
+      (-9, 9, -9)).toDF(
+      TripleSchema.subject, TripleSchema.predicate, TripleSchema.objekt)
+    val dict = Dictionary.fromPairs(spark, Seq(
+      -5 -> "a", 10 -> "b", -7 -> "c", 20 -> "d", 6 -> "e", 11 -> "f",
+      -8 -> "g", -9 -> "h", 1 -> ":p1", 2 -> ":p2", 3 -> ":p3", 9 -> ":loop"))
+    (new QueryEngine(spark, dict), triples)
+  }
+
+  test("BGP: 3-hop chain join across sign-split tables") {
+    val (engine, triples) = fixture
+    val rows = engine.registerSplitTables(triples)
+      .sparql("SELECT ?m ?o WHERE { 'a' :p1 ?x . ?x :p2 ?m . ?m :p3 ?o }")
+      .collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((-7, 20)))
+  }
+
+  test("BGP: unbound subject unions Positive and Negative") {
+    val (engine, triples) = fixture
+    val rows = engine.registerSplitTables(triples)
+      .sparql("SELECT ?s WHERE { ?s :p2 ?o }")
+      .collect().map(_.getInt(0)).sorted
+    assert(rows.toSeq == Seq(10, 11))
+  }
+
+  test("BGP: constant absent from dictionary yields empty, not error") {
+    val (engine, triples) = fixture
+    assert(engine.registerSplitTables(triples)
+      .sparql("SELECT ?o WHERE { 'zzz' :p1 ?o }").count() == 0)
+  }
+
+  test("BGP: repeated variable in one pattern forces intra-row equality") {
+    val (engine, triples) = fixture
+    val rows = engine.registerSingleTable(triples)
+      .sparql("SELECT ?x WHERE { ?x :loop ?x }").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(-9))
+  }
+
+  test("decode maps ids back to lexical forms via broadcast join") {
+    val (engine, triples) = fixture
+    val rows = engine.registerSingleTable(triples)
+      .sparqlDecoded("SELECT ?m ?o WHERE { 'a' :p1 ?x . ?x :p2 ?m . ?m :p3 ?o }")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("c", "d")))
+  }
+
+  test("single-table and split-table layouts give identical results") {
+    val (engine, triples) = fixture
+    val q = "SELECT ?s ?o WHERE { ?s :p1 ?o }"
+    val single = engine.registerSingleTable(triples).sparql(q).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    val split = engine.registerSplitTables(triples).sparql(q).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(single == split && single.nonEmpty)
+  }
+
+  test("reference Q1 SQL shape runs verbatim against registered views") {
+    val (engine, triples) = fixture
+    engine.registerSingleTable(triples)
+    val n = engine.sql(
+      """SELECT * FROM `table` INNER JOIN `table` t1 ON `table`.Object = t1.Subject
+        |INNER JOIN `table` t2 ON t1.Object = t2.Subject
+        |WHERE `table`.Subject = -5 AND `table`.Predicate = 1
+        |  AND t1.Predicate = 2 AND t2.Predicate = 3""".stripMargin).count()
+    assert(n == 1)
+  }
+}

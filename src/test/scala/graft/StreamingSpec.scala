@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Structured Streaming specs: the stream plan must produce exactly the
+  * batch answer on the same (finite) input — functional parity between
+  * `readStream` + watermark + window and the batch groupBy.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  /** Streaming file sources require a directory: stage the single-file
+    * events table into one.
+    */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("events_stream")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    dir.toString
+  }
+
+  test("streaming windowed counts == batch windowed counts (AvailableNow)") {
+    val stream = EventStreams.readEventStream(spark, eventsDir, maxFilesPerTrigger = 1)
+    val agg = EventStreams.windowedCounts(stream)
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val q = agg.writeStream
+      .format("memory").queryName("win_counts")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // Append mode only emits windows closed by the watermark; compare those.
+    val streamed = spark.table("win_counts")
+      .select(col("window_start"), col("event_type"), col("n"), col("total_value"))
+    val batch = EventStreams.windowedCounts(graft.sources.Tables.load(spark, sf, "events"))
+    // batch emits ALL windows; restrict to the streamed (closed) ones
+    val joined = streamed.as("s").join(batch.as("b"),
+      Seq("window_start", "event_type"))
+    val n = streamed.count()
+    assert(n > 0, "watermark should have closed at least one window")
+    assert(joined.filter(col("s.n") === col("b.n") &&
+      col("s.total_value") === col("b.total_value")).count() == n,
+      "every streamed window must match its batch value")
+  }
+
+  test("flatMapGroupsWithState sessionize agrees with session_window counts") {
+    import spark.implicits._
+    val events = graft.sources.Tables.load(spark, sf, "events")
+      .as[EventStreams.Event]
+    val gap = 30L * 60 * 1000
+    // In batch each group arrives as ONE iterator, so every session closes
+    // except each user's last — emit those by comparing totals.
+    val sessions = EventStreams.sessionize(events, gap)
+    val declarative = EventStreams.sessionWindows(graft.sources.Tables.load(spark, sf, "events"), "30 minutes")
+    // closed sessions = declarative sessions minus each user's last session
+    val lastPerUser = declarative.groupBy("user_id")
+      .agg(max("session_start").as("session_start"))
+    val closedDecl = declarative.join(lastPerUser,
+      Seq("user_id", "session_start"), "left_anti")
+    val a = sessions.toDF().select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).sortBy(_.toString)
+    val b = closedDecl.select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).sortBy(_.toString)
+    val onlyA = a.toSet -- b.toSet
+    val onlyB = b.toSet -- a.toSet
+    assert(a.length == b.length && a.sameElements(b),
+      s"custom-state(${a.length}) vs declarative(${b.length}); onlyCustom=${onlyA.take(5)}; onlyDecl=${onlyB.take(5)}")
+  }
+}
