@@ -36,6 +36,8 @@ sealed trait Dialect {
   def bitCount(e: String): String
   def sort(l: String): String
   def arrayLit(items: Seq[String]): String
+  /** Distinct-set intersection size; inputs must already be distinct. */
+  def interSize(a: String, b: String): String
   def explodeSelect(cols: String, from: String, arrayExpr: String, alias: String): String
 }
 
@@ -61,6 +63,7 @@ object SparkDialect extends Dialect {
   def bitCount(e: String) = s"bit_count($e)"
   def sort(l: String) = s"array_sort($l)"
   def arrayLit(items: Seq[String]) = items.map(i => s"'$i'").mkString("array(", ", ", ")")
+  def interSize(a: String, b: String) = s"size(array_intersect($a, $b))"
   def explodeSelect(cols: String, from: String, arrayExpr: String, alias: String) =
     s"SELECT $cols, explode($arrayExpr) AS $alias FROM $from"
 }
@@ -86,6 +89,9 @@ object DuckDialect extends Dialect {
   def bitCount(e: String) = s"bit_count(CAST($e AS BIGINT))"
   def sort(l: String) = s"list_sort($l)"
   def arrayLit(items: Seq[String]) = items.map(i => s"'$i'").mkString("[", ", ", "]")
+  /** Distinct-set intersection size; inputs must already be distinct. */
+  def interSize(a: String, b: String) =
+    s"len(list_filter($a, x -> list_contains($b, x)))"
   def explodeSelect(cols: String, from: String, arrayExpr: String, alias: String) =
     s"SELECT $cols, unnest($arrayExpr) AS $alias FROM $from"
 }

@@ -59,24 +59,63 @@ object Pipeline {
     * equi-joins (the scale path — shuffle by band key, no cross join); the
     * oracle replicates the banding, so recall semantics are part of the
     * operator contract.
+    *
+    * Shape chosen for 100 TB: shingles are EXPLODED and hashed through a
+    * DISTINCT-shingle vocabulary join (hash each distinct shingle once, not
+    * once per occurrence), and the signature is K codegen'd MIN aggregates —
+    * no interpreted higher-order functions in the per-row hot path.
     */
-  private def dedupMinhashLsh(d: Dialect): String = {
-    val toks = F.tokens(d, "text")
-    val sig = F.minhashSig(d, F.hashAll(d, F.shingles(d, toks, 3)), K)
-    s"""WITH t AS (SELECT doc_id, $sig AS sig FROM documents),
-       |b AS (${d.explodeSelect("doc_id", "t", F.bandKeys(d, "sig", K, R), "bk")}),
+  private def minhashSigSql(d: Dialect): String = {
+    val shingleExpr = F.shingles(d, F.tokens(d, "text"), 3)
+    val mins = (0 until K).map { k =>
+      s"MIN(((${2 * k + 3}*h + ${k * k + 1}) % ${F.P})) AS s$k"
+    }.mkString(",\n    ")
+    s"""WITH sh AS (${d.explodeSelect("doc_id", "documents", shingleExpr, "s")}),
+       |v AS (SELECT s, ${F.strHash(d, "s")} AS h
+       |  FROM (SELECT DISTINCT s FROM sh) vd),
+       |j AS (SELECT sh.doc_id, v.h FROM sh JOIN v ON sh.s = v.s)
+       |SELECT doc_id, $mins
+       |FROM j GROUP BY doc_id""".stripMargin
+  }
+
+  /** Band key b (of 4) folded from 4 consecutive signature columns. */
+  private def bandKeyCols: Seq[String] = (0 until K / R).map { b =>
+    val fold = (0 until R).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      s"(($acc)*1000003 + s${b * R + i}) % ${F.P}"
+    }
+    s"($fold)*4 + $b"
+  }
+
+  private def minhashPairsSql(d: Dialect, sigTable: String): String = {
+    val est = (0 until K).map(k => s"(CASE WHEN sa.s$k = sb.s$k THEN 1 ELSE 0 END)")
+      .mkString("CAST(", " + ", s" AS DOUBLE) / $K")
+    val bandArray = bandKeyCols.mkString(
+      if (d == SparkDialect) "array(" else "[", ", ",
+      if (d == SparkDialect) ")" else "]")
+    s"""WITH b AS (${d.explodeSelect("doc_id", sigTable, bandArray, "bk")}),
        |pairs AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b
        |  FROM b x JOIN b y ON x.bk = y.bk AND x.doc_id < y.doc_id
        |  GROUP BY x.doc_id, y.doc_id)
        |SELECT * FROM (
        |  SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
-       |    ${F.sigSim(d, "sa.sig", "sb.sig", K)} AS est_sim
+       |    $est AS est_sim
        |  FROM pairs p
-       |  JOIN t sa ON p.a = sa.doc_id
-       |  JOIN t sb ON p.b = sb.doc_id) s
+       |  JOIN $sigTable sa ON p.a = sa.doc_id
+       |  JOIN $sigTable sb ON p.b = sb.doc_id) s
        |WHERE est_sim >= 0.5""".stripMargin
   }
+
+  private def dedupMinhashLsh: QueryDef =
+    QueryDef("dedup_minhash_lsh",
+      s"""WITH sigs AS (${minhashSigSql(DuckDialect)})
+         |, result AS (${minhashPairsSql(DuckDialect, "sigs")})
+         |SELECT * FROM result""".stripMargin) { (s, dir) =>
+      views(s, dir, "documents")
+      val sigs = s.sql(minhashSigSql(SparkDialect)).persist()
+      sigs.createOrReplaceTempView("minhash_sigs")
+      s.sql(minhashPairsSql(SparkDialect, "minhash_sigs"))
+    }
 
   /** Exact n-gram (3-shingle) Jaccard similarity join, threshold 0.5, via
     * PREFIX FILTERING (AllPairs/PPJoin): sort each doc's distinct shingle
@@ -85,11 +124,22 @@ object Pipeline {
     * join stays an equi-join on shingle hash. Length-ratio pruning (|A| <=
     * 2|B|) is implied by the threshold and applied early.
     */
-  private def dedupNgramJaccard(d: Dialect): String = {
-    val sh = d.sort(d.distinct(F.hashAll(d, F.shingles(d, F.tokens(d, "text"), 3))))
-    s"""WITH t AS (SELECT doc_id, $sh AS sh FROM documents),
-       |tp AS (SELECT doc_id, sh, ${d.len("sh")} AS n FROM t),
-       |c AS (${d.explodeSelect("doc_id, sh, n", "tp",
+  private def ngramSetSql(d: Dialect): String = {
+    val shingleExpr = F.shingles(d, F.tokens(d, "text"), 3)
+    val collect =
+      if (d == SparkDialect) "sort_array(collect_set(h))"
+      else "list_sort(list(DISTINCT h))"
+    s"""WITH sh AS (${d.explodeSelect("doc_id", "documents", shingleExpr, "s")}),
+       |v AS (SELECT s, ${F.strHash(d, "s")} AS h
+       |  FROM (SELECT DISTINCT s FROM sh) vd),
+       |j AS (SELECT sh.doc_id, v.h FROM sh JOIN v ON sh.s = v.s)
+       |SELECT doc_id, $collect AS sh FROM j GROUP BY doc_id""".stripMargin
+  }
+
+  private def ngramPairsSql(d: Dialect, setTable: String): String = {
+    val inter = d.interSize("ta.sh", "tb.sh")
+    s"""WITH tp AS (SELECT doc_id, sh, ${d.len("sh")} AS n FROM $setTable),
+       |c AS (${d.explodeSelect("doc_id, n", "tp",
              d.slice("sh", "1", s"CAST(n/2 AS INT) + 1"), "p")}),
        |pairs AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b
@@ -98,33 +148,70 @@ object Pipeline {
        |  GROUP BY x.doc_id, y.doc_id)
        |SELECT * FROM (
        |  SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
-       |    ${F.jaccard(d, "ta.sh", "tb.sh")} AS sim
+       |    CAST($inter AS DOUBLE) /
+       |      (${d.len("ta.sh")} + ${d.len("tb.sh")} - $inter) AS sim
        |  FROM pairs p
-       |  JOIN t ta ON p.a = ta.doc_id
-       |  JOIN t tb ON p.b = tb.doc_id) s
+       |  JOIN tp ta ON p.a = ta.doc_id
+       |  JOIN tp tb ON p.b = tb.doc_id) s
        |WHERE sim >= 0.5""".stripMargin
   }
 
-  /** Per-document 32-bit SimHash fingerprint. */
-  private def dedupSimhash(d: Dialect): String = {
-    val hs = F.hashAll(d, F.tokens(d, "text"))
-    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, ${F.simhash32(d, "hs")} AS simhash
-       |FROM (SELECT doc_id, $hs AS hs FROM documents) t""".stripMargin
+  /** See class doc: exact-recall prefix-filter set-similarity join over
+    * distinct 3-shingle hash sets (AllPairs-style), threshold 0.5.
+    */
+  private def dedupNgramJaccard: QueryDef =
+    QueryDef("dedup_ngram_jaccard",
+      s"""WITH sets AS (${ngramSetSql(DuckDialect)})
+         |, result AS (${ngramPairsSql(DuckDialect, "sets")})
+         |SELECT * FROM result""".stripMargin) { (s, dir) =>
+      views(s, dir, "documents")
+      val sets = s.sql(ngramSetSql(SparkDialect)).persist()
+      sets.createOrReplaceTempView("ngram_sets")
+      s.sql(ngramPairsSql(SparkDialect, "ngram_sets"))
+    }
+
+  /** 60-bit SimHash per document (60 rather than 64 keeps `1 << i` clear of
+    * the BIGINT sign bit in both engines). Same 100 TB shape as MinHash:
+    * explode tokens → hash only the DISTINCT-token vocabulary → 60 codegen'd
+    * SUM aggregates (one per bit) → fold into the fingerprint. A wider
+    * fingerprint also discriminates far better than 32 bits on corpora with
+    * small shared vocabularies.
+    */
+  private val SimBits = 60
+
+  private def simhashSql(d: Dialect): String = {
+    val tokExpr = F.tokens(d, "text")
+    val bitSums = (0 until SimBits).map { i =>
+      s"SUM(CASE WHEN (${d.shiftRight("h", i.toString)} & 1) = 1 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(",\n    ")
+    val fold = (0 until SimBits).map { i =>
+      s"(CASE WHEN b$i > 0 THEN ${d.shiftLeft1(i.toString)} ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (${d.explodeSelect("doc_id", "documents", tokExpr, "tk")}),
+       |v AS (SELECT tk, ${F.strHash(d, "tk")} AS h
+       |  FROM (SELECT DISTINCT tk FROM tok) vd),
+       |j AS (SELECT tok.doc_id, v.h FROM tok JOIN v ON tok.tk = v.tk),
+       |bits AS (SELECT doc_id, $bitSums FROM j GROUP BY doc_id)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, $fold AS simhash
+       |FROM bits""".stripMargin
   }
 
+  private def dedupSimhash: QueryDef =
+    QueryDef("dedup_simhash", simhashSql(DuckDialect)) { (s, dir) =>
+      views(s, dir, "documents"); s.sql(simhashSql(SparkDialect))
+    }
+
   /** SimHash near-dup pairs with Hamming distance <= 3, candidates from
-    * 4×8-bit band equi-joins — exact recall by pigeonhole (<=3 differing
+    * 4×15-bit band equi-joins — exact recall by pigeonhole (<=3 differing
     * bits cannot touch all 4 bands). The scale path for billion-doc dedup:
-    * 4 shuffles on one-byte keys, then a cheap popcount verify.
+    * 4 shuffles on 15-bit keys, then a cheap popcount verify.
     */
-  private def dedupSimhashPairs(d: Dialect): String = {
-    val hs = F.hashAll(d, F.tokens(d, "text"))
-    val bands = d.transform(d.seq("0", "3"), "b",
-      s"(((${d.shiftRight("simhash", "b*8")}) & 255) * 4) + b")
-    s"""WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       |    ${F.simhash32(d, "hs")} AS simhash
-       |  FROM (SELECT doc_id, $hs AS hs FROM documents) t0),
-       |b AS (${d.explodeSelect("doc_id, simhash", "t", bands, "bk")}),
+  private def simhashPairsSql(d: Dialect, simTable: String): String = {
+    val bands = (0 until 4).map { b =>
+      s"((${d.shiftRight("simhash", (b * 15).toString)}) & 32767)*4 + $b"
+    }.mkString(if (d == SparkDialect) "array(" else "[", ", ",
+      if (d == SparkDialect) ")" else "]")
+    s"""WITH b AS (${d.explodeSelect("doc_id, simhash", simTable, bands, "bk")}),
        |pairs AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b,
        |    MIN(x.simhash) AS ha, MIN(y.simhash) AS hb
@@ -134,6 +221,17 @@ object Pipeline {
        |  CAST(${d.bitCount(d.xor("ha", "hb"))} AS BIGINT) AS hamming
        |FROM pairs WHERE ${d.bitCount(d.xor("ha", "hb"))} <= 3""".stripMargin
   }
+
+  private def dedupSimhashPairs: QueryDef =
+    QueryDef("dedup_simhash_pairs",
+      s"""WITH sims AS (${simhashSql(DuckDialect)})
+         |, result AS (${simhashPairsSql(DuckDialect, "sims")})
+         |SELECT * FROM result""".stripMargin) { (s, dir) =>
+      views(s, dir, "documents")
+      val sims = s.sql(simhashSql(SparkDialect)).persist()
+      sims.createOrReplaceTempView("simhash_vals")
+      s.sql(simhashPairsSql(SparkDialect, "simhash_vals"))
+    }
 
   // ---------------------------------------------------------- similarity
 
@@ -241,11 +339,16 @@ object Pipeline {
     * hash — the cheap keys for incremental / cross-corpus dedup.
     */
   private def textFingerprint(d: Dialect): String = {
-    val shs = F.hashAll(d, F.shingles(d, F.tokens(d, "text"), 3))
-    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       |  ${F.strHash(d, "text")} AS content_fp,
-       |  ${d.arrayMin("shs")} AS min_shingle_fp
-       |FROM (SELECT doc_id, text, $shs AS shs FROM documents) t""".stripMargin
+    val shingleExpr = F.shingles(d, F.tokens(d, "text"), 3)
+    s"""WITH sh AS (${d.explodeSelect("doc_id", "documents", shingleExpr, "s")}),
+       |v AS (SELECT s, ${F.strHash(d, "s")} AS h
+       |  FROM (SELECT DISTINCT s FROM sh) vd),
+       |minfp AS (SELECT sh.doc_id, MIN(v.h) AS min_shingle_fp
+       |  FROM sh JOIN v ON sh.s = v.s GROUP BY sh.doc_id)
+       |SELECT CAST(dd.doc_id AS BIGINT) AS doc_id,
+       |  ${F.strHash(d, "dd.text")} AS content_fp,
+       |  minfp.min_shingle_fp AS min_shingle_fp
+       |FROM documents dd JOIN minfp ON dd.doc_id = minfp.doc_id""".stripMargin
   }
 
   // ------------------------------------------------- multimodal / sessions
@@ -296,10 +399,10 @@ object Pipeline {
 
   def defs: Seq[QueryDef] = Seq(
     docQuery("dedup_exact", dedupExact),
-    docQuery("dedup_minhash_lsh", dedupMinhashLsh),
-    docQuery("dedup_ngram_jaccard", dedupNgramJaccard),
-    docQuery("dedup_simhash", dedupSimhash),
-    docQuery("dedup_simhash_pairs", dedupSimhashPairs),
+    dedupMinhashLsh,
+    dedupNgramJaccard,
+    dedupSimhash,
+    dedupSimhashPairs,
     embQuery("sim_topk_cosine", simTopkCosine),
     embQuery("sim_ann_lsh", simAnnLsh),
     docQuery("text_token_stats", textTokenStats),

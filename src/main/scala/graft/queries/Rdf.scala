@@ -39,6 +39,16 @@ object Rdf {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // ---- text triple source + sink round-trip (SURVEY §2.1 #1/#16): the
+    // reference's space-separated-int format written with mode=overwrite and
+    // read back through the schema'd CSV scan. ----
+    QueryDef("rdf_text_io",
+      RdfBridge.oracleCte + "SELECT Subject, Predicate, Object FROM triples") { (s, dir) =>
+      val tmp = s"/tmp/graft_text_io_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      graft.sources.TripleIO.writeText(RdfBridge.triples(s, dir), tmp)
+      graft.sources.TripleIO.readText(s, tmp)
+    },
+
     // ---- Q1: 3-hop chain self-join, subject-range layout. The point
     // predicates prune to one range partition of the sorted layout; the two
     // chain joins shuffle on the join key (at cluster scale: subject-bucketed
