@@ -278,6 +278,22 @@ object Pipeline {
        |WHERE rnk <= 3""".stripMargin
   }
 
+  /** Embedding-cosine near-dup pairs with metadata BLOCKING: candidate pairs
+    * only within the same `label` block (at 100 TB, blocking keys — source,
+    * shard, cluster id — bound the pair space; the exact cosine check runs
+    * per block). Threshold 0.3 on this near-orthogonal synthetic corpus.
+    */
+  private def dedupEmbeddingCosine(d: Dialect): String = {
+    val cos = s"(${F.dot(d, "x.embedding", "y.embedding", DIM)}) / " +
+      s"((${F.norm(d, "x.embedding", DIM)}) * (${F.norm(d, "y.embedding", DIM)}))"
+    s"""SELECT * FROM (
+       |  SELECT CAST(x.vec_id AS BIGINT) AS a, CAST(y.vec_id AS BIGINT) AS b,
+       |    CAST(x.label AS INTEGER) AS label, $cos AS score
+       |  FROM embeddings x JOIN embeddings y
+       |    ON x.label = y.label AND x.vec_id < y.vec_id) s
+       |WHERE score >= 0.3""".stripMargin
+  }
+
   // -------------------------------------------------------- text analysis
 
   /** Token statistics: whitespace tokens + a BPE-ish subword count (maximal
@@ -405,6 +421,7 @@ object Pipeline {
     dedupSimhashPairs,
     embQuery("sim_topk_cosine", simTopkCosine),
     embQuery("sim_ann_lsh", simAnnLsh),
+    embQuery("dedup_embedding_cosine", dedupEmbeddingCosine),
     docQuery("text_token_stats", textTokenStats),
     docQuery("text_quality", textQuality),
     docQuery("text_langid", textLangid),
