@@ -2,6 +2,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional args (local iteration only): name prefixes to bench
+    val prefixes = if (args.nonEmpty) Some(args.toSeq) else None
+    def selected(name: String): Boolean =
+      prefixes.forall(_.exists(name.startsWith))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -17,14 +21,18 @@ object Bench {
     try SparkEntry.queries("q3_scan_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.filter(q => selected(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full evaluation of every output column (count() would let
       // Catalyst prune projections and under-time scalar-heavy queries),
       // zero sink IO.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release per-query persisted intermediates (signature tables etc.) so
+      // storage-pool pressure from one query can't distort the next
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -165,12 +165,18 @@ object Formulas {
 
   /** Dot product of two float-array columns over dims [1, n], computed as
     * double with defined left-to-right order — bit-identical across engines.
+    * Spark side: the codegen'd native expression `graft_dot`
+    * ([[graft.functions.DotProductExpr]], registered per session); DuckDB
+    * side: the equivalent defined-order fold.
     */
-  def dot(d: Dialect, a: String, b: String, n: Int): String =
-    d.reduce(
-      d.transform(d.seq("1", n.toString), "i",
-        s"CAST(${d.elem(a, "i")} AS DOUBLE) * CAST(${d.elem(b, "i")} AS DOUBLE)"),
-      "CAST(0.0 AS DOUBLE)", "acc", "x", "acc + x")
+  def dot(d: Dialect, a: String, b: String, n: Int): String = d match {
+    case SparkDialect => s"graft_dot($a, $b)"
+    case _ =>
+      d.reduce(
+        d.transform(d.seq("1", n.toString), "i",
+          s"CAST(${d.elem(a, "i")} AS DOUBLE) * CAST(${d.elem(b, "i")} AS DOUBLE)"),
+        "CAST(0.0 AS DOUBLE)", "acc", "x", "acc + x")
+  }
 
   /** L2 norm (sqrt of self-dot). */
   def norm(d: Dialect, a: String, n: Int): String = s"sqrt(${dot(d, a, a, n)})"

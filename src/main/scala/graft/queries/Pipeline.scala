@@ -39,6 +39,7 @@ object Pipeline {
 
   private def embQuery(name: String, sql: Dialect => String): QueryDef =
     QueryDef(name, sql(DuckDialect)) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
       views(s, dir, "embeddings"); s.sql(sql(SparkDialect))
     }
 
@@ -241,12 +242,14 @@ object Pipeline {
     * broadcast; the corpus scan is a single pass.
     */
   private def simTopkCosine(d: Dialect): String = {
-    val cos = s"(${F.dot(d, "qv", "ev", DIM)}) / ((${F.norm(d, "qv", DIM)}) * (${F.norm(d, "ev", DIM)}))"
-    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+    val cos = s"(${F.dot(d, "qv", "ev", DIM)}) / (qn * en)"
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+       |    ${F.norm(d, "embedding", DIM)} AS qn FROM embeddings
        |  WHERE vec_id % 50 = 0),
        |scored AS (
        |  SELECT qid, e.vec_id AS nid, $cos AS score
-       |  FROM q CROSS JOIN (SELECT vec_id, embedding AS ev FROM embeddings) e
+       |  FROM q CROSS JOIN (SELECT vec_id, embedding AS ev,
+       |    ${F.norm(d, "embedding", DIM)} AS en FROM embeddings) e
        |  WHERE e.vec_id <> qid)
        |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, score,
        |  CAST(rnk AS BIGINT) AS rnk
@@ -261,14 +264,15 @@ object Pipeline {
     * from a bucket equi-join instead of a cross join.
     */
   private def simAnnLsh(d: Dialect): String = {
-    val cos = s"(${F.dot(d, "qv", "ev", DIM)}) / ((${F.norm(d, "qv", DIM)}) * (${F.norm(d, "ev", DIM)}))"
+    val cos = s"(${F.dot(d, "qv", "ev", DIM)}) / (qn * en)"
     s"""WITH e AS (SELECT vec_id, embedding,
+       |    ${F.norm(d, "embedding", DIM)} AS nrm,
        |    ${F.lshBucket(d, "embedding", DIM, 8)} AS bkt FROM embeddings),
-       |q AS (SELECT vec_id AS qid, embedding AS qv, bkt FROM e
+       |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn, bkt FROM e
        |  WHERE vec_id % 50 = 0),
        |scored AS (
        |  SELECT q.qid, e.vec_id AS nid, $cos AS score
-       |  FROM q JOIN (SELECT vec_id, embedding AS ev, bkt FROM e) e
+       |  FROM q JOIN (SELECT vec_id, embedding AS ev, nrm AS en, bkt FROM e) e
        |    ON q.bkt = e.bkt AND e.vec_id <> q.qid)
        |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, score,
        |  CAST(rnk AS BIGINT) AS rnk
@@ -284,12 +288,13 @@ object Pipeline {
     * per block). Threshold 0.3 on this near-orthogonal synthetic corpus.
     */
   private def dedupEmbeddingCosine(d: Dialect): String = {
-    val cos = s"(${F.dot(d, "x.embedding", "y.embedding", DIM)}) / " +
-      s"((${F.norm(d, "x.embedding", DIM)}) * (${F.norm(d, "y.embedding", DIM)}))"
-    s"""SELECT * FROM (
+    val cos = s"(${F.dot(d, "x.embedding", "y.embedding", DIM)}) / (x.nrm * y.nrm)"
+    s"""WITH en AS (SELECT vec_id, embedding, label,
+       |    ${F.norm(d, "embedding", DIM)} AS nrm FROM embeddings)
+       |SELECT * FROM (
        |  SELECT CAST(x.vec_id AS BIGINT) AS a, CAST(y.vec_id AS BIGINT) AS b,
        |    CAST(x.label AS INTEGER) AS label, $cos AS score
-       |  FROM embeddings x JOIN embeddings y
+       |  FROM en x JOIN en y
        |    ON x.label = y.label AND x.vec_id < y.vec_id) s
        |WHERE score >= 0.3""".stripMargin
   }
