@@ -66,12 +66,20 @@ object Pipeline {
     * once per occurrence), and the signature is K codegen'd MIN aggregates —
     * no interpreted higher-order functions in the per-row hot path.
     */
+  /** Explode word-3-shingles with the token array MATERIALIZED as a column
+    * first: inlining `split(text)` into the shingle lambda would re-run the
+    * regex split once per shingle (O(tokens^2) splits per document).
+    */
+  private def shingleExplode(d: Dialect): String =
+    d.explodeSelect("doc_id",
+      s"(SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM documents) tw",
+      F.shingles(d, "toks", 3), "s")
+
   private def minhashSigSql(d: Dialect): String = {
-    val shingleExpr = F.shingles(d, F.tokens(d, "text"), 3)
     val mins = (0 until K).map { k =>
       s"MIN(((${2 * k + 3}*h + ${k * k + 1}) % ${F.P})) AS s$k"
     }.mkString(",\n    ")
-    s"""WITH sh AS (${d.explodeSelect("doc_id", "documents", shingleExpr, "s")}),
+    s"""WITH sh AS (${shingleExplode(d)}),
        |v AS (SELECT s, ${F.strHash(d, "s")} AS h
        |  FROM (SELECT DISTINCT s FROM sh) vd),
        |j AS (SELECT sh.doc_id, v.h FROM sh JOIN v ON sh.s = v.s)
@@ -126,11 +134,10 @@ object Pipeline {
     * 2|B|) is implied by the threshold and applied early.
     */
   private def ngramSetSql(d: Dialect): String = {
-    val shingleExpr = F.shingles(d, F.tokens(d, "text"), 3)
     val collect =
       if (d == SparkDialect) "sort_array(collect_set(h))"
       else "list_sort(list(DISTINCT h))"
-    s"""WITH sh AS (${d.explodeSelect("doc_id", "documents", shingleExpr, "s")}),
+    s"""WITH sh AS (${shingleExplode(d)}),
        |v AS (SELECT s, ${F.strHash(d, "s")} AS h
        |  FROM (SELECT DISTINCT s FROM sh) vd),
        |j AS (SELECT sh.doc_id, v.h FROM sh JOIN v ON sh.s = v.s)
@@ -139,12 +146,23 @@ object Pipeline {
 
   private def ngramPairsSql(d: Dialect, setTable: String): String = {
     val inter = d.interSize("ta.sh", "tb.sh")
+    val idiv = if (d == SparkDialect) "div" else "//"
+    // AllPairs/PPJoin prefix ordering: rank each doc's shingles by GLOBAL
+    // document frequency ascending (rarest first, hash tie-break) and key
+    // candidates only on the first floor(n/2)+1 — exact recall for J >= 0.5
+    // by pigeonhole under any consistent global order, but prefixes now hold
+    // the rare shingles, so the candidate equi-join stays small even when a
+    // few shingles occur in thousands of documents.
     s"""WITH tp AS (SELECT doc_id, sh, ${d.len("sh")} AS n FROM $setTable),
-       |c AS (${d.explodeSelect("doc_id, n", "tp",
-             d.slice("sh", "1", s"CAST(n/2 AS INT) + 1"), "p")}),
+       |e AS (${d.explodeSelect(s"doc_id, ${d.len("sh")} AS n", setTable, "sh", "h")}),
+       |df AS (SELECT h, COUNT(*) AS df FROM e GROUP BY h),
+       |r AS (SELECT e.doc_id, e.h, e.n,
+       |    ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY df.df, e.h) AS rn
+       |  FROM e JOIN df ON e.h = df.h),
+       |c AS (SELECT doc_id, h, n FROM r WHERE rn <= n $idiv 2 + 1),
        |pairs AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b
-       |  FROM c x JOIN c y ON x.p = y.p AND x.doc_id < y.doc_id
+       |  FROM c x JOIN c y ON x.h = y.h AND x.doc_id < y.doc_id
        |    AND x.n <= 2*y.n AND y.n <= 2*x.n
        |  GROUP BY x.doc_id, y.doc_id)
        |SELECT * FROM (
@@ -212,15 +230,19 @@ object Pipeline {
       s"((${d.shiftRight("simhash", (b * 15).toString)}) & 32767)*4 + $b"
     }.mkString(if (d == SparkDialect) "array(" else "[", ", ",
       if (d == SparkDialect) ")" else "]")
+    // hamming filter INSIDE the band join: the ~2M raw candidates are
+    // filtered during the hash-join probe (codegen'd popcount) and only the
+    // surviving near-dup pairs reach the dedup GROUP BY exchange.
     s"""WITH b AS (${d.explodeSelect("doc_id, simhash", simTable, bands, "bk")}),
        |pairs AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b,
        |    MIN(x.simhash) AS ha, MIN(y.simhash) AS hb
        |  FROM b x JOIN b y ON x.bk = y.bk AND x.doc_id < y.doc_id
+       |    AND ${d.bitCount(d.xor("x.simhash", "y.simhash"))} <= 3
        |  GROUP BY x.doc_id, y.doc_id)
        |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
        |  CAST(${d.bitCount(d.xor("ha", "hb"))} AS BIGINT) AS hamming
-       |FROM pairs WHERE ${d.bitCount(d.xor("ha", "hb"))} <= 3""".stripMargin
+       |FROM pairs""".stripMargin
   }
 
   private def dedupSimhashPairs: QueryDef =
@@ -360,8 +382,7 @@ object Pipeline {
     * hash — the cheap keys for incremental / cross-corpus dedup.
     */
   private def textFingerprint(d: Dialect): String = {
-    val shingleExpr = F.shingles(d, F.tokens(d, "text"), 3)
-    s"""WITH sh AS (${d.explodeSelect("doc_id", "documents", shingleExpr, "s")}),
+    s"""WITH sh AS (${shingleExplode(d)}),
        |v AS (SELECT s, ${F.strHash(d, "s")} AS h
        |  FROM (SELECT DISTINCT s FROM sh) vd),
        |minfp AS (SELECT sh.doc_id, MIN(v.h) AS min_shingle_fp
@@ -370,6 +391,58 @@ object Pipeline {
        |  ${F.strHash(d, "dd.text")} AS content_fp,
        |  minfp.min_shingle_fp AS min_shingle_fp
        |FROM documents dd JOIN minfp ON dd.doc_id = minfp.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------ corpus preparation operators
+
+  /** Text normalization: trim, collapse whitespace, strip non [a-z0-9 ]
+    * chars — the canonicalization pass before hashing/dedup. Regex semantics
+    * chosen to be identical in Java regex and RE2.
+    */
+  private def textNormalize(d: Dialect): String =
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '),
+       |    ' +', ' ')) AS norm_text,
+       |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9 ]', ' '), ' +', ' '))) AS BIGINT) AS norm_len
+       |FROM documents""".stripMargin
+
+  /** Deterministic hash-based corpus split (train/val/test 90/5/5): the
+    * standard reproducible split at scale — no RNG state, no global sort; a
+    * pure function of content, stable under re-runs and repartitioning.
+    */
+  private def sampleSplit(d: Dialect): String = {
+    val bucket = s"(${F.strHash(d, "text")} % 100)"
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CASE WHEN $bucket < 90 THEN 'train'
+       |       WHEN $bucket < 95 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  CAST($bucket AS BIGINT) AS bucket
+       |FROM documents""".stripMargin
+  }
+
+  /** Sequence packing: assign documents to fixed-budget context windows
+    * (4096 tokens) per source, greedy in doc_id order via a running-total
+    * window function — the shuffle-once shape of training-batch packing.
+    * (Greedy cumsum/budget packing, not bin-packing — deterministic and
+    * one window scan.)
+    */
+  private def packSequences(d: Dialect): String = {
+    val nTokens = s"${d.len(F.tokens(d, "text"))}"
+    // integer division: Spark's `div`; DuckDB's `//` (plain `/` there is
+    // FLOAT division, and its double->bigint cast ROUNDS where Spark
+    // truncates — a silent cross-engine divergence)
+    val idiv = if (d == SparkDialect) "div" else "//"
+    s"""WITH t AS (SELECT doc_id, source, CAST($nTokens AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       |  n_tokens,
+       |  CAST((cum - n_tokens) $idiv 4096 AS BIGINT) AS pack_id
+       |FROM c""".stripMargin
   }
 
   // ------------------------------------------------- multimodal / sessions
@@ -418,6 +491,10 @@ object Pipeline {
         Tables.load(s, dir, "events"), "30 minutes")
     }
 
+  // debug handles for stage-level profiling (graft.Probe)
+  def debugNgramSetSql: String = ngramSetSql(SparkDialect)
+  def debugNgramPairsSql: String = ngramPairsSql(SparkDialect, "ngram_sets")
+
   def defs: Seq[QueryDef] = Seq(
     docQuery("dedup_exact", dedupExact),
     dedupMinhashLsh,
@@ -431,6 +508,9 @@ object Pipeline {
     docQuery("text_quality", textQuality),
     docQuery("text_langid", textLangid),
     docQuery("text_fingerprint", textFingerprint),
+    docQuery("text_normalize", textNormalize),
+    docQuery("corpus_split_hash", sampleSplit),
+    docQuery("corpus_pack_sequences", packSequences),
     multimodalFeatures,
     eventsSessionWindow,
   )

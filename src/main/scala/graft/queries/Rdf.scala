@@ -112,6 +112,26 @@ object Rdf {
             |WHERE Object = (SELECT MIN(Object) FROM Negative WHERE Predicate = -21)""".stripMargin)
     },
 
+    // ---- Q3 fully-bound template: the translator's existence-check shape
+    // (Subject, Predicate, Object all bound — MyOpVisitorBase.java:88-93). ----
+    QueryDef("rdf_q3_bound", cte +
+      """SELECT Subject AS s, Predicate AS p, Object AS o FROM Negative
+        |WHERE Subject = (SELECT MIN(Subject) FROM Negative WHERE Predicate = -2)
+        |  AND Predicate = -2
+        |  AND Object = (SELECT MIN(Object) FROM Negative
+        |                WHERE Subject = (SELECT MIN(Subject) FROM Negative WHERE Predicate = -2)
+        |                  AND Predicate = -2)""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTables(RdfBridge.triples(s, dir), Layouts.BySubject)
+        .sql(
+          """SELECT Subject AS s, Predicate AS p, Object AS o FROM Negative
+            |WHERE Subject = (SELECT MIN(Subject) FROM Negative WHERE Predicate = -2)
+            |  AND Predicate = -2
+            |  AND Object = (SELECT MIN(Object) FROM Negative
+            |                WHERE Subject = (SELECT MIN(Subject) FROM Negative WHERE Predicate = -2)
+            |                  AND Predicate = -2)""".stripMargin)
+    },
+
     // ---- SPARQL frontend end-to-end: parse → encode via dictionary → plan
     // multi-pattern BGP as joins (the generalization past the reference's
     // last-pattern-wins bug, MyOpVisitorBase.java:42-45). ----
