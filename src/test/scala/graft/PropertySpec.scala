@@ -1,0 +1,112 @@
+package graft
+
+import graft.core.{Dictionary, TripleSchema}
+import graft.plans.Layouts
+import graft.sparql.{BgpQuery, Constant, SparqlParser, TriplePattern, Variable}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generator-driven properties (SURVEY §5: decode∘encode = id,
+  * routing invariance, parser round-trips). The scalatestplus bridge is not
+  * in the offline dep set, so samples are drawn directly from Gen with a
+  * fixed seed (deterministic). Pure-function properties run at full sample
+  * counts; Spark-backed ones use reduced counts.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def forSamples[A](g: Gen[A], n: Int)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var produced = 0
+    var attempts = 0
+    while (produced < n && attempts < n * 50) {
+      g.apply(Gen.Parameters.default, seed).foreach { a => f(a); produced += 1 }
+      seed = seed.next
+      attempts += 1
+    }
+    assert(produced == n, s"generator too sparse: $produced/$n")
+  }
+
+  private lazy val spark = SparkTestBase.session
+
+  private val term: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).suchThat(_.nonEmpty)
+
+  test("property: normalizeTerm is idempotent on its own output") {
+    forSamples(term, 200) { t =>
+      val once = Dictionary.normalizeTerm(t)
+      assert(Dictionary.normalizeTerm(once) == once)
+    }
+  }
+
+  test("property: quoted literals round-trip through normalization") {
+    forSamples(term, 200) { t =>
+      assert(Dictionary.normalizeTerm(s"'$t'") == t)
+    }
+  }
+
+  test("property: generated BGPs render to SPARQL and parse back") {
+    val genTerm: Gen[graft.sparql.Term] = Gen.oneOf(
+      Gen.identifier.suchThat(_.nonEmpty).map(v => Variable(v)),
+      term.map(Constant(_)))
+    val genPattern = for { s <- genTerm; p <- genTerm; o <- genTerm }
+      yield TriplePattern(s, p, o)
+    val genBgp = Gen.nonEmptyListOf(genPattern).map(ps => BgpQuery(Nil, ps.take(5)))
+
+    def render(t: graft.sparql.Term): String = t match {
+      case Variable(v) => s"?$v"
+      case Constant(l) => s"'$l'"
+    }
+    forSamples(genBgp, 100) { bgp =>
+      val text = "SELECT * WHERE { " +
+        bgp.patterns.map(p => s"${render(p.s)} ${render(p.p)} ${render(p.o)}")
+          .mkString(" . ") + " }"
+      val parsed = SparqlParser.parse(text)
+      assert(parsed.patterns == bgp.patterns)
+    }
+  }
+
+  test("property: dictionary encode is the inverse of the pair set") {
+    forSamples(Gen.mapOf(Gen.zip(Gen.choose(1, 1000000), term)), 5) { m0 =>
+        // distinct ids AND distinct terms (a dictionary is a bijection)
+        val m = m0.toSeq.distinctBy(_._2).take(30)
+        if (m.nonEmpty) {
+          val dict = Dictionary.fromPairs(spark, m)
+          val enc = dict.encodeTerms(m.map(_._2))
+          assert(enc == m.map { case (i, t) => t -> i }.toMap)
+        }
+    }
+  }
+
+  test("property: rangeLayout preserves the row multiset") {
+    import spark.implicits._
+    forSamples(Gen.listOfN(50, Gen.zip(Gen.choose(-100, 100), Gen.choose(-5, 5),
+        Gen.choose(-100, 100))), 5) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF(TripleSchema.subject, TripleSchema.predicate,
+          TripleSchema.objekt)
+        val laid = Layouts.rangeLayout(df, Layouts.BySubject, 4)
+        val in = rows.sorted
+        val out = laid.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+          .toList.sorted
+        assert(out == in)
+      }
+    }
+  }
+
+  test("property: sign-split is a partition (disjoint, complete)") {
+    import spark.implicits._
+    forSamples(Gen.listOfN(40, Gen.zip(Gen.choose(-50, 50), Gen.const(1),
+        Gen.const(1))), 5) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF(TripleSchema.subject, TripleSchema.predicate,
+          TripleSchema.objekt)
+        val split = Layouts.signSplit(df, Layouts.BySubject, 2)
+        val pos = split.positive.collect().map(_.getInt(0))
+        val neg = split.negative.collect().map(_.getInt(0))
+        assert(pos.forall(_ >= 0) && neg.forall(_ < 0))
+        assert(pos.length + neg.length == rows.length)
+      }
+    }
+  }
+}

@@ -21,6 +21,9 @@ object SparkTestBase {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // static conf, applied at SparkContext creation: exercises the
+    // production plugin path (graft.GraftExtensions) across every suite
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 }
