@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.core.TripleSchema
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph operators over the triple table — the capability layer
+  * Spark SQL lacks declaratively (no recursive CTEs).
+  *
+  * Reachability = semi-naive BFS fixpoint: each iteration joins only the
+  * FRONTIER (not the whole reached set) against the edge table, anti-joins
+  * out already-reached nodes, and stops when the frontier empties. Each
+  * iteration is a distributed join; the driver holds only the loop counter
+  * and the emptiness check. At cluster scale the edge table would be
+  * pre-partitioned (bucketed) on Subject so every iteration's join reuses
+  * the same partitioning without a fresh shuffle, and `localCheckpoint`
+  * truncates the growing lineage.
+  */
+object Graph {
+
+  /** All nodes reachable from `seeds` by directed Subject→Object edges,
+    * including the seeds themselves. `maxIters` bounds runaway graphs
+    * (negative = run to fixpoint).
+    */
+  def reachable(triples: DataFrame, seeds: Seq[Int], maxIters: Int = -1): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+
+    val edges = triples
+      .select(col(TripleSchema.subject).as("src"), col(TripleSchema.objekt).as("dst"))
+
+    var reached = seeds.toDF("node").persist()
+    var frontier = reached
+    var iter = 0
+    var done = false
+    while (!done && (maxIters < 0 || iter < maxIters)) {
+      val next = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(reached, Seq("node"), "left_anti")
+        // localCheckpoint: truncate lineage so plan size stays O(1) in the
+        // iteration count instead of O(iterations)
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        reached = reached.unionAll(next).localCheckpoint()
+        frontier = next
+        iter += 1
+      }
+    }
+    reached
+  }
+}

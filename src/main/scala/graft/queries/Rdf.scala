@@ -148,6 +148,25 @@ object Rdf {
         .sparql(s"SELECT ?o ?p2 WHERE { 'cust_$minCust' :placed ?o . ?o :contains ?p2 }")
     },
 
+    // ---- transitive reachability: semi-naive BFS fixpoint (iterative
+    // distributed joins — Spark has no recursive SQL) vs DuckDB's
+    // WITH RECURSIVE oracle. Seed = the placed-predicate's minimum subject;
+    // closure runs cust → order → part → supplier to fixpoint. ----
+    QueryDef("rdf_reachability",
+      RdfBridge.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, seed AS (SELECT MIN(Subject) AS s FROM triples WHERE Predicate = -2),
+        |reach AS (
+        |  SELECT s AS node FROM seed
+        |  UNION
+        |  SELECT t.Object FROM reach r JOIN triples t ON t.Subject = r.node)
+        |SELECT CAST(node AS INTEGER) AS node FROM reach""".stripMargin) { (s, dir) =>
+      val triples = RdfBridge.triples(s, dir)
+      val seed = triples.filter(col("Predicate") === RdfBridge.Placed)
+        .agg(min(col("Subject"))).head().getInt(0)
+      graft.operators.Graph.reachable(triples, Seq(seed))
+        .select(col("node").cast("int").as("node"))
+    },
+
     // ---- dictionary decode: bound results back to lexical forms via
     // broadcast join (replaces the reference's driver-map mapPartitions
     // decode, PartitionQueryingSubject.java:136-151). ----

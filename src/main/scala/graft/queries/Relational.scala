@@ -306,6 +306,92 @@ object Relational {
           expr("CAST(percentile(l_quantity, 0.9) AS DOUBLE)").as("p90"))
     },
 
+    // ---- TPC-H Q3 shape: selective 3-way join, aggregate, top-10 — the
+    // classic shipping-priority plan (broadcast dims into the fact scan,
+    // one agg exchange, TakeOrdered instead of a global sort) ----
+    QueryDef("q22_tpch_q3",
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1995-03-15").cast("date")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+    },
+
+    // ---- TPC-H Q5 shape: 6-way star join through region→nation→customer/
+    // supplier with the co-location predicate, grouped by nation ----
+    QueryDef("q23_tpch_q5",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(Tables.load(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("double").as("revenue"))
+    },
+
+    // ---- hopping (sliding) event-time windows: 1-hour windows every 30
+    // minutes — each event lands in exactly two windows. Oracle replicates
+    // the assignment with the two 30-minute-grid starts covering each ts
+    // (both engines' grids are epoch-aligned). ----
+    QueryDef("q24_hopping_window",
+      """WITH assigned AS (
+        |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS window_start,
+        |    event_type, value
+        |  FROM events)
+        |SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM assigned GROUP BY window_start, event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+    },
+
+    // ---- approximate distinct (HyperLogLog++): the at-scale cardinality
+    // path (no exact-distinct shuffle). Sketches differ across engines, so
+    // the driver records the weaker rows-only check (no oracle); the
+    // EXACT-distinct counterpart q10 is fully oracled. ----
+    QueryDef.unoracled("q25_approx_distinct") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+    },
+
     // ---- array aggregation with deterministic ordering ----
     QueryDef("q21_array_agg",
       """SELECT n_nationkey,
