@@ -63,4 +63,14 @@ object Layouts {
   def writePartitionedBySign(df: DataFrame, path: String): Unit =
     df.withColumn("sign", when(col(TripleSchema.subject) >= 0, lit("pos")).otherwise(lit("neg")))
       .write.mode("overwrite").partitionBy("sign").parquet(path)
+
+  /** Scale path for repeated joins on the layout key: a bucketed + sorted
+    * catalog table. Joins between tables bucketed on the same key with the
+    * same bucket count run WITHOUT a shuffle exchange
+    * (ScaleTechniquesSpec proves the plan shape).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: Key, buckets: Int): Unit =
+    df.write.format("parquet")
+      .bucketBy(buckets, key.column).sortBy(key.column)
+      .mode("overwrite").saveAsTable(table)
 }
