@@ -445,6 +445,36 @@ object Pipeline {
        |FROM c""".stripMargin
   }
 
+  /** Token dictionary encoding — the reference's core compression trick
+    * (strings → ints, SURVEY §1.1) applied to the corpus: build a global
+    * token vocabulary with deterministic dense ids (rank by token), encode
+    * each document as an int-id array. At 100 TB the vocab is a dim table
+    * (broadcast when small, shuffle-joined when not) — never a driver map.
+    */
+  private def tokenDictEncode(d: Dialect): String = {
+    val tokExpr = F.tokens(d, "text")
+    val orderedCollect =
+      if (d == SparkDialect)
+        // Spark collect_list has no ORDER BY: aggregate (pos, tid) structs
+        // and sort, then project — deterministic order by token position.
+        "transform(array_sort(collect_list(struct(pos, tid))), x -> x.tid)"
+      else "list(tid ORDER BY pos)"
+    val explodePos =
+      if (d == SparkDialect)
+        s"SELECT doc_id, posexplode(toks) AS (pos, tk) FROM (SELECT doc_id, $tokExpr AS toks FROM documents) tw"
+      else
+        // multiple unnests in one DuckDB SELECT are zipped positionally
+        s"SELECT doc_id, unnest(toks) AS tk, unnest(range(len(toks))) AS pos FROM (SELECT doc_id, $tokExpr AS toks FROM documents) tw"
+    s"""WITH tok AS ($explodePos),
+       |vocab AS (SELECT tk, ROW_NUMBER() OVER (ORDER BY tk) AS tid
+       |  FROM (SELECT DISTINCT tk FROM tok) vd),
+       |enc AS (SELECT tok.doc_id, tok.pos, vocab.tid
+       |  FROM tok JOIN vocab ON tok.tk = vocab.tk)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  $orderedCollect AS token_ids
+       |FROM enc GROUP BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------- multimodal / sessions
 
   /** Typed binary-payload feature extraction (graft.operators.Multimodal):
@@ -511,6 +541,7 @@ object Pipeline {
     docQuery("text_normalize", textNormalize),
     docQuery("corpus_split_hash", sampleSplit),
     docQuery("corpus_pack_sequences", packSequences),
+    docQuery("corpus_token_dict_encode", tokenDictEncode),
     multimodalFeatures,
     eventsSessionWindow,
   )

@@ -392,6 +392,21 @@ object Relational {
           count(lit(1)).as("n"))
     },
 
+    // ---- JSON source/sink round-trip: events written as JSON lines and
+    // read back (schema re-applied); timestamps survive at microsecond
+    // precision via an explicit ISO format with micros ----
+    QueryDef("q26_json_io",
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events") { (s, dir) =>
+      val events = Tables.load(s, dir, "events")
+      val tmp = s"/tmp/graft_json_io_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+      events.write.mode("overwrite")
+        .option("timestampFormat", fmt).json(tmp)
+      s.read.schema(events.schema)
+        .option("timestampFormat", fmt).json(tmp)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    },
+
     // ---- array aggregation with deterministic ordering ----
     QueryDef("q21_array_agg",
       """SELECT n_nationkey,

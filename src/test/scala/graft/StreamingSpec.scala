@@ -46,6 +46,48 @@ class StreamingSpec extends SparkTestBase {
       "every streamed window must match its batch value")
   }
 
+  test("stream-stream interval join == batch interval join") {
+    import org.apache.spark.sql.functions._
+    // purchases joined to same-user clicks within the preceding hour —
+    // the canonical stream-stream interval join with watermarks on both
+    // sides; on a finite input it must reproduce the batch join.
+    val stream = EventStreams.readEventStream(spark, eventsDir, maxFilesPerTrigger = 1)
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select("user_id", "p_id", "c_id")
+
+    val ckpt = Files.createTempDirectory("ckpt_ssj").toString
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val batchEvents = graft.sources.Tables.load(spark, sf, "events")
+    val bp = batchEvents.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val bc = batchEvents.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val batch = bp.join(bc,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select("user_id", "p_id", "c_id")
+      .collect().map(_.toString).sorted
+    val streamed = spark.table("ssj").collect().map(_.toString).sorted
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"stream-stream join rows ${streamed.length} != batch ${batch.length}")
+  }
+
   test("flatMapGroupsWithState sessionize agrees with session_window counts") {
     import spark.implicits._
     val events = graft.sources.Tables.load(spark, sf, "events")
