@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProductExpr
+import graft.functions.{DecodeRewriteRule, DecodeTerm, DotProductExpr}
 
 /** Spark plugin entry point: registers graft's native expressions in every
   * session at startup.
@@ -25,5 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
         DotProductExpr(exprs.head, exprs(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_decode"),
+      new ExpressionInfo(classOf[DecodeTerm].getName, "graft_decode"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_decode takes exactly 1 argument")
+        DecodeTerm(exprs.head)
+      }))
+    ext.injectResolutionRule(_ => new DecodeRewriteRule)
   }
 }

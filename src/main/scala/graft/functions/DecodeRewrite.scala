@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, Unevaluable, UnaryExpression}
+import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DataType, StringType}
+
+/** `graft_decode(intCol)` — declarative dictionary decode.
+  *
+  * The reference decodes result rows on the driver with a broadcast
+  * `HashMap` inside `mapPartitions`
+  * (`/root/reference/src/main/java/com/github/nkoutroumanis/PartitionQueryingSubject.java:136-151`).
+  * Here decode is a MARKER EXPRESSION that an injected analyzer rule
+  * ([[DecodeRewriteRule]]) rewrites into a left-outer join against the
+  * session's registered dictionary view — so users write
+  * `SELECT graft_decode(Subject) FROM t` and Catalyst plans a (typically
+  * broadcast) join, which scales past both driver memory and the broadcast
+  * threshold. This is the SURVEY §4 "optional nicety": a
+  * `Rule[LogicalPlan]` realizing decode-as-join.
+  */
+case class DecodeTerm(child: Expression) extends UnaryExpression with Unevaluable {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_decode"
+  override protected def withNewChildInternal(newChild: Expression): DecodeTerm =
+    copy(child = newChild)
+}
+
+/** Analyzer rule: rewrite every `DecodeTerm` in a Project into a reference
+  * to the dictionary's `term` column, joining the child plan against the
+  * view `graft_dictionary(id, term)` once per decoded expression. Injected
+  * via [[graft.GraftExtensions]] (`injectResolutionRule`); the remaining
+  * analyzer batches resolve the introduced `UnresolvedRelation`s and
+  * deduplicate repeated dictionary scans.
+  */
+class DecodeRewriteRule extends Rule[LogicalPlan] {
+
+  val DictView = "graft_dictionary"
+
+  private var counter = 0
+  private def freshAlias(): String = synchronized {
+    counter += 1; s"__graft_dict_$counter"
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case p @ Project(projectList, child)
+        if child.resolved && projectList.exists(_.exists(_.isInstanceOf[DecodeTerm])) =>
+      var joined: LogicalPlan = child
+      val newList = projectList.map { ne =>
+        ne.transformUp {
+          case DecodeTerm(e) if e.resolved =>
+            val a = freshAlias()
+            joined = Join(
+              joined,
+              SubqueryAlias(a, UnresolvedRelation(Seq(DictView))),
+              LeftOuter,
+              Some(EqualTo(e, UnresolvedAttribute(Seq(a, "id")))),
+              JoinHint.NONE)
+            UnresolvedAttribute(Seq(a, "term"))
+        }.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]
+      }
+      Project(newList, joined)
+  }
+}

@@ -475,6 +475,22 @@ object Pipeline {
        |FROM enc GROUP BY doc_id""".stripMargin
   }
 
+  /** Incremental (cross-corpus) dedup: a new batch (doc_id >= 250) is
+    * admitted only if its content hash is absent from the existing corpus
+    * (doc_id < 250) — the anti-join shape of continuous ingestion dedup.
+    * At 100 TB the corpus side is a compact fingerprint table (one 64-bit
+    * hash per doc), not the documents themselves.
+    */
+  private def dedupIncremental(d: Dialect): String = {
+    val h = F.strHash(d, "text")
+    s"""WITH fp AS (SELECT doc_id, $h AS h FROM documents),
+       |corpus AS (SELECT h FROM fp WHERE doc_id < 250),
+       |batch AS (SELECT doc_id, h FROM fp WHERE doc_id >= 250)
+       |SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.h AS content_fp
+       |FROM batch b LEFT JOIN corpus c ON b.h = c.h
+       |WHERE c.h IS NULL""".stripMargin
+  }
+
   // ------------------------------------------------- multimodal / sessions
 
   /** Typed binary-payload feature extraction (graft.operators.Multimodal):
@@ -542,6 +558,7 @@ object Pipeline {
     docQuery("corpus_split_hash", sampleSplit),
     docQuery("corpus_pack_sequences", packSequences),
     docQuery("corpus_token_dict_encode", tokenDictEncode),
+    docQuery("dedup_incremental", dedupIncremental),
     multimodalFeatures,
     eventsSessionWindow,
   )

@@ -1,0 +1,44 @@
+package graft
+
+import graft.core.{Dictionary, TripleSchema}
+import org.apache.spark.sql.functions._
+
+/** The graft_decode analyzer rule: `SELECT graft_decode(c)` must plan as a
+  * left-outer join against the `graft_dictionary` view and return lexical
+  * forms — equivalent to Dictionary.decode, but available in plain SQL.
+  */
+class DecodeRewriteSpec extends SparkTestBase {
+
+  private def setup(): Unit = {
+    import spark.implicits._
+    Seq((1, "one"), (-2, "neg two"), (3, "three"))
+      .toDF("id", "term").createOrReplaceTempView("graft_dictionary")
+    Seq((1, 9, -2), (3, 9, 99))
+      .toDF(TripleSchema.subject, TripleSchema.predicate, TripleSchema.objekt)
+      .createOrReplaceTempView("dec_triples")
+  }
+
+  test("graft_decode(col) rewrites to a dictionary join in SQL") {
+    setup()
+    val out = spark.sql(
+      """SELECT graft_decode(Subject) AS s, graft_decode(Object) AS o
+        |FROM dec_triples""".stripMargin)
+    val rows = out.collect().map(r => (r.getString(0), Option(r.getString(1))))
+      .sortBy(_.toString)
+    assert(rows.toSeq == Seq(("one", Some("neg two")), ("three", None)).sortBy(_.toString))
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Join"), s"expected decode joins in plan:\n$plan")
+  }
+
+  test("graft_decode matches Dictionary.decode on the same data") {
+    setup()
+    val dict = Dictionary.fromPairs(spark, Seq(1 -> "one", -2 -> "neg two", 3 -> "three"))
+    val viaRule = spark.sql(
+      "SELECT graft_decode(Subject) AS s FROM dec_triples")
+      .collect().map(_.getString(0)).sorted
+    val viaJoin = dict.decode(spark.table("dec_triples"), Seq(TripleSchema.subject))
+      .select(col(TripleSchema.subject).as("s"))
+      .collect().map(_.getString(0)).sorted
+    assert(viaRule.sameElements(viaJoin))
+  }
+}
