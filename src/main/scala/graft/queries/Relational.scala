@@ -407,6 +407,58 @@ object Relational {
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     },
 
+    // ---- correlated scalar subquery: each order vs its customer's average
+    // (planned as an aggregate + re-join by Catalyst) ----
+    QueryDef("q27_correlated_scalar",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+        |                            WHERE o2.o_custkey = o.o_custkey)
+        |       THEN 1 ELSE 0 END AS above_cust_avg
+        |FROM orders o""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderkey,
+          |  CASE WHEN o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+          |                            WHERE o2.o_custkey = o.o_custkey)
+          |       THEN 1 ELSE 0 END AS above_cust_avg
+          |FROM orders o""".stripMargin)
+    },
+
+    // ---- set operations with dedup semantics (the reference only ever used
+    // UNION ALL; INTERSECT/EXCEPT complete the family) ----
+    QueryDef("q28_setops",
+      """SELECT 'both' AS tag, k FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') a
+        |UNION ALL
+        |SELECT 'only_big', k FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') b""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val big = o.filter(col("o_totalprice") > 150000).select(col("o_custkey").as("k"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
+      big.intersect(urgent).select(lit("both").as("tag"), col("k"))
+        .unionAll(big.except(urgent).select(lit("only_big").as("tag"), col("k")))
+    },
+
+    // ---- unpivot (wide → long): per-order price/discount measures as
+    // (measure, value) rows ----
+    QueryDef("q29_unpivot",
+      """SELECT l_orderkey, l_linenumber, measure, CAST(value AS DOUBLE) AS value
+        |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax
+        |      FROM lineitem WHERE l_orderkey < 100)
+        |UNPIVOT (value FOR measure IN (l_extendedprice, l_discount, l_tax))""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+    },
+
     // ---- array aggregation with deterministic ordering ----
     QueryDef("q21_array_agg",
       """SELECT n_nationkey,
