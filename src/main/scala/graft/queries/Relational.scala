@@ -459,6 +459,22 @@ object Relational {
           "measure", "value")
     },
 
+    // ---- lead/lag sequence analytics: per-user previous event and
+    // inter-event gap (the session/funnel building block) ----
+    QueryDef("q30_lead_lag",
+      """SELECT event_id, user_id, event_type,
+        |  lag(event_type) OVER w AS prev_type,
+        |  CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT) AS gap_sec
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+            .cast("long").as("gap_sec"))
+    },
+
     // ---- array aggregation with deterministic ordering ----
     QueryDef("q21_array_agg",
       """SELECT n_nationkey,

@@ -10,13 +10,26 @@ import java.nio.file.Files
   */
 class StreamingSpec extends SparkTestBase {
 
-  /** Streaming file sources require a directory: stage the single-file
-    * events table into one.
+  /** Streaming file sources require a directory. The events table is staged
+    * SPLIT INTO THREE FILES so that `maxFilesPerTrigger=1` produces three
+    * micro-batches — exercising watermark progression and state handoff
+    * across batches, not just a single-batch pass.
     */
   private lazy val eventsDir: String = {
     val dir = Files.createTempDirectory("events_stream")
-    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
-      dir.resolve("part-0.parquet"))
+    val all = spark.read.parquet(s"$sf/events.parquet")
+    val n = all.count()
+    // time-ordered thirds: later files carry later event times, so each
+    // micro-batch genuinely advances the watermark
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy("ts", "event_id")
+    val withIdx = all.withColumn("__rn",
+      org.apache.spark.sql.functions.row_number().over(w))
+    Seq(0, 1, 2).foreach { i =>
+      withIdx.filter(col("__rn") > i * n / 3 && col("__rn") <= (i + 1) * n / 3)
+        .drop("__rn")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+    }
     dir.toString
   }
 
@@ -86,6 +99,53 @@ class StreamingSpec extends SparkTestBase {
     val streamed = spark.table("ssj").collect().map(_.toString).sorted
     assert(streamed.length == batch.length && streamed.sameElements(batch),
       s"stream-stream join rows ${streamed.length} != batch ${batch.length}")
+  }
+
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    import org.apache.spark.sql.functions._
+    // duplicate the whole input: copy the staged files again so every event
+    // arrives twice, in different micro-batches
+    val dupDir = Files.createTempDirectory("events_dup")
+    java.nio.file.Files.list(java.nio.file.Paths.get(eventsDir)).forEach { p =>
+      if (p.toString.endsWith(".parquet")) {
+        Files.copy(p, dupDir.resolve("a_" + p.getFileName))
+        Files.copy(p, dupDir.resolve("b_" + p.getFileName))
+      }
+    }
+    val stream = EventStreams.readEventStream(spark, dupDir.toString, maxFilesPerTrigger = 2)
+      .withWatermark("ts", "30 days") // keep all ids in state for the test
+      .dropDuplicates("event_id", "ts")
+    val ckpt = Files.createTempDirectory("ckpt_dedup").toString
+    val q = stream.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_stream").count()
+    val distinctIds = spark.read.parquet(eventsDir).select("event_id").distinct().count()
+    assert(streamed == distinctIds,
+      s"streaming dedup kept $streamed rows, expected $distinctIds (doubled input)")
+  }
+
+  test("foreachBatch sink writes incremental parquet batches") {
+    import org.apache.spark.sql.functions._
+    val outDir = Files.createTempDirectory("fb_out").toString
+    val stream = EventStreams.readEventStream(spark, eventsDir, maxFilesPerTrigger = 1)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = stream
+      .filter(col("event_type") === "purchase")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batches += id
+        batch.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_fb").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(batches.size >= 3, s"expected >=3 micro-batches, got ${batches.size}")
+    val written = spark.read.parquet(outDir).count()
+    val expected = spark.read.parquet(eventsDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(written == expected)
   }
 
   test("flatMapGroupsWithState sessionize agrees with session_window counts") {
