@@ -400,12 +400,15 @@ object Pipeline {
     * chosen to be identical in Java regex and RE2.
     */
   private def textNormalize(d: Dialect): String =
-    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '),
-       |    ' +', ' ')) AS norm_text,
-       |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
-       |    '[^a-z0-9 ]', ' '), ' +', ' '))) AS BIGINT) AS norm_len
-       |FROM documents""".stripMargin
+    // norm_text computed ONCE in the inner projection: CollapseProject
+    // declines to inline a non-cheap expression referenced twice, so the
+    // regex chain runs once per row, not once per output column
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, norm_text,
+       |  CAST(length(norm_text) AS BIGINT) AS norm_len
+       |FROM (SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '),
+       |      ' +', ' ')) AS norm_text
+       |  FROM documents) t""".stripMargin
 
   /** Deterministic hash-based corpus split (train/val/test 90/5/5): the
     * standard reproducible split at scale — no RNG state, no global sort; a
