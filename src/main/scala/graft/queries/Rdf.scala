@@ -167,6 +167,29 @@ object Rdf {
         .select(col("node").cast("int").as("node"))
     },
 
+    // ---- graft_decode analyzer-rule path, gate-verified: the SQL-level
+    // decode function rewrites to dictionary joins (DecodeRewriteRule via
+    // GraftExtensions); oracle performs the equivalent joins explicitly. ----
+    QueryDef("rdf_decode_rule",
+      RdfBridge.oracleCte +
+        """, dict AS (
+          |  SELECT CAST(-(c_custkey + 1000) AS INTEGER) AS id, 'cust_' || CAST(c_custkey AS VARCHAR) AS term FROM customer
+          |  UNION ALL
+          |  SELECT CAST(o_orderkey + 1 AS INTEGER), 'order_' || CAST(o_orderkey AS VARCHAR) FROM orders)
+          |SELECT ds.term AS s, do_.term AS o
+          |FROM triples t
+          |LEFT JOIN dict ds ON t.Subject = ds.id
+          |LEFT JOIN dict do_ ON t.Object = do_.id
+          |WHERE t.Predicate = -2""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s) // no-op for decode; dot fn
+      RdfBridge.dictionary(s, dir).entries.toDF("id", "term")
+        .createOrReplaceTempView("graft_dictionary")
+      RdfBridge.triples(s, dir).createOrReplaceTempView("graft_triples")
+      s.sql(
+        """SELECT graft_decode(Subject) AS s, graft_decode(Object) AS o
+          |FROM graft_triples WHERE Predicate = -2""".stripMargin)
+    },
+
     // ---- dictionary decode: bound results back to lexical forms via
     // broadcast join (replaces the reference's driver-map mapPartitions
     // decode, PartitionQueryingSubject.java:136-151). ----
