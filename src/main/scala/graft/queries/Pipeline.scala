@@ -494,6 +494,53 @@ object Pipeline {
        |WHERE c.h IS NULL""".stripMargin
   }
 
+  /** Repetition scoring: the fraction of a document occupied by its single
+    * most frequent 3-shingle — high values flag boilerplate/spam/template
+    * text (a standard pre-training filter). Non-distinct shingle counts, so
+    * this uses the raw explode (not the vocab-distinct path).
+    */
+  private def textRepetition(d: Dialect): String =
+    s"""WITH sh AS (${shingleExplode(d)}),
+       |counts AS (SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY doc_id, s),
+       |agg AS (SELECT doc_id, MAX(c) AS max_rep, SUM(c) AS n_shingles
+       |  FROM counts GROUP BY doc_id)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(max_rep AS BIGINT) AS max_repeat,
+       |  CAST(max_rep AS DOUBLE) / n_shingles AS repetition_ratio,
+       |  CASE WHEN CAST(max_rep AS DOUBLE) / n_shingles > 0.1
+       |    THEN 1 ELSE 0 END AS flag_repetitive
+       |FROM agg""".stripMargin
+
+  /** Conversion funnel over the events stream table: per user, the earliest
+    * view → first click after that view → first purchase after that click,
+    * and the stage reached. One shuffle on user_id; each stage is a
+    * conditional MIN — no self-joins.
+    */
+  private def eventsFunnel(d: Dialect): String =
+    s"""WITH v AS (SELECT user_id, MIN(ts) AS first_view FROM events
+       |  WHERE event_type = 'view' GROUP BY user_id),
+       |c AS (SELECT e.user_id, MIN(e.ts) AS first_click
+       |  FROM events e JOIN v ON e.user_id = v.user_id
+       |  WHERE e.event_type = 'click' AND e.ts > v.first_view
+       |  GROUP BY e.user_id),
+       |p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase
+       |  FROM events e JOIN c ON e.user_id = c.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+       |  GROUP BY e.user_id)
+       |SELECT CAST(v.user_id AS BIGINT) AS user_id, v.first_view,
+       |  c.first_click, p.first_purchase,
+       |  CASE WHEN p.first_purchase IS NOT NULL THEN 3
+       |       WHEN c.first_click IS NOT NULL THEN 2
+       |       ELSE 1 END AS funnel_stage
+       |FROM v
+       |LEFT JOIN c ON v.user_id = c.user_id
+       |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+
+  private def eventsQuery(name: String, sql: Dialect => String): QueryDef =
+    QueryDef(name, sql(DuckDialect)) { (s, dir) =>
+      views(s, dir, "events"); s.sql(sql(SparkDialect))
+    }
+
   // ------------------------------------------------- multimodal / sessions
 
   /** Typed binary-payload feature extraction (graft.operators.Multimodal):
@@ -562,6 +609,8 @@ object Pipeline {
     docQuery("corpus_pack_sequences", packSequences),
     docQuery("corpus_token_dict_encode", tokenDictEncode),
     docQuery("dedup_incremental", dedupIncremental),
+    docQuery("text_repetition", textRepetition),
+    eventsQuery("events_funnel", eventsFunnel),
     multimodalFeatures,
     eventsSessionWindow,
   )
