@@ -67,6 +67,7 @@ object Ivf {
       centroids = updated.toArray.sortBy(_._1)
       bc.destroy()
     }
+    data.unpersist()
     Model(centroids)
   }
 

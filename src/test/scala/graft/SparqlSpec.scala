@@ -98,6 +98,23 @@ class SparqlSpec extends SparkTestBase {
     assert(single == split && single.nonEmpty)
   }
 
+  test("disconnected BGP patterns cross-join (SPARQL bag semantics)") {
+    val (engine, triples) = fixture
+    // patterns share no variable: result cardinality = product
+    val n = engine.registerSingleTable(triples)
+      .sparql("SELECT ?a ?b WHERE { ?x :p1 ?a . ?y :p3 ?b }").count()
+    val p1 = engine.sparql("SELECT ?a WHERE { ?x :p1 ?a }").count()
+    val p3 = engine.sparql("SELECT ?b WHERE { ?y :p3 ?b }").count()
+    assert(n == p1 * p3 && n > 0)
+  }
+
+  test("projection of a variable absent from the BGP fails with analysis error") {
+    val (engine, triples) = fixture
+    engine.registerSingleTable(triples)
+    intercept[Exception](
+      engine.sparql("SELECT ?nope WHERE { ?x :p1 ?a }").collect())
+  }
+
   test("reference Q1 SQL shape runs verbatim against registered views") {
     val (engine, triples) = fixture
     engine.registerSingleTable(triples)
