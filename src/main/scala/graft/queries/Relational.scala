@@ -407,6 +407,26 @@ object Relational {
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     },
 
+    // ---- CUBE: all grouping combinations (year × priority), completing
+    // the rollup/cube/grouping-sets family ----
+    QueryDef("q31_cube",
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+        |  o_orderpriority,
+        |  CAST(GROUPING(EXTRACT(year FROM o_orderdate)) AS INTEGER) AS g_year,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY CUBE(EXTRACT(year FROM o_orderdate), o_orderpriority)""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .withColumn("order_year", year(col("o_orderdate")))
+        .cube(col("order_year"), col("o_orderpriority"))
+        .agg(grouping(col("order_year")).cast("int").as("g_year"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          count(lit(1)).as("n"))
+        .select(col("order_year"), col("o_orderpriority"),
+          col("g_year"), col("g_prio"), col("n"))
+    },
+
     // ---- correlated scalar subquery: each order vs its customer's average
     // (planned as an aggregate + re-join by Catalyst) ----
     QueryDef("q27_correlated_scalar",

@@ -29,14 +29,18 @@ class ScaleTechniquesSpec extends SparkTestBase {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val a = (1 to 1000).map(i => (i, i * 2)).toDF("k", "va")
-      val b = (1 to 1000).map(i => (i, i * 3)).toDF("k", "vb")
-      a.write.format("parquet").bucketBy(8, "k").sortBy("k")
-        .mode("overwrite").saveAsTable("bucketed_a")
-      b.write.format("parquet").bucketBy(8, "k").sortBy("k")
-        .mode("overwrite").saveAsTable("bucketed_b")
+      // through the library API: triples bucketed on Subject
+      val a = (1 to 1000).map(i => (i, 1, i * 2))
+        .toDF(graft.core.TripleSchema.subject, graft.core.TripleSchema.predicate,
+          graft.core.TripleSchema.objekt)
+      val b = (1 to 1000).map(i => (i, 2, i * 3))
+        .toDF(graft.core.TripleSchema.subject, graft.core.TripleSchema.predicate,
+          graft.core.TripleSchema.objekt)
+      graft.plans.Layouts.writeBucketed(a, "bucketed_a", graft.plans.Layouts.BySubject, 8)
+      graft.plans.Layouts.writeBucketed(b, "bucketed_b", graft.plans.Layouts.BySubject, 8)
 
-      val joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "k")
+      val joined = spark.table("bucketed_a")
+        .join(spark.table("bucketed_b"), graft.core.TripleSchema.subject)
       val physical = joined.queryExecution.executedPlan.toString
 
       assert(joined.count() == 1000)
