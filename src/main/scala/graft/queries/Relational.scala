@@ -407,6 +407,17 @@ object Relational {
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     },
 
+    // ---- ORC source/sink round-trip (columnar format #2 besides parquet;
+    // timestamps survive natively) ----
+    QueryDef("q32_orc_io",
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events") { (s, dir) =>
+      val events = Tables.load(s, dir, "events")
+      val tmp = s"/tmp/graft_orc_io_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      events.write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    },
+
     // ---- CUBE: all grouping combinations (year × priority), completing
     // the rollup/cube/grouping-sets family ----
     QueryDef("q31_cube",
