@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DecodeRewriteRule, DecodeTerm, DotProductExpr}
+import graft.functions.{DecodeCheckRule, DecodeRewriteRule, DecodeTerm, DotProductExpr}
 
 /** Spark plugin entry point: registers graft's native expressions in every
   * session at startup.
@@ -33,5 +33,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DecodeTerm(exprs.head)
       }))
     ext.injectResolutionRule(_ => new DecodeRewriteRule)
+    ext.injectCheckRule(_ => new DecodeCheckRule)
   }
 }

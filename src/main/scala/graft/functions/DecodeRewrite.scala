@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, Unevaluable, UnaryExpression}
 import org.apache.spark.sql.catalyst.plans.LeftOuter
-import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, StringType}
 
@@ -62,5 +62,43 @@ class DecodeRewriteRule extends Rule[LogicalPlan] {
         }.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]
       }
       Project(newList, joined)
+
+    // decode in a WHERE clause: join below the Filter, substitute the term
+    case f @ Filter(cond, child)
+        if child.resolved && cond.exists(_.isInstanceOf[DecodeTerm]) =>
+      var joined: LogicalPlan = child
+      val newCond = cond.transformUp {
+        case DecodeTerm(e) if e.resolved =>
+          val a = freshAlias()
+          joined = Join(
+            joined,
+            SubqueryAlias(a, UnresolvedRelation(Seq(DictView))),
+            LeftOuter,
+            Some(EqualTo(e, UnresolvedAttribute(Seq(a, "id")))),
+            JoinHint.NONE)
+          UnresolvedAttribute(Seq(a, "term"))
+      }
+      // project back to the child's columns so the join stays invisible
+      Project(child.output, Filter(newCond, joined))
+  }
+}
+
+/** Clear analysis-time error for graft_decode uses the rewrite doesn't
+  * reach (aggregates, joins conditions, sorts, ...): without this the
+  * Unevaluable marker would survive to execution and fail there.
+  */
+class DecodeCheckRule extends (LogicalPlan => Unit) {
+  override def apply(plan: LogicalPlan): Unit = {
+    plan.foreach { node =>
+      node.expressions.foreach { e =>
+        if (e.exists(_.isInstanceOf[DecodeTerm])) {
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_3093",
+            messageParameters = Map("msg" ->
+              ("graft_decode is supported in SELECT projections and WHERE " +
+                s"filters only; found it in: ${node.nodeName}")))
+        }
+      }
+    }
   }
 }

@@ -117,51 +117,10 @@ object Formulas {
       d.seq("1", s"${d.len(toks)} - ${n - 1}"),
       "i", d.joinWs(d.slice(toks, "i", n.toString)))
 
-  /** Hash each element of a string-array expression. */
-  def hashAll(d: Dialect, arr: String): String =
-    d.transform(arr, "s", strHash(d, "s"))
-
-  /** MinHash signature (K values) of a hash-array expression `hs`:
-    * sig[k] = min over h of ((2k+3)*h + k*k + 1) mod P. Multipliers are odd
-    * and < 2^6, so (2k+3)*h < 2^38 — no overflow.
-    */
-  def minhashSig(d: Dialect, hs: String, k: Int): String =
-    d.transform(d.seq("0", (k - 1).toString), "k",
-      d.arrayMin(d.transform(hs, "h", s"((2*k + 3)*h + k*k + 1) % $P")))
-
-  /** Band keys of a signature array: bands of `r` consecutive sig values,
-    * each folded to one BIGINT. nBands = K / r.
-    */
-  def bandKeys(d: Dialect, sig: String, k: Int, r: Int): String = {
-    val nBands = k / r
-    d.transform(d.seq("0", (nBands - 1).toString), "b",
-      d.reduce(d.slice(sig, s"b*$r + 1", r.toString),
-        "CAST(0 AS BIGINT)", "acc", "x", s"(acc*1000003 + x) % $P"))
-  }
-
-  /** Estimated Jaccard from two signature arrays: fraction of equal slots. */
-  def sigSim(d: Dialect, sigA: String, sigB: String, k: Int): String =
-    s"CAST(${d.len(d.filter(d.seq("1", k.toString), "i",
-      s"${d.elem(sigA, "i")} = ${d.elem(sigB, "i")}"))} AS DOUBLE) / $k"
-
-  /** Exact Jaccard similarity of two string-array sets (inputs must be
-    * distinct-ified). |A∩B| / (|A|+|B|-|A∩B|).
-    */
-  def jaccard(d: Dialect, a: String, b: String): String = {
-    val inter = d.len(d.filter(a, "x", d.contains(b, "x")))
-    s"CAST($inter AS DOUBLE) / (${d.len(a)} + ${d.len(b)} - $inter)"
-  }
-
-  /** 32-bit SimHash over a hash-array expression `hs` (precompute token
-    * hashes once, e.g. as a CTE column): bit i is set when the sum over
-    * tokens of ±1 (sign of bit i of the token hash) is positive.
-    */
-  def simhash32(d: Dialect, hs: String): String = {
-    val perBit = d.reduce(hs, "CAST(0 AS BIGINT)", "a2", "h",
-      s"a2 + (CASE WHEN (${d.shiftRight("h", "i")} & 1) = 1 THEN 1 ELSE -1 END)")
-    d.reduce(d.seq("0", "31"), "CAST(0 AS BIGINT)", "acc", "i",
-      s"acc + (CASE WHEN ($perBit) > 0 THEN ${d.shiftLeft1("i")} ELSE 0 END)")
-  }
+  // NOTE: the MinHash/SimHash/Jaccard pipelines are built from explode +
+  // vocabulary-join + codegen'd MIN/SUM aggregates in queries/Pipeline.scala
+  // (the scale-correct formulation); array-fold variants of those operators
+  // were removed from here to keep exactly one formulation per operator.
 
   /** Dot product of two float-array columns over dims [1, n], computed as
     * double with defined left-to-right order — bit-identical across engines.

@@ -38,6 +38,9 @@ case class DotProductExpr(left: Expression, right: Expression)
         s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
   }
 
+  // Null ELEMENTS contribute 0 to the sum (defined, consistent across the
+  // interpreted and codegen paths — parquet array elements are nullable by
+  // schema even when no null ever occurs).
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -45,7 +48,9 @@ case class DotProductExpr(left: Expression, right: Expression)
     var sum = 0d
     var i = 0
     while (i < n) {
-      sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      }
       i += 1
     }
     sum
@@ -60,7 +65,9 @@ case class DotProductExpr(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
          |${ev.value} = $sum;
        """.stripMargin

@@ -29,7 +29,8 @@ object Graph {
     val edges = triples
       .select(col(TripleSchema.subject).as("src"), col(TripleSchema.objekt).as("dst"))
 
-    var reached = seeds.toDF("node").persist()
+    val seedDf = seeds.toDF("node").persist()
+    var reached = seedDf
     var frontier = reached
     var iter = 0
     var done = false
@@ -49,6 +50,7 @@ object Graph {
         iter += 1
       }
     }
+    seedDf.unpersist()
     reached
   }
 }

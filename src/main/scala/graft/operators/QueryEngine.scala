@@ -51,9 +51,12 @@ final class QueryEngine(val spark: SparkSession, val dict: Dictionary) {
     BgpPlanner.plan(query, store, dict)
   }
 
-  /** SPARQL with decoded (lexical) output columns. */
+  /** SPARQL with decoded (lexical) output columns. Internal existence
+    * markers (`__exists_N`, from fully-bound patterns) are not variable
+    * bindings and are excluded from decoding.
+    */
   def sparqlDecoded(query: String): DataFrame = {
     val bound = sparql(query)
-    dict.decode(bound, bound.columns.toSeq)
+    dict.decode(bound, bound.columns.toSeq.filterNot(_.startsWith("__exists_")))
   }
 }

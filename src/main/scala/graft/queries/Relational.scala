@@ -249,16 +249,19 @@ object Relational {
 
     // ---- CASE WHEN buckets against a scalar subquery (uncorrelated →
     // planned as a broadcast of one row) ----
+    // (avg comparisons via exact decimal cross-multiplication: o > sum/cnt
+    // <=> o*cnt > sum — raw-double AVG would be summation-order-dependent
+    // across engines and flip boundary rows)
     QueryDef("q17_case_scalar",
-      """SELECT CASE WHEN o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders) THEN 'high'
-        |    WHEN o_totalprice > (SELECT AVG(o_totalprice) FROM orders) THEN 'above'
+      """SELECT CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders) > 2 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders) THEN 'high'
+        |    WHEN CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders) > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders) THEN 'above'
         |    ELSE 'below' END AS bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql(
-        """SELECT CASE WHEN o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders) THEN 'high'
-          |    WHEN o_totalprice > (SELECT AVG(o_totalprice) FROM orders) THEN 'above'
+        """SELECT CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders) > 2 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders) THEN 'high'
+          |    WHEN CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders) > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders) THEN 'above'
           |    ELSE 'below' END AS bucket,
           |  CAST(COUNT(*) AS BIGINT) AS n
           |FROM orders GROUP BY 1""".stripMargin)
@@ -442,15 +445,19 @@ object Relational {
     // (planned as an aggregate + re-join by Catalyst) ----
     QueryDef("q27_correlated_scalar",
       """SELECT o_orderkey,
-        |  CASE WHEN o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
-        |                            WHERE o2.o_custkey = o.o_custkey)
+        |  CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) *
+        |            (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) >
+        |            (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) FROM orders o2
+        |             WHERE o2.o_custkey = o.o_custkey)
         |       THEN 1 ELSE 0 END AS above_cust_avg
         |FROM orders o""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql(
         """SELECT o_orderkey,
-          |  CASE WHEN o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
-          |                            WHERE o2.o_custkey = o.o_custkey)
+          |  CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) *
+          |            (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) >
+          |            (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) FROM orders o2
+          |             WHERE o2.o_custkey = o.o_custkey)
           |       THEN 1 ELSE 0 END AS above_cust_avg
           |FROM orders o""".stripMargin)
     },

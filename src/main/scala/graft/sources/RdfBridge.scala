@@ -19,14 +19,16 @@ import org.apache.spark.sql.functions._
   * Entity id spaces (disjoint; 0 reserved for the variable sentinel):
   *   customer  -> -(c_custkey + 1000)
   *   order     ->   o_orderkey + 1
-  *   part      -> -(p_partkey + 2000000)
-  *   supplier  ->   s_suppkey + 4000000
-  *   nation    ->   n_nationkey + 8000000
+  *   part      -> -(p_partkey + 500000000)
+  *   supplier  ->   s_suppkey + 1000000000
+  *   nation    ->   n_nationkey + 2000000000
   * Predicates reuse the reference's encoded constants (`:placed` = -2,
   * `:contains` = -13, `:supplied_by` = -21, `:in_nation` = -31).
   *
-  * Int ids hold to ~sf100 on this generator; a production deploy at 100 TB
-  * widens the schema to LongType (SURVEY §1.2) — the arithmetic is unchanged.
+  * Keys are dense 0..N-1 (~1.5M orders, ~200k parts, ~150k customers per
+  * sf), so these offsets keep the spaces disjoint to sf ≈ 300 (orders vs
+  * the supplier offset at 1e9); a production deploy at 100 TB widens the
+  * schema to LongType (SURVEY §1.2) — the arithmetic is unchanged.
   */
 object RdfBridge {
   val Placed = -2
@@ -39,11 +41,11 @@ object RdfBridge {
     """WITH triples AS (
       |  SELECT CAST(-(o_custkey + 1000) AS INTEGER) AS Subject, -2 AS Predicate, CAST(o_orderkey + 1 AS INTEGER) AS Object FROM orders
       |  UNION ALL
-      |  SELECT CAST(l_orderkey + 1 AS INTEGER), -13, CAST(-(l_partkey + 2000000) AS INTEGER) FROM lineitem
+      |  SELECT CAST(l_orderkey + 1 AS INTEGER), -13, CAST(-(l_partkey + 500000000) AS INTEGER) FROM lineitem
       |  UNION ALL
-      |  SELECT CAST(-(l_partkey + 2000000) AS INTEGER), -21, CAST(l_suppkey + 4000000 AS INTEGER) FROM lineitem
+      |  SELECT CAST(-(l_partkey + 500000000) AS INTEGER), -21, CAST(l_suppkey + 1000000000 AS INTEGER) FROM lineitem
       |  UNION ALL
-      |  SELECT CAST(-(c_custkey + 1000) AS INTEGER), -31, CAST(c_nationkey + 8000000 AS INTEGER) FROM customer
+      |  SELECT CAST(-(c_custkey + 1000) AS INTEGER), -31, CAST(c_nationkey + 2000000000 AS INTEGER) FROM customer
       |)""".stripMargin
 
   def triples(spark: SparkSession, sfDir: String): DataFrame = {
@@ -56,9 +58,9 @@ object RdfBridge {
       o.cast("int").as(TripleSchema.objekt))
 
     orders.select(t(-(col("o_custkey") + 1000), Placed, col("o_orderkey") + 1): _*)
-      .unionAll(lineitem.select(t(col("l_orderkey") + 1, Contains, -(col("l_partkey") + 2000000)): _*))
-      .unionAll(lineitem.select(t(-(col("l_partkey") + 2000000), SuppliedBy, col("l_suppkey") + 4000000): _*))
-      .unionAll(customer.select(t(-(col("c_custkey") + 1000), InNation, col("c_nationkey") + 8000000): _*))
+      .unionAll(lineitem.select(t(col("l_orderkey") + 1, Contains, -(col("l_partkey") + 500000000)): _*))
+      .unionAll(lineitem.select(t(-(col("l_partkey") + 500000000), SuppliedBy, col("l_suppkey") + 1000000000): _*))
+      .unionAll(customer.select(t(-(col("c_custkey") + 1000), InNation, col("c_nationkey") + 2000000000L): _*))
   }
 
   /** Lexical dictionary for the bridge vocabulary: `cust_<k>`, `order_<k>`,
@@ -82,11 +84,11 @@ object RdfBridge {
         concat(lit("cust_"), col("c_custkey")).as("term"))
       .unionAll(orders.select((col("o_orderkey") + 1).cast("int"),
         concat(lit("order_"), col("o_orderkey"))))
-      .unionAll(part.select((-(col("p_partkey") + 2000000)).cast("int"),
+      .unionAll(part.select((-(col("p_partkey") + 500000000)).cast("int"),
         concat(lit("part_"), col("p_partkey"))))
-      .unionAll(supplier.select((col("s_suppkey") + 4000000).cast("int"),
+      .unionAll(supplier.select((col("s_suppkey") + 1000000000).cast("int"),
         concat(lit("supp_"), col("s_suppkey"))))
-      .unionAll(nation.select((col("n_nationkey") + 8000000).cast("int"),
+      .unionAll(nation.select((col("n_nationkey") + 2000000000L).cast("int"),
         concat(lit("nation_"), col("n_nationkey"))))
 
     Dictionary.fromDF(preds.unionAll(entities))

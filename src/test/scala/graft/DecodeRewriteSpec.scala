@@ -30,6 +30,29 @@ class DecodeRewriteSpec extends SparkTestBase {
     assert(plan.contains("Join"), s"expected decode joins in plan:\n$plan")
   }
 
+  test("graft_decode works in WHERE clauses (join below the filter)") {
+    setup()
+    val rows = spark.sql(
+      "SELECT Subject FROM dec_triples WHERE graft_decode(Subject) = 'one'")
+      .collect().map(_.getInt(0))
+    assert(rows.toSeq == Seq(1))
+  }
+
+  test("graft_decode outside Project/Filter fails with a clear analysis error") {
+    setup()
+    val e = intercept[Exception](spark.sql(
+      "SELECT COUNT(*) FROM dec_triples GROUP BY graft_decode(Subject)").collect())
+    assert(e.getMessage.contains("graft_decode is supported in SELECT projections"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
+  test("graft_dot treats null array elements as zero in both eval paths") {
+    val v = spark.sql(
+      "SELECT graft_dot(array(CAST(2.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(5.0 AS FLOAT)))").head().getDouble(0)
+    assert(v == 6.0)
+  }
+
   test("graft_decode matches Dictionary.decode on the same data") {
     setup()
     val dict = Dictionary.fromPairs(spark, Seq(1 -> "one", -2 -> "neg two", 3 -> "three"))

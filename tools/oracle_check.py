@@ -38,7 +38,6 @@ def main(sf_dir, out_dir):
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = duckdb.connect().execute("SELECT 1").fetchone()  # noqa placeholder
             spark_df = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
             duck_df = con.execute(sql).fetchdf()
