@@ -541,6 +541,76 @@ object Pipeline {
       views(s, dir, "events"); s.sql(sql(SparkDialect))
     }
 
+  /** Stratified deterministic sampling: a per-source rate applied via
+    * content-hash thresholds (10% of src0/src1, 50% of src2, 100% of the
+    * rest) — reproducible downsampling with per-stratum control, no RNG
+    * state, stable under repartitioning.
+    */
+  private def corpusSampleStratified(d: Dialect): String = {
+    val bucket = s"(${F.strHash(d, "text")} % 100)"
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       |  CAST($bucket AS BIGINT) AS bucket
+       |FROM documents
+       |WHERE (source IN ('src0', 'src1') AND $bucket < 10)
+       |   OR (source = 'src2' AND $bucket < 50)
+       |   OR source NOT IN ('src0', 'src1', 'src2')""".stripMargin
+  }
+
+  /** Containment (asymmetric Jaccard) detection: |A∩B| / |A| >= 0.9 flags
+    * documents mostly CONTAINED in another (quotes, near-subsets) that
+    * symmetric Jaccard misses when sizes differ. Candidates reuse the
+    * prefix-join shape with a one-sided length constraint (B can be much
+    * larger than A, but containment >= t forces |A| <= |B| / t ... no upper
+    * bound needed on |B|; prefix length uses the containment threshold).
+    */
+  private def dedupContainment(d: Dialect, setTable: String): String = {
+    val inter = d.interSize("ta.sh", "tb.sh")
+    val idiv = if (d == SparkDialect) "div" else "//"
+    s"""WITH tp AS (SELECT doc_id, sh, ${d.len("sh")} AS n FROM $setTable),
+       |e AS (${d.explodeSelect(s"doc_id, ${d.len("sh")} AS n", setTable, "sh", "h")}),
+       |df AS (SELECT h, COUNT(*) AS df FROM e GROUP BY h),
+       |c AS (SELECT doc_id, h, n FROM (
+       |    SELECT e.doc_id, e.h, e.n,
+       |      ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY df.df, e.h) AS rn
+       |    FROM e JOIN df ON e.h = df.h) r
+       |  WHERE rn <= n $idiv 10 + 1),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM c x JOIN e y ON x.h = y.h AND x.doc_id <> y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id)
+       |SELECT * FROM (
+       |  SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
+       |    CAST($inter AS DOUBLE) / ta.n AS containment
+       |  FROM pairs p
+       |  JOIN tp ta ON p.a = ta.doc_id
+       |  JOIN tp tb ON p.b = tb.doc_id) s
+       |WHERE containment >= 0.9""".stripMargin
+  }
+
+  private def dedupContainmentDef: QueryDef =
+    QueryDef("dedup_containment",
+      s"""WITH sets AS (${ngramSetSql(DuckDialect)})
+         |, result AS (${dedupContainment(DuckDialect, "sets")})
+         |SELECT * FROM result""".stripMargin) { (s, dir) =>
+      views(s, dir, "documents")
+      val sets = s.sql(ngramSetSql(SparkDialect)).persist()
+      sets.createOrReplaceTempView("ngram_sets_cont")
+      s.sql(dedupContainment(SparkDialect, "ngram_sets_cont"))
+    }
+
+  /** Per-source top-n curation: keep each source's 20 longest documents
+    * (longest = crude quality proxy; any score column slots in) —
+    * the group-limit shape of per-domain corpus curation.
+    */
+  private def corpusTopPerSource(d: Dialect): String =
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       |  CAST(n_chars AS BIGINT) AS n_chars, CAST(rnk AS BIGINT) AS rnk
+       |FROM (SELECT doc_id, source, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS rnk
+       |  FROM documents) t
+       |WHERE rnk <= 20""".stripMargin
+
   // ------------------------------------------------- multimodal / sessions
 
   /** Typed binary-payload feature extraction (graft.operators.Multimodal):
@@ -611,6 +681,9 @@ object Pipeline {
     docQuery("dedup_incremental", dedupIncremental),
     docQuery("text_repetition", textRepetition),
     eventsQuery("events_funnel", eventsFunnel),
+    docQuery("corpus_sample_stratified", corpusSampleStratified),
+    dedupContainmentDef,
+    docQuery("corpus_top_per_source", corpusTopPerSource),
     multimodalFeatures,
     eventsSessionWindow,
   )
