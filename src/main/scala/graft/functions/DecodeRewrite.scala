@@ -44,40 +44,42 @@ class DecodeRewriteRule extends Rule[LogicalPlan] {
     counter += 1; s"__graft_dict_$counter"
   }
 
+  /** Replace every DecodeTerm inside `expr` with a dictionary `term`
+    * reference, threading one left-outer dictionary join per decode under
+    * `plan`. CONTRACT: `graft_dictionary` must map id -> term uniquely (a
+    * dimension key); duplicate ids would fan out the joined rows.
+    */
+  private def rewriteDecodes(expr: Expression, plan: LogicalPlan): (Expression, LogicalPlan) = {
+    var joined = plan
+    val newExpr = expr.transformUp {
+      case DecodeTerm(e) if e.resolved =>
+        val a = freshAlias()
+        joined = Join(
+          joined,
+          SubqueryAlias(a, UnresolvedRelation(Seq(DictView))),
+          LeftOuter,
+          Some(EqualTo(e, UnresolvedAttribute(Seq(a, "id")))),
+          JoinHint.NONE)
+        UnresolvedAttribute(Seq(a, "term"))
+    }
+    (newExpr, joined)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case p @ Project(projectList, child)
         if child.resolved && projectList.exists(_.exists(_.isInstanceOf[DecodeTerm])) =>
       var joined: LogicalPlan = child
       val newList = projectList.map { ne =>
-        ne.transformUp {
-          case DecodeTerm(e) if e.resolved =>
-            val a = freshAlias()
-            joined = Join(
-              joined,
-              SubqueryAlias(a, UnresolvedRelation(Seq(DictView))),
-              LeftOuter,
-              Some(EqualTo(e, UnresolvedAttribute(Seq(a, "id")))),
-              JoinHint.NONE)
-            UnresolvedAttribute(Seq(a, "term"))
-        }.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]
+        val (rewritten, j) = rewriteDecodes(ne, joined)
+        joined = j
+        rewritten.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]
       }
       Project(newList, joined)
 
     // decode in a WHERE clause: join below the Filter, substitute the term
     case f @ Filter(cond, child)
         if child.resolved && cond.exists(_.isInstanceOf[DecodeTerm]) =>
-      var joined: LogicalPlan = child
-      val newCond = cond.transformUp {
-        case DecodeTerm(e) if e.resolved =>
-          val a = freshAlias()
-          joined = Join(
-            joined,
-            SubqueryAlias(a, UnresolvedRelation(Seq(DictView))),
-            LeftOuter,
-            Some(EqualTo(e, UnresolvedAttribute(Seq(a, "id")))),
-            JoinHint.NONE)
-          UnresolvedAttribute(Seq(a, "term"))
-      }
+      val (newCond, joined) = rewriteDecodes(cond, child)
       // project back to the child's columns so the join stays invisible
       Project(child.output, Filter(newCond, joined))
   }
@@ -93,7 +95,7 @@ class DecodeCheckRule extends (LogicalPlan => Unit) {
       node.expressions.foreach { e =>
         if (e.exists(_.isInstanceOf[DecodeTerm])) {
           throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "_LEGACY_ERROR_TEMP_3093",
+            errorClass = "_LEGACY_ERROR_TEMP_3071", // template is exactly <msg>
             messageParameters = Map("msg" ->
               ("graft_decode is supported in SELECT projections and WHERE " +
                 s"filters only; found it in: ${node.nodeName}")))

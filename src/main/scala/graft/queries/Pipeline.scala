@@ -553,6 +553,7 @@ object Pipeline {
        |FROM documents
        |WHERE (source IN ('src0', 'src1') AND $bucket < 10)
        |   OR (source = 'src2' AND $bucket < 50)
+       |   OR source IS NULL
        |   OR source NOT IN ('src0', 'src1', 'src2')""".stripMargin
   }
 

@@ -44,7 +44,7 @@ object Rdf {
     // read back through the schema'd CSV scan. ----
     QueryDef("rdf_text_io",
       RdfBridge.oracleCte + "SELECT Subject, Predicate, Object FROM triples") { (s, dir) =>
-      val tmp = s"/tmp/graft_text_io_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_text_io").toString + "/t"
       graft.sources.TripleIO.writeText(RdfBridge.triples(s, dir), tmp)
       graft.sources.TripleIO.readText(s, tmp)
     },

@@ -40,7 +40,7 @@ class DecodeRewriteSpec extends SparkTestBase {
 
   test("graft_decode outside Project/Filter fails with a clear analysis error") {
     setup()
-    val e = intercept[Exception](spark.sql(
+    val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
       "SELECT COUNT(*) FROM dec_triples GROUP BY graft_decode(Subject)").collect())
     assert(e.getMessage.contains("graft_decode is supported in SELECT projections"),
       s"unexpected error: ${e.getMessage}")
