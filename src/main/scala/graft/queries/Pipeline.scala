@@ -144,35 +144,49 @@ object Pipeline {
        |SELECT doc_id, $collect AS sh FROM j GROUP BY doc_id""".stripMargin
   }
 
-  private def ngramPairsSql(d: Dialect, setTable: String): String = {
-    val inter = d.interSize("ta.sh", "tb.sh")
-    val idiv = if (d == SparkDialect) "div" else "//"
-    // AllPairs/PPJoin prefix ordering: rank each doc's shingles by GLOBAL
-    // document frequency ascending (rarest first, hash tie-break) and key
-    // candidates only on the first floor(n/2)+1 — exact recall for J >= 0.5
-    // by pigeonhole under any consistent global order, but prefixes now hold
-    // the rare shingles, so the candidate equi-join stays small even when a
-    // few shingles occur in thousands of documents.
+  /** Shared AllPairs prefix-filter scaffold (used by the Jaccard and
+    * containment joins): explode per-doc sorted distinct hash sets, rank
+    * each doc's shingles by GLOBAL document frequency ascending (rarest
+    * first, hash tie-break — prefixes then hold rare shingles so the
+    * candidate equi-join stays small even when a shingle occurs in
+    * thousands of documents), keep `prefixLen` per doc as candidate keys,
+    * join them against `ySide` ("c" = other prefixes for symmetric joins,
+    * "e" = ALL shingle rows for asymmetric containment), dedup pairs, and
+    * verify with `verifyExpr`/`verifyWhere` over the full sets.
+    * Exact recall by pigeonhole under any consistent global order.
+    */
+  private def prefixJoinSql(d: Dialect, setTable: String, prefixLen: String,
+      ySide: String, pairPredicate: String, verifyName: String,
+      verifyExpr: String, verifyWhere: String): String =
     s"""WITH tp AS (SELECT doc_id, sh, ${d.len("sh")} AS n FROM $setTable),
        |e AS (${d.explodeSelect(s"doc_id, ${d.len("sh")} AS n", setTable, "sh", "h")}),
        |df AS (SELECT h, COUNT(*) AS df FROM e GROUP BY h),
        |r AS (SELECT e.doc_id, e.h, e.n,
        |    ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY df.df, e.h) AS rn
        |  FROM e JOIN df ON e.h = df.h),
-       |c AS (SELECT doc_id, h, n FROM r WHERE rn <= n $idiv 2 + 1),
+       |c AS (SELECT doc_id, h, n FROM r WHERE rn <= $prefixLen),
        |pairs AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b
-       |  FROM c x JOIN c y ON x.h = y.h AND x.doc_id < y.doc_id
-       |    AND x.n <= 2*y.n AND y.n <= 2*x.n
+       |  FROM c x JOIN $ySide y ON x.h = y.h AND $pairPredicate
        |  GROUP BY x.doc_id, y.doc_id)
        |SELECT * FROM (
        |  SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
-       |    CAST($inter AS DOUBLE) /
-       |      (${d.len("ta.sh")} + ${d.len("tb.sh")} - $inter) AS sim
+       |    $verifyExpr AS $verifyName
        |  FROM pairs p
        |  JOIN tp ta ON p.a = ta.doc_id
        |  JOIN tp tb ON p.b = tb.doc_id) s
-       |WHERE sim >= 0.5""".stripMargin
+       |WHERE $verifyWhere""".stripMargin
+
+  private def ngramPairsSql(d: Dialect, setTable: String): String = {
+    val inter = d.interSize("ta.sh", "tb.sh")
+    val idiv = if (d == SparkDialect) "div" else "//"
+    prefixJoinSql(d, setTable,
+      prefixLen = s"n $idiv 2 + 1",
+      ySide = "c",
+      pairPredicate = "x.doc_id < y.doc_id AND x.n <= 2*y.n AND y.n <= 2*x.n",
+      verifyName = "sim",
+      verifyExpr = s"CAST($inter AS DOUBLE) / (${d.len("ta.sh")} + ${d.len("tb.sh")} - $inter)",
+      verifyWhere = "sim >= 0.5")
   }
 
   /** See class doc: exact-recall prefix-filter set-similarity join over
@@ -567,25 +581,13 @@ object Pipeline {
   private def dedupContainment(d: Dialect, setTable: String): String = {
     val inter = d.interSize("ta.sh", "tb.sh")
     val idiv = if (d == SparkDialect) "div" else "//"
-    s"""WITH tp AS (SELECT doc_id, sh, ${d.len("sh")} AS n FROM $setTable),
-       |e AS (${d.explodeSelect(s"doc_id, ${d.len("sh")} AS n", setTable, "sh", "h")}),
-       |df AS (SELECT h, COUNT(*) AS df FROM e GROUP BY h),
-       |c AS (SELECT doc_id, h, n FROM (
-       |    SELECT e.doc_id, e.h, e.n,
-       |      ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY df.df, e.h) AS rn
-       |    FROM e JOIN df ON e.h = df.h) r
-       |  WHERE rn <= n $idiv 10 + 1),
-       |pairs AS (
-       |  SELECT x.doc_id AS a, y.doc_id AS b
-       |  FROM c x JOIN e y ON x.h = y.h AND x.doc_id <> y.doc_id
-       |  GROUP BY x.doc_id, y.doc_id)
-       |SELECT * FROM (
-       |  SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
-       |    CAST($inter AS DOUBLE) / ta.n AS containment
-       |  FROM pairs p
-       |  JOIN tp ta ON p.a = ta.doc_id
-       |  JOIN tp tb ON p.b = tb.doc_id) s
-       |WHERE containment >= 0.9""".stripMargin
+    prefixJoinSql(d, setTable,
+      prefixLen = s"n $idiv 10 + 1",
+      ySide = "e", // asymmetric: A's prefix vs ALL of B's shingles
+      pairPredicate = "x.doc_id <> y.doc_id",
+      verifyName = "containment",
+      verifyExpr = s"CAST($inter AS DOUBLE) / ta.n",
+      verifyWhere = "containment >= 0.9")
   }
 
   private def dedupContainmentDef: QueryDef =
