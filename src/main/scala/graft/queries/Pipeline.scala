@@ -335,6 +335,39 @@ object Pipeline {
        |WHERE score >= 0.3""".stripMargin
   }
 
+  /** IVF ANN through the gate: with nprobe = k the probe set covers every
+    * cell, so the result is EXACTLY the brute-force top-k — which is the
+    * oracle (the coarse quantizer affects only which cells are skipped,
+    * and none are). Training runs the deterministic k-means on executors;
+    * scores come from the same graft_dot arithmetic as the oracle's fold.
+    */
+  private def simIvfExhaustive: QueryDef = {
+    val d = DuckDialect
+    val cos = s"(${F.dot(d, "qv", "ev", DIM)}) / (qn * en)"
+    QueryDef("sim_ivf_exhaustive",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+         |    ${F.norm(d, "embedding", DIM)} AS qn FROM embeddings
+         |  WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT qid, e.vec_id AS nid, $cos AS score
+         |  FROM q CROSS JOIN (SELECT vec_id, embedding AS ev,
+         |    ${F.norm(d, "embedding", DIM)} AS en FROM embeddings) e
+         |  WHERE e.vec_id <> qid)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, score,
+         |  CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT qid, nid, score,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+         |  FROM scored) s
+         |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.load(s, dir, "embeddings")
+      val model = graft.operators.Ivf.train(emb, k = 8, iters = 3)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.Ivf.search(emb, model, queries, nprobe = 8, topk = 5)
+    }
+  }
+
   // -------------------------------------------------------- text analysis
 
   /** Token statistics: whitespace tokens + a BPE-ish subword count (maximal
@@ -673,6 +706,7 @@ object Pipeline {
     embQuery("sim_topk_cosine", simTopkCosine),
     embQuery("sim_ann_lsh", simAnnLsh),
     embQuery("dedup_embedding_cosine", dedupEmbeddingCosine),
+    simIvfExhaustive,
     docQuery("text_token_stats", textTokenStats),
     docQuery("text_quality", textQuality),
     docQuery("text_langid", textLangid),
