@@ -24,7 +24,9 @@ object EventStreams {
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, total_value: Double)
 
-  private final case class SessionState(
+  /** Per-user session state (public: the streaming state encoder's generated
+    * code must be able to construct it). */
+  final case class SessionState(
       start: Long, last: Long, n: Long, total: Double)
 
   /** File-source stream over an events parquet directory (schema locked from

@@ -148,6 +148,33 @@ class StreamingSpec extends SparkTestBase {
     assert(written == expected)
   }
 
+  test("sessionize in TRUE streaming mode: state carries sessions across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // three time-ordered files -> three micro-batches; sessions spanning a
+    // batch boundary must merge through the GroupState
+    val events = EventStreams.readEventStream(spark, eventsDir, maxFilesPerTrigger = 1)
+      .as[EventStreams.Event]
+    val gap = 30L * 60 * 1000
+    val sessions = EventStreams.sessionize(events, gap)
+    val ckpt = Files.createTempDirectory("ckpt_sess_stream").toString
+    val q = sessions.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+
+    val streamed = spark.table("sess_stream")
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).sortBy(_.toString)
+    // batch reference: same algorithm over all events at once
+    val batchSessions = EventStreams.sessionize(
+      graft.sources.Tables.load(spark, sf, "events").as[EventStreams.Event], gap)
+      .toDF().select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).sortBy(_.toString)
+    assert(streamed.length == batchSessions.length && streamed.sameElements(batchSessions),
+      s"streaming sessions ${streamed.length} != batch ${batchSessions.length}")
+  }
+
   test("flatMapGroupsWithState sessionize agrees with session_window counts") {
     import spark.implicits._
     val events = graft.sources.Tables.load(spark, sf, "events")
