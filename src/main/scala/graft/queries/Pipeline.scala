@@ -277,11 +277,14 @@ object Pipeline {
     * bit-identical across engines. At scale the probe side is small and
     * broadcast; the corpus scan is a single pass.
     */
-  private def simTopkCosine(d: Dialect): String = {
+  /** Brute-force cosine top-k SQL over a query subset (every `modulus`-th
+    * vector), shared by the exact baseline and the IVF exhaustive oracle.
+    */
+  private def bruteForceTopkSql(d: Dialect, modulus: Int, topk: Int): String = {
     val cos = s"(${F.dot(d, "qv", "ev", DIM)}) / (qn * en)"
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
        |    ${F.norm(d, "embedding", DIM)} AS qn FROM embeddings
-       |  WHERE vec_id % 50 = 0),
+       |  WHERE vec_id % $modulus = 0),
        |scored AS (
        |  SELECT qid, e.vec_id AS nid, $cos AS score
        |  FROM q CROSS JOIN (SELECT vec_id, embedding AS ev,
@@ -292,8 +295,10 @@ object Pipeline {
        |FROM (SELECT qid, nid, score,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
        |  FROM scored) s
-       |WHERE rnk <= 5""".stripMargin
+       |WHERE rnk <= $topk""".stripMargin
   }
+
+  private def simTopkCosine(d: Dialect): String = bruteForceTopkSql(d, 50, 5)
 
   /** LSH-bucketed ANN (8 deterministic hyperplanes → 256 buckets): top-3
     * within the probe's bucket. The scale variant of top-k: candidates come
@@ -345,26 +350,14 @@ object Pipeline {
     val d = DuckDialect
     val cos = s"(${F.dot(d, "qv", "ev", DIM)}) / (qn * en)"
     QueryDef("sim_ivf_exhaustive",
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
-         |    ${F.norm(d, "embedding", DIM)} AS qn FROM embeddings
-         |  WHERE vec_id % 100 = 0),
-         |scored AS (
-         |  SELECT qid, e.vec_id AS nid, $cos AS score
-         |  FROM q CROSS JOIN (SELECT vec_id, embedding AS ev,
-         |    ${F.norm(d, "embedding", DIM)} AS en FROM embeddings) e
-         |  WHERE e.vec_id <> qid)
-         |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, score,
-         |  CAST(rnk AS BIGINT) AS rnk
-         |FROM (SELECT qid, nid, score,
-         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
-         |  FROM scored) s
-         |WHERE rnk <= 5""".stripMargin) { (s, dir) =>
+      bruteForceTopkSql(DuckDialect, 100, 5)) { (s, dir) =>
       import org.apache.spark.sql.functions.col
       val emb = Tables.load(s, dir, "embeddings")
       val model = graft.operators.Ivf.train(emb, k = 8, iters = 3)
       val queries = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       graft.operators.Ivf.search(emb, model, queries, nprobe = 8, topk = 5)
+        .withColumn("rnk", org.apache.spark.sql.functions.col("rnk").cast("long"))
     }
   }
 

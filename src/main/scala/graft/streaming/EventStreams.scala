@@ -56,11 +56,6 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  /** Per-user sessionization with an inactivity gap, via
-    * flatMapGroupsWithState + processing-time timeout: custom state the
-    * built-in operators can't express. State is one small record per active
-    * user, partitioned by user_id.
-    */
   /** Timestamp <-> epoch-micros (java.sql.Timestamp.getTime is only
     * millisecond-precision; event time here is microsecond).
     */
@@ -72,6 +67,22 @@ object EventStreams {
     t
   }
 
+  /** Per-user sessionization with an inactivity gap, via
+    * flatMapGroupsWithState: custom state the built-in operators can't
+    * express. State is ONE small record per user (bounded by user count).
+    *
+    * Emission semantics (deliberate, deterministic): a session is emitted
+    * when a LATER event closes it; each user's final session stays in state
+    * and is never emitted — mirroring the batch run of the same function,
+    * which is what the specs compare against. A production deployment adds
+    * GroupStateTimeout.ProcessingTimeTimeout to flush idle sessions; that
+    * emission time is wall-clock-dependent, hence excluded here.
+    *
+    * Late events (event time before the state's last seen time) MERGE into
+    * the open session — start/last move monotonically (min/max), so an
+    * out-of-order event can never rewind the session and cause a spurious
+    * split. Events later than the gap always open a new session.
+    */
   def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -96,10 +107,12 @@ object EventStreams {
                   fromMicros(s.last), s.n, s.total)
                 st = SessionState(t, t, 1, e.value)
               case s =>
-                st = SessionState(s.start, t, s.n + 1, s.total + e.value)
+                // merge (incl. late events): bounds move monotonically
+                st = SessionState(math.min(s.start, t), math.max(s.last, t),
+                  s.n + 1, s.total + e.value)
             }
           }
-          if (st != null) state.update(st) else state.remove()
+          state.update(st)
           closed.iterator
       }
   }

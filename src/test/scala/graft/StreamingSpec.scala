@@ -43,7 +43,7 @@ class StreamingSpec extends SparkTestBase {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
 
     // Append mode only emits windows closed by the watermark; compare those.
     val streamed = spark.table("win_counts")
@@ -82,7 +82,7 @@ class StreamingSpec extends SparkTestBase {
     val q = joined.writeStream.format("memory").queryName("ssj")
       .outputMode("append").option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream-stream join timed out")
 
     val batchEvents = graft.sources.Tables.load(spark, sf, "events")
     val bp = batchEvents.filter(col("event_type") === "purchase")
@@ -119,7 +119,7 @@ class StreamingSpec extends SparkTestBase {
     val q = stream.writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append").option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming dedup timed out")
     val streamed = spark.table("dedup_stream").count()
     val distinctIds = spark.read.parquet(eventsDir).select("event_id").distinct().count()
     assert(streamed == distinctIds,
@@ -140,7 +140,7 @@ class StreamingSpec extends SparkTestBase {
       }
       .option("checkpointLocation", Files.createTempDirectory("ckpt_fb").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "foreachBatch query timed out")
     assert(batches.size >= 3, s"expected >=3 micro-batches, got ${batches.size}")
     val written = spark.read.parquet(outDir).count()
     val expected = spark.read.parquet(eventsDir)
@@ -161,16 +161,17 @@ class StreamingSpec extends SparkTestBase {
     val q = sessions.writeStream.format("memory").queryName("sess_stream")
       .outputMode("append").option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(180000)
+    assert(q.awaitTermination(180000), "streaming sessionize timed out")
 
-    val streamed = spark.table("sess_stream")
-      .select("user_id", "session_start", "n_events")
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).sortBy(_.toString)
-    // batch reference: same algorithm over all events at once
-    val batchSessions = EventStreams.sessionize(
-      graft.sources.Tables.load(spark, sf, "events").as[EventStreams.Event], gap)
-      .toDF().select("user_id", "session_start", "n_events")
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).sortBy(_.toString)
+    // compare ALL session fields — total_value/session_end would expose a
+    // state-handoff bug (e.g. double accumulation at a batch boundary) that
+    // (user_id, start, n) alone would miss
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .collect().map(_.toString).sorted
+    val streamed = key(spark.table("sess_stream"))
+    val batchSessions = key(EventStreams.sessionize(
+      graft.sources.Tables.load(spark, sf, "events").as[EventStreams.Event], gap).toDF())
     assert(streamed.length == batchSessions.length && streamed.sameElements(batchSessions),
       s"streaming sessions ${streamed.length} != batch ${batchSessions.length}")
   }
