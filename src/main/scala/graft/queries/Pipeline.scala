@@ -490,18 +490,32 @@ object Pipeline {
 
   /** Token dictionary encoding — the reference's core compression trick
     * (strings → ints, SURVEY §1.1) applied to the corpus: build a global
-    * token vocabulary with deterministic dense ids (rank by token), encode
-    * each document as an int-id array. At 100 TB the vocab is a dim table
-    * (broadcast when small, shuffle-joined when not) — never a driver map.
+    * token vocabulary with deterministic CONTENT-HASH ids, encode each
+    * document as an id sequence. At 100 TB the vocab is a dim table
+    * (broadcast when small, shuffle-joined when not) — never a driver map,
+    * and ids are a pure function of the token (hash), NOT dense ranks: a
+    * dense `ROW_NUMBER() OVER (ORDER BY tk)` would funnel every distinct
+    * token through one task (a single-partition global window — the one
+    * driver-style bottleneck flagged in round 1). Hash ids keep the whole
+    * plan shuffle-partitioned; dictionaries for decode are the same vocab
+    * table keyed by hash.
+    *
+    * The gate emits the id sequence space-joined to one string (hash-stable
+    * for the driver's pandas compare); the array form is
+    * [[debugTokenDictEncodeArray]], spec-verified in QueriesSpec.
     */
-  private def tokenDictEncode(d: Dialect): String = {
+  private def tokenDictEncode(d: Dialect, asArray: Boolean = false): String = {
     val tokExpr = F.tokens(d, "text")
     val orderedCollect =
-      if (d == SparkDialect)
+      if (d == SparkDialect) {
         // Spark collect_list has no ORDER BY: aggregate (pos, tid) structs
         // and sort, then project — deterministic order by token position.
-        "transform(array_sort(collect_list(struct(pos, tid))), x -> x.tid)"
-      else "list(tid ORDER BY pos)"
+        val arr = "transform(array_sort(collect_list(struct(pos, tid))), x -> x.tid)"
+        if (asArray) arr else s"array_join(transform(array_sort(collect_list(struct(pos, tid))), x -> CAST(x.tid AS STRING)), ' ')"
+      } else {
+        if (asArray) "list(tid ORDER BY pos)"
+        else "string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos)"
+      }
     val explodePos =
       if (d == SparkDialect)
         s"SELECT doc_id, posexplode(toks) AS (pos, tk) FROM (SELECT doc_id, $tokExpr AS toks FROM documents) tw"
@@ -509,14 +523,18 @@ object Pipeline {
         // multiple unnests in one DuckDB SELECT are zipped positionally
         s"SELECT doc_id, unnest(toks) AS tk, unnest(range(len(toks))) AS pos FROM (SELECT doc_id, $tokExpr AS toks FROM documents) tw"
     s"""WITH tok AS ($explodePos),
-       |vocab AS (SELECT tk, ROW_NUMBER() OVER (ORDER BY tk) AS tid
+       |vocab AS (SELECT tk, ${F.strHash(d, "tk")} AS tid
        |  FROM (SELECT DISTINCT tk FROM tok) vd),
        |enc AS (SELECT tok.doc_id, tok.pos, vocab.tid
        |  FROM tok JOIN vocab ON tok.tk = vocab.tk)
        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       |  $orderedCollect AS token_ids
+       |  $orderedCollect AS token_ids,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens
        |FROM enc GROUP BY doc_id""".stripMargin
   }
+
+  /** Array-returning Spark form of corpus_token_dict_encode (ScalaTest). */
+  def debugTokenDictEncodeArray: String = tokenDictEncode(SparkDialect, asArray = true)
 
   /** Incremental (cross-corpus) dedup: a new batch (doc_id >= 250) is
     * admitted only if its content hash is absent from the existing corpus
@@ -707,7 +725,7 @@ object Pipeline {
     docQuery("text_normalize", textNormalize),
     docQuery("corpus_split_hash", sampleSplit),
     docQuery("corpus_pack_sequences", packSequences),
-    docQuery("corpus_token_dict_encode", tokenDictEncode),
+    docQuery("corpus_token_dict_encode", d => tokenDictEncode(d)),
     docQuery("dedup_incremental", dedupIncremental),
     docQuery("text_repetition", textRepetition),
     eventsQuery("events_funnel", eventsFunnel),

@@ -513,18 +513,29 @@ object Relational {
             .cast("long").as("gap_sec"))
     },
 
-    // ---- array aggregation with deterministic ordering ----
+    // ---- array aggregation with deterministic ordering. The gate emits the
+    // sorted array joined to one string (the driver's pandas sort-then-hash
+    // cannot hash ndarray cells); the array-returning form is
+    // [[arrayAggSegments]], spec-verified in QueriesSpec. ----
     QueryDef("q21_array_agg",
       """SELECT n_nationkey,
-        |  list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
         |  CAST(COUNT(*) AS BIGINT) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_nationkey""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "customer")
-        .join(broadcast(Tables.load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_nationkey"))
-        .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
-          count(lit(1)).as("n_customers"))
+      arrayAggSegments(s, dir)
+        .withColumn("segments", array_join(col("segments"), ","))
+        .select(col("n_nationkey"), col("segments"), col("n_customers"))
     },
   )
+
+  /** Array-returning form of q21: per nation, the sorted distinct market
+    * segments as an `array<string>` column (deterministic order).
+    */
+  def arrayAggSegments(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+      .join(broadcast(Tables.load(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_nationkey"))
+      .agg(sort_array(collect_set(col("c_mktsegment"))).as("segments"),
+        count(lit(1)).as("n_customers"))
 }

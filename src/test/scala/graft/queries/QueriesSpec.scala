@@ -23,4 +23,44 @@ class QueriesSpec extends SparkTestBase {
       assert(q.run(spark, sf).count() > 0, s"${q.name} returned 0 rows")
     }
   }
+
+  // Array-returning forms of the two gates that emit joined strings for the
+  // driver's hash compare (pandas cannot hash ndarray cells): the arrays are
+  // the real operator output; assert they are sorted/ordered and agree with
+  // the joined-string gate output.
+
+  test("q21 array variant: sorted distinct segment arrays match gate string") {
+    import org.apache.spark.sql.functions._
+    val arr = Relational.arrayAggSegments(spark, sf)
+    assert(arr.schema("segments").dataType.typeName == "array")
+    val bad = arr.filter(
+      array_join(col("segments"), ",") =!= array_join(sort_array(array_distinct(col("segments"))), ","))
+    assert(bad.count() == 0, "segments must be sorted and distinct")
+    val gate = SparkEntry.queries("q21_array_agg")(spark, sf)
+      .select(col("n_nationkey"), col("segments"))
+    val joined = arr.select(col("n_nationkey"),
+      array_join(col("segments"), ",").as("segments"))
+    assert(joined.except(gate).count() == 0 && gate.except(joined).count() == 0)
+  }
+
+  test("token dict encode array variant: ids are content hashes, order = position") {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.load(spark, sf, "documents").createOrReplaceTempView("documents")
+    val arr = spark.sql(Pipeline.debugTokenDictEncodeArray)
+    assert(arr.schema("token_ids").dataType.typeName == "array")
+    // id sequence length == token count, and the joined form equals the gate
+    assert(arr.filter(size(col("token_ids")) =!= col("n_tokens")).count() == 0)
+    val gate = SparkEntry.queries("corpus_token_dict_encode")(spark, sf)
+      .select(col("doc_id"), col("token_ids"))
+    val joined = arr.select(col("doc_id"),
+      array_join(transform(col("token_ids"), x => x.cast("string")), " ").as("token_ids"))
+    assert(joined.except(gate).count() == 0 && gate.except(joined).count() == 0)
+  }
+
+  test("token dict encode plan has no single-partition global window") {
+    graft.sources.Tables.load(spark, sf, "documents").createOrReplaceTempView("documents")
+    val plan = spark.sql(Pipeline.debugTokenDictEncodeArray)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window in plan:\n$plan")
+  }
 }
