@@ -25,11 +25,18 @@ object Graph {
   def reachable(triples: DataFrame, seeds: Seq[Int], maxIters: Int = -1): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
+    reachableFrom(triples, seeds.toDF("node"), maxIters)
+  }
 
+  /** As [[reachable]], but seeded by a one-column (`node`) DataFrame — the
+    * seed computation (e.g. a MIN aggregation) stays part of the distributed
+    * plan instead of a pre-query driver `.head()`.
+    */
+  def reachableFrom(triples: DataFrame, seeds: DataFrame, maxIters: Int = -1): DataFrame = {
     val edges = triples
       .select(col(TripleSchema.subject).as("src"), col(TripleSchema.objekt).as("dst"))
 
-    val seedDf = seeds.toDF("node").persist()
+    val seedDf = seeds.select(col("node")).persist()
     var reached = seedDf
     var frontier = reached
     var iter = 0

@@ -73,4 +73,45 @@ object Layouts {
     df.write.format("parquet")
       .bucketBy(buckets, key.column).sortBy(key.column)
       .mode("overwrite").saveAsTable(table)
+
+  private val persistCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Load-time layout materialization, memoized per (session, seed, key,
+    * split): writes the triple set ONCE as a bucketed + per-bucket-sorted
+    * catalog table (optionally `sign`-partitioned for the split layouts) and
+    * returns the table name. This is the reference's amortization — it sorts
+    * at LOAD and queries many times (`PartitionQueryingSubject.java:100,128`)
+    * — in Spark-native form: subsequent queries scan the persisted layout,
+    * pay no per-query range exchange, inherit the bucket hash-partitioning
+    * for joins on the key, and (split case) prune `sign` partitions at
+    * planning time instead of re-filtering.
+    */
+  def persistedLayout(df: DataFrame, seed: String, key: Key,
+      signPartitioned: Boolean, buckets: Int = 32): String = {
+    val spark = df.sparkSession
+    val kind = if (signPartitioned) "split" else "single"
+    val ident = f"graft_${kind}_${key.column.toLowerCase}_${seed.hashCode & 0x7fffffff}%08x"
+    val cacheKey = s"${System.identityHashCode(spark)}/$ident"
+    persistCache.computeIfAbsent(cacheKey, { _ =>
+      // in-memory catalog + fresh JVM: a previous process may have left the
+      // managed location behind while the catalog has no table entry, which
+      // turns `overwrite` into CREATE and fails with LOCATION_ALREADY_EXISTS
+      // — remove the orphaned location first
+      if (!spark.catalog.tableExists(ident)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), ident)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      val writer =
+        if (signPartitioned)
+          df.withColumn("sign",
+              when(col(TripleSchema.subject) >= 0, "pos").otherwise("neg"))
+            .write.format("parquet").partitionBy("sign")
+        else df.write.format("parquet")
+      writer.bucketBy(buckets, key.column).sortBy(key.column)
+        .mode("overwrite").saveAsTable(ident)
+      ident
+    })
+  }
 }

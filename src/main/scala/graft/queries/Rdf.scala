@@ -37,6 +37,16 @@ object Rdf {
       |WHERE t.Subject = (SELECT MIN(Subject) FROM %TBL% WHERE Predicate = -2)
       |  AND t.Predicate = -2 AND t1.Predicate = -13 AND t2.Predicate = -21""".stripMargin
 
+  private val q2Sql =
+    """SELECT Negative.Object AS result_obj FROM (
+      |  SELECT Positive.Object AS Object FROM Negative
+      |  INNER JOIN Positive ON Negative.Object = Positive.Subject
+      |  WHERE Negative.Subject = (SELECT MIN(Subject) FROM Negative WHERE Predicate = -2)
+      |    AND Negative.Predicate = -2 AND Positive.Predicate = -13
+      |) AS Table1
+      |LEFT OUTER JOIN Negative ON (Negative.Subject = Table1.Object)
+      |WHERE Negative.Predicate = -21""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- text triple source + sink round-trip (SURVEY §2.1 #1/#16): the
@@ -44,7 +54,7 @@ object Rdf {
     // read back through the schema'd CSV scan. ----
     QueryDef("rdf_text_io",
       RdfBridge.oracleCte + "SELECT Subject, Predicate, Object FROM triples") { (s, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_text_io").toString + "/t"
+      val tmp = graft.sources.Tables.scratchDir("text_io")
       graft.sources.TripleIO.writeText(RdfBridge.triples(s, dir), tmp)
       graft.sources.TripleIO.readText(s, tmp)
     },
@@ -55,7 +65,7 @@ object Rdf {
     // table elides the probe-side exchange). ----
     QueryDef("rdf_q1_chain", cte + q1Sql.replace("%TBL%", "triples")) { (s, dir) =>
       engine(s, dir)
-        .registerSingleTable(RdfBridge.triples(s, dir), Layouts.BySubject)
+        .registerSingleTablePersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
         .sql(q1Sql.replace("%TBL%", "`table`"))
     },
 
@@ -64,34 +74,29 @@ object Rdf {
     // runs the same SQL over both layouts). ----
     QueryDef("rdf_q1_chain_predlayout", cte + q1Sql.replace("%TBL%", "triples")) { (s, dir) =>
       engine(s, dir)
-        .registerSingleTable(RdfBridge.triples(s, dir), Layouts.ByPredicate)
+        .registerSingleTablePersisted(RdfBridge.triples(s, dir), dir, Layouts.ByPredicate)
         .sql(q1Sql.replace("%TBL%", "`table`"))
     },
 
     // ---- Q2: sign-split tables, derived-table subquery, inner join then
     // left-outer join re-inner-ized by the post-join predicate — the
     // reference's exact shape at PartitionQueryingBRDSubject.java:152-157.
-    // The neg→pos→neg chain (customer→order→part) exercises both tables. ----
-    QueryDef("rdf_q2_split", cte +
-      """SELECT Negative.Object AS result_obj FROM (
-        |  SELECT Positive.Object AS Object FROM Negative
-        |  INNER JOIN Positive ON Negative.Object = Positive.Subject
-        |  WHERE Negative.Subject = (SELECT MIN(Subject) FROM Negative WHERE Predicate = -2)
-        |    AND Negative.Predicate = -2 AND Positive.Predicate = -13
-        |) AS Table1
-        |LEFT OUTER JOIN Negative ON (Negative.Subject = Table1.Object)
-        |WHERE Negative.Predicate = -21""".stripMargin) { (s, dir) =>
+    // The neg→pos→neg chain (customer→order→part) exercises both tables;
+    // Positive/Negative are partition-pruned scans of ONE persisted table. ----
+    QueryDef("rdf_q2_split", cte + q2Sql) { (s, dir) =>
       engine(s, dir)
-        .registerSplitTables(RdfBridge.triples(s, dir), Layouts.BySubject)
-        .sql(
-          """SELECT Negative.Object AS result_obj FROM (
-            |  SELECT Positive.Object AS Object FROM Negative
-            |  INNER JOIN Positive ON Negative.Object = Positive.Subject
-            |  WHERE Negative.Subject = (SELECT MIN(Subject) FROM Negative WHERE Predicate = -2)
-            |    AND Negative.Predicate = -2 AND Positive.Predicate = -13
-            |) AS Table1
-            |LEFT OUTER JOIN Negative ON (Negative.Subject = Table1.Object)
-            |WHERE Negative.Predicate = -21""".stripMargin)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sql(q2Sql)
+    },
+
+    // ---- Q2 on the predicate-keyed split layout — the reference's 4th
+    // driver (PartitionQueryingBRDPredicate.java:52-53,100-124): layout
+    // keyed on Predicate, rows still sign-routed on Subject. Same results by
+    // construction (layout invariance across the reference's 2×2 matrix). ----
+    QueryDef("rdf_q2_split_predlayout", cte + q2Sql) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.ByPredicate)
+        .sql(q2Sql)
     },
 
     // ---- Q3 family: translator-shaped point lookup with unbound subject →
@@ -103,7 +108,7 @@ object Rdf {
         |SELECT Subject AS s, Predicate AS p, Object AS o FROM Negative
         |WHERE Object = (SELECT MIN(Object) FROM Negative WHERE Predicate = -21)""".stripMargin) { (s, dir) =>
       engine(s, dir)
-        .registerSplitTables(RdfBridge.triples(s, dir), Layouts.BySubject)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
         .sql(
           """SELECT Subject AS s, Predicate AS p, Object AS o FROM Positive
             |WHERE Object = (SELECT MIN(Object) FROM Negative WHERE Predicate = -21)
@@ -122,7 +127,7 @@ object Rdf {
         |                WHERE Subject = (SELECT MIN(Subject) FROM Negative WHERE Predicate = -2)
         |                  AND Predicate = -2)""".stripMargin) { (s, dir) =>
       engine(s, dir)
-        .registerSplitTables(RdfBridge.triples(s, dir), Layouts.BySubject)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
         .sql(
           """SELECT Subject AS s, Predicate AS p, Object AS o FROM Negative
             |WHERE Subject = (SELECT MIN(Subject) FROM Negative WHERE Predicate = -2)
@@ -141,10 +146,12 @@ object Rdf {
           |FROM triples t1 JOIN triples t2 ON t1.Object = t2.Subject
           |WHERE t1.Subject = CAST(-(1000 + (SELECT MIN(o_custkey) FROM orders)) AS INTEGER)
           |  AND t1.Predicate = -2 AND t2.Predicate = -13""".stripMargin) { (s, dir) =>
+      // the driver lookup here picks the SPARQL query's bound term (query
+      // TEXT construction — a user supplies this), not query execution state
       val minCust = graft.sources.Tables.load(s, dir, "orders")
         .agg(min(col("o_custkey"))).head().getLong(0)
       engine(s, dir)
-        .registerSplitTables(RdfBridge.triples(s, dir), Layouts.BySubject)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
         .sparql(s"SELECT ?o ?p2 WHERE { 'cust_$minCust' :placed ?o . ?o :contains ?p2 }")
     },
 
@@ -161,9 +168,11 @@ object Rdf {
         |  SELECT t.Object FROM reach r JOIN triples t ON t.Subject = r.node)
         |SELECT CAST(node AS INTEGER) AS node FROM reach""".stripMargin) { (s, dir) =>
       val triples = RdfBridge.triples(s, dir)
-      val seed = triples.filter(col("Predicate") === RdfBridge.Placed)
-        .agg(min(col("Subject"))).head().getInt(0)
-      graft.operators.Graph.reachable(triples, Seq(seed))
+      // seed as a DataFrame: the min-subject aggregation is part of the
+      // first iteration's distributed plan, not a pre-query driver action
+      val seeds = triples.filter(col("Predicate") === RdfBridge.Placed)
+        .agg(min(col("Subject")).as("node"))
+      graft.operators.Graph.reachableFrom(triples, seeds)
         .select(col("node").cast("int").as("node"))
     },
 
@@ -199,8 +208,34 @@ object Rdf {
       val minCust = graft.sources.Tables.load(s, dir, "orders")
         .agg(min(col("o_custkey"))).head().getLong(0)
       engine(s, dir)
-        .registerSingleTable(RdfBridge.triples(s, dir), Layouts.BySubject)
+        .registerSingleTablePersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
         .sparqlDecoded(s"SELECT ?n WHERE { 'cust_$minCust' :in_nation ?n }")
+    },
+
+    // ---- the reference's FULL lifecycle in one gate
+    // (PartitionQueryingSubject.java:60-153): encoded store → SPARQL → BGP
+    // join plan → dictionary decode → text sink → read back. The oracle
+    // recomputes the decoded strings with explicit dictionary joins. ----
+    QueryDef("rdf_lifecycle",
+      RdfBridge.oracleCte +
+        """, dict AS (
+          |  SELECT CAST(o_orderkey + 1 AS INTEGER) AS id, 'order_' || CAST(o_orderkey AS VARCHAR) AS term FROM orders
+          |  UNION ALL
+          |  SELECT CAST(-(p_partkey + 500000000) AS INTEGER), 'part_' || CAST(p_partkey AS VARCHAR) FROM part)
+          |SELECT d1.term AS o, d2.term AS p2
+          |FROM triples t1 JOIN triples t2 ON t1.Object = t2.Subject
+          |JOIN dict d1 ON t1.Object = d1.id
+          |JOIN dict d2 ON t2.Object = d2.id
+          |WHERE t1.Subject = CAST(-(1000 + (SELECT MIN(o_custkey) FROM orders)) AS INTEGER)
+          |  AND t1.Predicate = -2 AND t2.Predicate = -13""".stripMargin) { (s, dir) =>
+      val minCust = graft.sources.Tables.load(s, dir, "orders")
+        .agg(min(col("o_custkey"))).head().getLong(0)
+      val decoded = engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparqlDecoded(s"SELECT ?o ?p2 WHERE { 'cust_$minCust' :placed ?o . ?o :contains ?p2 }")
+      val out = graft.sources.Tables.scratchDir("rdf_lifecycle")
+      graft.sources.TripleIO.writeText(decoded, out)
+      s.read.schema("o STRING, p2 STRING").option("sep", " ").csv(out)
     },
   )
 }

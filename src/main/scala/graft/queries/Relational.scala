@@ -401,7 +401,7 @@ object Relational {
     QueryDef("q26_json_io",
       "SELECT event_id, ts, user_id, event_type, value, props FROM events") { (s, dir) =>
       val events = Tables.load(s, dir, "events")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_json_io").toString
+      val tmp = Tables.scratchDir("json_io")
       val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
       events.write.mode("overwrite")
         .option("timestampFormat", fmt).json(tmp)
@@ -415,7 +415,7 @@ object Relational {
     QueryDef("q32_orc_io",
       "SELECT event_id, ts, user_id, event_type, value, props FROM events") { (s, dir) =>
       val events = Tables.load(s, dir, "events")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_io").toString
+      val tmp = Tables.scratchDir("orc_io")
       events.write.mode("overwrite").orc(tmp)
       s.read.orc(tmp)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")

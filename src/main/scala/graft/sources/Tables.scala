@@ -25,4 +25,16 @@ object Tables {
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
+
+  /** Fixed per-purpose scratch directory for IO round-trip gates. Reused
+    * across invocations (sinks write `mode=overwrite`), so repeated
+    * Verify/Bench runs overwrite one directory instead of accumulating a
+    * fresh `Files.createTempDirectory` each run.
+    */
+  def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_scratch", name)
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
 }

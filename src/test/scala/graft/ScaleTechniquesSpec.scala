@@ -53,4 +53,36 @@ class ScaleTechniquesSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS bucketed_b")
     }
   }
+
+  test("persisted rdf layout: Q1 chain plan has no per-query range exchange") {
+    import graft.sources.RdfBridge
+    val eng = new graft.operators.QueryEngine(spark, RdfBridge.dictionary(spark, sf))
+    eng.registerSingleTablePersisted(RdfBridge.triples(spark, sf), sf)
+    val df = eng.sql(
+      """SELECT t.Object AS o1, t1.Object AS o2, t2.Object AS o3
+        |FROM `table` t
+        |INNER JOIN `table` t1 ON t.Object = t1.Subject
+        |INNER JOIN `table` t2 ON t1.Object = t2.Subject
+        |WHERE t.Subject = (SELECT MIN(Subject) FROM `table` WHERE Predicate = -2)
+        |  AND t.Predicate = -2 AND t1.Predicate = -13 AND t2.Predicate = -21""".stripMargin)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.toLowerCase.contains("rangepartitioning"),
+      s"per-query range exchange survived persisted layout:\n$physical")
+    assert(df.count() > 0)
+  }
+
+  test("persisted split layout: Positive/Negative prune sign partitions") {
+    import graft.sources.RdfBridge
+    val eng = new graft.operators.QueryEngine(spark, RdfBridge.dictionary(spark, sf))
+    eng.registerSplitTablesPersisted(RdfBridge.triples(spark, sf), sf)
+    val pos = spark.table("Positive")
+    // partition filter on sign, no Filter over a unioned recompute: the scan
+    // itself reads only the pos partition
+    val scan = pos.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("sign"),
+      s"expected sign partition pruning in:\n$scan")
+    val negCount = spark.table("Negative")
+      .filter(col(graft.core.TripleSchema.subject) >= 0).count()
+    assert(negCount == 0)
+  }
 }
