@@ -22,21 +22,37 @@ object SkewJoin {
 
   /** Inner equi-join of `left` and `right` on `key`, with the left side
     * salted into `salt` buckets and the right side replicated `salt` times.
-    * Deterministic: the salt is a hash of the left row's full content, not
-    * rand(), so re-runs and retried tasks produce identical partitioning.
+    *
+    * The salt mixes the row's content hash with a per-row ordinal
+    * (`monotonically_increasing_id`): content alone would send a hot key's
+    * BIT-IDENTICAL duplicate rows (the classic dedup-input skew) all to one
+    * bucket, restoring the straggler. The ordinal is deterministic for a
+    * given partitioning of `left` within a run — and correctness never
+    * depends on WHICH bucket a left row lands in (each joins the matching
+    * right replica), so re-runs produce identical results regardless.
+    *
+    * The working column gets a fresh unique name so an existing `__salt`
+    * column in either input is never overwritten or dropped.
     */
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
       salt: Int): DataFrame = {
     require(salt > 1, "salt must be > 1")
-    val saltCol: Column = pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salt))
-    val saltedLeft = left.withColumn("__salt", saltCol)
-    val replicatedRight = right.withColumn("__salt",
+    val saltName = s"__graft_salt_${java.util.UUID.randomUUID.toString.take(8)}"
+    val saltCol: Column = saltExpr(left, salt)
+    val saltedLeft = left.withColumn(saltName, saltCol)
+    val replicatedRight = right.withColumn(saltName,
       explode(lit((0 until salt).toArray)))
     saltedLeft
       .join(replicatedRight,
         saltedLeft(key) === replicatedRight(key) &&
-          saltedLeft("__salt") === replicatedRight("__salt"))
+          saltedLeft(saltName) === replicatedRight(saltName))
       .drop(replicatedRight(key))
-      .drop("__salt")
+      .drop(saltName)
   }
+
+  /** The salt assignment for rows of `left` (exposed for the spread spec). */
+  private[graft] def saltExpr(left: DataFrame, salt: Int): Column =
+    pmod(
+      hash((left.columns.map(col) :+ monotonically_increasing_id()).toIndexedSeq: _*),
+      lit(salt))
 }

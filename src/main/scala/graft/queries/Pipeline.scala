@@ -323,22 +323,52 @@ object Pipeline {
        |WHERE rnk <= 3""".stripMargin
   }
 
-  /** Embedding-cosine near-dup pairs with metadata BLOCKING: candidate pairs
-    * only within the same `label` block (at 100 TB, blocking keys — source,
-    * shard, cluster id — bound the pair space; the exact cosine check runs
-    * per block). Threshold 0.3 on this near-orthogonal synthetic corpus.
+  /** Embedding-cosine near-dup pairs with metadata BLOCKING and a hot-block
+    * GUARD: candidate pairs only within the same `label` block (at 100 TB,
+    * blocking keys — source, shard, cluster id — bound the pair space), and
+    * blocks larger than [[BlockCap]] rows are further split by a 4-plane LSH
+    * sub-bucket, so no block ever goes all-pairs unbounded — within-block
+    * expansion is O((n/16)² × 16), not O(n²), on hot labels. Sub-bucketing
+    * is part of the operator contract (the oracle replicates it), and the
+    * CASE evaluates the LSH fold only for rows in oversized blocks.
+    * Threshold 0.3 on this near-orthogonal synthetic corpus.
     */
-  private def dedupEmbeddingCosine(d: Dialect): String = {
+  private val BlockCap = 100
+
+  private def dedupEmbeddingCosine(d: Dialect): String =
+    embeddingCosineSql(d, scored = true)
+
+  private def embeddingCosineSql(d: Dialect, scored: Boolean): String = {
     val cos = s"(${F.dot(d, "x.embedding", "y.embedding", DIM)}) / (x.nrm * y.nrm)"
-    s"""WITH en AS (SELECT vec_id, embedding, label,
-       |    ${F.norm(d, "embedding", DIM)} AS nrm FROM embeddings)
-       |SELECT * FROM (
-       |  SELECT CAST(x.vec_id AS BIGINT) AS a, CAST(y.vec_id AS BIGINT) AS b,
-       |    CAST(x.label AS INTEGER) AS label, $cos AS score
-       |  FROM en x JOIN en y
-       |    ON x.label = y.label AND x.vec_id < y.vec_id) s
-       |WHERE score >= 0.3""".stripMargin
+    val sub = F.lshBucket(d, "embedding", DIM, 4)
+    val base =
+      s"""WITH en AS (SELECT vec_id, embedding, label,
+         |    ${F.norm(d, "embedding", DIM)} AS nrm FROM embeddings),
+         |bs AS (SELECT label, COUNT(*) AS bn FROM en GROUP BY label),
+         |eb AS (SELECT en.vec_id, en.embedding, en.label, en.nrm,
+         |    CASE WHEN bs.bn > $BlockCap THEN $sub ELSE CAST(0 AS BIGINT) END AS sub
+         |  FROM en JOIN bs ON en.label = bs.label)
+         |""".stripMargin
+    if (scored)
+      base +
+        s"""SELECT * FROM (
+           |  SELECT CAST(x.vec_id AS BIGINT) AS a, CAST(y.vec_id AS BIGINT) AS b,
+           |    CAST(x.label AS INTEGER) AS label, $cos AS score
+           |  FROM eb x JOIN eb y
+           |    ON x.label = y.label AND x.sub = y.sub AND x.vec_id < y.vec_id) s
+           |WHERE score >= 0.3""".stripMargin
+    else
+      base +
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates
+          |FROM eb x JOIN eb y
+          |  ON x.label = y.label AND x.sub = y.sub AND x.vec_id < y.vec_id""".stripMargin
   }
+
+  /** Candidate-count form of the blocked cosine join (Spark dialect), for
+    * the bounded-expansion spec.
+    */
+  def debugEmbeddingCandidateCountSql: String =
+    embeddingCosineSql(SparkDialect, scored = false)
 
   /** IVF ANN through the gate: with nprobe = k the probe set covers every
     * cell, so the result is EXACTLY the brute-force top-k — which is the
@@ -435,20 +465,33 @@ object Pipeline {
 
   // ------------------------------------------ corpus preparation operators
 
-  /** Text normalization: trim, collapse whitespace, strip non [a-z0-9 ]
-    * chars — the canonicalization pass before hashing/dedup. Regex semantics
-    * chosen to be identical in Java regex and RE2.
+  /** Text normalization: trim, collapse whitespace, strip ASCII chars
+    * outside [a-z0-9 ] — the canonicalization pass before hashing/dedup.
+    *
+    * The strip is `translate()` over the enumerated ASCII complement (a
+    * codegen'd char-table lookup, constant-folded once), NOT a `[^a-z0-9 ]`
+    * regex — the regex pass was the slowest query in the round-1 suite (the
+    * Java regex engine per row); only the whitespace collapse keeps a regex
+    * (no non-regex equivalent exists). Non-ASCII codepoints pass through
+    * (documents are ASCII; a production corpus adds an explicit unicode
+    * folding stage first).
     */
-  private def textNormalize(d: Dialect): String =
-    // norm_text computed ONCE in the inner projection: CollapseProject
-    // declines to inline a non-cheap expression referenced twice, so the
-    // regex chain runs once per row, not once per output column
+  private def textNormalize(d: Dialect): String = {
+    // ASCII 1..127 minus [a-z0-9 ]; chr(0) excluded (rejected by DuckDB).
+    // Built as constant-folded chr() concat — embedding quote/backslash
+    // chars in a SQL literal identically across both engines is fragile.
+    val strip = (1 until 128).filterNot { c =>
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' '
+    }
+    val fromStr = strip.map(i => s"chr($i)").mkString("concat(", ", ", ")")
+    // `to` shorter than `from` would DELETE chars; map every one to space
+    // ("don't" -> "don t", matching the regex semantics), then collapse
+    val norm = s"trim(regexp_replace(translate(lower(text), $fromStr, repeat(' ', ${strip.length})), ' +', ' '))"
     s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, norm_text,
        |  CAST(length(norm_text) AS BIGINT) AS norm_len
-       |FROM (SELECT doc_id,
-       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '),
-       |      ' +', ' ')) AS norm_text
+       |FROM (SELECT doc_id, $norm AS norm_text
        |  FROM documents) t""".stripMargin
+  }
 
   /** Deterministic hash-based corpus split (train/val/test 90/5/5): the
     * standard reproducible split at scale — no RNG state, no global sort; a

@@ -188,7 +188,10 @@ object Relational {
           concat(col("c_mktsegment"), lit("#"), col("c_name")).as("tagged"))
     },
 
-    // ---- JSON extraction from the events props column ----
+    // ---- JSON extraction from the events props column: ONE schema'd
+    // from_json parse per row + codegen struct access (get_json_object would
+    // re-scan the JSON string per extracted path — at 100 TB the parse
+    // dominates the scan, so parse once) ----
     QueryDef("q13_json",
       """SELECT event_type,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
@@ -196,7 +199,9 @@ object Relational {
         |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(sum(get_json_object(col("props"), "$.k").cast("int")).cast("long").as("k_sum"),
+        .agg(sum(from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+          .cast("long").as("k_sum"),
           count(lit(1)).as("n"))
     },
 

@@ -54,6 +54,47 @@ class ScaleTechniquesSpec extends SparkTestBase {
     }
   }
 
+  test("salt spreads BIT-IDENTICAL duplicate rows across >= 2 buckets") {
+    import spark.implicits._
+    // the dedup-input skew case: one hot key, all rows identical — a salt
+    // derived from content alone would put every row in ONE bucket
+    val left = Seq.fill(1000)((1, "same")).toDF("k", "lv")
+    val buckets = left.select(SkewJoin.saltExpr(left, 8).as("s"))
+      .distinct().count()
+    assert(buckets >= 2, s"identical rows collapsed into $buckets salt bucket(s)")
+    // and the join result is still exactly the plain join
+    val right = Seq((1, "r")).toDF("k", "rv")
+    assert(SkewJoin.saltedInnerJoin(left, right, "k", salt = 8).count() == 1000)
+  }
+
+  test("salted join preserves a user __salt column") {
+    import spark.implicits._
+    val left = Seq((1, "user-data-a"), (2, "user-data-b")).toDF("k", "__salt")
+    val right = Seq((1, "r1"), (2, "r2")).toDF("k", "rv")
+    val out = SkewJoin.saltedInnerJoin(left, right, "k", salt = 4)
+    assert(out.columns.count(_ == "__salt") == 1)
+    assert(out.select("__salt").collect().map(_.getString(0)).sorted
+      .sameElements(Array("user-data-a", "user-data-b")))
+  }
+
+  test("embedding cosine: hot block candidates bounded by LSH sub-bucketing") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    // one hot label, 600 rows (> BlockCap): all-pairs would be 179,700
+    // candidates; 4-plane sub-bucketing must cut that by well over half
+    val rows = (0 until 600).map { i =>
+      val v = Array.tabulate(64)(d => (((i * 31 + d * 7) % 97) / 97.0f) - 0.5f)
+      (i.toLong, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label").createOrReplaceTempView("embeddings")
+    val n = spark.sql(graft.queries.Pipeline.debugEmbeddingCandidateCountSql)
+      .head().getLong(0)
+    val allPairs = 600L * 599 / 2
+    assert(n > 0 && n < allPairs / 2,
+      s"hot-block candidates not bounded: $n of $allPairs")
+    spark.catalog.dropTempView("embeddings")
+  }
+
   test("persisted rdf layout: Q1 chain plan has no per-query range exchange") {
     import graft.sources.RdfBridge
     val eng = new graft.operators.QueryEngine(spark, RdfBridge.dictionary(spark, sf))
