@@ -22,18 +22,24 @@ object Bench {
     try SparkEntry.queries("q3_scan_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+    // median-of-N per query (default 3, env-tunable): single runs at this
+    // scale vary ±40% with machine noise, making regressions unreadable
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.filter(q => selected(q._1)).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: full evaluation of every output column (count() would let
-      // Catalyst prune projections and under-time scalar-heavy queries),
-      // zero sink IO.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release per-query persisted intermediates (signature tables etc.) so
-      // storage-pool pressure from one query can't distort the next
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: full evaluation of every output column (count() would
+        // let Catalyst prune projections and under-time scalar-heavy
+        // queries), zero sink IO.
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release per-query persisted intermediates (signature tables etc.)
+        // so storage-pool pressure from one query can't distort the next
+        spark.catalog.clearCache()
+        dt
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

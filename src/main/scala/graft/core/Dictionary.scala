@@ -19,22 +19,39 @@ final case class DictEntry(id: Int, term: String)
   */
 final class Dictionary(val entries: Dataset[DictEntry]) extends Serializable {
 
-  /** Decode the given integer columns of `df` to lexical forms via broadcast
-    * joins — one join per column, dictionary side broadcast (parity with the
-    * reference's `mapPartitions`+broadcast decode,
-    * `PartitionQueryingSubject.java:136-151`, but executed by Catalyst's
-    * BroadcastHashJoin so it scales past driver memory when the dictionary
-    * outgrows the broadcast threshold: drop the hint and Catalyst falls back
-    * to a shuffle join).
+  /** Decode the given integer columns of `df` to lexical forms via joins —
+    * one join per column (parity with the reference's
+    * `mapPartitions`+broadcast decode, `PartitionQueryingSubject.java:136-151`).
+    *
+    * `broadcastDict = true` (default) hints the dictionary side for a
+    * BroadcastHashJoin — right for vocabularies that fit an executor. Pass
+    * `false` for a vocabulary too large to broadcast: the hint is OMITTED
+    * and Catalyst plans a shuffle join instead of OOMing on the broadcast.
+    *
+    * Contract: dictionary ids must be unique — a duplicated id would fan
+    * out result rows once per duplicate (joins are not lookups). Ids from
+    * [[Dictionary.load]]/[[RdfBridge.dictionary]] are unique by
+    * construction; assert with [[requireUniqueIds]] for untrusted inputs.
     */
-  def decode(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val dict = entries.toDF("__dict_id", "__dict_term")
+  def decode(df: DataFrame, cols: Seq[String], broadcastDict: Boolean = true): DataFrame = {
+    val dict0 = entries.toDF("__dict_id", "__dict_term")
+    val dict = if (broadcastDict) broadcast(dict0) else dict0
     cols.foldLeft(df) { (acc, c) =>
       acc
-        .join(broadcast(dict), acc(c) === col("__dict_id"), "left")
+        .join(dict, acc(c) === col("__dict_id"), "left")
         .withColumn(c, col("__dict_term"))
         .drop("__dict_id", "__dict_term")
     }
+  }
+
+  /** One distributed pass asserting id uniqueness (decode's fan-out
+    * contract); throws with the first few offending ids.
+    */
+  def requireUniqueIds(): Unit = {
+    val dups = entries.groupBy(col("id")).count()
+      .filter(col("count") > 1).limit(5).collect()
+    require(dups.isEmpty,
+      s"duplicate dictionary ids: ${dups.map(_.get(0)).mkString(", ")}")
   }
 
   /** Driver-side encode of a small set of query literals. Pushes an `isin`

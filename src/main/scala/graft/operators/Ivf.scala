@@ -111,13 +111,16 @@ object Ivf {
     val corpus = emb.join(cells, "vec_id")
       .select(col("vec_id").as("nid"), col("embedding").as("ev"), col("cell"))
 
+    // zero-norm guard: a zero vector's cosine is NaN, and Spark sorts NaN as
+    // the LARGEST double — unguarded it would rank as every query's top
+    // neighbor. Define its score as 0 instead.
+    val normProd = sqrt(expr("graft_dot(qv, qv)")) * sqrt(expr("graft_dot(ev, ev)"))
     queries.join(probes, "qid")
       .join(corpus, "cell")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        (expr("graft_dot(qv, ev)") /
-          (sqrt(expr("graft_dot(qv, qv)")) * sqrt(expr("graft_dot(ev, ev)"))))
-          .as("score"))
+        when(normProd > 0, expr("graft_dot(qv, ev)") / normProd)
+          .otherwise(lit(0.0)).as("score"))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("score").desc, col("nid"))))

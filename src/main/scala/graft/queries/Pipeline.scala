@@ -281,7 +281,9 @@ object Pipeline {
     * vector), shared by the exact baseline and the IVF exhaustive oracle.
     */
   private def bruteForceTopkSql(d: Dialect, modulus: Int, topk: Int): String = {
-    val cos = s"(${F.dot(d, "qv", "ev", DIM)}) / (qn * en)"
+    // zero-norm guard: cosine of a zero vector is NaN, which Spark orders as
+    // the largest double under DESC — define it as 0 in BOTH engines
+    val cos = s"CASE WHEN qn * en > 0 THEN (${F.dot(d, "qv", "ev", DIM)}) / (qn * en) ELSE 0.0 END"
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
        |    ${F.norm(d, "embedding", DIM)} AS qn FROM embeddings
        |  WHERE vec_id % $modulus = 0),
@@ -305,7 +307,8 @@ object Pipeline {
     * from a bucket equi-join instead of a cross join.
     */
   private def simAnnLsh(d: Dialect): String = {
-    val cos = s"(${F.dot(d, "qv", "ev", DIM)}) / (qn * en)"
+    // zero-norm guard as in bruteForceTopkSql
+    val cos = s"CASE WHEN qn * en > 0 THEN (${F.dot(d, "qv", "ev", DIM)}) / (qn * en) ELSE 0.0 END"
     s"""WITH e AS (SELECT vec_id, embedding,
        |    ${F.norm(d, "embedding", DIM)} AS nrm,
        |    ${F.lshBucket(d, "embedding", DIM, 8)} AS bkt FROM embeddings),
@@ -339,7 +342,8 @@ object Pipeline {
     embeddingCosineSql(d, scored = true)
 
   private def embeddingCosineSql(d: Dialect, scored: Boolean): String = {
-    val cos = s"(${F.dot(d, "x.embedding", "y.embedding", DIM)}) / (x.nrm * y.nrm)"
+    // zero-norm guard as in bruteForceTopkSql
+    val cos = s"CASE WHEN x.nrm * y.nrm > 0 THEN (${F.dot(d, "x.embedding", "y.embedding", DIM)}) / (x.nrm * y.nrm) ELSE 0.0 END"
     val sub = F.lshBucket(d, "embedding", DIM, 4)
     val base =
       s"""WITH en AS (SELECT vec_id, embedding, label,

@@ -212,6 +212,25 @@ object Rdf {
         .sparqlDecoded(s"SELECT ?n WHERE { 'cust_$minCust' :in_nation ?n }")
     },
 
+    // ---- reference-format dictionary TSV round-trip
+    // (PartitionQueryingSubject.java:62-70: `id<TAB>lexical-form` lines,
+    // split on the FIRST tab only): write the bridge vocabulary as TSV,
+    // re-load through Dictionary.load's text-file path, decode with it. ----
+    QueryDef("rdf_dict_tsv",
+      """SELECT 'cust_' || CAST(c_custkey AS VARCHAR) AS Subject,
+        |  ':in_nation' AS Predicate,
+        |  'nation_' || CAST(c_nationkey AS VARCHAR) AS Object
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val tsv = graft.sources.Tables.scratchDir("dict_tsv")
+      RdfBridge.dictionary(s, dir).entries.toDF("id", "term")
+        .select(concat_ws("\t", col("id"), col("term")).as("value"))
+        .write.mode("overwrite").text(tsv)
+      val loaded = graft.core.Dictionary.load(s, tsv)
+      loaded.decode(
+        RdfBridge.triples(s, dir).filter(col("Predicate") === RdfBridge.InNation),
+        Seq("Subject", "Predicate", "Object"))
+    },
+
     // ---- the reference's FULL lifecycle in one gate
     // (PartitionQueryingSubject.java:60-153): encoded store → SPARQL → BGP
     // join plan → dictionary decode → text sink → read back. The oracle

@@ -81,7 +81,11 @@ object EventStreams {
     * Late events (event time before the state's last seen time) MERGE into
     * the open session — start/last move monotonically (min/max), so an
     * out-of-order event can never rewind the session and cause a spurious
-    * split. Events later than the gap always open a new session.
+    * split. Events later than the gap always open a new session. NOTE: this
+    * merge applies even to an event gap-distant BEFORE the open session's
+    * start, where a batch re-run over globally sorted input would emit a
+    * separate session — the cross-batch divergence is pinned by
+    * StreamingSpec ("gap-distant-EARLY late event").
     */
   def sessionize(events: Dataset[Event], gapMillis: Long): Dataset[Session] = {
     val spark = events.sparkSession

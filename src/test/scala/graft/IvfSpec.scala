@@ -56,4 +56,22 @@ class IvfSpec extends SparkTestBase {
     val shared = narrowPairs.count(fullSet.contains)
     assert(shared > 0, "narrow probing should overlap the exhaustive ranking")
   }
+
+  test("zero-norm vectors score 0, never rank as top neighbors") {
+    import spark.implicits._
+    // corpus: 20 near-identical unit-ish vectors + one all-zero vector
+    val rows = (0L until 20L).map { i =>
+      (i, Array.tabulate(64)(d => if (d == 0) 1.0f else 0.001f * ((i + d) % 5)))
+    } :+ (99L, Array.fill(64)(0.0f))
+    val z = rows.toDF("vec_id", "embedding")
+    val model = Ivf.train(z, k = 2, iters = 2)
+    val qs = z.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val res = Ivf.search(z, model, qs, nprobe = 2, topk = 21).collect()
+    val zeroRow = res.find(_.getAs[Long]("nid") == 99L)
+    assert(zeroRow.isDefined && zeroRow.get.getAs[Double]("score") == 0.0)
+    // every real neighbor (score > 0) outranks the zero vector
+    assert(res.filter(_.getAs[Double]("score") > 0)
+      .forall(_.getAs[Int]("rnk") < zeroRow.get.getAs[Int]("rnk")))
+  }
 }

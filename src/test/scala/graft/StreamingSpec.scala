@@ -176,6 +176,51 @@ class StreamingSpec extends SparkTestBase {
       s"streaming sessions ${streamed.length} != batch ${batchSessions.length}")
   }
 
+  test("sessionize merges a gap-distant-EARLY late event (documented batch divergence)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // Cross-batch out-of-order input: batch 2 delivers an event whose time is
+    // gap-distant BEFORE the open session's start. DOCUMENTED semantics
+    // (EventStreams.sessionize scaladoc): such an event MERGES into the open
+    // session (bounds move monotonically, no rewind/split) — whereas a batch
+    // re-run over globally sorted data splits it into its own session. This
+    // spec pins down exactly that divergence.
+    def ev(id: Long, minuteOfDay: Int): EventStreams.Event =
+      EventStreams.Event(id, new Timestamp(minuteOfDay * 60000L), 1L, "view", 1.0, "{}")
+    val dir = Files.createTempDirectory("events_late").toString
+    val gap = 30L * 60 * 1000
+    // batch 1: 10:00, 10:05 — batch 2: 08:00 (gap-distant early), 12:00
+    Seq(ev(1, 600), ev(2, 605)).toDF()
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq(ev(3, 480), ev(4, 720)).toDF()
+      .coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = EventStreams.readEventStream(spark, dir, maxFilesPerTrigger = 1)
+      .as[EventStreams.Event]
+    val ckpt = Files.createTempDirectory("ckpt_late").toString
+    val q = EventStreams.sessionize(stream, gap)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "late-event sessionize timed out")
+
+    // streaming: ONE closed session 08:00-10:05 with all three early events
+    val streamed = spark.table("sess_late")
+      .select("session_start", "session_end", "n_events").collect()
+    assert(streamed.length == 1, s"expected 1 merged session, got ${streamed.length}")
+    assert(streamed(0).getTimestamp(0).getTime == 480 * 60000L)
+    assert(streamed(0).getTimestamp(1).getTime == 605 * 60000L)
+    assert(streamed(0).getLong(2) == 3)
+
+    // batch over the same (globally sorted) events: the 08:00 event splits
+    // into its own closed session -> TWO closed sessions. The divergence is
+    // the documented contract, not a bug.
+    val batchClosed = EventStreams.sessionize(
+      Seq(ev(1, 600), ev(2, 605), ev(3, 480), ev(4, 720)).toDS(), gap).collect()
+    assert(batchClosed.length == 2,
+      s"batch should split the early event: ${batchClosed.length}")
+  }
+
   test("flatMapGroupsWithState sessionize agrees with session_window counts") {
     import spark.implicits._
     val events = graft.sources.Tables.load(spark, sf, "events")
