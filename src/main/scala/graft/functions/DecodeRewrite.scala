@@ -39,17 +39,17 @@ class DecodeRewriteRule extends Rule[LogicalPlan] {
 
   val DictView = "graft_dictionary"
 
-  private var counter = 0
-  private def freshAlias(): String = synchronized {
-    counter += 1; s"__graft_dict_$counter"
-  }
-
   /** Replace every DecodeTerm inside `expr` with a dictionary `term`
     * reference, threading one left-outer dictionary join per decode under
-    * `plan`. CONTRACT: `graft_dictionary` must map id -> term uniquely (a
+    * `plan`. `freshAlias` is PLAN-LOCAL (allocated per `apply`): aliases
+    * need uniqueness only within one rewritten plan — the nearest-alias
+    * scoping of subquery names makes reuse across plans safe — and a
+    * JVM-global counter would leak monotonically across sessions.
+    * CONTRACT: `graft_dictionary` must map id -> term uniquely (a
     * dimension key); duplicate ids would fan out the joined rows.
     */
-  private def rewriteDecodes(expr: Expression, plan: LogicalPlan): (Expression, LogicalPlan) = {
+  private def rewriteDecodes(expr: Expression, plan: LogicalPlan,
+      freshAlias: () => String): (Expression, LogicalPlan) = {
     var joined = plan
     val newExpr = expr.transformUp {
       case DecodeTerm(e) if e.resolved =>
@@ -65,23 +65,27 @@ class DecodeRewriteRule extends Rule[LogicalPlan] {
     (newExpr, joined)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case p @ Project(projectList, child)
-        if child.resolved && projectList.exists(_.exists(_.isInstanceOf[DecodeTerm])) =>
-      var joined: LogicalPlan = child
-      val newList = projectList.map { ne =>
-        val (rewritten, j) = rewriteDecodes(ne, joined)
-        joined = j
-        rewritten.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]
-      }
-      Project(newList, joined)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    var counter = 0
+    val freshAlias = () => { counter += 1; s"__graft_dict_$counter" }
+    plan.resolveOperatorsUp {
+      case p @ Project(projectList, child)
+          if child.resolved && projectList.exists(_.exists(_.isInstanceOf[DecodeTerm])) =>
+        var joined: LogicalPlan = child
+        val newList = projectList.map { ne =>
+          val (rewritten, j) = rewriteDecodes(ne, joined, freshAlias)
+          joined = j
+          rewritten.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]
+        }
+        Project(newList, joined)
 
-    // decode in a WHERE clause: join below the Filter, substitute the term
-    case f @ Filter(cond, child)
-        if child.resolved && cond.exists(_.isInstanceOf[DecodeTerm]) =>
-      val (newCond, joined) = rewriteDecodes(cond, child)
-      // project back to the child's columns so the join stays invisible
-      Project(child.output, Filter(newCond, joined))
+      // decode in a WHERE clause: join below the Filter, substitute the term
+      case f @ Filter(cond, child)
+          if child.resolved && cond.exists(_.isInstanceOf[DecodeTerm]) =>
+        val (newCond, joined) = rewriteDecodes(cond, child, freshAlias)
+        // project back to the child's columns so the join stays invisible
+        Project(child.output, Filter(newCond, joined))
+    }
   }
 }
 
