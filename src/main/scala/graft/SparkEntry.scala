@@ -12,11 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def all: Seq[QueryDef] =
-    queries_relational ++ queries_rdf ++ queries_pipeline
+    queries_relational ++ queries_rdf ++ queries_pipeline ++ queries_streams
 
   private def queries_relational = graft.queries.Relational.defs
   private def queries_rdf = graft.queries.Rdf.defs
   private def queries_pipeline = graft.queries.Pipeline.defs
+  private def queries_streams = graft.queries.Streams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -30,6 +30,8 @@ sealed trait Dialect {
   def joinWs(l: String): String
   def splitWs(e: String): String
   def regexpCount(e: String, pat: String): String
+  /** Replace ALL matches (Spark's default; DuckDB needs the 'g' flag). */
+  def regexpReplaceAll(e: String, pat: String, rep: String): String
   def shiftRight(e: String, i: String): String
   def shiftLeft1(i: String): String
   def xor(a: String, b: String): String
@@ -57,6 +59,8 @@ object SparkDialect extends Dialect {
   def joinWs(l: String) = s"array_join($l, ' ')"
   def splitWs(e: String) = s"split(trim($e), '\\\\s+')"
   def regexpCount(e: String, pat: String) = s"size(regexp_extract_all($e, '$pat', 0))"
+  def regexpReplaceAll(e: String, pat: String, rep: String) =
+    s"regexp_replace($e, '$pat', '$rep')"
   def shiftRight(e: String, i: String) = s"shiftright($e, $i)"
   def shiftLeft1(i: String) = s"shiftleft(CAST(1 AS BIGINT), $i)"
   def xor(a: String, b: String) = s"($a ^ $b)"
@@ -83,6 +87,8 @@ object DuckDialect extends Dialect {
   def joinWs(l: String) = s"array_to_string($l, ' ')"
   def splitWs(e: String) = s"regexp_split_to_array(trim($e), '\\s+')"
   def regexpCount(e: String, pat: String) = s"len(regexp_extract_all($e, '$pat'))"
+  def regexpReplaceAll(e: String, pat: String, rep: String) =
+    s"regexp_replace($e, '$pat', '$rep', 'g')"
   def shiftRight(e: String, i: String) = s"($e >> ($i))"
   def shiftLeft1(i: String) = s"(CAST(1 AS BIGINT) << ($i))"
   def xor(a: String, b: String) = s"xor($a, $b)"

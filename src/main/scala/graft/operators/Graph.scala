@@ -60,4 +60,43 @@ object Graph {
     seedDf.unpersist()
     reached
   }
+
+  /** Connected components by iterative min-label propagation — the dedup
+    * clustering primitive (near-dup pairs → clusters → one keeper per
+    * cluster). Each iteration: every node adopts the minimum label among
+    * itself and its neighbors; fixpoint in O(component diameter) rounds.
+    *
+    * Scale shape: per round one equi-join (edges × labels, hash-partitioned
+    * on the join key) + one min-aggregate — the standard large-graph CC
+    * without any driver-side structure; `localCheckpoint` keeps the plan
+    * O(1) in rounds. Near-dup graphs have tiny diameters (dup chains), so
+    * rounds stay in the low single digits.
+    *
+    * `nodes`: one column `node` (includes singletons — they keep their own
+    * label); `edges`: columns `u`, `v` (undirected; either orientation).
+    * Returns (node, comp) with comp = min node id of the component.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = -1): DataFrame = {
+    val undirected = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("comp")).localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && (maxIters < 0 || iter < maxIters)) {
+      val nbr = undirected.join(labels, undirected("u") === labels("node"))
+        .select(col("v").as("node"), col("comp"))
+      val next = labels.unionAll(nbr)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("l"), col("n.node") === col("l.node"))
+        .filter(col("n.comp") =!= col("l.comp"))
+      done = changed.isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
 }

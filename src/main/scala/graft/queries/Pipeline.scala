@@ -43,6 +43,11 @@ object Pipeline {
       views(s, dir, "embeddings"); s.sql(sql(SparkDialect))
     }
 
+  private def custQuery(name: String, sql: Dialect => String): QueryDef =
+    QueryDef(name, sql(DuckDialect)) { (s, dir) =>
+      views(s, dir, "customer"); s.sql(sql(SparkDialect))
+    }
+
   // ---------------------------------------------------------------- dedup
 
   /** Exact dedup by content hash: one group per distinct text, keeper = min
@@ -692,6 +697,63 @@ object Pipeline {
       s.sql(dedupContainment(SparkDialect, "ngram_sets_cont"))
     }
 
+  /** Near-dup CLUSTERING + keeper selection — the step after pair
+    * generation in a dedup pipeline: connected components over the
+    * MinHash/LSH pair graph (min-label propagation,
+    * [[graft.operators.Graph.connectedComponents]]), every document labeled
+    * with its cluster's minimum doc_id, keeper = that minimum. Singletons
+    * keep themselves. Oracle: recursive-CTE transitive closure over the
+    * identical pair set.
+    */
+  private def dedupClusters: QueryDef = {
+    val d = DuckDialect
+    QueryDef("dedup_clusters",
+      s"""WITH RECURSIVE sigs AS (${minhashSigSql(d)}),
+         |p AS (${minhashPairsSql(d, "sigs")}),
+         |edges AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b AS u, a AS v FROM p),
+         |reach AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS node, CAST(doc_id AS BIGINT) AS comp FROM documents
+         |  UNION
+         |  SELECT e.v AS node, r.comp FROM reach r JOIN edges e ON e.u = r.node)
+         |SELECT node AS doc_id, MIN(comp) AS cluster_id,
+         |  CAST(CASE WHEN MIN(comp) = node THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM reach GROUP BY node""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.{col, when}
+      views(s, dir, "documents")
+      val sigs = s.sql(minhashSigSql(SparkDialect)).persist()
+      sigs.createOrReplaceTempView("minhash_sigs_cc")
+      val pairs = s.sql(minhashPairsSql(SparkDialect, "minhash_sigs_cc"))
+      val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      val nodes = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("node"))
+      graft.operators.Graph.connectedComponents(nodes, edges)
+        .select(col("node").as("doc_id"), col("comp").as("cluster_id"),
+          when(col("node") === col("comp"), 1).otherwise(0).as("keep"))
+    }
+  }
+
+  /** PII scrubbing — redact email- and phone-shaped spans and count them
+    * (the standard pre-training privacy pass). The corpus here is synthetic
+    * (PII-shaped strings derived deterministically from customer rows, since
+    * the documents table is bare a-z text); the operator — count + global
+    * regex redaction — is the real thing. Patterns avoid regex shorthand
+    * classes whose semantics differ between Java regex and RE2.
+    */
+  private def textPiiScrub(d: Dialect): String = {
+    val email = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+    val phone = "555-[0-9]{4}"
+    // CAST(... AS STRING): the one string-type name both engines accept
+    val mkText = "'contact ' || c_name || ' at user' || CAST(c_custkey AS STRING) || " +
+      "'@mail.example.com or 555-' || CAST(1000 + c_custkey % 9000 AS STRING) || " +
+      "CASE WHEN c_custkey % 3 = 0 THEN ' cc admin@ops.example.com' ELSE '' END"
+    s"""WITH raw AS (SELECT c_custkey AS doc_id, $mkText AS text FROM customer)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(${d.regexpCount("text", email)} AS BIGINT) AS n_emails,
+       |  CAST(${d.regexpCount("text", phone)} AS BIGINT) AS n_phones,
+       |  ${d.regexpReplaceAll(d.regexpReplaceAll("text", email, "<EMAIL>"), phone, "<PHONE>")} AS scrubbed
+       |FROM raw""".stripMargin
+  }
+
   /** Per-source top-n curation: keep each source's 20 longest documents
     * (longest = crude quality proxy; any score column slots in) —
     * the group-limit shape of per-domain corpus curation.
@@ -781,5 +843,7 @@ object Pipeline {
     docQuery("corpus_top_per_source", corpusTopPerSource),
     multimodalFeatures,
     eventsSessionWindow,
+    dedupClusters,
+    custQuery("text_pii_scrub", textPiiScrub),
   )
 }

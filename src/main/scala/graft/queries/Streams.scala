@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.sources.Tables
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** GATE-VERIFIED Structured Streaming operators (beyond reference parity —
+  * the reference is batch-only): each runs a real `readStream` →
+  * transform → `writeStream` pipeline to completion with
+  * `Trigger.AvailableNow` over a multi-file staging of the events table
+  * (several genuine micro-batches, watermark progression, cross-batch
+  * state), then returns the sink contents for the driver's DuckDB compare.
+  *
+  * Each gate is DETERMINISTIC by construction:
+  *  - stream_filter_sink passes every row through (no watermark-dependent
+  *    emission), so the sink holds exactly the batch filter result;
+  *  - stream_dedup holds all ids in state (30-day watermark ≫ data span),
+  *    so the sink holds exactly the distinct events;
+  *  - stream_sessionize stages files in GLOBAL time order, so the emitted
+  *    (closed) sessions are exactly the batch gaps-and-islands sessions
+  *    minus each user's final (never-flushed) session — both facts pinned
+  *    by StreamingSpec.
+  */
+object Streams {
+
+  /** Remove-and-return a fixed scratch dir (bounded disk across runs). */
+  private def cleanScratch(spark: SparkSession, name: String): String = {
+    val dir = Tables.scratchDir(name)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    dir
+  }
+
+  private val stageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def seedKey(spark: SparkSession, sfDir: String, kind: String): String =
+    s"${System.identityHashCode(spark)}/$kind/${sfDir.hashCode & 0x7fffffff}"
+
+  /** Stage the events table as THREE time-ordered parquet files (memoized
+    * per session + dataset): `maxFilesPerTrigger=1` then yields three
+    * micro-batches whose event times genuinely advance the watermark.
+    */
+  private def stagedEventsDir(spark: SparkSession, sfDir: String): String =
+    stageCache.computeIfAbsent(seedKey(spark, sfDir, "stage"), { _ =>
+      val dir = cleanScratch(spark,
+        s"events_stream_${sfDir.hashCode & 0x7fffffff}")
+      val all = Tables.load(spark, sfDir, "events")
+      val n = all.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy().orderBy("ts", "event_id")
+      val withIdx = all.withColumn("__rn", row_number().over(w))
+      Seq(0, 1, 2).foreach { i =>
+        withIdx.filter(col("__rn") > i * n / 3 && col("__rn") <= (i + 1) * n / 3)
+          .drop("__rn")
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      dir
+    })
+
+  /** The staged dir with every file DUPLICATED (distinct filenames), so each
+    * event arrives twice in different micro-batches.
+    */
+  private def duplicatedEventsDir(spark: SparkSession, sfDir: String): String =
+    stageCache.computeIfAbsent(seedKey(spark, sfDir, "dup"), { _ =>
+      val src = stagedEventsDir(spark, sfDir)
+      val dir = cleanScratch(spark,
+        s"events_stream_dup_${sfDir.hashCode & 0x7fffffff}")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.list(java.nio.file.Paths.get(src)).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val t = java.nio.file.Paths.get(dir)
+          java.nio.file.Files.copy(p, t.resolve("a_" + p.getFileName))
+          java.nio.file.Files.copy(p, t.resolve("b_" + p.getFileName))
+        }
+      }
+      dir
+    })
+
+  private def await(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    assert(q.awaitTermination(300000), "streaming gate timed out")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ---- stream source → filter → parquet STREAMING SINK → read back:
+    // every purchase passes through regardless of watermark, so the sink
+    // equals the batch filter exactly. ----
+    QueryDef("stream_filter_sink",
+      """SELECT event_id, ts, user_id, value FROM events
+        |WHERE event_type = 'purchase'""".stripMargin) { (s, dir) =>
+      val src = stagedEventsDir(s, dir)
+      val out = cleanScratch(s, s"stream_sink_out_${dir.hashCode & 0x7fffffff}")
+      val ckpt = cleanScratch(s, s"stream_sink_ckpt_${dir.hashCode & 0x7fffffff}")
+      val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.read.parquet(out)
+    },
+
+    // ---- cross-batch streaming dedup: doubled input (each file staged
+    // twice), dropDuplicates state keyed on (event_id, ts) with a watermark
+    // far past the data span → exactly the distinct events come out. ----
+    QueryDef("stream_dedup",
+      "SELECT event_id, ts, user_id, event_type, value FROM events") { (s, dir) =>
+      val src = duplicatedEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_dedup_ckpt_${dir.hashCode & 0x7fffffff}")
+      val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 2)
+        .withWatermark("ts", "30 days")
+        .dropDuplicates("event_id", "ts")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .writeStream.format("memory").queryName("g_stream_dedup")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.table("g_stream_dedup")
+    },
+
+    // ---- TRUE streaming sessionization through flatMapGroupsWithState:
+    // state carries open sessions across micro-batches; emitted sessions =
+    // gaps-and-islands sessions minus each user's final one (never flushed
+    // — see EventStreams.sessionize emission semantics). ----
+    QueryDef("stream_sessionize",
+      """WITH x AS (SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+        |y AS (SELECT user_id, ts, value,
+        |    SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+        |sess AS (SELECT CAST(user_id AS BIGINT) AS user_id, MIN(ts) AS session_start,
+        |    MAX(ts) AS session_end,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  FROM y GROUP BY user_id, sid),
+        |last AS (SELECT user_id, MAX(session_start) AS session_start FROM sess GROUP BY user_id)
+        |SELECT s.* FROM sess s
+        |LEFT JOIN last l ON s.user_id = l.user_id AND s.session_start = l.session_start
+        |WHERE l.user_id IS NULL""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val src = stagedEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_sess_ckpt_${dir.hashCode & 0x7fffffff}")
+      val q = EventStreams.sessionize(
+          EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+            .as[EventStreams.Event], 30L * 60 * 1000)
+        .writeStream.format("memory").queryName("g_stream_sess")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.table("g_stream_sess")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"),
+          col("total_value").cast("decimal(18,2)").cast("double").as("total_value"))
+    },
+  )
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Iterative graph operator specs (the gate verifies reachability against a
+  * recursive-CTE oracle; these pin the operator semantics on hand-built
+  * graphs, including the shapes the bridge graph doesn't produce).
+  */
+class GraphSpec extends SparkTestBase {
+
+  import graft.core.TripleSchema.{subject, predicate, objekt}
+
+  private def triples(edges: Seq[(Int, Int)]) = {
+    import spark.implicits._
+    edges.map { case (s, o) => (s, 1, o) }.toDF(subject, predicate, objekt)
+  }
+
+  test("reachability includes seeds, follows direction, stops at fixpoint") {
+    val t = triples(Seq(1 -> 2, 2 -> 3, 4 -> 5, 3 -> 1)) // cycle 1-2-3, island 4-5
+    val r = Graph.reachable(t, Seq(1)).select("node")
+      .collect().map(_.getInt(0)).sorted
+    assert(r.sameElements(Array(1, 2, 3)))
+  }
+
+  test("connected components: chain, triangle, singleton") {
+    import spark.implicits._
+    // chain 1-2-3, triangle 10-11-12, singleton 99
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L))
+      .toDF("u", "v")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("node")
+    val cc = Graph.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+  }
+
+  test("connected components converge on a long chain (diameter > 1 round)") {
+    import spark.implicits._
+    val n = 20
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("u", "v")
+    val nodes = (1 to n).map(_.toLong).toDF("node")
+    val cc = Graph.connectedComponents(nodes, edges)
+    assert(cc.select("comp").distinct().count() == 1)
+    assert(cc.agg(min("comp")).head().getLong(0) == 1L)
+  }
+}
