@@ -646,6 +646,40 @@ object Pipeline {
        |LEFT JOIN c ON v.user_id = c.user_id
        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
 
+  /** AS-OF join: each purchase paired with the user's most recent click at
+    * or before it — the time-series operator Spark lacks natively. Shape
+    * chosen for scale: NOT a range join + max-per-purchase (pair explosion
+    * on active users) but one window pass — carry the last click time
+    * forward over the user's event sequence (`last(..., ignoreNulls)` with
+    * a ROWS frame), then keep purchase rows. One shuffle on user_id, state
+    * = one value per row in flight.
+    */
+  private def eventsAsofJoin: QueryDef =
+    QueryDef("events_asof_join",
+      """WITH tagged AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        |  FROM events),
+        |w AS (SELECT user_id, ts, event_id, event_type,
+        |    last_value(click_ts IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click
+        |  FROM tagged)
+        |SELECT CAST(event_id AS BIGINT) AS purchase_id,
+        |  CAST(user_id AS BIGINT) AS user_id, ts, asof_click
+        |FROM w WHERE event_type = 'purchase'""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("click_ts",
+          when(col("event_type") === "click", col("ts")))
+        .withColumn("asof_click", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").cast("long").as("purchase_id"),
+          col("user_id").cast("long").as("user_id"), col("ts"), col("asof_click"))
+    }
+
   private def eventsQuery(name: String, sql: Dialect => String): QueryDef =
     QueryDef(name, sql(DuckDialect)) { (s, dir) =>
       views(s, dir, "events"); s.sql(sql(SparkDialect))
@@ -845,5 +879,6 @@ object Pipeline {
     eventsSessionWindow,
     dedupClusters,
     custQuery("text_pii_scrub", textPiiScrub),
+    eventsAsofJoin,
   )
 }

@@ -518,6 +518,93 @@ object Relational {
             .cast("long").as("gap_sec"))
     },
 
+    // ---- CSV source/sink round-trip (quoting protects the JSON props
+    // column; timestamps carry micros via an explicit format) ----
+    QueryDef("q33_csv_io",
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events") { (s, dir) =>
+      val events = Tables.load(s, dir, "events")
+      val tmp = Tables.scratchDir("csv_io")
+      val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+      events.write.mode("overwrite")
+        .option("header", "true").option("timestampFormat", fmt).csv(tmp)
+      s.read.schema(events.schema)
+        .option("header", "true").option("timestampFormat", fmt).csv(tmp)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    },
+
+    // ---- equi + RANGE join (the band-join shape): lineitems shipped within
+    // 30 days of their order's date. The equi key keeps it a hash/SMJ join
+    // with the range predicate evaluated in the probe — never a nested-loop
+    // cross product. ----
+    QueryDef("q34_range_join",
+      """SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_fast
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= CAST(o_orderdate AS TIMESTAMP)
+        |  AND l_shipdate < CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY
+        |GROUP BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate").cast("timestamp") &&
+            col("l_shipdate") < col("o_orderdate").cast("timestamp") + expr("INTERVAL 30 DAY"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_fast"))
+    },
+
+    // ---- window FRAMES: trailing-4-order moving sum per customer (ROWS
+    // BETWEEN — the running-aggregate family beyond lead/lag/rank) ----
+    QueryDef("q35_moving_sum",
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("mov_sum"))
+    },
+
+    // ---- explicit GROUPING SETS (disjoint subtotal rows — the general form
+    // rollup/cube specialize) ----
+    QueryDef("q36_grouping_sets",
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+          |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+          |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+          |  CAST(COUNT(*) AS BIGINT) AS n
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin)
+    },
+
+    // ---- ntile / first_value / nth_value over an ordered partition (the
+    // quantile-bucketing window family; deterministic tie-breaks) ----
+    QueryDef("q37_ntile_first",
+      """SELECT o_orderkey,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  first_value(o_orderkey) OVER w AS top_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          first(col("o_orderkey")).over(w).as("top_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+    },
+
     // ---- array aggregation with deterministic ordering. The gate emits the
     // sorted array joined to one string (the driver's pandas sort-then-hash
     // cannot hash ndarray cells); the array-returning form is
