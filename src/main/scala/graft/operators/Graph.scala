@@ -33,8 +33,12 @@ object Graph {
     * plan instead of a pre-query driver `.head()`.
     */
   def reachableFrom(triples: DataFrame, seeds: DataFrame, maxIters: Int = -1): DataFrame = {
+    // cache the 2-column edge projection across iterations (the GraphX/
+    // Pregel discipline): without it every BFS round re-scans the source.
+    // MEMORY_AND_DISK so oversized edge sets degrade to disk, not OOM.
     val edges = triples
       .select(col(TripleSchema.subject).as("src"), col(TripleSchema.objekt).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val seedDf = seeds.select(col("node")).persist()
     var reached = seedDf
@@ -58,6 +62,7 @@ object Graph {
       }
     }
     seedDf.unpersist()
+    edges.unpersist()
     reached
   }
 
@@ -78,9 +83,18 @@ object Graph {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = -1): DataFrame = {
-    val undirected = edges.select(col("u"), col("v"))
-      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
+    // Both orientations from ONE pass over the edge list via explode — NOT
+    // a self-union of the input plan: unionAll(edges, edges.swapped) over a
+    // CTE-bearing input collapsed to a single branch (observed: 470 + 470
+    // rows unioning to 470 — the reversed branch silently vanished after
+    // relation deduplication), which let labels flow only small→large and
+    // froze transitive merges. The explode form is also one scan, not two.
+    // No dedup of duplicate edges: they are harmless under the min-agg.
+    val undirected = edges.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("comp")).localCheckpoint()
     var iter = 0
     var done = false

@@ -850,6 +850,8 @@ object Pipeline {
   // debug handles for stage-level profiling (graft.Probe)
   def debugNgramSetSql: String = ngramSetSql(SparkDialect)
   def debugNgramPairsSql: String = ngramPairsSql(SparkDialect, "ngram_sets")
+  def debugMinhashSigSql: String = minhashSigSql(SparkDialect)
+  def debugMinhashPairsSql(t: String): String = minhashPairsSql(SparkDialect, t)
 
   def defs: Seq[QueryDef] = Seq(
     docQuery("dedup_exact", dedupExact),

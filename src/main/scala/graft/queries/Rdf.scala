@@ -167,7 +167,13 @@ object Rdf {
         |  UNION
         |  SELECT t.Object FROM reach r JOIN triples t ON t.Subject = r.node)
         |SELECT CAST(node AS INTEGER) AS node FROM reach""".stripMargin) { (s, dir) =>
-      val triples = RdfBridge.triples(s, dir)
+      // edge table = the persisted subject-bucketed layout, so EVERY BFS
+      // iteration's frontier join reuses the bucket hash-partitioning (only
+      // the small frontier moves; the edge side never re-shuffles) — the
+      // SCALE.md iterative-graph shape, actually exercised
+      val tbl = Layouts.persistedLayout(RdfBridge.triples(s, dir), dir,
+        Layouts.BySubject, signPartitioned = false)
+      val triples = s.table(tbl)
       // seed as a DataFrame: the min-subject aggregation is part of the
       // first iteration's distributed plan, not a pre-query driver action
       val seeds = triples.filter(col("Predicate") === RdfBridge.Placed)

@@ -35,6 +35,17 @@ class GraphSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
   }
 
+  test("connected components propagate AGAINST edge orientation") {
+    import spark.implicits._
+    // edges written large→small only: the min label (1) must still reach 3
+    // — catches any regression to single-orientation propagation
+    val edges = Seq((3L, 2L), (2L, 1L)).toDF("u", "v")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val cc = Graph.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("connected components converge on a long chain (diameter > 1 round)") {
     import spark.implicits._
     val n = 20
