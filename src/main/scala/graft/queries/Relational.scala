@@ -605,6 +605,22 @@ object Relational {
           nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
     },
 
+    // ---- NATIVE top-k per group: graft's custom physical operator
+    // (TopKPerGroupExec — bounded per-group heaps, map-side cap before the
+    // exchange) vs the ROW_NUMBER window oracle. Same result set as q9's
+    // window form, different physical plan (no per-group sort). ----
+    QueryDef("q38_native_topk",
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      graft.operators.TopK.perGroup(
+        Tables.load(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
+    },
+
     // ---- array aggregation with deterministic ordering. The gate emits the
     // sorted array joined to one string (the driver's pandas sort-then-hash
     // cannot hash ndarray cells); the array-returning form is

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Library escape hatch for constructing a DataFrame from a custom logical
+  * plan node ([[graft.plans.TopKPerGroup]]): `Dataset.ofRows` is
+  * `private[sql]`, so this one-liner lives in the `org.apache.spark.sql`
+  * package — the standard pattern used by Spark-extension libraries that
+  * inject their own operators (no Spark internals are modified).
+  */
+object GraftSqlBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
