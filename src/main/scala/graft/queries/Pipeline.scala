@@ -791,6 +791,12 @@ object Pipeline {
   /** Per-source top-n curation: keep each source's 20 longest documents
     * (longest = crude quality proxy; any score column slots in) —
     * the group-limit shape of per-domain corpus curation.
+    *
+    * Spark side runs graft's NATIVE top-k operator
+    * ([[graft.operators.TopK.perGroup]] — bounded heaps, map-side cap) to
+    * cut the table to ≤20 rows per source, then ranks the tiny survivor
+    * set with a window — the "heavy native reduce, cheap window on the
+    * residue" composition. Oracle stays the pure-SQL window form.
     */
   private def corpusTopPerSource(d: Dialect): String =
     s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
@@ -800,6 +806,21 @@ object Pipeline {
        |      ORDER BY n_chars DESC, doc_id) AS rnk
        |  FROM documents) t
        |WHERE rnk <= 20""".stripMargin
+
+  private def corpusTopPerSourceDef: QueryDef =
+    QueryDef("corpus_top_per_source", corpusTopPerSource(DuckDialect)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val top = graft.operators.TopK.perGroup(docs, Seq("source"),
+        Seq("n_chars" -> false, "doc_id" -> true), k = 20)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      top.withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"), col("rnk"))
+    }
 
   // ------------------------------------------------- multimodal / sessions
 
@@ -876,7 +897,7 @@ object Pipeline {
     eventsQuery("events_funnel", eventsFunnel),
     docQuery("corpus_sample_stratified", corpusSampleStratified),
     dedupContainmentDef,
-    docQuery("corpus_top_per_source", corpusTopPerSource),
+    corpusTopPerSourceDef,
     multimodalFeatures,
     eventsSessionWindow,
     dedupClusters,

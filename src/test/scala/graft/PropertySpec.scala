@@ -109,4 +109,48 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: connectedComponents equals brute-force union-find") {
+    import spark.implicits._
+    val graphGen = Gen.listOfN(15, Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
+    forSamples(graphGen, 5) { rawEdges =>
+      val nodes = (0L to 11L).toSeq
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      rawEdges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = nodes.map(n => n -> {
+        // canonical label = min member of the component
+        val root = find(n)
+        nodes.filter(m => find(m) == root).min
+      }).toMap
+      val got = graft.operators.Graph.connectedComponents(
+          nodes.toDF("node"), rawEdges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"edges=$rawEdges")
+    }
+  }
+
+  test("property: native top-k matches the window form on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rowsGen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0, 6), Gen.choose(0, 30), Gen.choose(0L, 10000L)))
+    forSamples(rowsGen, 4) { raw =>
+      // unique ids → total order under (v desc, id asc)
+      val rows = raw.zipWithIndex.map { case ((g, v, _), i) => (g, v, i.toLong) }
+      val df = rows.toDF("g", "v", "id")
+      val native = graft.operators.TopK
+        .perGroup(df, Seq("g"), Seq("v" -> false, "id" -> true), 4)
+        .collect().map(_.toString).sorted
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      val window = df.withColumn("r", row_number().over(w)).filter(col("r") <= 4)
+        .drop("r").collect().map(_.toString).sorted
+      assert(native.sameElements(window))
+    }
+  }
 }
