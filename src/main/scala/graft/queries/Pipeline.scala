@@ -721,6 +721,49 @@ object Pipeline {
           col("user_id").cast("long").as("user_id"), col("ts"), col("asof_click"))
     }
 
+  /** Small-files compaction — the table-maintenance operator every large
+    * lake needs: a directory fragmented into many tiny parquet files (here:
+    * deliberately written as 64 splits) is rewritten into few balanced
+    * files. At 100 TB, compaction bounds file-listing cost and NameNode/
+    * manifest pressure and restores scan efficiency; the rewrite is one
+    * shuffle-free coalesce. Gate verifies the data survives byte-exact;
+    * the spec pins the file-count contract.
+    */
+  private def corpusCompact: QueryDef =
+    QueryDef("corpus_compact",
+      "SELECT event_id, user_id, event_type, value FROM events") { (s, dir) =>
+      val frag = Tables.scratchDir("compact_in")
+      val out = Tables.scratchDir("compact_out")
+      val events = Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+      events.repartition(64).write.mode("overwrite").parquet(frag)
+      compactParquet(s, frag, out, targetFiles = 4)
+      s.read.parquet(out)
+    }
+
+  /** Rewrite a fragmented parquet directory into `targetFiles` balanced
+    * files (coalesce: no shuffle — existing partitions are concatenated).
+    */
+  def compactParquet(s: SparkSession, in: String, out: String, targetFiles: Int): Unit =
+    s.read.parquet(in).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(out)
+
+  /** Column profiling — the data-quality summary pass (row counts, null
+    * counts, distinct cardinalities, numeric ranges) that fronts every
+    * ingestion pipeline. One scan, all aggregates map-side combinable.
+    */
+  private def corpusProfile(d: Dialect): String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(text) AS BIGINT) AS n_text_nonnull,
+       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+       |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       |  CAST(MAX(doc_id) AS BIGINT) AS max_id
+       |FROM documents""".stripMargin
+
   private def eventsQuery(name: String, sql: Dialect => String): QueryDef =
     QueryDef(name, sql(DuckDialect)) { (s, dir) =>
       views(s, dir, "events"); s.sql(sql(SparkDialect))
@@ -942,5 +985,7 @@ object Pipeline {
     dedupClusters,
     custQuery("text_pii_scrub", textPiiScrub),
     eventsAsofJoin,
+    corpusCompact,
+    docQuery("corpus_profile", corpusProfile),
   )
 }

@@ -95,6 +95,21 @@ class ScaleTechniquesSpec extends SparkTestBase {
     spark.catalog.dropTempView("embeddings")
   }
 
+  test("compaction rewrites a fragmented directory into the target file count") {
+    val in = graft.sources.Tables.scratchDir("spec_compact_in")
+    val out = graft.sources.Tables.scratchDir("spec_compact_out")
+    val events = graft.sources.Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "value")
+    events.repartition(32).write.mode("overwrite").parquet(in)
+    graft.queries.Pipeline.compactParquet(spark, in, out, targetFiles = 2)
+    def parquetFiles(p: String) =
+      java.nio.file.Files.list(java.nio.file.Paths.get(p)).toArray
+        .map(_.toString).count(_.endsWith(".parquet"))
+    assert(parquetFiles(in) == 32)
+    assert(parquetFiles(out) == 2)
+    assert(spark.read.parquet(out).count() == events.count())
+  }
+
   test("persisted rdf layout: Q1 chain plan has no per-query range exchange") {
     import graft.sources.RdfBridge
     val eng = new graft.operators.QueryEngine(spark, RdfBridge.dictionary(spark, sf))
