@@ -26,6 +26,12 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   *
   * The sort order must be TOTAL (include a tie-break column) for a
   * deterministic result set — the same requirement the window form has.
+  *
+  * Memory note: each task holds one k-row heap per DISTINCT group in its
+  * partition (no spill path, unlike HashAggregate). With the usual
+  * k ≪ rows-per-group this is far below the input size; for extreme group
+  * cardinality with tiny groups, size partitions accordingly (or fall back
+  * to the window form, which sorts but spills).
   */
 final case class TopKPerGroup(
     groupExprs: Seq[Expression],
