@@ -74,6 +74,34 @@ object Layouts {
       .bucketBy(buckets, key.column).sortBy(key.column)
       .mode("overwrite").saveAsTable(table)
 
+  /** Z-order value: bit-interleave the low `bits` bits of two non-negative
+    * int columns (a in even positions, b in odd). Sorting by this key gives
+    * LOCALITY IN BOTH dimensions at once, so parquet min/max file- and
+    * row-group stats prune scans filtered on EITHER column — the multi-dim
+    * generalization of a single-column sort layout (which prunes only its
+    * own column). Pure codegen bit arithmetic.
+    */
+  def zOrderValue(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, bits: Int = 16): org.apache.spark.sql.Column = {
+    val al = a.cast("bigint"); val bl = b.cast("bigint")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i)
+        .plus(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` z-ordered on (a, b): range-partition + sort by the
+    * interleaved key (the key is an expression — never materialized in the
+    * output schema), `numFiles` output splits.
+    */
+  def writeZOrdered(df: DataFrame, a: String, b: String, path: String,
+      numFiles: Int, bits: Int = 16): Unit = {
+    val z = zOrderValue(col(a), col(b), bits)
+    df.repartitionByRange(numFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(path)
+  }
+
   private val persistCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Load-time layout materialization, memoized per (session, seed, key,

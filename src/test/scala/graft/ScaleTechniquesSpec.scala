@@ -95,6 +95,29 @@ class ScaleTechniquesSpec extends SparkTestBase {
     spark.catalog.dropTempView("embeddings")
   }
 
+  test("z-order layout gives per-file locality on BOTH dimensions") {
+    import spark.implicits._
+    // two independent uniform dims; single-column sort would give locality
+    // on one dim only, full-range files on the other
+    val n = 4096
+    val df = (0 until n).map(i => (i % 64, (i * 2654435761L % n).toInt % 64))
+      .toDF("x", "y")
+    val out = graft.sources.Tables.scratchDir("spec_zorder")
+    graft.plans.Layouts.writeZOrdered(df, "x", "y", out, numFiles = 8, bits = 6)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(out)).toArray
+      .map(_.toString).filter(_.endsWith(".parquet"))
+    assert(files.length == 8)
+    def avgSpan(c: String): Double = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col(c)), max(col(c))).head()
+      (r.getInt(1) - r.getInt(0)).toDouble / 63.0
+    }.sum / files.length
+    // both dims show locality: average per-file span well under the full
+    // domain (a single-column sort leaves the other dim at ~1.0)
+    assert(avgSpan("x") < 0.7, s"x span ${avgSpan("x")}")
+    assert(avgSpan("y") < 0.7, s"y span ${avgSpan("y")}")
+  }
+
   test("compaction rewrites a fragmented directory into the target file count") {
     val in = graft.sources.Tables.scratchDir("spec_compact_in")
     val out = graft.sources.Tables.scratchDir("spec_compact_out")
