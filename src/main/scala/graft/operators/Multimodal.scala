@@ -46,20 +46,32 @@ object Multimodal {
     * byte-level, runs where a real codec would — inside mapPartitions on
     * executors, one batch of rows per partition.
     */
+  private def featuresOf(m: MediaRow): MediaFeatures = {
+    val bytes = m.payload
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % P; i += 1 }
+    MediaFeatures(m.doc_id, m.modality, bytes.length.toLong, h,
+      if (bytes.nonEmpty) bytes(0) & 0xff else -1,
+      if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else -1)
+  }
+
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
-      it.map { m =>
-        val bytes = m.payload
-        var h = 0L
-        var i = 0
-        while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % P; i += 1 }
-        MediaFeatures(m.doc_id, m.modality, bytes.length.toLong, h,
-          if (bytes.nonEmpty) bytes(0) & 0xff else -1,
-          if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else -1)
-      }
-    }
+    media.mapPartitions(_.map(featuresOf))
+  }
+
+  /** Resize + feature summary in one executor pass (the gate surface for
+    * the resize stub: new width, downsampled payload length/checksum).
+    */
+  def resizeFeatures(media: Dataset[MediaRow], targetWidth: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    resize(media, targetWidth).mapPartitions(_.map { m =>
+      val f = featuresOf(m)
+      (m.doc_id, m.meta.width, f.byte_len, f.checksum, f.head_byte, f.tail_byte)
+    }).toDF("doc_id", "new_width", "byte_len", "checksum", "head_byte", "tail_byte")
   }
 
   /** "Resize" stub: metadata transform + deterministic payload downsample

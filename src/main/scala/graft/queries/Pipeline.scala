@@ -930,6 +930,58 @@ object Pipeline {
     }
   }
 
+  /** Resize stub through the gate: typed executor pass (payload downsample
+    * every k-th byte + metadata transform), summarized as width/len/
+    * checksum scalars; oracle recomputes the identical byte selection from
+    * the source text (ASCII ⇒ chars == bytes).
+    */
+  private def multimodalResize: QueryDef = {
+    val ck = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(0, ds_len), i -> CAST(ascii(substr(text, CAST(i*k + 1 AS INT), 1)) AS BIGINT))), " +
+      "(acc, x) -> (acc*31 + x) % 2147483647)"
+    QueryDef("multimodal_resize",
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n, n_chars % 640 AS w FROM documents),
+         |p AS (SELECT doc_id, text, n, w,
+         |    GREATEST(CASE WHEN w > 0 THEN w // 64 ELSE 1 END, 1) AS k FROM d),
+         |q AS (SELECT doc_id, text, n, w, k, (n + k - 1) // k AS ds_len FROM p)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(LEAST(w, 64) AS INTEGER) AS new_width,
+         |  CAST(ds_len AS BIGINT) AS byte_len,
+         |  $ck AS checksum,
+         |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS head_byte,
+         |  CAST(ascii(substr(text, CAST(((n - 1) // k)*k + 1 AS INT), 1)) AS INTEGER) AS tail_byte
+         |FROM q""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.resizeFeatures(
+        graft.operators.Multimodal.mediaTable(s, dir), targetWidth = 64)
+    }
+  }
+
+  /** Frame-sampling stub through the gate: 1 video row → n fixed-size
+    * frames (flatMap on executors), every 2nd frame kept; oracle rebuilds
+    * each frame as a text substring.
+    */
+  private def multimodalFrameSample: QueryDef =
+    QueryDef("multimodal_frame_sample",
+      """WITH v AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, text, n, unnest(range(0, (n + 63) // 64)) AS frame_idx FROM v),
+        |g AS (SELECT doc_id, frame_idx, substr(text, CAST(frame_idx*64 + 1 AS INT), 64) AS frame
+        |  FROM f WHERE frame_idx % 2 = 0)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(length(frame) AS BIGINT) AS frame_len,
+        |  CAST(ascii(substr(frame, 1, 1)) AS INTEGER) AS head_byte,
+        |  CAST(ascii(substr(frame, length(frame), 1)) AS INTEGER) AS tail_byte
+        |FROM g""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      graft.operators.Multimodal.sampleFrames(
+          graft.operators.Multimodal.mediaTable(s, dir), frameSize = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_len").cast("long").as("frame_len"),
+          ascii(substring(decode(col("frame_bytes"), "UTF-8"), 1, 1))
+            .cast("int").as("head_byte"),
+          expr("CAST(ascii(substring(decode(frame_bytes, 'UTF-8'), frame_len, 1)) AS INT)")
+            .as("tail_byte"))
+    }
+
   /** Session windows over the events stream table (30-minute inactivity
     * gap) — Spark's session_window vs a gaps-and-islands oracle. At scale:
     * one shuffle on user_id; state per active session only in streaming.
@@ -987,5 +1039,7 @@ object Pipeline {
     eventsAsofJoin,
     corpusCompact,
     docQuery("corpus_profile", corpusProfile),
+    multimodalResize,
+    multimodalFrameSample,
   )
 }
