@@ -982,6 +982,31 @@ object Pipeline {
             .as("tail_byte"))
     }
 
+  /** CDC latest-state compaction: each user's single most recent event
+    * (ts desc, event_id desc tie-break) — the upsert-materialization shape
+    * of change-data capture. Runs on the NATIVE top-k operator with k=1:
+    * the map-side cap reduces each partition to one row per user before
+    * the exchange, exactly the "compact the changelog" access pattern.
+    */
+  private def eventsLatestState: QueryDef =
+    QueryDef("events_latest_state",
+      """SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+        |  CAST(event_id AS BIGINT) AS event_id, event_type, value
+        |FROM (SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnk
+        |  FROM events) t WHERE rnk = 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      graft.operators.TopK.perGroup(
+          Tables.load(s, dir, "events")
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type"), col("value")),
+          Seq("user_id"),
+          Seq("ts" -> false, "event_id" -> false), k = 1)
+        .select(col("user_id").cast("long").as("user_id"), col("ts"),
+          col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("value"))
+    }
+
   /** Session windows over the events stream table (30-minute inactivity
     * gap) — Spark's session_window vs a gaps-and-islands oracle. At scale:
     * one shuffle on user_id; state per active session only in streaming.
@@ -1041,5 +1066,6 @@ object Pipeline {
     docQuery("corpus_profile", corpusProfile),
     multimodalResize,
     multimodalFrameSample,
+    eventsLatestState,
   )
 }
