@@ -91,6 +91,9 @@ final case class TopKPerGroupExec(
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupE, inputSchema)
       val ordering = GenerateOrdering.generate(orderE, inputSchema)
+      // rows are UnsafeRow from every standard operator; convert defensively
+      // if a child ever emits another InternalRow flavor
+      val toUnsafe = UnsafeProjection.create(inputSchema.map(_.dataType).toArray)
       // heap root = worst kept row → comparator REVERSES the sort order
       val worstFirst = new java.util.Comparator[UnsafeRow] {
         override def compare(a: UnsafeRow, b: UnsafeRow): Int =
@@ -98,7 +101,10 @@ final case class TopKPerGroupExec(
       }
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
       iter.foreach { row =>
-        val u = row.asInstanceOf[UnsafeRow]
+        val u = row match {
+          case ur: UnsafeRow => ur
+          case other => toUnsafe(other)
+        }
         val key = keyProj(u)
         var heap = heaps.get(key)
         if (heap == null) {
