@@ -23,8 +23,10 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
     // median-of-N per query (default 3, env-tunable): single runs at this
-    // scale vary ±40% with machine noise, making regressions unreadable
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // scale vary ±40% with machine noise, making regressions unreadable.
+    // Clamped to >= 1; junk values fall back to the default.
+    val runs = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
     val results = SparkEntry.queries.filter(q => selected(q._1)).map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()

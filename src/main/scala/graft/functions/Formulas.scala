@@ -109,10 +109,23 @@ object Formulas {
   /** Deterministic 31-bit string hash: polynomial (base 31) over the 32 hex
     * digits of md5(s). Well-mixed, overflow-free, identical in both engines.
     */
-  def strHash(d: Dialect, s: String): String =
+  def strHash(d: Dialect, s: String): String = strHashBase(d, s, 31)
+
+  private def strHashBase(d: Dialect, s: String, base: Int): String =
     d.reduce(
       d.transform(d.seq("1", "32"), "i", s"CAST(ascii(substr(md5($s), i, 1)) AS BIGINT)"),
-      "CAST(0 AS BIGINT)", "acc", "x", s"(acc*31 + x) % $P")
+      "CAST(0 AS BIGINT)", "acc", "x", s"(acc*$base + x) % $P")
+
+  /** 62-bit string hash for ID ASSIGNMENT: two independent 31-bit folds
+    * (bases 31 and 37) composed as `h1 * 2^31 + h2`. A single 31-bit id
+    * space collides at birthday rates on ~50k distinct values — fine for
+    * candidate generation (collisions only add candidates), NOT fine for
+    * dictionary ids, where a collision silently merges two tokens and
+    * violates the unique-id decode contract. 62 bits pushes the birthday
+    * bound past 10^9 distinct tokens (~2e-4 collision odds).
+    */
+  def strHash62(d: Dialect, s: String): String =
+    s"(${strHashBase(d, s, 31)}) * 2147483648 + (${strHashBase(d, s, 37)})"
 
   /** Whitespace tokens of a text column. */
   def tokens(d: Dialect, text: String): String = d.splitWs(text)

@@ -120,26 +120,34 @@ object Layouts {
     val kind = if (signPartitioned) "split" else "single"
     val ident = f"graft_${kind}_${key.column.toLowerCase}_${seed.hashCode & 0x7fffffff}%08x"
     val cacheKey = s"${System.identityHashCode(spark)}/$ident"
-    persistCache.computeIfAbsent(cacheKey, { _ =>
-      // in-memory catalog + fresh JVM: a previous process may have left the
-      // managed location behind while the catalog has no table entry, which
-      // turns `overwrite` into CREATE and fails with LOCATION_ALREADY_EXISTS
-      // — remove the orphaned location first
-      if (!spark.catalog.tableExists(ident)) {
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"), ident)
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
+    // a cache hit is trusted only while the table is still resolvable in
+    // THIS session's catalog (identity hashes can be reused after a session
+    // is GC'd; a stale hit would hand out an unresolvable name)
+    if (persistCache.containsKey(cacheKey) && spark.catalog.tableExists(ident))
+      return ident
+    this.synchronized {
+      if (!(persistCache.containsKey(cacheKey) && spark.catalog.tableExists(ident))) {
+        // in-memory catalog + fresh JVM: a previous process may have left
+        // the managed location behind while the catalog has no table entry,
+        // which turns `overwrite` into CREATE and fails with
+        // LOCATION_ALREADY_EXISTS — remove the orphaned location first
+        if (!spark.catalog.tableExists(ident)) {
+          val loc = new org.apache.hadoop.fs.Path(
+            spark.conf.get("spark.sql.warehouse.dir"), ident)
+          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+        }
+        val writer =
+          if (signPartitioned)
+            df.withColumn("sign",
+                when(col(TripleSchema.subject) >= 0, "pos").otherwise("neg"))
+              .write.format("parquet").partitionBy("sign")
+          else df.write.format("parquet")
+        writer.bucketBy(buckets, key.column).sortBy(key.column)
+          .mode("overwrite").saveAsTable(ident)
+        persistCache.put(cacheKey, ident)
       }
-      val writer =
-        if (signPartitioned)
-          df.withColumn("sign",
-              when(col(TripleSchema.subject) >= 0, "pos").otherwise("neg"))
-            .write.format("parquet").partitionBy("sign")
-        else df.write.format("parquet")
-      writer.bucketBy(buckets, key.column).sortBy(key.column)
-        .mode("overwrite").saveAsTable(ident)
-      ident
-    })
+    }
+    ident
   }
 }

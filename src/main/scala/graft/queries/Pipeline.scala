@@ -519,8 +519,11 @@ object Pipeline {
     }
     val fromStr = strip.map(i => s"chr($i)").mkString("concat(", ", ", ")")
     // `to` shorter than `from` would DELETE chars; map every one to space
-    // ("don't" -> "don t", matching the regex semantics), then collapse
-    val norm = s"trim(regexp_replace(translate(lower(text), $fromStr, repeat(' ', ${strip.length})), ' +', ' '))"
+    // ("don't" -> "don t", matching the regex semantics), then collapse —
+    // via the dialect's replace-ALL (DuckDB needs the 'g' flag; a bare
+    // regexp_replace there collapses only the FIRST run)
+    val norm = s"trim(${d.regexpReplaceAll(
+      s"translate(lower(text), $fromStr, repeat(' ', ${strip.length}))", " +", " ")})"
     s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, norm_text,
        |  CAST(length(norm_text) AS BIGINT) AS norm_len
        |FROM (SELECT doc_id, $norm AS norm_text
@@ -601,7 +604,7 @@ object Pipeline {
         // multiple unnests in one DuckDB SELECT are zipped positionally
         s"SELECT doc_id, unnest(toks) AS tk, unnest(range(len(toks))) AS pos FROM (SELECT doc_id, $tokExpr AS toks FROM documents) tw"
     s"""WITH tok AS (${tokSrc.getOrElse(explodePos)}),
-       |vocab AS (SELECT tk, ${F.strHash(d, "tk")} AS tid
+       |vocab AS (SELECT tk, ${F.strHash62(d, "tk")} AS tid
        |  FROM (SELECT DISTINCT tk FROM tok) vd),
        |enc AS (SELECT tok.doc_id, tok.pos, vocab.tid
        |  FROM tok JOIN vocab ON tok.tk = vocab.tk)
@@ -1028,6 +1031,7 @@ object Pipeline {
     }
 
   // debug handles for stage-level profiling (graft.Probe)
+  def debugTextNormalizeSql: String = textNormalize(SparkDialect)
   def debugNgramSetSql: String = ngramSetSql(SparkDialect)
   def debugNgramPairsSql: String = ngramPairsSql(SparkDialect, "ngram_sets")
   def debugMinhashSigSql: String = minhashSigSql(SparkDialect)

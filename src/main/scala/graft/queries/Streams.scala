@@ -51,21 +51,27 @@ object Streams {
       val n = all.count()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy().orderBy("ts", "event_id")
-      val withIdx = all.withColumn("__rn", row_number().over(w))
+      // persist the globally-sorted numbering: each of the three split
+      // writes reads the cached rows instead of re-running the sort
+      val withIdx = all.withColumn("__rn", row_number().over(w)).persist()
       Seq(0, 1, 2).foreach { i =>
         withIdx.filter(col("__rn") > i * n / 3 && col("__rn") <= (i + 1) * n / 3)
           .drop("__rn")
           .coalesce(1).write.mode("append").parquet(dir)
       }
+      withIdx.unpersist()
       dir
     })
 
   /** The staged dir with every file DUPLICATED (distinct filenames), so each
     * event arrives twice in different micro-batches.
     */
-  private def duplicatedEventsDir(spark: SparkSession, sfDir: String): String =
+  private def duplicatedEventsDir(spark: SparkSession, sfDir: String): String = {
+    // resolve the source staging BEFORE entering computeIfAbsent: a nested
+    // computeIfAbsent on the same map from inside a mapping function is a
+    // recursive update (IllegalStateException when the keys share a bin)
+    val src = stagedEventsDir(spark, sfDir)
     stageCache.computeIfAbsent(seedKey(spark, sfDir, "dup"), { _ =>
-      val src = stagedEventsDir(spark, sfDir)
       val dir = cleanScratch(spark,
         s"events_stream_dup_${sfDir.hashCode & 0x7fffffff}")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -78,6 +84,7 @@ object Streams {
       }
       dir
     })
+  }
 
   private def await(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     assert(q.awaitTermination(300000), "streaming gate timed out")

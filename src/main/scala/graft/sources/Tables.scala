@@ -29,11 +29,15 @@ object Tables {
   /** Fixed per-purpose scratch directory for IO round-trip gates. Reused
     * across invocations (sinks write `mode=overwrite`), so repeated
     * Verify/Bench runs overwrite one directory instead of accumulating a
-    * fresh `Files.createTempDirectory` each run.
+    * fresh `Files.createTempDirectory` each run. The root embeds the OS
+    * user so two users on one host never fight over permissions; two
+    * CONCURRENT runs by the same user would race on these paths — the
+    * harness (Verify/Bench) is sequential by design.
     */
   def scratchDir(name: String): String = {
+    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9_-]", "_")
     val p = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_scratch", name)
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_scratch_$user", name)
     java.nio.file.Files.createDirectories(p.getParent)
     p.toString
   }

@@ -57,6 +57,19 @@ class QueriesSpec extends SparkTestBase {
     assert(joined.except(gate).count() == 0 && gate.except(joined).count() == 0)
   }
 
+  test("text_normalize collapses multi-space runs (punctuation-strip output)") {
+    import spark.implicits._
+    // the a-z corpus never produces multi-space runs; punctuation does —
+    // pins the replace-ALL semantics on both engine templates (DuckDB side
+    // needs the 'g' flag, asserted against DuckDB by tools/oracle_check)
+    Seq((1L, "x! y!! z,,  w", "en", "src0", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .createOrReplaceTempView("documents")
+    val r = spark.sql(Pipeline.debugTextNormalizeSql).head()
+    assert(r.getAs[String]("norm_text") == "x y z w")
+    spark.catalog.dropTempView("documents")
+  }
+
   test("token dict encode plan has no single-partition global window") {
     graft.sources.Tables.load(spark, sf, "documents").createOrReplaceTempView("documents")
     val plan = spark.sql(Pipeline.debugTokenDictEncodeArray)
