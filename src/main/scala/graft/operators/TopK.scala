@@ -18,9 +18,17 @@ object TopK {
   def perGroup(df: DataFrame, groupCols: Seq[String],
       orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
     val plan = df.queryExecution.analyzed
-    def attr(n: String) = plan.output.find(_.name.equalsIgnoreCase(n))
-      .getOrElse(throw new IllegalArgumentException(
-        s"column $n not in ${plan.output.map(_.name).mkString(", ")}"))
+    // resolve with the session's resolver (honors spark.sql.caseSensitive,
+    // like Dataset column resolution) and refuse ambiguity instead of
+    // silently binding to the first case-insensitive match
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    def attr(n: String) = plan.output.filter(a => resolver(a.name, n)) match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"column $n not in ${plan.output.map(_.name).mkString(", ")}")
+      case many => throw new IllegalArgumentException(
+        s"column $n is ambiguous: matches ${many.map(_.name).mkString(", ")}")
+    }
     val order = orderBy.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }

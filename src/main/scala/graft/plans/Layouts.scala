@@ -113,12 +113,20 @@ object Layouts {
     * pay no per-query range exchange, inherit the bucket hash-partitioning
     * for joins on the key, and (split case) prune `sign` partitions at
     * planning time instead of re-filtering.
+    *
+    * The identifier embeds the FULL sanitized seed (not a 32-bit hash), so
+    * two distinct seeds can never collide onto one table. Contract: the
+    * seed names the dataset — `df` content must be fixed per seed within a
+    * session (callers pass the source directory as the seed); a changed
+    * dataset needs a changed seed.
     */
   def persistedLayout(df: DataFrame, seed: String, key: Key,
       signPartitioned: Boolean, buckets: Int = 32): String = {
     val spark = df.sparkSession
     val kind = if (signPartitioned) "split" else "single"
-    val ident = f"graft_${kind}_${key.column.toLowerCase}_${seed.hashCode & 0x7fffffff}%08x"
+    val seedIdent = seed.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+    val ident = s"graft_${kind}_${key.column.toLowerCase}_$seedIdent"
     val cacheKey = s"${System.identityHashCode(spark)}/$ident"
     // a cache hit is trusted only while the table is still resolvable in
     // THIS session's catalog (identity hashes can be reused after a session

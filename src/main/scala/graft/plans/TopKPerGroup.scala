@@ -27,11 +27,17 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * The sort order must be TOTAL (include a tie-break column) for a
   * deterministic result set — the same requirement the window form has.
   *
-  * Memory note: each task holds one k-row heap per DISTINCT group in its
-  * partition (no spill path, unlike HashAggregate). With the usual
-  * k ≪ rows-per-group this is far below the input size; for extreme group
-  * cardinality with tiny groups, size partitions accordingly (or fall back
-  * to the window form, which sorts but spills).
+  * Memory safety: the per-group heap store participates in Spark's
+  * execution-memory arbitration — retained bytes are acquired from the
+  * task's TaskMemoryManager (so spillable consumers are asked to free
+  * memory before this store grows, and exhaustion surfaces as an accounted
+  * error, not a silent executor OOM). The map-side (partial) phase
+  * additionally bounds itself: past `spark.graft.topk.maxPartialGroups`
+  * distinct groups it FLUSHES the accumulated heaps downstream and resets —
+  * correct because the final phase merges per-group candidates anyway; a
+  * flush merely weakens the pre-exchange cap for pathological
+  * many-tiny-groups inputs. The final phase sees only the capped candidate
+  * set, clustered by group, so its footprint is (groups-in-task × k) rows.
   */
 final case class TopKPerGroup(
     groupExprs: Seq[Expression],
@@ -88,6 +94,12 @@ final case class TopKPerGroupExec(
     val groupE = groupExprs
     val orderE = order
     val kk = k
+    // map-side flush threshold (partial phase only): bounds the heap store
+    // for pathological many-tiny-groups inputs. Read on the driver at
+    // execution time, captured into the closure.
+    val maxPartialGroups =
+      conf.getConfString("spark.graft.topk.maxPartialGroups", "1048576").toInt
+    val flushLimit = if (partial) math.max(1, maxPartialGroups) else Int.MaxValue
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupE, inputSchema)
       val ordering = GenerateOrdering.generate(orderE, inputSchema)
@@ -99,26 +111,92 @@ final case class TopKPerGroupExec(
         override def compare(a: UnsafeRow, b: UnsafeRow): Int =
           ordering.compare(b, a)
       }
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      iter.foreach { row =>
-        val u = row match {
-          case ur: UnsafeRow => ur
-          case other => toUnsafe(other)
+      // Execution-memory accounting: retained bytes are acquired from the
+      // task's memory manager, so the store is inside Spark's arbitration
+      // (spillable consumers shrink first) rather than invisible on-heap
+      // growth. The heaps themselves are k-bounded and non-evictable, so
+      // spill() has nothing to release.
+      val taskCtx = org.apache.spark.TaskContext.get()
+      val tmm =
+        if (taskCtx == null) null
+        else org.apache.spark.sql.GraftSqlBridge.taskMemoryManager(taskCtx)
+      val consumer =
+        if (tmm == null) null
+        else new org.apache.spark.memory.MemoryConsumer(
+            tmm, tmm.pageSizeBytes(),
+            org.apache.spark.memory.MemoryMode.ON_HEAP) {
+          override def spill(size: Long, trigger: org.apache.spark.memory.MemoryConsumer): Long = 0L
         }
-        val key = keyProj(u)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](kk, worstFirst)
-          heaps.put(key.copy(), heap)
+      var acquired = 0L
+      def retain(bytes: Long): Unit = if (consumer != null) {
+        val got = consumer.acquireMemory(bytes)
+        acquired += got
+        if (got < bytes) throw new IllegalStateException(
+          s"top-k-per-group heap store exhausted execution memory " +
+            s"($acquired bytes held); increase partitions, lower " +
+            s"spark.graft.topk.maxPartialGroups, or use the window form")
+      }
+      def releaseAll(): Unit = if (consumer != null && acquired > 0) {
+        consumer.freeMemory(acquired); acquired = 0L
+      }
+      if (taskCtx != null)
+        taskCtx.addTaskCompletionListener[Unit](_ => releaseAll())
+
+      // chunked processing: consume input until exhaustion or (partial
+      // phase) the group-count flush limit, emit that chunk's heaps, reset
+      new Iterator[InternalRow] {
+        private var pending: java.util.Iterator[UnsafeRow] =
+          java.util.Collections.emptyIterator()
+        private var carry: UnsafeRow = null
+
+        private def fill(): Unit = {
+          val heaps =
+            new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+          var full = false
+          while (!full && (carry != null || iter.hasNext)) {
+            val u = if (carry != null) carry
+              else iter.next() match {
+                case ur: UnsafeRow => ur
+                case other => toUnsafe(other)
+              }
+            carry = null
+            val key = keyProj(u)
+            var heap = heaps.get(key)
+            if (heap == null) {
+              if (heaps.size >= flushLimit) {
+                // new group past the limit: keep the row for the next chunk
+                carry = u.copy(); full = true
+              } else {
+                heap = new java.util.PriorityQueue[UnsafeRow](kk, worstFirst)
+                val keyCopy = key.copy()
+                heaps.put(keyCopy, heap)
+                retain(keyCopy.getSizeInBytes + 64L)
+              }
+            }
+            if (heap != null) {
+              if (heap.size < kk) {
+                val c = u.copy(); heap.offer(c); retain(c.getSizeInBytes + 48L)
+              } else if (ordering.compare(u, heap.peek()) < 0) {
+                heap.poll(); heap.offer(u.copy())
+              }
+            }
+          }
+          val out = new java.util.ArrayList[UnsafeRow](heaps.size * kk)
+          heaps.values.forEach(h => h.forEach(r => out.add(r)))
+          // chunk emitted → its retained bytes are no longer held by the map
+          releaseAll()
+          pending = out.iterator()
         }
-        if (heap.size < kk) heap.offer(u.copy())
-        else if (ordering.compare(u, heap.peek()) < 0) {
-          heap.poll(); heap.offer(u.copy())
+
+        override def hasNext: Boolean = {
+          while (!pending.hasNext && (carry != null || iter.hasNext)) fill()
+          pending.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          pending.next()
         }
       }
-      val out = new scala.collection.mutable.ArrayBuffer[InternalRow](heaps.size * kk)
-      heaps.values.forEach(h => h.forEach(r => out += r))
-      out.iterator
     }, preservesPartitioning = true)
   }
 }

@@ -735,11 +735,12 @@ object Pipeline {
   private def corpusCompact: QueryDef =
     QueryDef("corpus_compact",
       "SELECT event_id, user_id, event_type, value FROM events") { (s, dir) =>
-      val frag = Tables.scratchDir("compact_in")
+      val frag = Tables.staged(s, dir, "compact_in") { fragDir =>
+        Tables.load(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value")
+          .repartition(64).write.mode("overwrite").parquet(fragDir)
+      }
       val out = Tables.scratchDir("compact_out")
-      val events = Tables.load(s, dir, "events")
-        .select("event_id", "user_id", "event_type", "value")
-      events.repartition(64).write.mode("overwrite").parquet(frag)
       compactParquet(s, frag, out, targetFiles = 4)
       s.read.parquet(out)
     }

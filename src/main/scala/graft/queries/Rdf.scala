@@ -155,6 +155,34 @@ object Rdf {
         .sparql(s"SELECT ?o ?p2 WHERE { 'cust_$minCust' :placed ?o . ?o :contains ?p2 }")
     },
 
+    // ---- SPARQL FILTER + LIMIT (frontend growth past the reference's
+    // BGP-only consumption, VERDICT r2 item 6): the FILTER pins ?o to one
+    // order — planned as an encoded point predicate that Catalyst pushes
+    // into the pattern scan — and the LIMIT (sized above the result here,
+    // so the gate stays deterministic; exact-n semantics are spec-pinned)
+    // adds a GlobalLimit node. Oracle: the same BGP join with the filter
+    // as a WHERE equality on the encoded id. ----
+    QueryDef("rdf_sparql_filter",
+      RdfBridge.oracleCte +
+        """SELECT t1.Object AS o, t2.Object AS p2
+          |FROM triples t1 JOIN triples t2 ON t1.Object = t2.Subject
+          |WHERE t1.Subject = CAST(-(1000 + (SELECT MIN(o_custkey) FROM orders)) AS INTEGER)
+          |  AND t1.Predicate = -2 AND t2.Predicate = -13
+          |  AND t1.Object = CAST((SELECT MIN(o_orderkey) FROM orders
+          |                        WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)) + 1 AS INTEGER)""".stripMargin) { (s, dir) =>
+      // driver lookups construct the query TEXT (user-supplied terms), as
+      // in rdf_sparql_bgp
+      val orders = graft.sources.Tables.load(s, dir, "orders")
+      val minCust = orders.agg(min(col("o_custkey"))).head().getLong(0)
+      val minOrder = orders.filter(col("o_custkey") === minCust)
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(
+          s"""SELECT ?o ?p2 WHERE { 'cust_$minCust' :placed ?o .
+             | ?o :contains ?p2 . FILTER(?o = 'order_$minOrder') } LIMIT 1000000""".stripMargin)
+    },
+
     // ---- transitive reachability: semi-naive BFS fixpoint (iterative
     // distributed joins — Spark has no recursive SQL) vs DuckDB's
     // WITH RECURSIVE oracle. Seed = the placed-predicate's minimum subject;
@@ -227,10 +255,11 @@ object Rdf {
         |  ':in_nation' AS Predicate,
         |  'nation_' || CAST(c_nationkey AS VARCHAR) AS Object
         |FROM customer""".stripMargin) { (s, dir) =>
-      val tsv = graft.sources.Tables.scratchDir("dict_tsv")
-      RdfBridge.dictionary(s, dir).entries.toDF("id", "term")
-        .select(concat_ws("\t", col("id"), col("term")).as("value"))
-        .write.mode("overwrite").text(tsv)
+      val tsv = graft.sources.Tables.staged(s, dir, "dict_tsv") { out =>
+        RdfBridge.dictionary(s, dir).entries.toDF("id", "term")
+          .select(concat_ws("\t", col("id"), col("term")).as("value"))
+          .write.mode("overwrite").text(out)
+      }
       val loaded = graft.core.Dictionary.load(s, tsv)
       loaded.decode(
         RdfBridge.triples(s, dir).filter(col("Predicate") === RdfBridge.InNation),

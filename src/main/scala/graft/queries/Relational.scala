@@ -391,13 +391,27 @@ object Relational {
 
     // ---- approximate distinct (HyperLogLog++): the at-scale cardinality
     // path (no exact-distinct shuffle). Sketches differ across engines, so
-    // the driver records the weaker rows-only check (no oracle); the
-    // EXACT-distinct counterpart q10 is fully oracled. ----
-    QueryDef.unoracled("q25_approx_distinct") { (s, dir) =>
+    // the raw estimate can't be hash-compared; instead the gate emits the
+    // EXACT distinct count (cross-checked against DuckDB) plus a tolerance
+    // VERDICT — the HLL estimate within ±10% of exact (default rsd 0.05,
+    // so 10% is a safe deterministic bound at these cardinalities) — which
+    // the oracle asserts as constant 1. A drifting sketch flips the verdict
+    // column and fails the hash match. ----
+    QueryDef("q25_approx_distinct",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(1 AS INTEGER) AS approx_within_10pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n"),
+          when(abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.1, 1).otherwise(0)
+            .cast("int").as("approx_within_10pct"))
     },
 
     // ---- JSON source/sink round-trip: events written as JSON lines and
@@ -446,8 +460,14 @@ object Relational {
           col("g_year"), col("g_prio"), col("n"))
     },
 
-    // ---- correlated scalar subquery: each order vs its customer's average
-    // (planned as an aggregate + re-join by Catalyst) ----
+    // ---- correlated scalar subquery semantics: each order vs its
+    // customer's average. The oracle keeps the correlated SQL form (that IS
+    // the capability under test); the Spark plan is the hand-decorrelated
+    // optimal shape — Catalyst decorrelates the two subqueries into two
+    // separate aggregate+join branches (three scans of orders), whereas ONE
+    // groupBy computing both aggregates plus ONE join is semantically
+    // identical with a single aggregation pass. The aggregated per-customer
+    // side is tiny relative to the fact table, so AQE broadcasts it. ----
     QueryDef("q27_correlated_scalar",
       """SELECT o_orderkey,
         |  CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) *
@@ -456,15 +476,14 @@ object Relational {
         |             WHERE o2.o_custkey = o.o_custkey)
         |       THEN 1 ELSE 0 END AS above_cust_avg
         |FROM orders o""".stripMargin) { (s, dir) =>
-      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
-      s.sql(
-        """SELECT o_orderkey,
-          |  CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) *
-          |            (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) >
-          |            (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) FROM orders o2
-          |             WHERE o2.o_custkey = o.o_custkey)
-          |       THEN 1 ELSE 0 END AS above_cust_avg
-          |FROM orders o""".stripMargin)
+      val o = Tables.load(s, dir, "orders")
+      val perCust = o.groupBy(col("o_custkey")).agg(
+        count(lit(1)).as("cust_n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("cust_total"))
+      o.join(perCust, "o_custkey")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice").cast("decimal(18,2)") * col("cust_n") >
+            col("cust_total"), 1).otherwise(0).as("above_cust_avg"))
     },
 
     // ---- set operations with dedup semantics (the reference only ever used
@@ -634,6 +653,31 @@ object Relational {
       arrayAggSegments(s, dir)
         .withColumn("segments", array_join(col("segments"), ","))
         .select(col("n_nationkey"), col("segments"), col("n_customers"))
+    },
+
+    // ---- salted skew join ([[graft.operators.SkewJoin]]): the left side's
+    // join key is deliberately hot (every user_id % 3 == 0 row collapses to
+    // key 0 → ~a third of the events on ONE key); the salted join spreads
+    // that key across 8 buckets and replicates the small right side, vs the
+    // plain-join oracle. The result is exactly the plain join — salting
+    // changes the partitioning, never the output (the spec additionally
+    // pins the bucket spread). ----
+    QueryDef("q39_salted_skew_join",
+      """SELECT e.event_id, e.k, r.label
+        |FROM (SELECT event_id,
+        |        CAST(CASE WHEN user_id % 3 = 0 THEN 0
+        |                  ELSE user_id % 101 END AS BIGINT) AS k
+        |      FROM events) e
+        |JOIN (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS label
+        |      FROM nation) r ON e.k = r.k""".stripMargin) { (s, dir) =>
+      val left = Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          when(col("user_id") % 3 === 0, lit(0L))
+            .otherwise(col("user_id") % 101).cast("long").as("k"))
+      val right = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("label"))
+      graft.operators.SkewJoin.saltedInnerJoin(left, right, "k", salt = 8)
+        .select(col("event_id"), col("k"), col("label"))
     },
   )
 

@@ -74,12 +74,22 @@ object Streams {
     stageCache.computeIfAbsent(seedKey(spark, sfDir, "dup"), { _ =>
       val dir = cleanScratch(spark,
         s"events_stream_dup_${sfDir.hashCode & 0x7fffffff}")
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      java.nio.file.Files.list(java.nio.file.Paths.get(src)).forEach { p =>
-        if (p.toString.endsWith(".parquet")) {
-          val t = java.nio.file.Paths.get(dir)
-          java.nio.file.Files.copy(p, t.resolve("a_" + p.getFileName))
-          java.nio.file.Files.copy(p, t.resolve("b_" + p.getFileName))
+      // Hadoop FS throughout (same as cleanScratch) — works on any scheme,
+      // no java.nio directory-stream handle to leak
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dstPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dstPath.getFileSystem(conf)
+      fs.mkdirs(dstPath)
+      val srcPath = new org.apache.hadoop.fs.Path(src)
+      srcPath.getFileSystem(conf).listStatus(srcPath).foreach { st =>
+        val name = st.getPath.getName
+        if (name.endsWith(".parquet")) {
+          Seq("a_", "b_").foreach { prefix =>
+            org.apache.hadoop.fs.FileUtil.copy(
+              st.getPath.getFileSystem(conf), st.getPath,
+              fs, new org.apache.hadoop.fs.Path(dstPath, prefix + name),
+              false, conf)
+          }
         }
       }
       dir

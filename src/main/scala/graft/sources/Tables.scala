@@ -41,4 +41,25 @@ object Tables {
     java.nio.file.Files.createDirectories(p.getParent)
     p.toString
   }
+
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Memoized fixture staging: `build` populates a scratch directory once
+    * per (session, dataset, kind); later calls reuse it. Gates whose input
+    * is an on-disk fixture (a TSV dictionary, a deliberately fragmented
+    * parquet dir) stage it through here so repeated invocations — and in
+    * particular the timed bench runs after the untimed warmup pass — measure
+    * the operator, not its fixture construction. The key embeds the full
+    * sanitized dataset path (not a 32-bit hashCode) so two datasets can
+    * never collide onto one staged dir.
+    */
+  def staged(spark: SparkSession, sfDir: String, kind: String)(build: String => Unit): String = {
+    val ds = sfDir.replaceAll("[^A-Za-z0-9_.-]", "_")
+    val key = s"${System.identityHashCode(spark)}/$kind/$ds"
+    stagedDirs.computeIfAbsent(key, { _ =>
+      val dir = scratchDir(s"staged_${kind}_$ds")
+      build(dir)
+      dir
+    })
+  }
 }

@@ -42,9 +42,11 @@ object BgpPlanner {
     * dictionary yields an empty (not failing) result — it can match nothing.
     */
   def plan(query: BgpQuery, store: Store, dict: Dictionary): DataFrame = {
-    // Encode every constant in one dictionary round-trip (single pushed-down
-    // isin scan, not one scan per term).
-    val constants = query.patterns.flatMap(p => Seq(p.s, p.p, p.o)).collect {
+    // Encode every constant — pattern terms AND filter right-hand sides —
+    // in one dictionary round-trip (single pushed-down isin scan, not one
+    // scan per term).
+    val constants = (query.patterns.flatMap(p => Seq(p.s, p.p, p.o)) ++
+      query.filters.map(_.value)).collect {
       case Constant(l) => l
     }.distinct
     val enc: Map[String, Int] = dict.encodeTerms(constants)
@@ -61,11 +63,35 @@ object BgpPlanner {
       else acc.join(next, shared, "inner")
     }
 
+    // FILTER conditions: plain Column predicates over the joined variable
+    // columns — Catalyst pushes an equality on a single pattern's variable
+    // down into that pattern's scan (encoded point predicate), so a FILTER
+    // costs the same as writing the constant inside the pattern. An unknown
+    // constant matches nothing: `=` → false, `!=` → true.
+    val filtered = query.filters.foldLeft(joined) { (df, f) =>
+      require(df.columns.contains(f.variable),
+        s"FILTER variable ?${f.variable} not bound by the BGP " +
+          s"(bound: ${df.columns.mkString(", ")})")
+      val eq: Column = f.value match {
+        case Variable(v) =>
+          require(df.columns.contains(v),
+            s"FILTER variable ?$v not bound by the BGP")
+          col(f.variable) === col(v)
+        case Constant(l) => enc.get(l) match {
+          case Some(id) => col(f.variable) === lit(id)
+          case None => lit(false)
+        }
+      }
+      df.filter(f.op match { case FilterEq => eq; case FilterNeq => !eq })
+    }
+
     val projection =
       if (query.projection.nonEmpty) query.projection
-      else joined.columns.toSeq.filterNot(_.startsWith("__exists_")).sorted
-    if (projection.isEmpty) joined // fully-bound BGP: non-empty iff it matches
-    else joined.select(projection.map(col): _*)
+      else filtered.columns.toSeq.filterNot(_.startsWith("__exists_")).sorted
+    val projected =
+      if (projection.isEmpty) filtered // fully-bound BGP: non-empty iff it matches
+      else filtered.select(projection.map(col): _*)
+    query.limit.fold(projected)(projected.limit)
   }
 
   /** One pattern → filtered scan projected to its variable columns. */

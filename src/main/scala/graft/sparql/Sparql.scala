@@ -14,8 +14,22 @@ final case class Constant(lexical: String) extends Term
 
 final case class TriplePattern(s: Term, p: Term, o: Term)
 
-/** A basic graph pattern plus the query's projection (Nil = `*`). */
-final case class BgpQuery(projection: Seq[String], patterns: Seq[TriplePattern])
+/** `FILTER(?var = term)` / `FILTER(?var != term)` — the term is a constant
+  * or another variable.
+  */
+sealed trait FilterOp
+case object FilterEq extends FilterOp
+case object FilterNeq extends FilterOp
+final case class FilterCond(variable: String, op: FilterOp, value: Term)
+
+/** A basic graph pattern plus the query's projection (Nil = `*`), FILTER
+  * conditions, and optional LIMIT.
+  */
+final case class BgpQuery(
+    projection: Seq[String],
+    patterns: Seq[TriplePattern],
+    filters: Seq[FilterCond] = Nil,
+    limit: Option[Int] = None)
 
 object SparqlParser {
 
@@ -26,22 +40,39 @@ object SparqlParser {
     */
   def parse(query: String): BgpQuery = {
     val normalized = query.trim.replaceAll("\\s+", " ")
-    val re = "(?is)SELECT\\s+(.*?)\\s+WHERE\\s*\\{(.*)\\}".r
+    val re = "(?is)SELECT\\s+(.*?)\\s+WHERE\\s*\\{(.*)\\}(?:\\s+LIMIT\\s+(\\d+))?\\s*".r
     normalized match {
-      case re(proj, body) =>
+      case re(proj, rawBody, limitStr) =>
         val projection =
           if (proj.trim == "*") Nil
           else proj.trim.split("\\s+").toSeq.map { v =>
             require(v.startsWith("?"), s"projection must be variables or *, got: $v")
             v.substring(1)
           }
+        // FILTER clauses: extract (they need no dot separator in SPARQL),
+        // then parse the remaining segments as triple patterns. The
+        // condition subset is `?var (=|!=) term` with no parentheses inside
+        // quoted terms.
+        val filterRe = "(?i)FILTER\\s*\\(\\s*([^)]*?)\\s*\\)".r
+        val filters = filterRe.findAllMatchIn(rawBody).map(m => parseFilter(m.group(1))).toSeq
+        val body = filterRe.replaceAllIn(rawBody, " ")
         // Pattern separator: a dot DELIMITED BY WHITESPACE (or line end) and
         // outside quotes — dots inside <uri>s or quoted literals don't split.
         val patterns = body.split("\\s+\\.(?=\\s|$)(?=(?:[^']*'[^']*')*[^']*$)")
-          .map(_.trim).filter(_.nonEmpty).toSeq.map(parsePattern)
+          .map(_.trim).filter(s => s.nonEmpty && s != ".").toSeq.map(parsePattern)
         require(patterns.nonEmpty, "empty BGP")
-        BgpQuery(projection, patterns)
+        BgpQuery(projection, patterns, filters, Option(limitStr).map(_.toInt))
       case _ => throw new IllegalArgumentException(s"unsupported SPARQL: $query")
+    }
+  }
+
+  private def parseFilter(cond: String): FilterCond = {
+    val condRe = "\\?(\\w+)\\s*(!=|=)\\s*(.+)".r
+    cond.trim match {
+      case condRe(v, op, rhs) =>
+        FilterCond(v, if (op == "=") FilterEq else FilterNeq, toTerm(rhs.trim))
+      case other => throw new IllegalArgumentException(
+        s"unsupported FILTER condition (subset is ?var =|!= term): $other")
     }
   }
 

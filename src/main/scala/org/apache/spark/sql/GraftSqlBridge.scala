@@ -11,4 +11,11 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** `TaskContext.taskMemoryManager()` is `private[spark]`; the native
+    * top-k operator needs it to account its heap store with the task's
+    * execution-memory arbitration ([[graft.plans.TopKPerGroupExec]]).
+    */
+  def taskMemoryManager(ctx: org.apache.spark.TaskContext): org.apache.spark.memory.TaskMemoryManager =
+    ctx.taskMemoryManager()
 }

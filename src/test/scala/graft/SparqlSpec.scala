@@ -115,6 +115,62 @@ class SparqlSpec extends SparkTestBase {
       engine.sparql("SELECT ?nope WHERE { ?x :p1 ?a }").collect())
   }
 
+  test("parser: FILTER conditions extracted, patterns intact, LIMIT parsed") {
+    val q = SparqlParser.parse(
+      "SELECT ?x ?y WHERE { ?x :p1 ?y . FILTER(?y = 'lit val') . ?y :p2 ?z . FILTER(?z != ?x) } LIMIT 7")
+    assert(q.patterns.length == 2)
+    assert(q.filters == Seq(
+      FilterCond("y", FilterEq, Constant("lit val")),
+      FilterCond("z", FilterNeq, Variable("x"))))
+    assert(q.limit.contains(7))
+  }
+
+  test("parser: no FILTER / no LIMIT → empty filters, None limit") {
+    val q = SparqlParser.parse("SELECT * WHERE { ?s :p1 ?o }")
+    assert(q.filters.isEmpty && q.limit.isEmpty)
+  }
+
+  test("parser rejects unsupported FILTER condition forms") {
+    intercept[IllegalArgumentException](
+      SparqlParser.parse("SELECT ?x WHERE { ?x :p1 ?y . FILTER(?y > 3) }"))
+  }
+
+  test("FILTER equality on constant narrows the BGP result") {
+    val (engine, triples) = fixture
+    val rows = engine.registerSplitTables(triples)
+      .sparql("SELECT ?s ?o WHERE { ?s :p1 ?o . FILTER(?o = 'b') }")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(rows == Seq((-5, 10)))
+  }
+
+  test("FILTER inequality drops the matching binding; unknown term matches nothing") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    val neq = reg.sparql("SELECT ?s WHERE { ?s :p1 ?o . FILTER(?o != 'b') }")
+      .collect().map(_.getInt(0)).toSeq
+    assert(neq == Seq(6))
+    // `= unknown` is empty, `!= unknown` keeps everything
+    assert(reg.sparql("SELECT ?s WHERE { ?s :p1 ?o . FILTER(?o = 'zzz') }").count() == 0)
+    assert(reg.sparql("SELECT ?s WHERE { ?s :p1 ?o . FILTER(?o != 'zzz') }").count() == 2)
+  }
+
+  test("FILTER variable-variable equality and the unbound-variable error") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSingleTable(triples)
+    val rows = reg.sparql("SELECT ?x WHERE { ?x :loop ?y . FILTER(?x = ?y) }")
+      .collect().map(_.getInt(0)).toSeq
+    assert(rows == Seq(-9))
+    intercept[IllegalArgumentException](
+      reg.sparql("SELECT ?x WHERE { ?x :p1 ?y . FILTER(?nope = 'b') }"))
+  }
+
+  test("LIMIT caps the result set size exactly") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSingleTable(triples)
+    assert(reg.sparql("SELECT ?s ?o WHERE { ?s :p1 ?o } LIMIT 1").count() == 1)
+    assert(reg.sparql("SELECT ?s ?o WHERE { ?s :p1 ?o } LIMIT 100").count() == 2)
+  }
+
   test("reference Q1 SQL shape runs verbatim against registered views") {
     val (engine, triples) = fixture
     engine.registerSingleTable(triples)
