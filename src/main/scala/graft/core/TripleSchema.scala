@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** A dictionary-encoded RDF triple.
   *
@@ -12,6 +12,13 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   */
 final case class Triple(Subject: Int, Predicate: Int, Object: Int)
 
+/** Wide-id triple for 100 TB vocabularies (SURVEY §1.2): same column names
+  * and semantics, 64-bit id space. Every layout/engine entry point takes a
+  * DataFrame and is type-agnostic, so the two widths share one API — see
+  * LongTripleSpec for the reference Q1 shape running on this schema.
+  */
+final case class TripleL(Subject: Long, Predicate: Long, Object: Long)
+
 object TripleSchema {
   val subject = "Subject"
   val predicate = "Predicate"
@@ -22,6 +29,16 @@ object TripleSchema {
     StructField(subject, IntegerType, nullable = true),
     StructField(predicate, IntegerType, nullable = true),
     StructField(objekt, IntegerType, nullable = true),
+  ))
+
+  /** 64-bit variant of [[schema]] — the id width a 100 TB vocabulary needs
+    * (int ids overflow at sf ≈ 300 with the bridge's offsets,
+    * [[graft.sources.RdfBridge]]).
+    */
+  val schemaLong: StructType = StructType(Seq(
+    StructField(subject, LongType, nullable = true),
+    StructField(predicate, LongType, nullable = true),
+    StructField(objekt, LongType, nullable = true),
   ))
 
   /** ID 0 is reserved: the SPARQL translator encodes unbound variables as 0

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, Unevaluable, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, NamedExpression, Unevaluable, UnaryExpression}
 import org.apache.spark.sql.catalyst.plans.LeftOuter
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, StringType}
 
@@ -85,6 +85,37 @@ class DecodeRewriteRule extends Rule[LogicalPlan] {
         val (newCond, joined) = rewriteDecodes(cond, child, freshAlias)
         // project back to the child's columns so the join stays invisible
         Project(child.output, Filter(newCond, joined))
+
+      // decode in GROUP BY keys / aggregate list (decode-then-group, the
+      // common reporting shape): join below the Aggregate. Occurrences of
+      // the SAME decoded child expression are memoized onto ONE join +
+      // attribute, so the grouping key and its select-list twin resolve to
+      // the same attribute (the semantic-equality check between grouping
+      // and aggregate expressions requires it).
+      case agg: Aggregate
+          if agg.child.resolved &&
+            (agg.groupingExpressions ++ agg.aggregateExpressions)
+              .exists(_.exists(_.isInstanceOf[DecodeTerm])) =>
+        var joined: LogicalPlan = agg.child
+        val memo = scala.collection.mutable.Map.empty[Expression, UnresolvedAttribute]
+        def rewrite(e: Expression): Expression = e.transformUp {
+          case DecodeTerm(c) if c.resolved =>
+            memo.getOrElseUpdate(c.canonicalized, {
+              val a = freshAlias()
+              joined = Join(
+                joined,
+                SubqueryAlias(a, UnresolvedRelation(Seq(DictView))),
+                LeftOuter,
+                Some(EqualTo(c, UnresolvedAttribute(Seq(a, "id")))),
+                JoinHint.NONE)
+              UnresolvedAttribute(Seq(a, "term"))
+            })
+        }
+        val newGrouping = agg.groupingExpressions.map(rewrite)
+        val newAggs = agg.aggregateExpressions
+          .map(rewrite(_).asInstanceOf[NamedExpression])
+        agg.copy(groupingExpressions = newGrouping,
+          aggregateExpressions = newAggs, child = joined)
     }
   }
 }
@@ -101,8 +132,9 @@ class DecodeCheckRule extends (LogicalPlan => Unit) {
           throw new org.apache.spark.sql.AnalysisException(
             errorClass = "_LEGACY_ERROR_TEMP_3071", // template is exactly <msg>
             messageParameters = Map("msg" ->
-              ("graft_decode is supported in SELECT projections and WHERE " +
-                s"filters only; found it in: ${node.nodeName}")))
+              ("graft_decode is supported in SELECT projections, WHERE " +
+                "filters, and GROUP BY aggregates only; found it in: " +
+                node.nodeName)))
         }
       }
     }

@@ -178,9 +178,19 @@ object Pipeline {
     * candidate equi-join stays small even when a shingle occurs in
     * thousands of documents), keep `prefixLen` per doc as candidate keys,
     * join them against `ySide` ("c" = other prefixes for symmetric joins,
-    * "e" = ALL shingle rows for asymmetric containment), dedup pairs, and
-    * verify with `verifyExpr`/`verifyWhere` over the full sets.
+    * "r" = ALL ranked shingle rows for asymmetric containment), dedup
+    * pairs, and verify with `verifyExpr`/`verifyWhere` over the full sets.
     * Exact recall by pigeonhole under any consistent global order.
+    *
+    * Both sides of the candidate join expose `rn` (the shingle's rank in
+    * its doc's global-df order), so `pairPredicate` can apply the PPJoin
+    * POSITIONAL filter (Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection"): a match at ranks (i, j) bounds the overlap by
+    * `LEAST(i, j) + LEAST(x.n - i, y.n - j)` — commons strictly before the
+    * match ≤ min(i,j)-1, this match = 1, commons after ≤ the smaller
+    * remaining suffix. Every match row carries a valid upper bound, so
+    * dropping rows whose bound misses the threshold's minimum overlap
+    * keeps recall exact while shrinking the verify join's pair set.
     */
   private def prefixJoinSql(d: Dialect, setTable: String, prefixLen: String,
       ySide: String, pairPredicate: String, verifyName: String,
@@ -191,7 +201,7 @@ object Pipeline {
        |r AS (SELECT e.doc_id, e.h, e.n,
        |    ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY df.df, e.h) AS rn
        |  FROM e JOIN df ON e.h = df.h),
-       |c AS (SELECT doc_id, h, n FROM r WHERE rn <= $prefixLen),
+       |c AS (SELECT doc_id, h, n, rn FROM r WHERE rn <= $prefixLen),
        |pairs AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b
        |  FROM c x JOIN $ySide y ON x.h = y.h AND $pairPredicate
@@ -210,6 +220,13 @@ object Pipeline {
     prefixJoinSql(d, setTable,
       prefixLen = s"n $idiv 2 + 1",
       ySide = "c",
+      // Length-ratio prune only. The PPJoin positional filter (see
+      // prefixJoinSql doc; applied in the containment join) was measured
+      // here and REVERTED: on this corpus the verify set after prefix +
+      // length pruning is already tiny, so per-match-row positional
+      // arithmetic on the dense candidate join costs more than the verify
+      // rows it saves (6.5s vs 4.5s at sf0.1). It pays when the verify
+      // join dominates — the asymmetric containment shape below.
       pairPredicate = "x.doc_id < y.doc_id AND x.n <= 2*y.n AND y.n <= 2*x.n",
       verifyName = "sim",
       verifyExpr = s"CAST($inter AS DOUBLE) / (${d.len("ta.sh")} + ${d.len("tb.sh")} - $inter)",
@@ -801,8 +818,11 @@ object Pipeline {
     val idiv = if (d == SparkDialect) "div" else "//"
     prefixJoinSql(d, setTable,
       prefixLen = s"n $idiv 10 + 1",
-      ySide = "e", // asymmetric: A's prefix vs ALL of B's shingles
-      pairPredicate = "x.doc_id <> y.doc_id",
+      ySide = "r", // asymmetric: A's prefix vs ALL of B's ranked shingles
+      // positional filter: containment >= 0.9 needs overlap >= 0.9*|A|
+      // (integer form: 10*bound >= 9*|A|)
+      pairPredicate = "x.doc_id <> y.doc_id" +
+        " AND 10 * (LEAST(x.rn, y.rn) + LEAST(x.n - x.rn, y.n - y.rn)) >= 9 * x.n",
       verifyName = "containment",
       verifyExpr = s"CAST($inter AS DOUBLE) / ta.n",
       verifyWhere = "containment >= 0.9")

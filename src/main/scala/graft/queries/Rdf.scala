@@ -233,6 +233,29 @@ object Rdf {
           |FROM graft_triples WHERE Predicate = -2""".stripMargin)
     },
 
+    // ---- graft_decode in GROUP BY (decode-then-group, the common
+    // reporting shape — VERDICT r2 item 7): the analyzer rule threads ONE
+    // dictionary join below the Aggregate, memoized so the grouping key and
+    // its select-list twin bind to the same attribute. Oracle: explicit
+    // dict join + group by term. ----
+    QueryDef("rdf_decode_group",
+      RdfBridge.oracleCte +
+        """, dict AS (
+          |  SELECT CAST(-(c_custkey + 1000) AS INTEGER) AS id, 'cust_' || CAST(c_custkey AS VARCHAR) AS term FROM customer)
+          |SELECT ds.term AS s, CAST(COUNT(*) AS BIGINT) AS n_orders
+          |FROM triples t
+          |LEFT JOIN dict ds ON t.Subject = ds.id
+          |WHERE t.Predicate = -2
+          |GROUP BY ds.term""".stripMargin) { (s, dir) =>
+      RdfBridge.dictionary(s, dir).entries.toDF("id", "term")
+        .createOrReplaceTempView("graft_dictionary")
+      RdfBridge.triples(s, dir).createOrReplaceTempView("graft_triples")
+      s.sql(
+        """SELECT graft_decode(Subject) AS s, COUNT(*) AS n_orders
+          |FROM graft_triples WHERE Predicate = -2
+          |GROUP BY graft_decode(Subject)""".stripMargin)
+    },
+
     // ---- dictionary decode: bound results back to lexical forms via
     // broadcast join (replaces the reference's driver-map mapPartitions
     // decode, PartitionQueryingSubject.java:136-151). ----

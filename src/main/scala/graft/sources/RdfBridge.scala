@@ -63,6 +63,27 @@ object RdfBridge {
       .unionAll(customer.select(t(-(col("c_custkey") + 1000), InNation, col("c_nationkey") + 2000000000L): _*))
   }
 
+  /** 64-bit variant of [[triples]] (SURVEY §1.2: the id width for 100 TB
+    * vocabularies — int offsets overflow at sf ≈ 300). Same entity id
+    * arithmetic, LongType columns; every layout and engine entry point is
+    * schema-agnostic, so the wide bridge drops into the same API
+    * (LongTripleSpec runs reference Q1 on it).
+    */
+  def triplesLong(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val customer = Tables.load(spark, sfDir, "customer")
+    def t(s: org.apache.spark.sql.Column, p: Int, o: org.apache.spark.sql.Column) = Seq(
+      s.cast("bigint").as(TripleSchema.subject),
+      lit(p.toLong).as(TripleSchema.predicate),
+      o.cast("bigint").as(TripleSchema.objekt))
+
+    orders.select(t(-(col("o_custkey") + 1000), Placed, col("o_orderkey") + 1): _*)
+      .unionAll(lineitem.select(t(col("l_orderkey") + 1, Contains, -(col("l_partkey") + 500000000)): _*))
+      .unionAll(lineitem.select(t(-(col("l_partkey") + 500000000), SuppliedBy, col("l_suppkey") + 1000000000): _*))
+      .unionAll(customer.select(t(-(col("c_custkey") + 1000), InNation, col("c_nationkey") + 2000000000L): _*))
+  }
+
   /** Lexical dictionary for the bridge vocabulary: `cust_<k>`, `order_<k>`,
     * `part_<k>`, `supp_<k>`, `nation_<k>` plus the predicate names. Built
     * distributed (union of projections), never on the driver.

@@ -31,6 +31,19 @@ object TripleIO {
         col(TripleSchema.objekt).isNotNull)
   }
 
+  /** [[readText]] with the 64-bit schema ([[TripleSchema.schemaLong]]) —
+    * same text format, wide ids.
+    */
+  def readTextLong(spark: SparkSession, path: String): DataFrame = {
+    spark.read
+      .schema(TripleSchema.schemaLong)
+      .option("sep", " ")
+      .csv(path)
+      .filter(col(TripleSchema.subject).isNotNull &&
+        col(TripleSchema.predicate).isNotNull &&
+        col(TripleSchema.objekt).isNotNull)
+  }
+
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(
       col(TripleSchema.subject).cast("int").as(TripleSchema.subject),

@@ -38,10 +38,32 @@ class DecodeRewriteSpec extends SparkTestBase {
     assert(rows.toSeq == Seq(1))
   }
 
-  test("graft_decode outside Project/Filter fails with a clear analysis error") {
+  test("graft_decode in GROUP BY key + select list binds both to one join") {
+    setup()
+    val out = spark.sql(
+      """SELECT graft_decode(Subject) AS s, COUNT(*) AS n
+        |FROM dec_triples GROUP BY graft_decode(Subject)""".stripMargin)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("one", 1L), ("three", 1L)))
+    // memoized rewrite: ONE dictionary join for the two textual occurrences
+    val joins = out.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 1, s"expected one memoized dict join, got ${joins.size}")
+  }
+
+  test("graft_decode inside an aggregate function argument works") {
+    setup()
+    val n = spark.sql(
+      "SELECT COUNT(DISTINCT graft_decode(Subject)) AS n FROM dec_triples")
+      .head().getLong(0)
+    assert(n == 2)
+  }
+
+  test("graft_decode outside supported positions fails with a clear analysis error") {
     setup()
     val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
-      "SELECT COUNT(*) FROM dec_triples GROUP BY graft_decode(Subject)").collect())
+      "SELECT Subject FROM dec_triples ORDER BY graft_decode(Subject)").collect())
     assert(e.getMessage.contains("graft_decode is supported in SELECT projections"),
       s"unexpected error: ${e.getMessage}")
   }
