@@ -183,6 +183,21 @@ object Rdf {
              | ?o :contains ?p2 . FILTER(?o = 'order_$minOrder') } LIMIT 1000000""".stripMargin)
     },
 
+    // ---- SPARQL OPTIONAL (LeftJoin): every customer bound via :in_nation,
+    // orders attached when present — customers without orders keep ?o null,
+    // which an inner BGP would drop. Planned as a left outer join on the
+    // shared variable; oracle is the equivalent SQL left join. ----
+    QueryDef("rdf_sparql_optional",
+      RdfBridge.oracleCte +
+        """SELECT t1.Subject AS c, t2.Object AS o
+          |FROM (SELECT * FROM triples WHERE Predicate = -31) t1
+          |LEFT JOIN (SELECT * FROM triples WHERE Predicate = -2) t2
+          |  ON t2.Subject = t1.Subject""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?c ?o WHERE { ?c :in_nation ?n . OPTIONAL { ?c :placed ?o } }")
+    },
+
     // ---- transitive reachability: semi-naive BFS fixpoint (iterative
     // distributed joins — Spark has no recursive SQL) vs DuckDB's
     // WITH RECURSIVE oracle. Seed = the placed-predicate's minimum subject;

@@ -45,7 +45,8 @@ object BgpPlanner {
     // Encode every constant — pattern terms AND filter right-hand sides —
     // in one dictionary round-trip (single pushed-down isin scan, not one
     // scan per term).
-    val constants = (query.patterns.flatMap(p => Seq(p.s, p.p, p.o)) ++
+    val constants = ((query.patterns ++ query.optionals.flatten)
+      .flatMap(p => Seq(p.s, p.p, p.o)) ++
       query.filters.map(_.value)).collect {
       case Constant(l) => l
     }.distinct
@@ -57,10 +58,26 @@ object BgpPlanner {
 
     // Join patterns left-to-right on shared variables; disjoint patterns
     // cross-join (correct per SPARQL semantics, logged as a scale hazard).
-    val joined = planned.reduceLeft { (acc, next) =>
+    def joinGroup(dfs: Seq[DataFrame]): DataFrame = dfs.reduceLeft { (acc, next) =>
       val shared = acc.columns.toSet.intersect(next.columns.toSet).toSeq.sorted
       if (shared.isEmpty) acc.crossJoin(next)
       else acc.join(next, shared, "inner")
+    }
+    val required = joinGroup(planned)
+
+    // OPTIONAL groups: each planned as its own BGP, then LEFT-joined to the
+    // accumulated result on the shared variables (SPARQL LeftJoin) — rows
+    // without a match keep the optional variables null. Using-column join
+    // keeps the left side's binding for shared variables, which is exactly
+    // the compatible-mapping semantics.
+    val joined = query.optionals.zipWithIndex.foldLeft(required) {
+      case (acc, (optPatterns, g)) =>
+        val opt = joinGroup(optPatterns.zipWithIndex.map { case (p, i) =>
+          planPattern(p, 1000 * (g + 1) + i, store, enc)
+        })
+        val shared = acc.columns.toSet.intersect(opt.columns.toSet).toSeq.sorted
+        if (shared.isEmpty) acc.join(opt, lit(true), "left")
+        else acc.join(opt, shared, "left")
     }
 
     // FILTER conditions: plain Column predicates over the joined variable

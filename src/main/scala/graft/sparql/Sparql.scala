@@ -22,14 +22,17 @@ case object FilterEq extends FilterOp
 case object FilterNeq extends FilterOp
 final case class FilterCond(variable: String, op: FilterOp, value: Term)
 
-/** A basic graph pattern plus the query's projection (Nil = `*`), FILTER
+/** A basic graph pattern plus the query's projection (Nil = `*`), OPTIONAL
+  * pattern groups (each left-joined to the required patterns on shared
+  * variables, unmatched rows binding their variables to null), FILTER
   * conditions, and optional LIMIT.
   */
 final case class BgpQuery(
     projection: Seq[String],
     patterns: Seq[TriplePattern],
     filters: Seq[FilterCond] = Nil,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    optionals: Seq[Seq[TriplePattern]] = Nil)
 
 object SparqlParser {
 
@@ -49,22 +52,35 @@ object SparqlParser {
             require(v.startsWith("?"), s"projection must be variables or *, got: $v")
             v.substring(1)
           }
+        // OPTIONAL groups first (their braces enclose plain BGPs — no
+        // nesting in the subset), so the FILTER extraction below never
+        // reaches inside an optional block.
+        val optionalRe = "(?i)OPTIONAL\\s*\\{([^{}]*)\\}".r
+        val optionals = optionalRe.findAllMatchIn(rawBody)
+          .map(m => splitPatterns(m.group(1))).toSeq
+        val withoutOpt = optionalRe.replaceAllIn(rawBody, " ")
         // FILTER clauses: extract (they need no dot separator in SPARQL),
         // then parse the remaining segments as triple patterns. The
         // condition subset is `?var (=|!=) term` with no parentheses inside
         // quoted terms.
         val filterRe = "(?i)FILTER\\s*\\(\\s*([^)]*?)\\s*\\)".r
-        val filters = filterRe.findAllMatchIn(rawBody).map(m => parseFilter(m.group(1))).toSeq
-        val body = filterRe.replaceAllIn(rawBody, " ")
-        // Pattern separator: a dot DELIMITED BY WHITESPACE (or line end) and
-        // outside quotes — dots inside <uri>s or quoted literals don't split.
-        val patterns = body.split("\\s+\\.(?=\\s|$)(?=(?:[^']*'[^']*')*[^']*$)")
-          .map(_.trim).filter(s => s.nonEmpty && s != ".").toSeq.map(parsePattern)
+        val filters = filterRe.findAllMatchIn(withoutOpt).map(m => parseFilter(m.group(1))).toSeq
+        val body = filterRe.replaceAllIn(withoutOpt, " ")
+        val patterns = splitPatterns(body)
         require(patterns.nonEmpty, "empty BGP")
-        BgpQuery(projection, patterns, filters, Option(limitStr).map(_.toInt))
+        BgpQuery(projection, patterns, filters, Option(limitStr).map(_.toInt),
+          optionals)
       case _ => throw new IllegalArgumentException(s"unsupported SPARQL: $query")
     }
   }
+
+  /** Split a brace-free pattern group on dots DELIMITED BY WHITESPACE (or
+    * line end) and outside quotes — dots inside <uri>s or quoted literals
+    * don't split.
+    */
+  private def splitPatterns(body: String): Seq[TriplePattern] =
+    body.split("\\s+\\.(?=\\s|$)(?=(?:[^']*'[^']*')*[^']*$)")
+      .map(_.trim).filter(s => s.nonEmpty && s != ".").toSeq.map(parsePattern)
 
   private def parseFilter(cond: String): FilterCond = {
     val condRe = "\\?(\\w+)\\s*(!=|=)\\s*(.+)".r

@@ -164,6 +164,39 @@ class SparqlSpec extends SparkTestBase {
       reg.sparql("SELECT ?x WHERE { ?x :p1 ?y . FILTER(?nope = 'b') }"))
   }
 
+  test("parser: OPTIONAL group extracted, required patterns intact") {
+    val q = SparqlParser.parse(
+      "SELECT ?s ?z WHERE { ?s :p2 ?o . OPTIONAL { ?o :p3 ?z } . FILTER(?s != 'e') }")
+    assert(q.patterns.length == 1)
+    assert(q.optionals == Seq(Seq(
+      TriplePattern(Variable("o"), Constant(":p3"), Variable("z")))))
+    assert(q.filters == Seq(FilterCond("s", FilterNeq, Constant("e"))))
+  }
+
+  test("OPTIONAL binds when matched, nulls when not (SPARQL LeftJoin)") {
+    val (engine, triples) = fixture
+    // (10,:p2,-7): -7 has a :p3 edge -> z=20; (11,:p2,-8): no :p3 -> null
+    val rows = engine.registerSplitTables(triples)
+      .sparql("SELECT ?s ?z WHERE { ?s :p2 ?o . OPTIONAL { ?o :p3 ?z } }")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq((10, Some(20)), (11, None)))
+  }
+
+  test("FILTER on an optional variable drops unbound rows (SPARQL error semantics)") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    val eq = reg.sparql(
+      "SELECT ?s WHERE { ?s :p2 ?o . OPTIONAL { ?o :p3 ?z } . FILTER(?z = 'd') }")
+      .collect().map(_.getInt(0)).toSeq
+    assert(eq == Seq(10))
+    // != also drops null bindings: comparison with unbound is an error
+    val neq = reg.sparql(
+      "SELECT ?s WHERE { ?s :p2 ?o . OPTIONAL { ?o :p3 ?z } . FILTER(?z != 'd') }")
+      .count()
+    assert(neq == 0)
+  }
+
   test("LIMIT caps the result set size exactly") {
     val (engine, triples) = fixture
     val reg = engine.registerSingleTable(triples)
