@@ -246,6 +246,34 @@ object Pipeline {
       s.sql(ngramPairsSql(SparkDialect, "ngram_sets"))
     }
 
+  /** Benchmark DECONTAMINATION — the training-pipeline gate that flags
+    * train documents sharing word-3-gram content with an evaluation set
+    * (here: every 20th document stands in for the benchmark corpus, so the
+    * oracle is self-contained). Output = the removal list: doc_id plus how
+    * many distinct eval shingles it contains.
+    *
+    * 100 TB shape: the eval n-gram set is tiny relative to the corpus
+    * (benchmarks are small) — the join against it broadcasts, so
+    * decontamination costs one corpus shingle pass + a broadcast join +
+    * one aggregation; candidates never come from anything but the shingle
+    * equi-join.
+    */
+  private def decontaminateSql(d: Dialect, shSrc: Option[String] = None): String =
+    s"""WITH sh AS (${shSrc.getOrElse(shingleExplode(d))}),
+       |eval AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+       |hits AS (SELECT sh.doc_id, COUNT(DISTINCT sh.s) AS n_hits
+       |  FROM sh JOIN eval ON sh.s = eval.s
+       |  WHERE sh.doc_id % 20 <> 0
+       |  GROUP BY sh.doc_id)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(n_hits AS BIGINT) AS n_eval_ngrams
+       |FROM hits""".stripMargin
+
+  private def corpusDecontaminate: QueryDef =
+    QueryDef("corpus_decontaminate", decontaminateSql(DuckDialect)) { (s, dir) =>
+      s.sql(decontaminateSql(SparkDialect, Some(cachedShingles(s, dir))))
+    }
+
   /** 60-bit SimHash per document (60 rather than 64 keeps `1 << i` clear of
     * the BIGINT sign bit in both engines). Same 100 TB shape as MinHash:
     * explode tokens → hash only the DISTINCT-token vocabulary → 60 codegen'd
@@ -1092,5 +1120,6 @@ object Pipeline {
     multimodalResize,
     multimodalFrameSample,
     eventsLatestState,
+    corpusDecontaminate,
   )
 }
