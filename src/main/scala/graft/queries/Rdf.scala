@@ -183,6 +183,18 @@ object Rdf {
              | ?o :contains ?p2 . FILTER(?o = 'order_$minOrder') } LIMIT 1000000""".stripMargin)
     },
 
+    // ---- SPARQL SELECT DISTINCT (set-semantics solution modifier): the
+    // distinct nations customers belong to — a hash aggregate over the
+    // projected column, before LIMIT per the SPARQL modifier order. ----
+    QueryDef("rdf_sparql_distinct",
+      RdfBridge.oracleCte +
+        """SELECT DISTINCT Object AS n FROM triples
+          |WHERE Predicate = -31""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT DISTINCT ?n WHERE { ?c :in_nation ?n }")
+    },
+
     // ---- SPARQL OPTIONAL (LeftJoin): every customer bound via :in_nation,
     // orders attached when present — customers without orders keep ?o null,
     // which an inner BGP would drop. Planned as a left outer join on the

@@ -108,7 +108,11 @@ object BgpPlanner {
     val projected =
       if (projection.isEmpty) filtered // fully-bound BGP: non-empty iff it matches
       else filtered.select(projection.map(col): _*)
-    query.limit.fold(projected)(projected.limit)
+    // DISTINCT over the projected solution sequence (set semantics) — a
+    // hash aggregate on the projected columns, before LIMIT per SPARQL
+    // solution-modifier order
+    val modified = if (query.distinct) projected.distinct() else projected
+    query.limit.fold(modified)(modified.limit)
   }
 
   /** One pattern → filtered scan projected to its variable columns. */

@@ -32,7 +32,8 @@ final case class BgpQuery(
     patterns: Seq[TriplePattern],
     filters: Seq[FilterCond] = Nil,
     limit: Option[Int] = None,
-    optionals: Seq[Seq[TriplePattern]] = Nil)
+    optionals: Seq[Seq[TriplePattern]] = Nil,
+    distinct: Boolean = false)
 
 object SparqlParser {
 
@@ -46,9 +47,11 @@ object SparqlParser {
     val re = "(?is)SELECT\\s+(.*?)\\s+WHERE\\s*\\{(.*)\\}(?:\\s+LIMIT\\s+(\\d+))?\\s*".r
     normalized match {
       case re(proj, rawBody, limitStr) =>
+        val distinct = proj.trim.toUpperCase.startsWith("DISTINCT ")
+        val projTerms = if (distinct) proj.trim.substring("DISTINCT ".length) else proj.trim
         val projection =
-          if (proj.trim == "*") Nil
-          else proj.trim.split("\\s+").toSeq.map { v =>
+          if (projTerms.trim == "*") Nil
+          else projTerms.trim.split("\\s+").toSeq.map { v =>
             require(v.startsWith("?"), s"projection must be variables or *, got: $v")
             v.substring(1)
           }
@@ -69,7 +72,7 @@ object SparqlParser {
         val patterns = splitPatterns(body)
         require(patterns.nonEmpty, "empty BGP")
         BgpQuery(projection, patterns, filters, Option(limitStr).map(_.toInt),
-          optionals)
+          optionals, distinct)
       case _ => throw new IllegalArgumentException(s"unsupported SPARQL: $query")
     }
   }

@@ -204,6 +204,21 @@ class SparqlSpec extends SparkTestBase {
     assert(reg.sparql("SELECT ?s ?o WHERE { ?s :p1 ?o } LIMIT 100").count() == 2)
   }
 
+  test("SELECT DISTINCT deduplicates the projected solutions") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSingleTable(triples)
+    // ?p ranges over predicates 1,2 for two chains each -> bag of 5 rows
+    // (p1 x2, p2 x2, p3 x1) collapses to 3 distinct predicates... the
+    // fixture has :p1 twice, :p2 twice, :p3 once, :loop once = 6 rows,
+    // 4 distinct. Project only the subject's predicate variable via a
+    // var-predicate pattern.
+    val bag = reg.sparql("SELECT ?p WHERE { ?s ?p ?o }").count()
+    val set = reg.sparql("SELECT DISTINCT ?p WHERE { ?s ?p ?o }").count()
+    assert(bag == 6 && set == 4)
+    val q = SparqlParser.parse("SELECT DISTINCT ?p WHERE { ?s ?p ?o }")
+    assert(q.distinct && q.projection == Seq("p"))
+  }
+
   test("reference Q1 SQL shape runs verbatim against registered views") {
     val (engine, triples) = fixture
     engine.registerSingleTable(triples)

@@ -47,6 +47,23 @@ class TopKSpec extends SparkTestBase {
     assert(top2.sameElements(Array(2L, 3L)))
   }
 
+  test("partial-phase flush-and-reset past the group threshold is lossless") {
+    import spark.implicits._
+    // 200 groups per partition, threshold 7: the partial phase flushes and
+    // resets its heap store dozens of times per partition (exercising the
+    // carry-row handoff between chunks); the final merge must still equal
+    // the window form exactly
+    val df = (1 to 4000).map(i => (i % 200, (i * 13) % 500, i.toLong))
+      .toDF("g", "v", "id").repartition(4)
+    spark.conf.set("spark.graft.topk.maxPartialGroups", "7")
+    try {
+      val native = TopK.perGroup(df, Seq("g"), Seq("v" -> false, "id" -> true), 3)
+        .collect().map(_.toString).sorted
+      val window = windowTopK(df, 3).collect().map(_.toString).sorted
+      assert(native.length == window.length && native.sameElements(window))
+    } finally spark.conf.unset("spark.graft.topk.maxPartialGroups")
+  }
+
   test("map-side cap: partial phase bounds shuffle input per partition") {
     import spark.implicits._
     // one group spread over many partitions, 100 rows each: the partial
