@@ -96,18 +96,26 @@ object Graph {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .localCheckpoint()
     var labels = nodes.select(col("node"), col("node").as("comp")).localCheckpoint()
+    // Convergence check WITHOUT a join: min-label propagation is monotonic
+    // (every node's label only ever decreases), so the label sum strictly
+    // decreases until fixpoint — equal sums ⟺ no label changed. One cheap
+    // aggregate over the freshly checkpointed labels replaces the
+    // next-vs-previous equi-join per round. decimal(38,0) so the sum can't
+    // overflow at 100 TB node-id scales.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    var done = false
+    var done = prevSum == null // empty node set: nothing to propagate
     while (!done && (maxIters < 0 || iter < maxIters)) {
       val nbr = undirected.join(labels, undirected("u") === labels("node"))
         .select(col("v").as("node"), col("comp"))
       val next = labels.unionAll(nbr)
         .groupBy("node").agg(min("comp").as("comp"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("l"), col("n.node") === col("l.node"))
-        .filter(col("n.comp") =!= col("l.comp"))
-      done = changed.isEmpty
+      val nextSum = labelSum(next)
+      done = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
