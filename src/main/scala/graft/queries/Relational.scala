@@ -679,6 +679,23 @@ object Relational {
       graft.operators.SkewJoin.saltedInnerJoin(left, right, "k", salt = 8)
         .select(col("event_id"), col("k"), col("label"))
     },
+
+    // ---- partitioned parquet sink + partition-PRUNED read-back: the
+    // hive-style `partitionBy` layout every big table uses — the filter on
+    // the partition column is resolved at PLANNING time (file listing),
+    // so the scan reads only the matching directory, not the table. The
+    // same mechanism backs Layouts.writePartitionedBySign (spec-proven);
+    // this gate proves the round-trip against the plain-filter oracle. ----
+    QueryDef("q40_partitioned_io",
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type = 'purchase'""".stripMargin) { (s, dir) =>
+      val tmp = Tables.scratchDir("part_io")
+      Tables.load(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      s.read.parquet(tmp).filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "event_type", "value")
+    },
   )
 
   /** Array-returning form of q21: per nation, the sorted distinct market
