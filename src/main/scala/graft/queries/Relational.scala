@@ -696,6 +696,25 @@ object Relational {
       s.read.parquet(tmp).filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "event_type", "value")
     },
+
+    // ---- z-ordered sink + two-dimension filtered read-back
+    // (Layouts.writeZOrdered): bit-interleaved (user_id, event_id) sort
+    // gives file-level min/max locality in BOTH columns, so parquet
+    // row-group stats prune a filter on EITHER (per-file span spec in
+    // ScaleTechniquesSpec); the gate proves the layout is lossless under a
+    // both-dims predicate vs the plain-filter oracle. ----
+    QueryDef("q41_zorder_io",
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE user_id BETWEEN 100 AND 200 AND event_id BETWEEN 1000 AND 30000""".stripMargin) { (s, dir) =>
+      val tmp = Tables.scratchDir("zorder_io")
+      graft.plans.Layouts.writeZOrdered(
+        Tables.load(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "value"),
+        "user_id", "event_id", tmp, numFiles = 16)
+      s.read.parquet(tmp)
+        .filter(col("user_id").between(100, 200) && col("event_id").between(1000, 30000))
+        .select("event_id", "user_id", "event_type", "value")
+    },
   )
 
   /** Array-returning form of q21: per nation, the sorted distinct market
