@@ -195,6 +195,33 @@ object Rdf {
         .sparql("SELECT DISTINCT ?n WHERE { ?c :in_nation ?n }")
     },
 
+    // ---- SPARQL UNION: two arms binding DIFFERENT variables — arm rows
+    // pad the other arm's variables with null (SPARQL multiset union of
+    // incompatible-domain solutions). Planned as unionByName with
+    // allowMissingColumns over independently optimized arm subtrees. ----
+    QueryDef("rdf_sparql_union",
+      RdfBridge.oracleCte +
+        """SELECT Object AS n, CAST(NULL AS INTEGER) AS p FROM triples WHERE Predicate = -31
+          |UNION ALL
+          |SELECT CAST(NULL AS INTEGER) AS n, Object AS p FROM triples WHERE Predicate = -13""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?n ?p WHERE { { ?c :in_nation ?n } UNION { ?o :contains ?p } }")
+    },
+
+    // ---- SPARQL ORDER BY + OFFSET + LIMIT (solution modifiers): ordering
+    // on ALL projected variables makes the slice a deterministic multiset
+    // even across duplicate rows; with the LIMIT present Catalyst plans a
+    // top-k (TakeOrderedAndProject), not a total sort. ----
+    QueryDef("rdf_sparql_order",
+      RdfBridge.oracleCte +
+        """SELECT Subject AS o, Object AS p FROM triples WHERE Predicate = -13
+          |ORDER BY o DESC, p ASC LIMIT 200 OFFSET 100""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?o ?p WHERE { ?o :contains ?p } ORDER BY DESC(?o) ?p LIMIT 200 OFFSET 100")
+    },
+
     // ---- SPARQL OPTIONAL (LeftJoin): every customer bound via :in_nation,
     // orders attached when present — customers without orders keep ?o null,
     // which an inner BGP would drop. Planned as a left outer join on the

@@ -705,14 +705,16 @@ object Relational {
     // both-dims predicate vs the plain-filter oracle. ----
     QueryDef("q41_zorder_io",
       """SELECT event_id, user_id, event_type, value FROM events
-        |WHERE user_id BETWEEN 100 AND 200 AND event_id BETWEEN 1000 AND 30000""".stripMargin) { (s, dir) =>
+        |WHERE user_id BETWEEN 3 AND 8 AND event_id BETWEEN 100 AND 500""".stripMargin) { (s, dir) =>
       val tmp = Tables.scratchDir("zorder_io")
       graft.plans.Layouts.writeZOrdered(
         Tables.load(s, dir, "events")
           .select("event_id", "user_id", "event_type", "value"),
         "user_id", "event_id", tmp, numFiles = 16)
       s.read.parquet(tmp)
-        .filter(col("user_id").between(100, 200) && col("event_id").between(1000, 30000))
+        // ranges non-empty at EVERY scale factor (sf0.001 has users 0-14,
+        // events 0-999); still selective on both z-order dimensions
+        .filter(col("user_id").between(3, 8) && col("event_id").between(100, 500))
         .select("event_id", "user_id", "event_type", "value")
     },
   )

@@ -45,7 +45,7 @@ object BgpPlanner {
     // Encode every constant — pattern terms AND filter right-hand sides —
     // in one dictionary round-trip (single pushed-down isin scan, not one
     // scan per term).
-    val constants = ((query.patterns ++ query.optionals.flatten)
+    val constants = ((query.patterns ++ query.optionals.flatten ++ query.unionArms.flatten)
       .flatMap(p => Seq(p.s, p.p, p.o)) ++
       query.filters.map(_.value)).collect {
       case Constant(l) => l
@@ -63,7 +63,18 @@ object BgpPlanner {
       if (shared.isEmpty) acc.crossJoin(next)
       else acc.join(next, shared, "inner")
     }
-    val required = joinGroup(planned)
+    // Top-level UNION (SPARQL Union): each arm is its own BGP join plan;
+    // arms are combined with bag semantics, and a variable unbound in an
+    // arm pads to null — `unionByName(allowMissingColumns)` gives exactly
+    // the SPARQL multiset-union-with-null-padding, and each arm stays an
+    // independently optimized subtree (filters pushed per arm).
+    val required =
+      if (query.unionArms.isEmpty) joinGroup(planned)
+      else query.unionArms.zipWithIndex.map { case (arm, a) =>
+        joinGroup(arm.zipWithIndex.map { case (p, i) =>
+          planPattern(p, 100000 * (a + 1) + i, store, enc)
+        })
+      }.reduceLeft(_.unionByName(_, allowMissingColumns = true))
 
     // OPTIONAL groups: each planned as its own BGP, then LEFT-joined to the
     // accumulated result on the shared variables (SPARQL LeftJoin) — rows
@@ -112,7 +123,16 @@ object BgpPlanner {
     // hash aggregate on the projected columns, before LIMIT per SPARQL
     // solution-modifier order
     val modified = if (query.distinct) projected.distinct() else projected
-    query.limit.fold(modified)(modified.limit)
+    // ORDER BY → OFFSET → LIMIT (SPARQL solution-modifier order). With a
+    // LIMIT, Catalyst turns the sort into a TakeOrderedAndProject (top-k,
+    // no total sort-exchange); OFFSET composes as skip-then-take.
+    val ordered =
+      if (query.orderBy.isEmpty) modified
+      else modified.orderBy(query.orderBy.map {
+        case (v, asc) => if (asc) col(v).asc else col(v).desc
+      }: _*)
+    val offsetted = query.offset.fold(ordered)(ordered.offset)
+    query.limit.fold(offsetted)(offsetted.limit)
   }
 
   /** One pattern → filtered scan projected to its variable columns. */

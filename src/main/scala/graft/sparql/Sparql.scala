@@ -25,7 +25,10 @@ final case class FilterCond(variable: String, op: FilterOp, value: Term)
 /** A basic graph pattern plus the query's projection (Nil = `*`), OPTIONAL
   * pattern groups (each left-joined to the required patterns on shared
   * variables, unmatched rows binding their variables to null), FILTER
-  * conditions, and optional LIMIT.
+  * conditions, solution modifiers (ORDER BY / OFFSET / LIMIT / DISTINCT),
+  * and — mutually exclusive with `patterns` — top-level UNION arms
+  * (`{ bgp } UNION { bgp } ...`, bag semantics, variables not bound by an
+  * arm come out null).
   */
 final case class BgpQuery(
     projection: Seq[String],
@@ -33,7 +36,10 @@ final case class BgpQuery(
     filters: Seq[FilterCond] = Nil,
     limit: Option[Int] = None,
     optionals: Seq[Seq[TriplePattern]] = Nil,
-    distinct: Boolean = false)
+    distinct: Boolean = false,
+    unionArms: Seq[Seq[TriplePattern]] = Nil,
+    orderBy: Seq[(String, Boolean)] = Nil, // (variable, ascending)
+    offset: Option[Int] = None)
 
 object SparqlParser {
 
@@ -44,9 +50,11 @@ object SparqlParser {
     */
   def parse(query: String): BgpQuery = {
     val normalized = query.trim.replaceAll("\\s+", " ")
-    val re = "(?is)SELECT\\s+(.*?)\\s+WHERE\\s*\\{(.*)\\}(?:\\s+LIMIT\\s+(\\d+))?\\s*".r
+    // body = up to the LAST closing brace (greedy — union arms contain
+    // braces); tail = the solution-modifier clauses after it
+    val re = "(?is)SELECT\\s+(.*?)\\s+WHERE\\s*\\{(.*)\\}(.*)".r
     normalized match {
-      case re(proj, rawBody, limitStr) =>
+      case re(proj, rawBody, tail) =>
         val distinct = proj.trim.toUpperCase.startsWith("DISTINCT ")
         val projTerms = if (distinct) proj.trim.substring("DISTINCT ".length) else proj.trim
         val projection =
@@ -55,6 +63,17 @@ object SparqlParser {
             require(v.startsWith("?"), s"projection must be variables or *, got: $v")
             v.substring(1)
           }
+        val (orderBy, limit, offset) = parseModifiers(tail.trim)
+        // Top-level UNION: the whole body is `{ bgp } UNION { bgp } ...`
+        // (checked exhaustively, so OPTIONAL/FILTER extraction below never
+        // misreads an arm's braces).
+        if (rawBody.matches("(?is)\\s*\\{[^{}]*\\}(\\s*UNION\\s*\\{[^{}]*\\})+\\s*")) {
+          val arms = "\\{([^{}]*)\\}".r.findAllMatchIn(rawBody)
+            .map(m => splitPatterns(m.group(1))).toSeq
+          require(arms.forall(_.nonEmpty), "empty UNION arm")
+          return BgpQuery(projection, Nil, Nil, limit, Nil, distinct,
+            unionArms = arms, orderBy = orderBy, offset = offset)
+        }
         // OPTIONAL groups first (their braces enclose plain BGPs — no
         // nesting in the subset), so the FILTER extraction below never
         // reaches inside an optional block.
@@ -71,10 +90,32 @@ object SparqlParser {
         val body = filterRe.replaceAllIn(withoutOpt, " ")
         val patterns = splitPatterns(body)
         require(patterns.nonEmpty, "empty BGP")
-        BgpQuery(projection, patterns, filters, Option(limitStr).map(_.toInt),
-          optionals, distinct)
+        BgpQuery(projection, patterns, filters, limit,
+          optionals, distinct, orderBy = orderBy, offset = offset)
       case _ => throw new IllegalArgumentException(s"unsupported SPARQL: $query")
     }
+  }
+
+  /** Solution modifiers after the WHERE group:
+    * `[ORDER BY (?v | ASC(?v) | DESC(?v))+] [LIMIT n] [OFFSET m]`
+    * (LIMIT/OFFSET in either order, per the SPARQL LimitOffsetClauses rule).
+    */
+  private def parseModifiers(tail: String): (Seq[(String, Boolean)], Option[Int], Option[Int]) = {
+    if (tail.isEmpty) return (Nil, None, None)
+    val orderItem = "(?i)(?:(ASC|DESC)\\s*\\(\\s*\\?(\\w+)\\s*\\)|\\?(\\w+))"
+    val orderRe = s"(?i)ORDER\\s+BY((?:\\s*$orderItem)+)".r
+    val orderBy = orderRe.findFirstMatchIn(tail).map { m =>
+      orderItem.r.findAllMatchIn(m.group(1)).map { it =>
+        if (it.group(3) != null) (it.group(3), true)
+        else (it.group(2), !it.group(1).equalsIgnoreCase("DESC"))
+      }.toSeq
+    }.getOrElse(Nil)
+    val rest = orderRe.replaceAllIn(tail, " ")
+    val limit = "(?i)LIMIT\\s+(\\d+)".r.findFirstMatchIn(rest).map(_.group(1).toInt)
+    val offset = "(?i)OFFSET\\s+(\\d+)".r.findFirstMatchIn(rest).map(_.group(1).toInt)
+    val leftover = "(?i)(LIMIT|OFFSET)\\s+\\d+".r.replaceAllIn(rest, " ").trim
+    require(leftover.isEmpty, s"unsupported solution modifiers: $leftover")
+    (orderBy, limit, offset)
   }
 
   /** Split a brace-free pattern group on dots DELIMITED BY WHITESPACE (or

@@ -104,8 +104,9 @@ class ScaleTechniquesSpec extends SparkTestBase {
       .toDF("x", "y")
     val out = graft.sources.Tables.scratchDir("spec_zorder")
     graft.plans.Layouts.writeZOrdered(df, "x", "y", out, numFiles = 8, bits = 6)
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(out)).toArray
-      .map(_.toString).filter(_.endsWith(".parquet"))
+    val files = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(out)))(
+      _.toArray.map(_.toString).filter(_.endsWith(".parquet")))
     assert(files.length == 8)
     def avgSpan(c: String): Double = files.map { f =>
       val r = spark.read.parquet(f)
@@ -125,9 +126,9 @@ class ScaleTechniquesSpec extends SparkTestBase {
       .select("event_id", "user_id", "value")
     events.repartition(32).write.mode("overwrite").parquet(in)
     graft.queries.Pipeline.compactParquet(spark, in, out, targetFiles = 2)
-    def parquetFiles(p: String) =
-      java.nio.file.Files.list(java.nio.file.Paths.get(p)).toArray
-        .map(_.toString).count(_.endsWith(".parquet"))
+    def parquetFiles(p: String) = scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(p)))(
+      _.toArray.map(_.toString).count(_.endsWith(".parquet")))
     assert(parquetFiles(in) == 32)
     assert(parquetFiles(out) == 2)
     assert(spark.read.parquet(out).count() == events.count())

@@ -219,6 +219,49 @@ class SparqlSpec extends SparkTestBase {
     assert(q.distinct && q.projection == Seq("p"))
   }
 
+  test("parser: UNION arms, ORDER BY items, OFFSET extracted") {
+    val q = SparqlParser.parse(
+      "SELECT ?a ?b WHERE { { ?a :p1 ?x } UNION { ?b :p2 ?y . ?y :p3 ?z } } " +
+        "ORDER BY DESC(?a) ?b LIMIT 10 OFFSET 5")
+    assert(q.patterns.isEmpty)
+    assert(q.unionArms.map(_.length) == Seq(1, 2))
+    assert(q.orderBy == Seq(("a", false), ("b", true)))
+    assert(q.limit.contains(10) && q.offset.contains(5))
+    // LimitOffsetClauses: either order accepted
+    val q2 = SparqlParser.parse("SELECT ?s WHERE { ?s :p1 ?o } OFFSET 1 LIMIT 2")
+    assert(q2.limit.contains(2) && q2.offset.contains(1))
+    intercept[IllegalArgumentException](
+      SparqlParser.parse("SELECT ?s WHERE { ?s :p1 ?o } GROUP BY ?s"))
+  }
+
+  test("UNION: bag semantics with null padding for arm-local variables") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    val rows = reg.sparql(
+      "SELECT ?m ?o WHERE { { ?s :p1 ?m } UNION { ?s :p2 ?o } }").collect()
+    // arm1 binds ?m (2 rows, ?o null), arm2 binds ?o (2 rows, ?m null)
+    assert(rows.length == 4)
+    assert(rows.count(r => !r.isNullAt(0) && r.isNullAt(1)) == 2)
+    assert(rows.count(r => r.isNullAt(0) && !r.isNullAt(1)) == 2)
+    // shared variable stays one column: both arms bind ?x
+    val shared = reg.sparql(
+      "SELECT ?x WHERE { { ?s :p1 ?x } UNION { ?s :p2 ?x } }").collect()
+    assert(shared.map(_.getInt(0)).sorted.toSeq == Seq(-8, -7, 10, 11))
+  }
+
+  test("ORDER BY + OFFSET + LIMIT slice the ordered solution sequence") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSingleTable(triples)
+    // all 6 triples ordered by subject desc: 11, 10, 6, -5, -7, -9
+    val all = reg.sparql(
+      "SELECT ?s ?p ?o WHERE { ?s ?p ?o } ORDER BY DESC(?s)").collect()
+    assert(all.map(_.getInt(0)).toSeq == Seq(11, 10, 6, -5, -7, -9))
+    val sliced = reg.sparql(
+      "SELECT ?s ?p ?o WHERE { ?s ?p ?o } ORDER BY DESC(?s) LIMIT 2 OFFSET 1")
+      .collect()
+    assert(sliced.map(_.getInt(0)).toSeq == Seq(10, 6))
+  }
+
   test("reference Q1 SQL shape runs verbatim against registered views") {
     val (engine, triples) = fixture
     engine.registerSingleTable(triples)

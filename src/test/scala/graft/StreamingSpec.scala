@@ -106,10 +106,13 @@ class StreamingSpec extends SparkTestBase {
     // duplicate the whole input: copy the staged files again so every event
     // arrives twice, in different micro-batches
     val dupDir = Files.createTempDirectory("events_dup")
-    java.nio.file.Files.list(java.nio.file.Paths.get(eventsDir)).forEach { p =>
-      if (p.toString.endsWith(".parquet")) {
-        Files.copy(p, dupDir.resolve("a_" + p.getFileName))
-        Files.copy(p, dupDir.resolve("b_" + p.getFileName))
+    scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(eventsDir))) { stream =>
+      stream.forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          Files.copy(p, dupDir.resolve("a_" + p.getFileName))
+          Files.copy(p, dupDir.resolve("b_" + p.getFileName))
+        }
       }
     }
     val stream = EventStreams.readEventStream(spark, dupDir.toString, maxFilesPerTrigger = 2)
