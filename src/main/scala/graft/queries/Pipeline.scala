@@ -1079,6 +1079,99 @@ object Pipeline {
         Tables.load(s, dir, "events"), "30 minutes")
     }
 
+  /** Per-label embedding centroids, emitted as (label, dim, component) rows.
+    *
+    * Shape: explode the vector over its 64 dims, then ONE hash aggregate on
+    * (label, dim) — map-side partial aggregation collapses each partition to
+    * at most |labels|×dim rows before the shuffle, so the exchange is O(
+    * groups × partitions) regardless of row count: the 100 TB path for any
+    * model-state computation over embeddings (k-means steps, per-class
+    * means). Components are quantized to exact integer micro-units —
+    * `ROUND(double·10⁶)` is bit-identical across engines here because every
+    * `.5` tie below 2⁵³ is exactly representable and both engines round it
+    * away from zero (DuckDB's direct FLOAT→DECIMAL cast is NOT safe: it
+    * scales in float arithmetic and diverges from Spark's string-based
+    * decimal conversion in the low digits) — summed exactly as BIGINT, and
+    * divided once as double.
+    */
+  private def embCentroids(d: Dialect): String = {
+    val micro =
+      s"CAST(ROUND(CAST(${d.elem("embedding", "i")} AS DOUBLE) * 1000000.0) AS BIGINT)"
+    s"""WITH e AS (${d.explodeSelect("label, embedding", "embeddings",
+                     d.seq("1", DIM.toString), "i")})
+       |SELECT label, CAST(i AS INTEGER) AS dim,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM($micro) AS DOUBLE)
+       |    / (1000000.0 * CAST(COUNT(*) AS DOUBLE)) AS centroid
+       |FROM e GROUP BY label, i""".stripMargin
+  }
+
+  private val CHUNK = 32  // tokens per training chunk
+  private val STRIDE = 16 // chunk stride (50% overlap)
+
+  /** Sliding-window document chunking (the standard LLM-pretraining
+    * tokenize-and-chunk step): fixed-size token windows every STRIDE tokens;
+    * the final window truncates at the document tail, and documents shorter
+    * than one window yield a single short chunk. Pure per-row explode — no
+    * shuffle at all; at 100 TB this is a map-only stage that parallelizes
+    * with the input splits.
+    */
+  private def corpusChunk(d: Dialect): String = {
+    val nchunks =
+      s"CASE WHEN ${d.len("toks")} <= $CHUNK THEN 1 ELSE " +
+        s"CAST(CEIL(CAST(${d.len("toks")} - $CHUNK AS DOUBLE) / $STRIDE) AS INTEGER) + 1 END"
+    val slice = d.slice("toks", s"k * $STRIDE + 1", CHUNK.toString)
+    s"""WITH t AS (SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM documents),
+       |e AS (${d.explodeSelect("doc_id, toks", "t", d.seq("0", s"($nchunks) - 1"), "k")})
+       |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+       |  CAST(${d.len(slice)} AS BIGINT) AS n_tokens,
+       |  ${d.joinWs(slice)} AS chunk
+       |FROM e""".stripMargin
+  }
+
+  /** Per-document top-3 terms by tf-idf with RAW inverse document frequency
+    * (score = tf/df): the ratio of two exactly-representable counts is ONE
+    * correctly-rounded IEEE division, so ranking and the emitted score are
+    * bit-identical across engines (a log-damped idf would hang the gate on
+    * cross-engine `ln` ulp differences; the ranking this produces is the
+    * same monotone family). Ties break on the term for a deterministic
+    * top-k.
+    *
+    * Scale shape: tf = one (doc, term) hash aggregate; df = one term
+    * aggregate OVER THE TF TABLE (not the raw token stream — df counts
+    * documents, and tf is already distinct-per-doc); the rank is a
+    * PARTITIONED window (per-doc heaps, no global sort). The tf aggregate
+    * is materialized once on the Spark side — it feeds both the df branch
+    * and the scoring join, and Catalyst inlines twice-referenced CTEs.
+    */
+  private def tfidfSql(d: Dialect, tfSrc: Option[String] = None): String = {
+    val tf = tfSrc.getOrElse(
+      s"""SELECT doc_id, tk, COUNT(*) AS tf
+         |FROM (${d.explodeSelect("doc_id", "documents", F.tokens(d, "text"), "tk")}) tok
+         |GROUP BY doc_id, tk""".stripMargin)
+    s"""WITH tf AS ($tf),
+       |idf AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tk),
+       |scored AS (SELECT t.doc_id, t.tk, CAST(t.tf AS BIGINT) AS tf, i.df,
+       |    CAST(t.tf AS DOUBLE) / CAST(i.df AS DOUBLE) AS score
+       |  FROM tf t JOIN idf i ON t.tk = i.tk),
+       |r AS (SELECT doc_id, tk, tf, df, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tk ASC) AS rn
+       |  FROM scored)
+       |SELECT doc_id, tk AS term, tf, df, score FROM r WHERE rn <= 3""".stripMargin
+  }
+
+  private def textTfidfDef: QueryDef =
+    QueryDef("text_tfidf", tfidfSql(DuckDialect)) { (s, dir) =>
+      views(s, dir, "documents")
+      s.sql(
+        s"""SELECT doc_id, tk, COUNT(*) AS tf
+           |FROM (${SparkDialect.explodeSelect("doc_id", "documents",
+                     F.tokens(SparkDialect, "text"), "tk")}) tok
+           |GROUP BY doc_id, tk""".stripMargin)
+        .persist().createOrReplaceTempView("graft_tf")
+      s.sql(tfidfSql(SparkDialect, Some("SELECT doc_id, tk, tf FROM graft_tf")))
+    }
+
   // debug handles for stage-level profiling (graft.Probe)
   def debugTextNormalizeSql: String = textNormalize(SparkDialect)
   def debugNgramSetSql: String = ngramSetSql(SparkDialect)
@@ -1121,5 +1214,8 @@ object Pipeline {
     multimodalFrameSample,
     eventsLatestState,
     corpusDecontaminate,
+    embQuery("emb_label_centroids", embCentroids),
+    docQuery("corpus_chunk", corpusChunk),
+    textTfidfDef,
   )
 }

@@ -717,6 +717,48 @@ object Relational {
         .filter(col("user_id").between(3, 8) && col("event_id").between(100, 500))
         .select("event_id", "user_id", "event_type", "value")
     },
+
+    // ---- correlated EXISTS / NOT EXISTS predicate subqueries: Catalyst's
+    // RewritePredicateSubquery turns both into semi/anti joins on the
+    // correlation key (same physical shape as q6/q7, reached from the ANSI
+    // subquery surface instead of the DataFrame join API). ----
+    QueryDef("q42_exists_subquery",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderpriority = '5-LOW')""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders o2
+          |                  WHERE o2.o_custkey = c.c_custkey
+          |                    AND o2.o_orderpriority = '5-LOW')""".stripMargin)
+    },
+
+    // ---- LATERAL correlated derived table with ORDER BY + LIMIT (top-1
+    // order per customer through the ANSI lateral surface): Catalyst
+    // decorrelates the per-row limit into a partitioned window — no
+    // driver-side loop, no cross join. ----
+    QueryDef("q43_lateral_join",
+      """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+          |FROM customer c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l""".stripMargin)
+    },
   )
 
   /** Array-returning form of q21: per nation, the sorted distinct market

@@ -96,6 +96,50 @@ object Streams {
     })
   }
 
+  /** The staged dir plus a FINAL sentinel file holding one far-future event
+    * (max ts + 240 h, aligned 1 s past an hour boundary): processed last, it
+    * advances the watermark past every real event's window, so an
+    * append-mode windowed aggregation emits ALL real windows before the
+    * AvailableNow run terminates — deterministic emission that does not
+    * depend on where the real data's own watermark stops. The sentinel's
+    * own window never closes (nothing later arrives) and is never emitted.
+    */
+  private def sentinelEventsDir(spark: SparkSession, sfDir: String): String = {
+    val src = stagedEventsDir(spark, sfDir) // resolve OUTSIDE computeIfAbsent
+    stageCache.computeIfAbsent(seedKey(spark, sfDir, "sentinel"), { _ =>
+      val dir = cleanScratch(spark,
+        s"events_stream_wm_${sfDir.hashCode & 0x7fffffff}")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dstPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dstPath.getFileSystem(conf)
+      fs.mkdirs(dstPath)
+      val srcPath = new org.apache.hadoop.fs.Path(src)
+      // copy in modification-time order: the file stream source batches by
+      // mod time, and each sequential copy re-stamps it
+      srcPath.getFileSystem(conf).listStatus(srcPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getModificationTime).foreach { st =>
+          org.apache.hadoop.fs.FileUtil.copy(
+            st.getPath.getFileSystem(conf), st.getPath,
+            fs, new org.apache.hadoop.fs.Path(dstPath, st.getPath.getName),
+            false, conf)
+        }
+      val all = Tables.load(spark, sfDir, "events")
+      val schema = all.schema
+      all.agg(max(col("ts")).as("m"))
+        .select(schema.fields.map { f =>
+          (f.name match {
+            case "ts" => expr("date_trunc('hour', m) + INTERVAL 240 HOURS 1 SECOND")
+            case "event_id" | "user_id" => lit(-1L)
+            case "event_type" => lit("sentinel")
+            case other => lit(null).cast(schema(other).dataType)
+          }).cast(f.dataType).as(f.name)
+        }: _*)
+        .coalesce(1).write.mode("append").parquet(dir)
+      dir
+    })
+  }
+
   private def await(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     assert(q.awaitTermination(300000), "streaming gate timed out")
 
@@ -137,6 +181,29 @@ object Streams {
         .trigger(Trigger.AvailableNow()).start()
       await(q)
       s.table("g_stream_dedup")
+    },
+
+    // ---- WATERMARK-DRIVEN windowed aggregation in append mode: tumbling
+    // 1-hour windows close and emit as the 30-minute watermark passes them
+    // across micro-batches; the final sentinel file pushes the watermark
+    // past every real window, so the emitted set is exactly the batch
+    // GROUP BY (real windows only — the sentinel's window never closes,
+    // and its rows are excluded by event_type on both sides). ----
+    QueryDef("stream_windowed_agg",
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY window_start, event_type""".stripMargin) { (s, dir) =>
+      val src = sentinelEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_wm_ckpt_${dir.hashCode & 0x7fffffff}")
+      val q = EventStreams.windowedCounts(
+          EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1),
+          "1 hour", "30 minutes")
+        .writeStream.format("memory").queryName("g_stream_wm")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.table("g_stream_wm").filter(col("event_type") =!= "sentinel")
     },
 
     // ---- TRUE streaming sessionization through flatMapGroupsWithState:
