@@ -237,6 +237,39 @@ object Rdf {
         .sparql("SELECT ?c ?o WHERE { ?c :in_nation ?n . OPTIONAL { ?c :placed ?o } }")
     },
 
+    // ---- SPARQL 1.1 aggregation: COUNT over GROUP BY variables — one
+    // map-side-combinable hash aggregate over the BGP solution sequence
+    // (customers per nation), same plan as the SQL GROUP BY. ----
+    QueryDef("rdf_sparql_agg",
+      RdfBridge.oracleCte +
+        """SELECT Object AS n, CAST(COUNT(Subject) AS BIGINT) AS cnt
+          |FROM triples WHERE Predicate = -31 GROUP BY Object""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c :in_nation ?n } GROUP BY ?n")
+    },
+
+    // ---- SPARQL property path (one-or-more over an alternation): the
+    // 3-hop closure cust→orders→parts→suppliers through the SPARQL
+    // surface, planned as the semi-naive BFS fixpoint — per round one
+    // frontier⋈edges join, distinct endpoints (ALP semantics). Oracle:
+    // WITH RECURSIVE over the predicate-filtered edge set. ----
+    QueryDef("rdf_sparql_path",
+      RdfBridge.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, seed AS (SELECT CAST(-(1000 + (SELECT MIN(o_custkey) FROM orders)) AS INTEGER) AS node),
+          |edges AS (SELECT Subject, Object FROM triples WHERE Predicate IN (-2, -13, -21)),
+          |reach AS (
+          |  SELECT e.Object AS node FROM edges e JOIN seed s ON e.Subject = s.node
+          |  UNION
+          |  SELECT e.Object FROM reach r JOIN edges e ON e.Subject = r.node)
+          |SELECT CAST(node AS INTEGER) AS o FROM reach""".stripMargin) { (s, dir) =>
+      val minCust = graft.sources.Tables.load(s, dir, "orders")
+        .agg(min(col("o_custkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"SELECT ?o WHERE { 'cust_$minCust' (:placed|:contains|:supplied_by)+ ?o }")
+    },
+
     // ---- transitive reachability: semi-naive BFS fixpoint (iterative
     // distributed joins — Spark has no recursive SQL) vs DuckDB's
     // WITH RECURSIVE oracle. Seed = the placed-predicate's minimum subject;

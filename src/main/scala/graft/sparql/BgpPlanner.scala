@@ -41,20 +41,42 @@ object BgpPlanner {
     * decode with `Dictionary.decode`. A constant term that is absent from the
     * dictionary yields an empty (not failing) result — it can match nothing.
     */
+  /** `:p+` / `(:p|:q)+` — SPARQL property path: one-or-more steps over the
+    * (alternation of the) named predicates. Returns the base predicate
+    * lexical forms when `lexical` is the path syntax.
+    */
+  private def pathPreds(lexical: String): Option[Seq[String]] = {
+    val re = "^\\(?((?::?\\w+)(?:\\|:?\\w+)*)\\)?\\+$".r
+    lexical match {
+      case re(inner) => Some(inner.split("\\|").toSeq.map(Dictionary.normalizeTerm))
+      case _ => None
+    }
+  }
+
   def plan(query: BgpQuery, store: Store, dict: Dictionary): DataFrame = {
-    // Encode every constant — pattern terms AND filter right-hand sides —
-    // in one dictionary round-trip (single pushed-down isin scan, not one
-    // scan per term).
-    val constants = ((query.patterns ++ query.optionals.flatten ++ query.unionArms.flatten)
+    // Patterns whose predicate is a one-or-more property path plan through
+    // the iterative closure operator, not a scan.
+    val (pathPatterns, plainPatterns) = query.patterns.partition {
+      p => p.p match {
+        case Constant(l) => pathPreds(l).isDefined
+        case _ => false
+      }
+    }
+    // Encode every constant — pattern terms, path base predicates, AND
+    // filter right-hand sides — in one dictionary round-trip (single
+    // pushed-down isin scan, not one scan per term).
+    val constants = ((plainPatterns ++ query.optionals.flatten ++ query.unionArms.flatten)
       .flatMap(p => Seq(p.s, p.p, p.o)) ++
+      pathPatterns.flatMap(p => Seq(p.s, p.o)) ++
+      pathPatterns.flatMap(p => pathPreds(p.p.asInstanceOf[Constant].lexical).get.map(Constant(_))) ++
       query.filters.map(_.value)).collect {
       case Constant(l) => l
     }.distinct
     val enc: Map[String, Int] = dict.encodeTerms(constants)
 
-    val planned = query.patterns.zipWithIndex.map { case (pat, i) =>
+    val planned = plainPatterns.zipWithIndex.map { case (pat, i) =>
       planPattern(pat, i, store, enc)
-    }
+    } ++ pathPatterns.map(p => planPathPattern(p, store, enc))
 
     // Join patterns left-to-right on shared variables; disjoint patterns
     // cross-join (correct per SPARQL semantics, logged as a scale hazard).
@@ -113,12 +135,33 @@ object BgpPlanner {
       df.filter(f.op match { case FilterEq => eq; case FilterNeq => !eq })
     }
 
+    // SPARQL 1.1 aggregation: COUNT aggregates in the projection group the
+    // solution sequence by the GROUP BY variables (one hash aggregate,
+    // map-side combinable — the same plan a SQL GROUP BY produces).
+    val aggregated =
+      if (query.countAggs.isEmpty) filtered
+      else {
+        val plainVars = query.projection.filterNot(query.countAggs.map(_.alias).contains)
+        require(plainVars.forall(query.groupByVars.contains),
+          s"projected variables ${plainVars.mkString(",")} must appear in GROUP BY")
+        val aggCols = query.countAggs.map { a =>
+          (a.variable, a.distinct) match {
+            case (None, _) => count(lit(1)).as(a.alias)
+            case (Some(v), false) => count(col(v)).as(a.alias)
+            case (Some(v), true) => countDistinct(col(v)).as(a.alias)
+          }
+        }
+        if (query.groupByVars.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
+        else filtered.groupBy(query.groupByVars.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+      }
+
     val projection =
       if (query.projection.nonEmpty) query.projection
-      else filtered.columns.toSeq.filterNot(_.startsWith("__exists_")).sorted
+      else aggregated.columns.toSeq.filterNot(_.startsWith("__exists_")).sorted
     val projected =
-      if (projection.isEmpty) filtered // fully-bound BGP: non-empty iff it matches
-      else filtered.select(projection.map(col): _*)
+      if (projection.isEmpty) aggregated // fully-bound BGP: non-empty iff it matches
+      else aggregated.select(projection.map(col): _*)
     // DISTINCT over the projected solution sequence (set semantics) — a
     // hash aggregate on the projected columns, before LIMIT per SPARQL
     // solution-modifier order
@@ -133,6 +176,44 @@ object BgpPlanner {
       }: _*)
     val offsetted = query.offset.fold(ordered)(ordered.offset)
     query.limit.fold(offsetted)(offsetted.limit)
+  }
+
+  /** A property-path pattern `<bound subject> (:p|:q)+ ?var` → the set of
+    * nodes reachable from the subject in one or more steps over edges whose
+    * predicate is in the alternation — planned as the semi-naive BFS
+    * fixpoint ([[graft.operators.Graph.reachableFrom]]): per iteration one
+    * frontier⋈edges equi-join + one anti-join, lineage truncated per round.
+    * Path solutions are DISTINCT endpoints, exactly the closure's output
+    * (SPARQL's arbitrary-length-path semantics). The closure spans both
+    * sign tables (a path crosses entity classes), so the split store scans
+    * their union.
+    */
+  private def planPathPattern(
+      pat: TriplePattern, store: Store, enc: Map[String, Int]): DataFrame = {
+    val predIds = pathPreds(pat.p.asInstanceOf[Constant].lexical).get.flatMap(enc.get)
+    val base = store match {
+      case SingleTable(df) => df
+      case SplitTables(pos, neg) => pos.unionAll(neg)
+    }
+    val edges = base.filter(col(TripleSchema.predicate).isin(predIds: _*))
+    val oVar = pat.o match {
+      case Variable(v) => v
+      case _ => throw new IllegalArgumentException(
+        "property-path object must be a variable in the subset")
+    }
+    val seedId = pat.s match {
+      case Constant(l) => enc.get(l)
+      case _ => throw new IllegalArgumentException(
+        "property-path subject must be bound in the subset")
+    }
+    // one-or-more: seed the closure with the subject's DIRECT successors
+    // (the `+` semantics — the subject itself only appears if reached by a
+    // cycle); an unknown subject term reaches nothing
+    val direct = edges
+      .filter(col(TripleSchema.subject) === lit(seedId.getOrElse(Int.MinValue)))
+      .select(col(TripleSchema.objekt).as("node")).distinct()
+    graft.operators.Graph.reachableFrom(edges, direct)
+      .select(col("node").as(oVar))
   }
 
   /** One pattern → filtered scan projected to its variable columns. */

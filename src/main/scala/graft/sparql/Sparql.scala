@@ -30,6 +30,12 @@ final case class FilterCond(variable: String, op: FilterOp, value: Term)
   * (`{ bgp } UNION { bgp } ...`, bag semantics, variables not bound by an
   * arm come out null).
   */
+/** A SPARQL 1.1 COUNT aggregate in the projection:
+  * `(COUNT(?v) AS ?alias)` / `(COUNT(*) AS ?alias)` /
+  * `(COUNT(DISTINCT ?v) AS ?alias)`.
+  */
+final case class CountAgg(variable: Option[String], distinct: Boolean, alias: String)
+
 final case class BgpQuery(
     projection: Seq[String],
     patterns: Seq[TriplePattern],
@@ -39,7 +45,9 @@ final case class BgpQuery(
     distinct: Boolean = false,
     unionArms: Seq[Seq[TriplePattern]] = Nil,
     orderBy: Seq[(String, Boolean)] = Nil, // (variable, ascending)
-    offset: Option[Int] = None)
+    offset: Option[Int] = None,
+    groupByVars: Seq[String] = Nil,
+    countAggs: Seq[CountAgg] = Nil)
 
 object SparqlParser {
 
@@ -57,13 +65,8 @@ object SparqlParser {
       case re(proj, rawBody, tail) =>
         val distinct = proj.trim.toUpperCase.startsWith("DISTINCT ")
         val projTerms = if (distinct) proj.trim.substring("DISTINCT ".length) else proj.trim
-        val projection =
-          if (projTerms.trim == "*") Nil
-          else projTerms.trim.split("\\s+").toSeq.map { v =>
-            require(v.startsWith("?"), s"projection must be variables or *, got: $v")
-            v.substring(1)
-          }
-        val (orderBy, limit, offset) = parseModifiers(tail.trim)
+        val (projection, countAggs) = parseProjection(projTerms.trim)
+        val (orderBy, limit, offset, groupByVars) = parseModifiers(tail.trim)
         // Top-level UNION: the whole body is `{ bgp } UNION { bgp } ...`
         // (checked exhaustively, so OPTIONAL/FILTER extraction below never
         // misreads an arm's braces).
@@ -72,7 +75,8 @@ object SparqlParser {
             .map(m => splitPatterns(m.group(1))).toSeq
           require(arms.forall(_.nonEmpty), "empty UNION arm")
           return BgpQuery(projection, Nil, Nil, limit, Nil, distinct,
-            unionArms = arms, orderBy = orderBy, offset = offset)
+            unionArms = arms, orderBy = orderBy, offset = offset,
+            groupByVars = groupByVars, countAggs = countAggs)
         }
         // OPTIONAL groups first (their braces enclose plain BGPs — no
         // nesting in the subset), so the FILTER extraction below never
@@ -91,31 +95,66 @@ object SparqlParser {
         val patterns = splitPatterns(body)
         require(patterns.nonEmpty, "empty BGP")
         BgpQuery(projection, patterns, filters, limit,
-          optionals, distinct, orderBy = orderBy, offset = offset)
+          optionals, distinct, orderBy = orderBy, offset = offset,
+          groupByVars = groupByVars, countAggs = countAggs)
       case _ => throw new IllegalArgumentException(s"unsupported SPARQL: $query")
     }
   }
 
-  /** Solution modifiers after the WHERE group:
-    * `[ORDER BY (?v | ASC(?v) | DESC(?v))+] [LIMIT n] [OFFSET m]`
-    * (LIMIT/OFFSET in either order, per the SPARQL LimitOffsetClauses rule).
+  /** Projection list: `*`, or a sequence of `?var` and
+    * `(COUNT([DISTINCT] ?v | *) AS ?alias)` items. Returns the output
+    * column order (vars and aliases interleaved as written) plus the
+    * aggregate specs.
     */
-  private def parseModifiers(tail: String): (Seq[(String, Boolean)], Option[Int], Option[Int]) = {
-    if (tail.isEmpty) return (Nil, None, None)
+  private def parseProjection(proj: String): (Seq[String], Seq[CountAgg]) = {
+    if (proj == "*") return (Nil, Nil)
+    val itemRe =
+      ("(?i)\\(\\s*COUNT\\s*\\(\\s*(DISTINCT\\s+)?(\\*|\\?\\w+)\\s*\\)\\s+AS\\s+\\?(\\w+)\\s*\\)" +
+        "|\\?(\\w+)").r
+    val matches = itemRe.findAllMatchIn(proj).toSeq
+    require(matches.nonEmpty &&
+      itemRe.replaceAllIn(proj, " ").trim.isEmpty,
+      s"projection must be variables, COUNT aggregates, or *, got: $proj")
+    val aggs = scala.collection.mutable.ArrayBuffer.empty[CountAgg]
+    val order = matches.map { m =>
+      if (m.group(4) != null) m.group(4)
+      else {
+        val v = if (m.group(2) == "*") None else Some(m.group(2).substring(1))
+        require(v.isDefined || m.group(1) == null, "COUNT(DISTINCT *) is not valid SPARQL")
+        aggs += CountAgg(v, m.group(1) != null, m.group(3))
+        m.group(3)
+      }
+    }
+    (order, aggs.toSeq)
+  }
+
+  /** Solution modifiers after the WHERE group:
+    * `[GROUP BY ?v+] [ORDER BY (?v | ASC(?v) | DESC(?v))+] [LIMIT n]
+    * [OFFSET m]` (LIMIT/OFFSET in either order, per the SPARQL
+    * LimitOffsetClauses rule).
+    */
+  private def parseModifiers(
+      tail: String): (Seq[(String, Boolean)], Option[Int], Option[Int], Seq[String]) = {
+    if (tail.isEmpty) return (Nil, None, None, Nil)
+    val groupRe = "(?i)GROUP\\s+BY((?:\\s+\\?\\w+)+)".r
+    val groupByVars = groupRe.findFirstMatchIn(tail).map { m =>
+      "\\?(\\w+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+    }.getOrElse(Nil)
+    val afterGroup = groupRe.replaceAllIn(tail, " ")
     val orderItem = "(?i)(?:(ASC|DESC)\\s*\\(\\s*\\?(\\w+)\\s*\\)|\\?(\\w+))"
     val orderRe = s"(?i)ORDER\\s+BY((?:\\s*$orderItem)+)".r
-    val orderBy = orderRe.findFirstMatchIn(tail).map { m =>
+    val orderBy = orderRe.findFirstMatchIn(afterGroup).map { m =>
       orderItem.r.findAllMatchIn(m.group(1)).map { it =>
         if (it.group(3) != null) (it.group(3), true)
         else (it.group(2), !it.group(1).equalsIgnoreCase("DESC"))
       }.toSeq
     }.getOrElse(Nil)
-    val rest = orderRe.replaceAllIn(tail, " ")
+    val rest = orderRe.replaceAllIn(afterGroup, " ")
     val limit = "(?i)LIMIT\\s+(\\d+)".r.findFirstMatchIn(rest).map(_.group(1).toInt)
     val offset = "(?i)OFFSET\\s+(\\d+)".r.findFirstMatchIn(rest).map(_.group(1).toInt)
     val leftover = "(?i)(LIMIT|OFFSET)\\s+\\d+".r.replaceAllIn(rest, " ").trim
     require(leftover.isEmpty, s"unsupported solution modifiers: $leftover")
-    (orderBy, limit, offset)
+    (orderBy, limit, offset, groupByVars)
   }
 
   /** Split a brace-free pattern group on dots DELIMITED BY WHITESPACE (or

@@ -231,7 +231,7 @@ class SparqlSpec extends SparkTestBase {
     val q2 = SparqlParser.parse("SELECT ?s WHERE { ?s :p1 ?o } OFFSET 1 LIMIT 2")
     assert(q2.limit.contains(2) && q2.offset.contains(1))
     intercept[IllegalArgumentException](
-      SparqlParser.parse("SELECT ?s WHERE { ?s :p1 ?o } GROUP BY ?s"))
+      SparqlParser.parse("SELECT ?s WHERE { ?s :p1 ?o } HAVING (?s > 1)"))
   }
 
   test("UNION: bag semantics with null padding for arm-local variables") {
@@ -260,6 +260,56 @@ class SparqlSpec extends SparkTestBase {
       "SELECT ?s ?p ?o WHERE { ?s ?p ?o } ORDER BY DESC(?s) LIMIT 2 OFFSET 1")
       .collect()
     assert(sliced.map(_.getInt(0)).toSeq == Seq(10, 6))
+  }
+
+  test("parser: COUNT aggregates and GROUP BY extracted") {
+    val q = SparqlParser.parse(
+      "SELECT ?n (COUNT(?c) AS ?cnt) (COUNT(DISTINCT ?c) AS ?dcnt) " +
+        "WHERE { ?c :p1 ?n } GROUP BY ?n ORDER BY ?n LIMIT 5")
+    assert(q.projection == Seq("n", "cnt", "dcnt"))
+    assert(q.countAggs == Seq(
+      CountAgg(Some("c"), distinct = false, "cnt"),
+      CountAgg(Some("c"), distinct = true, "dcnt")))
+    assert(q.groupByVars == Seq("n") && q.orderBy == Seq(("n", true)))
+    val star = SparqlParser.parse("SELECT (COUNT(*) AS ?total) WHERE { ?s ?p ?o }")
+    assert(star.countAggs == Seq(CountAgg(None, distinct = false, "total")))
+    assert(star.groupByVars.isEmpty)
+  }
+
+  test("COUNT/GROUP BY aggregate the solution sequence") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSingleTable(triples)
+    // predicates 1 and 2 occur twice, 3 and 9 once
+    val rows = reg.sparql(
+      "SELECT ?p (COUNT(?s) AS ?cnt) WHERE { ?s ?p ?o } GROUP BY ?p")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(rows == Map(1 -> 2L, 2 -> 2L, 3 -> 1L, 9 -> 1L))
+    // global aggregate (no GROUP BY): one row
+    val total = reg.sparql("SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }")
+      .collect()
+    assert(total.length == 1 && total.head.getLong(0) == 6L)
+    // COUNT DISTINCT: objects of p1/p2 are all distinct, subjects repeat
+    val d = reg.sparql(
+      "SELECT (COUNT(DISTINCT ?o) AS ?n) WHERE { ?s ?p ?o }").collect()
+    assert(d.head.getLong(0) == 6L)
+  }
+
+  test("property path: one-or-more closure over an alternation") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // chain a -p1-> b -p2-> c -p3-> d: closure from 'a' over all three
+    val rows = reg.sparql(
+      "SELECT ?o WHERE { 'a' (:p1|:p2|:p3)+ ?o }").collect().map(_.getInt(0))
+    assert(rows.sorted.toSeq == Seq(-7, 10, 20))
+    // single-predicate path: one step only from 'a'
+    val one = reg.sparql("SELECT ?o WHERE { 'a' :p1+ ?o }").collect()
+    assert(one.map(_.getInt(0)).toSeq == Seq(10))
+    // path composes with a plain pattern through the shared variable
+    val joined = reg.sparql(
+      "SELECT ?o ?z WHERE { 'a' (:p1|:p2)+ ?o . ?o :p3 ?z }").collect()
+    assert(joined.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((-7, 20)))
+    // unknown subject term: empty, not an error
+    assert(reg.sparql("SELECT ?o WHERE { 'nosuch' :p1+ ?o }").count() == 0)
   }
 
   test("reference Q1 SQL shape runs verbatim against registered views") {
