@@ -1172,6 +1172,79 @@ object Pipeline {
       s.sql(tfidfSql(SparkDialect, Some("SELECT doc_id, tk, tf FROM graft_tf")))
     }
 
+  /** Edit-distance-verified near-duplicates: minhash band candidates (the
+    * proven bounded generator — candidates ONLY from band-key equi-joins)
+    * re-verified with true Levenshtein distance ≤ half the longer text.
+    * The Spark side runs the banded THRESHOLD variant (`levenshtein(a,b,k)`
+    * computes only a 2k+1-wide DP diagonal and early-exits to -1 past k —
+    * O(k·n) instead of O(n²) per pair); the oracle computes the full
+    * distance and applies the same bound, so kept rows carry identical
+    * distances. At 100 TB the quadratic-ish verify cost rides on the
+    * candidate set's size, which banding already bounds.
+    */
+  private def editDistSql(d: Dialect, sigSrc: String): String = {
+    val thr = "CAST(FLOOR(CAST(mx AS DOUBLE) / 2.0) AS INTEGER)"
+    val lev =
+      if (d == SparkDialect) s"levenshtein(ta, tb, $thr)"
+      else "levenshtein(ta, tb)"
+    val keep = if (d == SparkDialect) "ed >= 0" else s"ed <= $thr"
+    s"""WITH p AS (${minhashPairsSql(d, sigSrc)}),
+       |j AS (SELECT p.a, p.b, da.text AS ta, db.text AS tb
+       |  FROM p JOIN documents da ON p.a = da.doc_id
+       |  JOIN documents db ON p.b = db.doc_id),
+       |m AS (SELECT a, b, ta, tb, GREATEST(length(ta), length(tb)) AS mx FROM j),
+       |e AS (SELECT a, b, mx, $lev AS ed FROM m)
+       |SELECT a, b, CAST(ed AS BIGINT) AS edit_dist, CAST(mx AS BIGINT) AS max_len
+       |FROM e WHERE $keep""".stripMargin
+  }
+
+  private def dedupEditDistance: QueryDef = {
+    val oracle =
+      s"""WITH sigs AS (${minhashSigSql(DuckDialect)}),
+         |q AS (${editDistSql(DuckDialect, "sigs")})
+         |SELECT * FROM q""".stripMargin
+    QueryDef("dedup_edit_distance", oracle) { (s, dir) =>
+      val sigs = s.sql(minhashSigSql(SparkDialect, Some(cachedShingles(s, dir)))).persist()
+      sigs.createOrReplaceTempView("minhash_sigs_ed")
+      s.sql(editDistSql(SparkDialect, "minhash_sigs_ed"))
+    }
+  }
+
+  /** End-to-end dedup APPLICATION: minhash pairs → connected components →
+    * one keeper (min doc_id) per cluster → the surviving corpus. The final
+    * step is a semi join of the full documents table against the keeper
+    * set — at 100 TB the keeper set is ids-only (no text in the shuffle)
+    * and the semi join hash-partitions on doc_id.
+    */
+  private def corpusDedupApply: QueryDef =
+    QueryDef("corpus_dedup_apply",
+      s"""WITH RECURSIVE sigs AS (${minhashSigSql(DuckDialect)}),
+         |p AS (${minhashPairsSql(DuckDialect, "sigs")}),
+         |edges AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b AS u, a AS v FROM p),
+         |reach AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS node, CAST(doc_id AS BIGINT) AS comp FROM documents
+         |  UNION
+         |  SELECT e.v AS node, r.comp FROM reach r JOIN edges e ON e.u = r.node),
+         |keepers AS (SELECT node FROM reach GROUP BY node HAVING MIN(comp) = node)
+         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source,
+         |  CAST(d.n_chars AS BIGINT) AS n_chars
+         |FROM documents d JOIN keepers k ON CAST(d.doc_id AS BIGINT) = k.node""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val sigs = s.sql(minhashSigSql(SparkDialect, Some(cachedShingles(s, dir)))).persist()
+      sigs.createOrReplaceTempView("minhash_sigs_apply")
+      val pairs = s.sql(minhashPairsSql(SparkDialect, "minhash_sigs_apply"))
+      val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      val nodes = Tables.load(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("node"))
+      val keepers = graft.operators.Graph.connectedComponents(nodes, edges)
+        .filter(col("node") === col("comp"))
+        .select(col("node").as("doc_id"))
+      Tables.load(s, dir, "documents")
+        .join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+    }
+
   // debug handles for stage-level profiling (graft.Probe)
   def debugTextNormalizeSql: String = textNormalize(SparkDialect)
   def debugNgramSetSql: String = ngramSetSql(SparkDialect)
@@ -1217,5 +1290,7 @@ object Pipeline {
     embQuery("emb_label_centroids", embCentroids),
     docQuery("corpus_chunk", corpusChunk),
     textTfidfDef,
+    dedupEditDistance,
+    corpusDedupApply,
   )
 }
