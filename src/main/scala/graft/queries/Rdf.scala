@@ -249,6 +249,20 @@ object Rdf {
         .sparql("SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c :in_nation ?n } GROUP BY ?n")
     },
 
+    // ---- SPARQL MIN/MAX/COUNT aggregates per group (order range + count
+    // of each customer's orders): one hash aggregate, three agg functions
+    // over the same grouped scan. ----
+    QueryDef("rdf_sparql_minmax",
+      RdfBridge.oracleCte +
+        """SELECT Subject AS c, MIN(Object) AS first_order, MAX(Object) AS last_order,
+          |  CAST(COUNT(Object) AS BIGINT) AS n
+          |FROM triples WHERE Predicate = -2 GROUP BY Subject""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?c (MIN(?o) AS ?first_order) (MAX(?o) AS ?last_order) " +
+          "(COUNT(?o) AS ?n) WHERE { ?c :placed ?o } GROUP BY ?c")
+    },
+
     // ---- SPARQL property path (one-or-more over an alternation): the
     // 3-hop closure cust→orders→parts→suppliers through the SPARQL
     // surface, planned as the semi-naive BFS fixpoint — per round one

@@ -206,6 +206,41 @@ object Streams {
       s.table("g_stream_wm").filter(col("event_type") =!= "sentinel")
     },
 
+    // ---- stream-stream INTERVAL JOIN: purchases ⋈ same-user clicks in the
+    // preceding hour, watermarks on BOTH sides bounding the buffered state.
+    // Deterministic because staging is globally time-ordered and the
+    // watermark delay (2 h) exceeds the join interval (1 h): when a
+    // purchase arrives, every click it can match is still within the
+    // state-retention horizon, so the emitted set equals the batch interval
+    // join exactly (also pinned by StreamingSpec). ----
+    QueryDef("stream_interval_join",
+      """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin) { (s, dir) =>
+      val src = stagedEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_ssj_ckpt_${dir.hashCode & 0x7fffffff}")
+      val stream = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+        .withWatermark("p_ts", "2 hours")
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+        .withWatermark("c_ts", "2 hours")
+      val q = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"))
+        .select("user_id", "p_id", "c_id")
+        .writeStream.format("memory").queryName("g_stream_ssj")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.table("g_stream_ssj")
+    },
+
     // ---- TRUE streaming sessionization through flatMapGroupsWithState:
     // state carries open sessions across micro-batches; emitted sessions =
     // gaps-and-islands sessions minus each user's final one (never flushed

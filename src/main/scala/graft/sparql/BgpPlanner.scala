@@ -145,11 +145,17 @@ object BgpPlanner {
         require(plainVars.forall(query.groupByVars.contains),
           s"projected variables ${plainVars.mkString(",")} must appear in GROUP BY")
         val aggCols = query.countAggs.map { a =>
-          (a.variable, a.distinct) match {
-            case (None, _) => count(lit(1)).as(a.alias)
-            case (Some(v), false) => count(col(v)).as(a.alias)
-            case (Some(v), true) => countDistinct(col(v)).as(a.alias)
+          val c = (a.fn, a.variable, a.distinct) match {
+            case ("COUNT", None, _) => count(lit(1))
+            case ("COUNT", Some(v), false) => count(col(v))
+            case ("COUNT", Some(v), true) => countDistinct(col(v))
+            case ("SUM", Some(v), false) => sum(col(v))
+            case ("SUM", Some(v), true) => sum_distinct(col(v))
+            case ("MIN", Some(v), _) => min(col(v))
+            case ("MAX", Some(v), _) => max(col(v))
+            case other => throw new IllegalArgumentException(s"unsupported aggregate: $other")
           }
+          c.as(a.alias)
         }
         if (query.groupByVars.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
         else filtered.groupBy(query.groupByVars.map(col): _*)

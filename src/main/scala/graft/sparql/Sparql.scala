@@ -30,11 +30,12 @@ final case class FilterCond(variable: String, op: FilterOp, value: Term)
   * (`{ bgp } UNION { bgp } ...`, bag semantics, variables not bound by an
   * arm come out null).
   */
-/** A SPARQL 1.1 COUNT aggregate in the projection:
-  * `(COUNT(?v) AS ?alias)` / `(COUNT(*) AS ?alias)` /
-  * `(COUNT(DISTINCT ?v) AS ?alias)`.
+/** A SPARQL 1.1 aggregate in the projection:
+  * `(COUNT([DISTINCT] ?v | *) AS ?alias)`, `(SUM([DISTINCT] ?v) AS ?alias)`,
+  * `(MIN(?v) AS ?alias)`, `(MAX(?v) AS ?alias)`.
   */
-final case class CountAgg(variable: Option[String], distinct: Boolean, alias: String)
+final case class CountAgg(variable: Option[String], distinct: Boolean,
+    alias: String, fn: String = "COUNT")
 
 final case class BgpQuery(
     projection: Seq[String],
@@ -102,27 +103,31 @@ object SparqlParser {
   }
 
   /** Projection list: `*`, or a sequence of `?var` and
-    * `(COUNT([DISTINCT] ?v | *) AS ?alias)` items. Returns the output
-    * column order (vars and aliases interleaved as written) plus the
+    * `(COUNT|SUM|MIN|MAX([DISTINCT] ?v | *) AS ?alias)` items. Returns the
+    * output column order (vars and aliases interleaved as written) plus the
     * aggregate specs.
     */
   private def parseProjection(proj: String): (Seq[String], Seq[CountAgg]) = {
     if (proj == "*") return (Nil, Nil)
     val itemRe =
-      ("(?i)\\(\\s*COUNT\\s*\\(\\s*(DISTINCT\\s+)?(\\*|\\?\\w+)\\s*\\)\\s+AS\\s+\\?(\\w+)\\s*\\)" +
+      ("(?i)\\(\\s*(COUNT|SUM|MIN|MAX)\\s*\\(\\s*(DISTINCT\\s+)?(\\*|\\?\\w+)\\s*\\)\\s+AS\\s+\\?(\\w+)\\s*\\)" +
         "|\\?(\\w+)").r
     val matches = itemRe.findAllMatchIn(proj).toSeq
     require(matches.nonEmpty &&
       itemRe.replaceAllIn(proj, " ").trim.isEmpty,
-      s"projection must be variables, COUNT aggregates, or *, got: $proj")
+      s"projection must be variables, aggregates, or *, got: $proj")
     val aggs = scala.collection.mutable.ArrayBuffer.empty[CountAgg]
     val order = matches.map { m =>
-      if (m.group(4) != null) m.group(4)
+      if (m.group(5) != null) m.group(5)
       else {
-        val v = if (m.group(2) == "*") None else Some(m.group(2).substring(1))
-        require(v.isDefined || m.group(1) == null, "COUNT(DISTINCT *) is not valid SPARQL")
-        aggs += CountAgg(v, m.group(1) != null, m.group(3))
-        m.group(3)
+        val fn = m.group(1).toUpperCase
+        val v = if (m.group(3) == "*") None else Some(m.group(3).substring(1))
+        require(v.isDefined || fn == "COUNT", s"$fn(*) is not valid SPARQL")
+        require(v.isDefined || m.group(2) == null, "COUNT(DISTINCT *) is not valid SPARQL")
+        require(m.group(2) == null || fn == "COUNT" || fn == "SUM",
+          s"DISTINCT is only valid with COUNT/SUM, got $fn")
+        aggs += CountAgg(v, m.group(2) != null, m.group(4), fn)
+        m.group(4)
       }
     }
     (order, aggs.toSeq)

@@ -292,6 +292,14 @@ class SparqlSpec extends SparkTestBase {
     val d = reg.sparql(
       "SELECT (COUNT(DISTINCT ?o) AS ?n) WHERE { ?s ?p ?o }").collect()
     assert(d.head.getLong(0) == 6L)
+    // MIN/MAX/SUM over the p1 group: objects 10/11, subjects -5 + 6 = 1
+    val mm = reg.sparql(
+      "SELECT ?p (MIN(?o) AS ?lo) (MAX(?o) AS ?hi) (SUM(?s) AS ?ssum) " +
+        "WHERE { ?s ?p ?o } GROUP BY ?p").collect()
+      .map(r => r.getInt(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(mm(1) == ((10, 11, 1L)))
+    intercept[IllegalArgumentException](
+      SparqlParser.parse("SELECT (MAX(*) AS ?m) WHERE { ?s ?p ?o }"))
   }
 
   test("property path: one-or-more closure over an alternation") {
