@@ -1245,7 +1245,10 @@ object Pipeline {
           col("n_chars").cast("long").as("n_chars"))
     }
 
-  // debug handles for stage-level profiling (graft.Probe)
+  // debug handles for stage-level profiling (graft.Probe) and spec access
+  def debugCorpusChunkSql: String = corpusChunk(SparkDialect)
+  def debugTfidfSql: String = tfidfSql(SparkDialect)
+  def chunkParams: (Int, Int) = (CHUNK, STRIDE)
   def debugTextNormalizeSql: String = textNormalize(SparkDialect)
   def debugNgramSetSql: String = ngramSetSql(SparkDialect)
   def debugNgramPairsSql: String = ngramPairsSql(SparkDialect, "ngram_sets")

@@ -759,6 +759,28 @@ object Relational {
           |         WHERE o.o_custkey = c.c_custkey
           |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) l""".stripMargin)
     },
+
+    // ---- RANGE window frame over an INTERVAL (trailing 1-hour per-user
+    // activity): value-based frames include ties by ORDER value, so the
+    // result is insensitive to peer-row order — unlike ROWS frames, which
+    // q35 covers. One shuffle on user_id; the frame scan is a single
+    // ordered pass per partition. ----
+    QueryDef("q44_range_frame",
+      """SELECT event_id, user_id, ts,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
+        |FROM events""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(
+        """SELECT event_id, user_id, ts,
+          |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+          |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts
+          |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
+          |FROM events""".stripMargin)
+    },
   )
 
   /** Array-returning form of q21: per nation, the sorted distinct market

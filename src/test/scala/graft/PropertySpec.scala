@@ -153,4 +153,64 @@ class PropertySpec extends AnyFunSuite {
       assert(native.sameElements(window))
     }
   }
+
+  test("property: corpus_chunk tiles every document per the stride formula") {
+    import spark.implicits._
+    val (chunk, stride) = graft.queries.Pipeline.chunkParams
+    val docGen = Gen.listOfN(40, Gen.choose(1, 90)).map { lens =>
+      lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (0 until n).map(j => s"w${(i * 31 + j * 7) % 13}").mkString(" "))
+      }
+    }
+    forSamples(docGen, 3) { docs =>
+      docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+      val out = spark.sql(graft.queries.Pipeline.debugCorpusChunkSql)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ")
+        val l = toks.length
+        val expected =
+          if (l <= chunk) 1 else math.ceil((l - chunk).toDouble / stride).toInt + 1
+        val chunks = out(id).sortBy(_._2)
+        assert(chunks.map(_._2).toSeq == (0 until expected).map(_.toLong),
+          s"doc $id: chunk indices")
+        chunks.foreach { case (_, k, nTok, body) =>
+          val start = k.toInt * stride // 0-based
+          val slice = toks.slice(start, start + chunk)
+          assert(nTok == slice.length && body == slice.mkString(" "),
+            s"doc $id chunk $k content")
+        }
+        // tail coverage: the last chunk reaches the final token
+        val (_, lastK, lastN, _) = chunks.last
+        assert(lastK.toInt * stride + lastN == l, s"doc $id tail coverage")
+      }
+    }
+  }
+
+  test("property: text_tfidf equals the brute-force top-3 per document") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(25, Gen.listOfN(30, Gen.choose(0, 9))).map { ws =>
+      ws.zipWithIndex.map { case (words, i) =>
+        (i.toLong, words.map(w => s"t$w").mkString(" "))
+      }
+    }
+    forSamples(docGen, 3) { docs =>
+      docs.toDF("doc_id", "text").createOrReplaceTempView("documents")
+      val got = spark.sql(graft.queries.Pipeline.debugTfidfSql)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .sortBy(t => (t._1, t._2))
+      val tf = docs.flatMap { case (id, text) =>
+        text.split(" ").groupBy(identity).map { case (t, xs) => (id, t, xs.length.toLong) }
+      }
+      val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.size.toLong }
+      val expect = tf.groupBy(_._1).toSeq.flatMap { case (id, terms) =>
+        terms.map { case (_, t, f) => (id, t, f, df(t), f.toDouble / df(t).toDouble) }
+          .sortBy { case (_, t, _, _, s) => (-s, t) }
+          .take(3)
+      }.sortBy(t => (t._1, t._2))
+      assert(got.toSeq == expect, "tfidf mismatch")
+    }
+  }
 }
