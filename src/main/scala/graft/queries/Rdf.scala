@@ -249,6 +249,32 @@ object Rdf {
         .sparql("SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c :in_nation ?n } GROUP BY ?n")
     },
 
+    // ---- SPARQL ASK (boolean query form): existence probed with a
+    // LocalLimit(1) per partition — no full scan survives in the plan. ----
+    QueryDef("rdf_sparql_ask",
+      RdfBridge.oracleCte +
+        """SELECT EXISTS (SELECT 1 FROM triples
+          |  WHERE Subject = CAST(-(1000 + (SELECT MIN(o_custkey) FROM orders)) AS INTEGER)
+          |    AND Predicate = -2) AS result""".stripMargin) { (s, dir) =>
+      val minCust = graft.sources.Tables.load(s, dir, "orders")
+        .agg(min(col("o_custkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"ASK { 'cust_$minCust' :placed ?o }")
+    },
+
+    // ---- SPARQL CONSTRUCT (graph-building query form): template triples
+    // instantiated per solution and deduplicated (an RDF graph is a SET) —
+    // here the :placed edges reversed through the template. ----
+    QueryDef("rdf_sparql_construct",
+      RdfBridge.oracleCte +
+        """SELECT DISTINCT Object AS Subject, -2 AS Predicate, Subject AS Object
+          |FROM triples WHERE Predicate = -2""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("CONSTRUCT { ?o :placed ?c } WHERE { ?c :placed ?o }")
+    },
+
     // ---- SPARQL MIN/MAX/COUNT aggregates per group (order range + count
     // of each customer's orders): one hash aggregate, three agg functions
     // over the same grouped scan. ----

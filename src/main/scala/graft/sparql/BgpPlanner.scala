@@ -65,7 +65,8 @@ object BgpPlanner {
     // Encode every constant — pattern terms, path base predicates, AND
     // filter right-hand sides — in one dictionary round-trip (single
     // pushed-down isin scan, not one scan per term).
-    val constants = ((plainPatterns ++ query.optionals.flatten ++ query.unionArms.flatten)
+    val constants = ((plainPatterns ++ query.optionals.flatten ++ query.unionArms.flatten ++
+      query.constructTemplate)
       .flatMap(p => Seq(p.s, p.p, p.o)) ++
       pathPatterns.flatMap(p => Seq(p.s, p.o)) ++
       pathPatterns.flatMap(p => pathPreds(p.p.asInstanceOf[Constant].lexical).get.map(Constant(_))) ++
@@ -133,6 +134,38 @@ object BgpPlanner {
         }
       }
       df.filter(f.op match { case FilterEq => eq; case FilterNeq => !eq })
+    }
+
+    // ASK: boolean existence — LocalLimit(1) stops each partition at the
+    // first matching row, the count-over-limit aggregate folds to a single
+    // boolean; nothing beyond one solution is ever computed.
+    if (query.ask)
+      return filtered.limit(1).agg((count(lit(1)) > 0).as("result"))
+
+    // CONSTRUCT: instantiate each template triple per solution, union, and
+    // dedup (an RDF graph is a SET of triples). A template constant that is
+    // missing from the dictionary can instantiate nothing.
+    if (query.constructTemplate.nonEmpty) {
+      val built = query.constructTemplate.map { t =>
+        def termCol(term: Term) = term match {
+          case Variable(v) =>
+            require(filtered.columns.contains(v),
+              s"CONSTRUCT template variable ?$v not bound by the BGP")
+            col(v)
+          case Constant(l) => enc.get(l) match {
+            case Some(id) => lit(id)
+            case None => lit(null).cast("int")
+          }
+        }
+        filtered.select(
+          termCol(t.s).as(TripleSchema.subject),
+          termCol(t.p).as(TripleSchema.predicate),
+          termCol(t.o).as(TripleSchema.objekt))
+          .filter(col(TripleSchema.subject).isNotNull &&
+            col(TripleSchema.predicate).isNotNull &&
+            col(TripleSchema.objekt).isNotNull)
+      }
+      return built.reduceLeft(_.unionAll(_)).distinct()
     }
 
     // SPARQL 1.1 aggregation: COUNT aggregates in the projection group the

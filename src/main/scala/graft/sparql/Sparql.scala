@@ -48,7 +48,9 @@ final case class BgpQuery(
     orderBy: Seq[(String, Boolean)] = Nil, // (variable, ascending)
     offset: Option[Int] = None,
     groupByVars: Seq[String] = Nil,
-    countAggs: Seq[CountAgg] = Nil)
+    countAggs: Seq[CountAgg] = Nil,
+    ask: Boolean = false,
+    constructTemplate: Seq[TriplePattern] = Nil)
 
 object SparqlParser {
 
@@ -59,6 +61,26 @@ object SparqlParser {
     */
   def parse(query: String): BgpQuery = {
     val normalized = query.trim.replaceAll("\\s+", " ")
+    // ASK: boolean existence of any solution (no projection/modifiers)
+    val askRe = "(?is)ASK\\s*\\{(.*)\\}\\s*".r
+    normalized match {
+      case askRe(body) =>
+        val patterns = splitPatterns(body)
+        require(patterns.nonEmpty, "empty BGP")
+        return BgpQuery(Nil, patterns, ask = true)
+      case _ =>
+    }
+    // CONSTRUCT: template triples instantiated per solution (set semantics)
+    val consRe = "(?is)CONSTRUCT\\s*\\{(.*?)\\}\\s*WHERE\\s*\\{(.*)\\}\\s*".r
+    normalized match {
+      case consRe(template, body) =>
+        val tmpl = splitPatterns(template)
+        val patterns = splitPatterns(body)
+        require(tmpl.nonEmpty, "empty CONSTRUCT template")
+        require(patterns.nonEmpty, "empty BGP")
+        return BgpQuery(Nil, patterns, constructTemplate = tmpl)
+      case _ =>
+    }
     // body = up to the LAST closing brace (greedy — union arms contain
     // braces); tail = the solution-modifier clauses after it
     val re = "(?is)SELECT\\s+(.*?)\\s+WHERE\\s*\\{(.*)\\}(.*)".r

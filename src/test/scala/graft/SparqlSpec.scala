@@ -28,7 +28,30 @@ class SparqlSpec extends SparkTestBase {
   }
 
   test("parser rejects non-BGP input") {
-    intercept[IllegalArgumentException](SparqlParser.parse("ASK { ?s ?p ?o }"))
+    intercept[IllegalArgumentException](SparqlParser.parse("DESCRIBE <x>"))
+  }
+
+  test("ASK: true iff the BGP has any solution; probes only one row") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    assert(reg.sparql("ASK { 'a' :p1 ?o }").collect().head.getBoolean(0))
+    assert(!reg.sparql("ASK { 'd' :p1 ?o }").collect().head.getBoolean(0))
+    val q = SparqlParser.parse("ASK { ?s ?p ?o }")
+    assert(q.ask && q.projection.isEmpty)
+  }
+
+  test("CONSTRUCT: template instantiated per solution, set semantics") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // reverse the :p1 edges through the template
+    val rows = reg.sparql("CONSTRUCT { ?o :p1 ?s } WHERE { ?s :p1 ?o }")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(rows == Seq((10, 1, -5), (11, 1, 6)))
+    // ground template constant + dedup: every solution instantiates the
+    // same triple once
+    val one = reg.sparql("CONSTRUCT { 'a' :p3 'd' } WHERE { ?s :p1 ?o }")
+      .collect()
+    assert(one.length == 1 && one.head.getInt(0) == -5)
   }
 
   test("term normalization: variables, quotes, URIs, prefixed names") {
