@@ -121,4 +121,46 @@ object Graph {
     }
     labels
   }
+
+  /** PageRank in EXACT integer micro-units: ranks live in BIGINT millionths
+    * (r₀ = 10⁶ ≙ 1.0) and every step is integer arithmetic —
+    * `r' = 0.15·10⁶ + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100` — so the
+    * result is bit-identical on any engine and any partitioning/order: no
+    * floating-point summation order to diverge (the standard double-typed
+    * formulation is NOT reproducible across engines — partial-sum order
+    * changes the low bits). Dangling-node mass is dropped (the common
+    * simplification); truncation loses < 10⁻⁶ per edge per round.
+    *
+    * Scale shape (identical to the reference GraphX/Pregel loop): per
+    * iteration ONE equi-join of ranks against the degree-annotated edge
+    * list (hash-partitioned on src), one map-side-combinable SUM by dst,
+    * one left join back to the node set; `localCheckpoint` keeps the plan
+    * O(1) in iterations, and the edge list is persisted once.
+    *
+    * `edges`: columns `src`, `dst` (directed). Returns (node, rank_micro).
+    */
+  def pageRankMicro(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val edgeDeg = e.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var r = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
+    (0 until iters).foreach { _ =>
+      val contrib = edgeDeg.join(r, edgeDeg("src") === r("node"))
+        .select(col("dst").as("node"), expr("r div d").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr("CAST(150000 AS BIGINT) + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+            .as("r"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    edgeDeg.unpersist()
+    r.select(col("node"), col("r").as("rank_micro"))
+  }
 }

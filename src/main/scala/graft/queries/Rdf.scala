@@ -337,6 +337,35 @@ object Rdf {
         .select(col("node").cast("int").as("node"))
     },
 
+    // ---- PageRank (3 iterations) in exact integer micro-units over the
+    // full bridge graph: iterative rank joins on Spark vs the same three
+    // steps UNROLLED as CTEs in DuckDB — bit-exact because every step is
+    // BIGINT arithmetic (a double formulation would diverge in the low
+    // bits with summation order). ----
+    QueryDef("rdf_pagerank", {
+      val base = RdfBridge.oracleCte +
+        """, edges AS (SELECT Subject AS src, Object AS dst FROM triples WHERE Predicate IN (-2, -13, -21)),
+          |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) q),
+          |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+      val steps = (1 to 3).map { k =>
+        s""",c$k AS (SELECT e.dst AS node, CAST(SUM(p.r // deg.d) AS BIGINT) AS s
+           |  FROM edges e JOIN r${k - 1} p ON p.node = e.src JOIN deg ON deg.src = e.src
+           |  GROUP BY e.dst),
+           |r$k AS (SELECT n.node,
+           |  CAST(150000 + (85 * COALESCE(c.s, CAST(0 AS BIGINT))) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN c$k c ON c.node = n.node)""".stripMargin
+      }.mkString("\n")
+      base + steps + "\nSELECT node, r AS rank_micro FROM r3"
+    }) { (s, dir) =>
+      val tbl = Layouts.persistedLayout(RdfBridge.triples(s, dir), dir,
+        Layouts.BySubject, signPartitioned = false)
+      val edges = s.table(tbl)
+        .filter(col("Predicate").isin(-2, -13, -21))
+        .select(col("Subject").as("src"), col("Object").as("dst"))
+      graft.operators.Graph.pageRankMicro(edges, 3)
+    },
+
     // ---- graft_decode analyzer-rule path, gate-verified: the SQL-level
     // decode function rewrites to dictionary joins (DecodeRewriteRule via
     // GraftExtensions); oracle performs the equivalent joins explicitly. ----

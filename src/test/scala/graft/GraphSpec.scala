@@ -55,4 +55,20 @@ class GraphSpec extends SparkTestBase {
     assert(cc.select("comp").distinct().count() == 1)
     assert(cc.agg(min("comp")).head().getLong(0) == 1L)
   }
+
+  test("pageRankMicro matches the hand-computed integer recurrence") {
+    import spark.implicits._
+    // a→b, a→c, b→a; c is a dangling sink
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a")).toDF("src", "dst")
+    def ranks(iters: Int): Map[String, Long] =
+      Graph.pageRankMicro(edges, iters).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // iter 1: a gets all of b (1e6), b/c get half of a each (5e5)
+    assert(ranks(1) == Map("a" -> 1000000L, "b" -> 575000L, "c" -> 575000L))
+    // iter 2: b's 575000 flows to a -> 150000 + (85*575000) div 100
+    assert(ranks(2) == Map("a" -> 638750L, "b" -> 575000L, "c" -> 575000L))
+    // rank is conserved up to truncation + dangling loss: total <= n * 1e6
+    val total = ranks(3).values.sum
+    assert(total > 0 && total <= 3000000L)
+  }
 }
