@@ -143,6 +143,21 @@ object Streams {
   private def await(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     assert(q.awaitTermination(300000), "streaming gate timed out")
 
+  /** Run `f` with a reduced shuffle-partition count. Streaming STATE is
+    * partitioned by `spark.sql.shuffle.partitions` captured at query start;
+    * at gate scale (10⁵ rows, local) 32 partitions mean 32–64 state-store
+    * instances committing per micro-batch — pure overhead. 8 keeps the
+    * per-batch state commit cost proportionate; results are independent of
+    * partitioning. On a real cluster this knob is sized to executor count ×
+    * state volume, not lowered.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- stream source → filter → parquet STREAMING SINK → read back:
@@ -169,6 +184,7 @@ object Streams {
     // far past the data span → exactly the distinct events come out. ----
     QueryDef("stream_dedup",
       "SELECT event_id, ts, user_id, event_type, value FROM events") { (s, dir) =>
+      withStatePartitions(s, 8) {
       val src = duplicatedEventsDir(s, dir)
       val ckpt = cleanScratch(s, s"stream_dedup_ckpt_${dir.hashCode & 0x7fffffff}")
       val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 2)
@@ -181,6 +197,7 @@ object Streams {
         .trigger(Trigger.AvailableNow()).start()
       await(q)
       s.table("g_stream_dedup")
+      }
     },
 
     // ---- WATERMARK-DRIVEN windowed aggregation in append mode: tumbling
@@ -194,6 +211,7 @@ object Streams {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY window_start, event_type""".stripMargin) { (s, dir) =>
+      withStatePartitions(s, 8) {
       val src = sentinelEventsDir(s, dir)
       val ckpt = cleanScratch(s, s"stream_wm_ckpt_${dir.hashCode & 0x7fffffff}")
       val q = EventStreams.windowedCounts(
@@ -204,6 +222,7 @@ object Streams {
         .trigger(Trigger.AvailableNow()).start()
       await(q)
       s.table("g_stream_wm").filter(col("event_type") =!= "sentinel")
+      }
     },
 
     // ---- stream-stream INTERVAL JOIN: purchases ⋈ same-user clicks in the
@@ -219,6 +238,7 @@ object Streams {
         |  ON p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.user_id = p.user_id
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin) { (s, dir) =>
+      withStatePartitions(s, 8) {
       val src = stagedEventsDir(s, dir)
       val ckpt = cleanScratch(s, s"stream_ssj_ckpt_${dir.hashCode & 0x7fffffff}")
       val stream = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
@@ -239,6 +259,7 @@ object Streams {
         .trigger(Trigger.AvailableNow()).start()
       await(q)
       s.table("g_stream_ssj")
+      }
     },
 
     // ---- TRUE streaming sessionization through flatMapGroupsWithState:
@@ -260,6 +281,7 @@ object Streams {
         |SELECT s.* FROM sess s
         |LEFT JOIN last l ON s.user_id = l.user_id AND s.session_start = l.session_start
         |WHERE l.user_id IS NULL""".stripMargin) { (s, dir) =>
+      withStatePartitions(s, 8) {
       import s.implicits._
       val src = stagedEventsDir(s, dir)
       val ckpt = cleanScratch(s, s"stream_sess_ckpt_${dir.hashCode & 0x7fffffff}")
@@ -274,6 +296,7 @@ object Streams {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"),
           col("total_value").cast("decimal(18,2)").cast("double").as("total_value"))
+      }
     },
   )
 }
