@@ -65,6 +65,31 @@ class DecodeRewriteRule extends Rule[LogicalPlan] {
     (newExpr, joined)
   }
 
+  /** Decoded child expressions occurring OUTSIDE aggregate functions
+    * (decodes inside an aggregate function, e.g. COUNT(graft_decode(x)),
+    * rewrite safely and are excluded).
+    */
+  private def topLevelDecodes(e: Expression): Seq[Expression] = e match {
+    case DecodeTerm(c) => Seq(c.canonicalized)
+    case _: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+      Seq.empty
+    case other => other.children.flatMap(topLevelDecodes)
+  }
+
+  private def decodeGroupShapeOk(agg: Aggregate): Boolean = {
+    val noAggInsideDecode = (agg.groupingExpressions ++ agg.aggregateExpressions)
+      .forall(!_.exists {
+        case DecodeTerm(c) =>
+          c.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression])
+        case _ => false
+      })
+    val groupingDecodes = agg.groupingExpressions.flatMap(topLevelDecodes).toSet
+    val aggListCovered = agg.aggregateExpressions.flatMap(topLevelDecodes)
+      .forall(groupingDecodes.contains)
+    noAggInsideDecode && aggListCovered
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     var counter = 0
     val freshAlias = () => { counter += 1; s"__graft_dict_$counter" }
@@ -92,10 +117,20 @@ class DecodeRewriteRule extends Rule[LogicalPlan] {
       // attribute, so the grouping key and its select-list twin resolve to
       // the same attribute (the semantic-equality check between grouping
       // and aggregate expressions requires it).
+      //
+      // Guarded to the shapes the join rewrite can legally produce:
+      // (a) no decode OF an aggregate result — graft_decode(MIN(x)) would
+      //     put an aggregate function into the join condition below the
+      //     Aggregate; (b) every decode at the top level of the aggregate
+      //     list must also be a grouping decode — otherwise the rewritten
+      //     `term` attribute is a non-grouping non-aggregate column
+      //     (MISSING_AGGREGATION). Unsupported shapes fall through to
+      //     DecodeCheckRule's clear error instead of a cryptic one.
       case agg: Aggregate
           if agg.child.resolved &&
             (agg.groupingExpressions ++ agg.aggregateExpressions)
-              .exists(_.exists(_.isInstanceOf[DecodeTerm])) =>
+              .exists(_.exists(_.isInstanceOf[DecodeTerm])) &&
+            decodeGroupShapeOk(agg) =>
         var joined: LogicalPlan = agg.child
         val memo = scala.collection.mutable.Map.empty[Expression, UnresolvedAttribute]
         def rewrite(e: Expression): Expression = e.transformUp {
@@ -133,8 +168,11 @@ class DecodeCheckRule extends (LogicalPlan => Unit) {
             errorClass = "_LEGACY_ERROR_TEMP_3071", // template is exactly <msg>
             messageParameters = Map("msg" ->
               ("graft_decode is supported in SELECT projections, WHERE " +
-                "filters, and GROUP BY aggregates only; found it in: " +
-                node.nodeName)))
+                "filters, and GROUP BY aggregates (where each decoded " +
+                "select column also appears in GROUP BY — write " +
+                "GROUP BY graft_decode(col) to decode a grouping key — " +
+                "and the decoded expression contains no aggregate " +
+                "function); found an unsupported use in: " + node.nodeName)))
         }
       }
     }

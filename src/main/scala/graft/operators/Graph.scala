@@ -129,7 +129,10 @@ object Graph {
     * floating-point summation order to diverge (the standard double-typed
     * formulation is NOT reproducible across engines — partial-sum order
     * changes the low bits). Dangling-node mass is dropped (the common
-    * simplification); truncation loses < 10⁻⁶ per edge per round.
+    * simplification); truncation loses < 10⁻⁶ per edge per round. Range:
+    * the 85·Σ intermediate stays in BIGINT while total graph mass
+    * n·10⁶·85 < 2⁶³, i.e. up to ~10¹¹ nodes — past that, widen the
+    * accumulator to DECIMAL(38,0) (same arithmetic, exactness preserved).
     *
     * Scale shape (identical to the reference GraphX/Pregel loop): per
     * iteration ONE equi-join of ranks against the degree-annotated edge

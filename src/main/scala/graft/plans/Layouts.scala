@@ -114,18 +114,28 @@ object Layouts {
     * for joins on the key, and (split case) prune `sign` partitions at
     * planning time instead of re-filtering.
     *
-    * The identifier embeds the FULL sanitized seed (not a 32-bit hash), so
-    * two distinct seeds can never collide onto one table. Contract: the
-    * seed names the dataset — `df` content must be fixed per seed within a
-    * session (callers pass the source directory as the seed); a changed
-    * dataset needs a changed seed.
+    * The identifier embeds the sanitized seed (readable) PLUS an md5
+    * fingerprint of the RAW seed: sanitization alone aliases distinct
+    * seeds ('sf0.1' and 'sf0_1' both sanitize to 'sf0_1'), which would
+    * silently serve the wrong dataset's table; the fingerprint makes the
+    * mapping injective up to md5 collisions. Contract: the seed names the
+    * dataset — `df` content must be fixed per seed within a session
+    * (callers pass the source directory as the seed); a changed dataset
+    * needs a changed seed.
     */
+  /** 40-bit md5 prefix of the raw string — disambiguates identifiers whose
+    * sanitized forms collide.
+    */
+  private[graft] def rawFingerprint(raw: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(raw.getBytes("UTF-8")).take(5).map("%02x".format(_)).mkString
+
   def persistedLayout(df: DataFrame, seed: String, key: Key,
       signPartitioned: Boolean, buckets: Int = 32): String = {
     val spark = df.sparkSession
     val kind = if (signPartitioned) "split" else "single"
     val seedIdent = seed.toLowerCase.replaceAll("[^a-z0-9]+", "_")
-      .stripPrefix("_").stripSuffix("_")
+      .stripPrefix("_").stripSuffix("_") + "_" + rawFingerprint(seed)
     val ident = s"graft_${kind}_${key.column.toLowerCase}_$seedIdent"
     val cacheKey = s"${System.identityHashCode(spark)}/$ident"
     // a cache hit is trusted only while the table is still resolvable in

@@ -97,8 +97,9 @@ final case class TopKPerGroupExec(
     // map-side flush threshold (partial phase only): bounds the heap store
     // for pathological many-tiny-groups inputs. Read on the driver at
     // execution time, captured into the closure.
-    val maxPartialGroups =
-      conf.getConfString("spark.graft.topk.maxPartialGroups", "1048576").toInt
+    val maxPartialGroups = conf
+      .getConfString("spark.graft.topk.maxPartialGroups", "")
+      .toIntOption.getOrElse(1048576) // junk values fall back to the default
     val flushLimit = if (partial) math.max(1, maxPartialGroups) else Int.MaxValue
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupE, inputSchema)
@@ -139,6 +140,10 @@ final case class TopKPerGroupExec(
       def releaseAll(): Unit = if (consumer != null && acquired > 0) {
         consumer.freeMemory(acquired); acquired = 0L
       }
+      def release(bytes: Long): Unit = if (consumer != null) {
+        val b = math.min(bytes, acquired)
+        if (b > 0) { consumer.freeMemory(b); acquired -= b }
+      }
       if (taskCtx != null)
         taskCtx.addTaskCompletionListener[Unit](_ => releaseAll())
 
@@ -150,6 +155,12 @@ final case class TopKPerGroupExec(
         private var carry: UnsafeRow = null
 
         private def fill(): Unit = {
+          // the PREVIOUS chunk has been fully drained by the consumer at
+          // this point — release its retained bytes now, not at emit time:
+          // releasing when the chunk is built would leave the emitted rows
+          // (the whole partition output in the final phase) unaccounted at
+          // the moment of peak retention
+          releaseAll()
           val heaps =
             new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
           var full = false
@@ -177,14 +188,20 @@ final case class TopKPerGroupExec(
               if (heap.size < kk) {
                 val c = u.copy(); heap.offer(c); retain(c.getSizeInBytes + 48L)
               } else if (ordering.compare(u, heap.peek()) < 0) {
-                heap.poll(); heap.offer(u.copy())
+                // account the swap: variable-length rows mean the new copy
+                // and the evicted row can differ in size (retain first —
+                // conservative during the instant both are referenced)
+                val evicted = heap.poll()
+                val c = u.copy(); heap.offer(c)
+                retain(c.getSizeInBytes + 48L)
+                release(evicted.getSizeInBytes + 48L)
               }
             }
           }
           val out = new java.util.ArrayList[UnsafeRow](heaps.size * kk)
           heaps.values.forEach(h => h.forEach(r => out.add(r)))
-          // chunk emitted → its retained bytes are no longer held by the map
-          releaseAll()
+          // retained bytes stay accounted until the chunk is drained (the
+          // next fill() or task completion releases them)
           pending = out.iterator()
         }
 

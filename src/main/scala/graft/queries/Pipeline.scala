@@ -1145,10 +1145,7 @@ object Pipeline {
     * and the scoring join, and Catalyst inlines twice-referenced CTEs.
     */
   private def tfidfSql(d: Dialect, tfSrc: Option[String] = None): String = {
-    val tf = tfSrc.getOrElse(
-      s"""SELECT doc_id, tk, COUNT(*) AS tf
-         |FROM (${d.explodeSelect("doc_id", "documents", F.tokens(d, "text"), "tk")}) tok
-         |GROUP BY doc_id, tk""".stripMargin)
+    val tf = tfSrc.getOrElse(tfSql(d))
     s"""WITH tf AS ($tf),
        |idf AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tk),
        |scored AS (SELECT t.doc_id, t.tk, CAST(t.tf AS BIGINT) AS tf, i.df,
@@ -1173,11 +1170,27 @@ object Pipeline {
     * Scale shape: same two hash aggregates as tf-idf (tf per (doc, term),
     * then per-doc totals), one join, map-side combinable throughout.
     */
+  /** The (doc_id, tk, tf) term-frequency aggregate — the shared first stage
+    * of tf-idf and entropy.
+    */
+  private def tfSql(d: Dialect): String =
+    s"""SELECT doc_id, tk, COUNT(*) AS tf
+       |FROM (${d.explodeSelect("doc_id", "documents", F.tokens(d, "text"), "tk")}) tok
+       |GROUP BY doc_id, tk""".stripMargin
+
+  /** Spark-side materialization of [[tfSql]]: both downstream queries
+    * reference tf twice (scoring join + df/total branch) and Catalyst
+    * inlines 2-ref CTEs, so the aggregate is persisted once per gate
+    * (released by the harness's per-query clearCache).
+    */
+  private def cachedTf(s: SparkSession, dir: String): String = {
+    views(s, dir, "documents")
+    s.sql(tfSql(SparkDialect)).persist().createOrReplaceTempView("graft_tf")
+    "SELECT doc_id, tk, tf FROM graft_tf"
+  }
+
   private def textEntropySql(d: Dialect, tfSrc: Option[String] = None): String = {
-    val tf = tfSrc.getOrElse(
-      s"""SELECT doc_id, tk, COUNT(*) AS tf
-         |FROM (${d.explodeSelect("doc_id", "documents", F.tokens(d, "text"), "tk")}) tok
-         |GROUP BY doc_id, tk""".stripMargin)
+    val tf = tfSrc.getOrElse(tfSql(d))
     val p = "(CAST(t.tf AS DOUBLE) / CAST(n.n AS DOUBLE))"
     s"""WITH tf AS ($tf),
        |n AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n,
@@ -1192,26 +1205,12 @@ object Pipeline {
 
   private def textEntropyDef: QueryDef =
     QueryDef("text_entropy", textEntropySql(DuckDialect)) { (s, dir) =>
-      views(s, dir, "documents")
-      s.sql(
-        s"""SELECT doc_id, tk, COUNT(*) AS tf
-           |FROM (${SparkDialect.explodeSelect("doc_id", "documents",
-                     F.tokens(SparkDialect, "text"), "tk")}) tok
-           |GROUP BY doc_id, tk""".stripMargin)
-        .persist().createOrReplaceTempView("graft_tf_ent")
-      s.sql(textEntropySql(SparkDialect, Some("SELECT doc_id, tk, tf FROM graft_tf_ent")))
+      s.sql(textEntropySql(SparkDialect, Some(cachedTf(s, dir))))
     }
 
   private def textTfidfDef: QueryDef =
     QueryDef("text_tfidf", tfidfSql(DuckDialect)) { (s, dir) =>
-      views(s, dir, "documents")
-      s.sql(
-        s"""SELECT doc_id, tk, COUNT(*) AS tf
-           |FROM (${SparkDialect.explodeSelect("doc_id", "documents",
-                     F.tokens(SparkDialect, "text"), "tk")}) tok
-           |GROUP BY doc_id, tk""".stripMargin)
-        .persist().createOrReplaceTempView("graft_tf")
-      s.sql(tfidfSql(SparkDialect, Some("SELECT doc_id, tk, tf FROM graft_tf")))
+      s.sql(tfidfSql(SparkDialect, Some(cachedTf(s, dir))))
     }
 
   /** Edit-distance-verified near-duplicates: minhash band candidates (the

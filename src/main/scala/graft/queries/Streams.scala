@@ -114,16 +114,21 @@ object Streams {
       val fs = dstPath.getFileSystem(conf)
       fs.mkdirs(dstPath)
       val srcPath = new org.apache.hadoop.fs.Path(src)
-      // copy in modification-time order: the file stream source batches by
-      // mod time, and each sequential copy re-stamps it
-      srcPath.getFileSystem(conf).listStatus(srcPath)
+      // copy in modification-time order, then EXPLICITLY re-stamp each copy
+      // with strictly increasing times: the file stream source batches by
+      // mod time at millisecond resolution, and sequential small copies can
+      // tie on one millisecond — an out-of-order tie would process a later
+      // time range first and drop the earlier chunk's rows as late
+      val base = System.currentTimeMillis()
+      val copied = srcPath.getFileSystem(conf).listStatus(srcPath)
         .filter(_.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getModificationTime).foreach { st =>
+        .sortBy(_.getModificationTime).zipWithIndex.map { case (st, i) =>
+          val dst = new org.apache.hadoop.fs.Path(dstPath, st.getPath.getName)
           org.apache.hadoop.fs.FileUtil.copy(
-            st.getPath.getFileSystem(conf), st.getPath,
-            fs, new org.apache.hadoop.fs.Path(dstPath, st.getPath.getName),
-            false, conf)
-        }
+            st.getPath.getFileSystem(conf), st.getPath, fs, dst, false, conf)
+          fs.setTimes(dst, base + i * 1000L, -1)
+          dst.getName
+        }.toSet
       val all = Tables.load(spark, sfDir, "events")
       val schema = all.schema
       all.agg(max(col("ts")).as("m"))
@@ -136,6 +141,12 @@ object Streams {
           }).cast(f.dataType).as(f.name)
         }: _*)
         .coalesce(1).write.mode("append").parquet(dir)
+      // stamp the sentinel (the one parquet that is not a copied chunk)
+      // strictly after every chunk's timestamp
+      fs.listStatus(dstPath)
+        .filter(st => st.getPath.getName.endsWith(".parquet") &&
+          !copied.contains(st.getPath.getName))
+        .foreach(st => fs.setTimes(st.getPath, base + 100 * 1000L, -1))
       dir
     })
   }

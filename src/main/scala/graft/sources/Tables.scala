@@ -49,12 +49,14 @@ object Tables {
     * is an on-disk fixture (a TSV dictionary, a deliberately fragmented
     * parquet dir) stage it through here so repeated invocations — and in
     * particular the timed bench runs after the untimed warmup pass — measure
-    * the operator, not its fixture construction. The key embeds the full
-    * sanitized dataset path (not a 32-bit hashCode) so two datasets can
-    * never collide onto one staged dir.
+    * the operator, not its fixture construction. The key embeds the
+    * sanitized dataset path plus an md5 fingerprint of the RAW path —
+    * sanitization alone aliases distinct paths ('/a/b' vs '/a_b'), which
+    * would silently reuse the wrong dataset's staged fixture.
     */
   def staged(spark: SparkSession, sfDir: String, kind: String)(build: String => Unit): String = {
-    val ds = sfDir.replaceAll("[^A-Za-z0-9_.-]", "_")
+    val ds = sfDir.replaceAll("[^A-Za-z0-9_.-]", "_") + "_" +
+      graft.plans.Layouts.rawFingerprint(sfDir)
     val key = s"${System.identityHashCode(spark)}/$kind/$ds"
     stagedDirs.computeIfAbsent(key, { _ =>
       val dir = scratchDir(s"staged_${kind}_$ds")

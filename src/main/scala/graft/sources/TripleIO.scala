@@ -21,28 +21,25 @@ object TripleIO {
     * (the reference would have thrown; nulls are filtered so semantics match
     * on well-formed data).
     */
-  def readText(spark: SparkSession, path: String): DataFrame = {
-    spark.read
-      .schema(TripleSchema.schema)
-      .option("sep", " ")
-      .csv(path)
-      .filter(col(TripleSchema.subject).isNotNull &&
-        col(TripleSchema.predicate).isNotNull &&
-        col(TripleSchema.objekt).isNotNull)
-  }
+  def readText(spark: SparkSession, path: String): DataFrame =
+    readTextWithSchema(spark, path, TripleSchema.schema)
 
   /** [[readText]] with the 64-bit schema ([[TripleSchema.schemaLong]]) —
     * same text format, wide ids.
     */
-  def readTextLong(spark: SparkSession, path: String): DataFrame = {
+  def readTextLong(spark: SparkSession, path: String): DataFrame =
+    readTextWithSchema(spark, path, TripleSchema.schemaLong)
+
+  private def readTextWithSchema(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read
-      .schema(TripleSchema.schemaLong)
+      .schema(schema)
       .option("sep", " ")
       .csv(path)
       .filter(col(TripleSchema.subject).isNotNull &&
         col(TripleSchema.predicate).isNotNull &&
         col(TripleSchema.objekt).isNotNull)
-  }
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(

@@ -68,6 +68,23 @@ class DecodeRewriteSpec extends SparkTestBase {
       s"unexpected error: ${e.getMessage}")
   }
 
+  test("unsupported aggregate shapes fail with the clear error, not a cryptic one") {
+    setup()
+    // decoded select column absent from GROUP BY: the rewrite would emit a
+    // non-grouping non-aggregate column
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      """SELECT graft_decode(Subject) AS s, COUNT(*) AS n
+        |FROM dec_triples GROUP BY Subject""".stripMargin).collect())
+    assert(e1.getMessage.contains("graft_decode is supported in SELECT projections"),
+      s"unexpected error: ${e1.getMessage}")
+    // decode OF an aggregate result: the join condition would contain MIN
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      """SELECT graft_decode(MIN(Object)) AS o
+        |FROM dec_triples GROUP BY Subject""".stripMargin).collect())
+    assert(e2.getMessage.contains("graft_decode is supported in SELECT projections"),
+      s"unexpected error: ${e2.getMessage}")
+  }
+
   test("graft_dot treats null array elements as zero in both eval paths") {
     val v = spark.sql(
       "SELECT graft_dot(array(CAST(2.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
