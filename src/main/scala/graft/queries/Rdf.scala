@@ -249,6 +249,19 @@ object Rdf {
         .sparql("SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c :in_nation ?n } GROUP BY ?n")
     },
 
+    // ---- SPARQL VALUES (inline bindings): a literal domain for ?n,
+    // planned as an isin predicate pushed into the pattern scan. ----
+    QueryDef("rdf_sparql_values",
+      RdfBridge.oracleCte +
+        """SELECT Subject AS c, Object AS n FROM triples
+          |WHERE Predicate = -31
+          |  AND Object IN (2000000000, 2000000001, 2000000002)""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?c ?n WHERE { ?c :in_nation ?n . " +
+          "VALUES ?n { 'nation_0' 'nation_1' 'nation_2' } }")
+    },
+
     // ---- SPARQL ASK (boolean query form): existence probed with a
     // LocalLimit(1) per partition — no full scan survives in the plan. ----
     QueryDef("rdf_sparql_ask",

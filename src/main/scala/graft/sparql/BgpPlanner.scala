@@ -70,7 +70,8 @@ object BgpPlanner {
       .flatMap(p => Seq(p.s, p.p, p.o)) ++
       pathPatterns.flatMap(p => Seq(p.s, p.o)) ++
       pathPatterns.flatMap(p => pathPreds(p.p.asInstanceOf[Constant].lexical).get.map(Constant(_))) ++
-      query.filters.map(_.value)).collect {
+      query.filters.map(_.value) ++
+      query.inlineValues.flatMap(_._2)).collect {
       case Constant(l) => l
     }.distinct
     val enc: Map[String, Int] = dict.encodeTerms(constants)
@@ -114,12 +115,25 @@ object BgpPlanner {
         else acc.join(opt, shared, "left")
     }
 
+    // VALUES (single-variable inline bindings): the distinct binding set is
+    // semantically a join against a literal table; planned as an `isin`
+    // predicate, which Catalyst pushes into the pattern's scan — the
+    // cheapest correct plan for a literal domain. An unknown term binds
+    // nothing (it cannot match any encoded id).
+    val withValues = query.inlineValues.foldLeft(joined) { case (acc, (v, terms)) =>
+      require(acc.columns.contains(v),
+        s"VALUES variable ?$v not bound by the BGP (bound: ${acc.columns.mkString(", ")})")
+      val ids = terms.flatMap(t => enc.get(t.lexical)).distinct
+      if (ids.isEmpty) acc.filter(lit(false))
+      else acc.filter(col(v).isin(ids: _*))
+    }
+
     // FILTER conditions: plain Column predicates over the joined variable
     // columns — Catalyst pushes an equality on a single pattern's variable
     // down into that pattern's scan (encoded point predicate), so a FILTER
     // costs the same as writing the constant inside the pattern. An unknown
     // constant matches nothing: `=` → false, `!=` → true.
-    val filtered = query.filters.foldLeft(joined) { (df, f) =>
+    val filtered = query.filters.foldLeft(withValues) { (df, f) =>
       require(df.columns.contains(f.variable),
         s"FILTER variable ?${f.variable} not bound by the BGP " +
           s"(bound: ${df.columns.mkString(", ")})")

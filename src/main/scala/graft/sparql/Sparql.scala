@@ -50,7 +50,8 @@ final case class BgpQuery(
     groupByVars: Seq[String] = Nil,
     countAggs: Seq[CountAgg] = Nil,
     ask: Boolean = false,
-    constructTemplate: Seq[TriplePattern] = Nil)
+    constructTemplate: Seq[TriplePattern] = Nil,
+    inlineValues: Seq[(String, Seq[Constant])] = Nil)
 
 object SparqlParser {
 
@@ -101,13 +102,23 @@ object SparqlParser {
             unionArms = arms, orderBy = orderBy, offset = offset,
             groupByVars = groupByVars, countAggs = countAggs)
         }
-        // OPTIONAL groups first (their braces enclose plain BGPs — no
+        // VALUES blocks first (their braces hold constants, not patterns):
+        // single-variable inline bindings per SPARQL 1.1 ValuesClause.
+        val valuesRe = "(?i)VALUES\\s+\\?(\\w+)\\s*\\{([^{}]*)\\}".r
+        val inlineValues = valuesRe.findAllMatchIn(rawBody).map { m =>
+          val terms = tokenize(m.group(2).trim).toSeq.map(toTerm)
+          require(terms.nonEmpty && terms.forall(_.isInstanceOf[Constant]),
+            s"VALUES terms must be constants: ${m.group(2)}")
+          m.group(1) -> terms.map(_.asInstanceOf[Constant])
+        }.toSeq
+        val withoutValues = valuesRe.replaceAllIn(rawBody, " ")
+        // OPTIONAL groups next (their braces enclose plain BGPs — no
         // nesting in the subset), so the FILTER extraction below never
         // reaches inside an optional block.
         val optionalRe = "(?i)OPTIONAL\\s*\\{([^{}]*)\\}".r
-        val optionals = optionalRe.findAllMatchIn(rawBody)
+        val optionals = optionalRe.findAllMatchIn(withoutValues)
           .map(m => splitPatterns(m.group(1))).toSeq
-        val withoutOpt = optionalRe.replaceAllIn(rawBody, " ")
+        val withoutOpt = optionalRe.replaceAllIn(withoutValues, " ")
         // FILTER clauses: extract (they need no dot separator in SPARQL),
         // then parse the remaining segments as triple patterns. The
         // condition subset is `?var (=|!=) term` with no parentheses inside
@@ -119,7 +130,8 @@ object SparqlParser {
         require(patterns.nonEmpty, "empty BGP")
         BgpQuery(projection, patterns, filters, limit,
           optionals, distinct, orderBy = orderBy, offset = offset,
-          groupByVars = groupByVars, countAggs = countAggs)
+          groupByVars = groupByVars, countAggs = countAggs,
+          inlineValues = inlineValues)
       case _ => throw new IllegalArgumentException(s"unsupported SPARQL: $query")
     }
   }

@@ -343,6 +343,21 @@ class SparqlSpec extends SparkTestBase {
     assert(reg.sparql("SELECT ?o WHERE { 'nosuch' :p1+ ?o }").count() == 0)
   }
 
+  test("VALUES restricts a variable to the inline binding set") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSingleTable(triples)
+    val q = SparqlParser.parse(
+      "SELECT ?s ?o WHERE { ?s :p1 ?o . VALUES ?o { 'b' 'g' } }")
+    assert(q.inlineValues == Seq("o" -> Seq(Constant("b"), Constant("g"))))
+    val rows = reg.sparqlAst(q).collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((-5, 10))) // only 'b'(=10) matches a :p1 object
+    // unknown terms bind nothing
+    assert(reg.sparql(
+      "SELECT ?s WHERE { ?s :p1 ?o . VALUES ?o { 'zzz' } }").count() == 0)
+    intercept[IllegalArgumentException](reg.sparql(
+      "SELECT ?s WHERE { ?s :p1 ?o . VALUES ?x { 'b' } }"))
+  }
+
   test("reference Q1 SQL shape runs verbatim against registered views") {
     val (engine, triples) = fixture
     engine.registerSingleTable(triples)
