@@ -76,6 +76,28 @@ class DecodeRewriteRule extends Rule[LogicalPlan] {
     case other => other.children.flatMap(topLevelDecodes)
   }
 
+  /** Hoistable shape: decodes OF PLAIN GROUPING KEYS in the aggregate list
+    * (`SELECT graft_decode(k), COUNT(*) ... GROUP BY k`). The decode moves
+    * ABOVE the aggregate — the grouping value is aliased out of the
+    * Aggregate and decoded in a Project on top, which the Project rule then
+    * turns into a dictionary join on the NEXT analyzer pass. Decoding after
+    * aggregation is also the efficient plan: one join per GROUP, not per
+    * input row.
+    */
+  private def hoistableShape(agg: Aggregate): Boolean = {
+    val grouping = agg.groupingExpressions.map(_.canonicalized)
+    val tl = agg.aggregateExpressions.flatMap(topLevelDecodes)
+    tl.nonEmpty && tl.forall(grouping.contains) &&
+      agg.groupingExpressions.forall(!_.exists(_.isInstanceOf[DecodeTerm])) &&
+      // an entry mixing a top-level decode WITH an aggregate function
+      // (e.g. concat(graft_decode(k), count(*))) would leave the aggregate
+      // function naked in the hoisted Project — not hoistable
+      agg.aggregateExpressions.forall { ne =>
+        topLevelDecodes(ne).isEmpty || !ne.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression])
+      }
+  }
+
   private def decodeGroupShapeOk(agg: Aggregate): Boolean = {
     val noAggInsideDecode = (agg.groupingExpressions ++ agg.aggregateExpressions)
       .forall(!_.exists {
@@ -126,6 +148,39 @@ class DecodeRewriteRule extends Rule[LogicalPlan] {
       //     `term` attribute is a non-grouping non-aggregate column
       //     (MISSING_AGGREGATION). Unsupported shapes fall through to
       //     DecodeCheckRule's clear error instead of a cryptic one.
+      // decode of a plain grouping key in the select list: hoist the decode
+      // above the aggregate (see hoistableShape) — the emitted Project still
+      // carries DecodeTerm and is rewritten into the dictionary join by the
+      // Project case on the next analyzer pass.
+      case agg: Aggregate if agg.resolved && hoistableShape(agg) =>
+        val memo = scala.collection.mutable.Map.empty[Expression, NamedExpression]
+        val innerExtra = scala.collection.mutable.ArrayBuffer.empty[NamedExpression]
+        def hoist(e: Expression): Expression = e match {
+          case DecodeTerm(c) =>
+            val inner = memo.getOrElseUpdate(c.canonicalized, {
+              val a = org.apache.spark.sql.catalyst.expressions.Alias(
+                c, freshAlias())()
+              innerExtra += a
+              a
+            })
+            DecodeTerm(inner.toAttribute)
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+            ae // decodes inside aggregate functions stay below (memo-join case)
+          case other => other.mapChildren(hoist)
+        }
+        val outer = agg.aggregateExpressions.map {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias
+              if a.exists(_.isInstanceOf[DecodeTerm]) =>
+            org.apache.spark.sql.catalyst.expressions.Alias(
+              hoist(a.child), a.name)(exprId = a.exprId, qualifier = a.qualifier)
+          case ne if ne.exists(_.isInstanceOf[DecodeTerm]) =>
+            hoist(ne).asInstanceOf[NamedExpression]
+          case ne => ne.toAttribute
+        }
+        val inner = agg.aggregateExpressions.filterNot(
+          _.exists(_.isInstanceOf[DecodeTerm])) ++ innerExtra
+        Project(outer, agg.copy(aggregateExpressions = inner))
+
       case agg: Aggregate
           if agg.child.resolved &&
             (agg.groupingExpressions ++ agg.aggregateExpressions)
@@ -168,11 +223,12 @@ class DecodeCheckRule extends (LogicalPlan => Unit) {
             errorClass = "_LEGACY_ERROR_TEMP_3071", // template is exactly <msg>
             messageParameters = Map("msg" ->
               ("graft_decode is supported in SELECT projections, WHERE " +
-                "filters, and GROUP BY aggregates (where each decoded " +
-                "select column also appears in GROUP BY — write " +
-                "GROUP BY graft_decode(col) to decode a grouping key — " +
-                "and the decoded expression contains no aggregate " +
-                "function); found an unsupported use in: " + node.nodeName)))
+                "filters, and GROUP BY aggregates (each decoded select " +
+                "column must be a grouping expression or its decode, the " +
+                "decoded expression must contain no aggregate function, " +
+                "and a decode cannot share one select expression with an " +
+                "aggregate function); found an unsupported use in: " +
+                node.nodeName)))
         }
       }
     }

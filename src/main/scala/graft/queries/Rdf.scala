@@ -425,6 +425,27 @@ object Rdf {
           |GROUP BY graft_decode(Subject)""".stripMargin)
     },
 
+    // ---- graft_decode of a PLAIN grouping key (GROUP BY the raw id,
+    // decode only in the select list): the analyzer rule hoists the decode
+    // ABOVE the aggregate — one dictionary join per GROUP, not per input
+    // row. Oracle decodes the grouped result the same way. ----
+    QueryDef("rdf_decode_group_key",
+      RdfBridge.oracleCte +
+        """, dict AS (
+          |  SELECT CAST(-(c_custkey + 1000) AS INTEGER) AS id, 'cust_' || CAST(c_custkey AS VARCHAR) AS term FROM customer)
+          |SELECT d.term AS s, g.n_orders
+          |FROM (SELECT Subject, CAST(COUNT(*) AS BIGINT) AS n_orders
+          |      FROM triples WHERE Predicate = -2 GROUP BY Subject) g
+          |LEFT JOIN dict d ON g.Subject = d.id""".stripMargin) { (s, dir) =>
+      RdfBridge.dictionary(s, dir).entries.toDF("id", "term")
+        .createOrReplaceTempView("graft_dictionary")
+      RdfBridge.triples(s, dir).createOrReplaceTempView("graft_triples")
+      s.sql(
+        """SELECT graft_decode(Subject) AS s, COUNT(*) AS n_orders
+          |FROM graft_triples WHERE Predicate = -2
+          |GROUP BY Subject""".stripMargin)
+    },
+
     // ---- dictionary decode: bound results back to lexical forms via
     // broadcast join (replaces the reference's driver-map mapPartitions
     // decode, PartitionQueryingSubject.java:136-151). ----

@@ -68,21 +68,32 @@ class DecodeRewriteSpec extends SparkTestBase {
       s"unexpected error: ${e.getMessage}")
   }
 
+  test("decode of a plain grouping key hoists above the aggregate") {
+    setup()
+    // GROUP BY the raw key, decode in the select list only: the rule
+    // aliases the key out of the Aggregate and decodes on top (one join
+    // per GROUP, not per row)
+    val rows = spark.sql(
+      """SELECT graft_decode(Subject) AS s, COUNT(*) AS n
+        |FROM dec_triples GROUP BY Subject""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_.toString)
+    assert(rows.toSeq == Seq(("one", 1L), ("three", 1L)))
+  }
+
   test("unsupported aggregate shapes fail with the clear error, not a cryptic one") {
     setup()
-    // decoded select column absent from GROUP BY: the rewrite would emit a
-    // non-grouping non-aggregate column
-    val e1 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
-      """SELECT graft_decode(Subject) AS s, COUNT(*) AS n
-        |FROM dec_triples GROUP BY Subject""".stripMargin).collect())
-    assert(e1.getMessage.contains("graft_decode is supported in SELECT projections"),
-      s"unexpected error: ${e1.getMessage}")
     // decode OF an aggregate result: the join condition would contain MIN
     val e2 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
       """SELECT graft_decode(MIN(Object)) AS o
         |FROM dec_triples GROUP BY Subject""".stripMargin).collect())
     assert(e2.getMessage.contains("graft_decode is supported in SELECT projections"),
       s"unexpected error: ${e2.getMessage}")
+    // mixed top-level decode + aggregate function in ONE expression
+    val e3 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      """SELECT concat(graft_decode(Subject), CAST(COUNT(*) AS STRING)) AS x
+        |FROM dec_triples GROUP BY Subject""".stripMargin).collect())
+    assert(e3.getMessage.contains("graft_decode is supported in SELECT projections"),
+      s"unexpected error: ${e3.getMessage}")
   }
 
   test("graft_dot treats null array elements as zero in both eval paths") {
