@@ -249,6 +249,24 @@ object Rdf {
         .sparql("SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c :in_nation ?n } GROUP BY ?n")
     },
 
+    // ---- SPARQL MINUS (negation): orders NOT containing a specific part
+    // — the anti-join shape reached from the SPARQL surface (same physical
+    // plan as SQL NOT EXISTS / q6_anti_join); non-empty at every scale
+    // factor and with a non-trivial removed set. ----
+    QueryDef("rdf_sparql_minus",
+      RdfBridge.oracleCte +
+        """SELECT t.Subject AS c, t.Object AS o FROM triples t
+          |WHERE t.Predicate = -2
+          |  AND NOT EXISTS (SELECT 1 FROM triples x
+          |                  WHERE x.Predicate = -13 AND x.Subject = t.Object
+          |                    AND x.Object = CAST(-((SELECT MIN(l_partkey) FROM lineitem) + 500000000) AS INTEGER))""".stripMargin) { (s, dir) =>
+      val minPart = graft.sources.Tables.load(s, dir, "lineitem")
+        .agg(min(col("l_partkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"SELECT ?c ?o WHERE { ?c :placed ?o . MINUS { ?o :contains 'part_$minPart' } }")
+    },
+
     // ---- SPARQL VALUES (inline bindings): a literal domain for ?n,
     // planned as an isin predicate pushed into the pattern scan. ----
     QueryDef("rdf_sparql_values",

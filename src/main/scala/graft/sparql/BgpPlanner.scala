@@ -71,6 +71,7 @@ object BgpPlanner {
       pathPatterns.flatMap(p => Seq(p.s, p.o)) ++
       pathPatterns.flatMap(p => pathPreds(p.p.asInstanceOf[Constant].lexical).get.map(Constant(_))) ++
       query.filters.map(_.value) ++
+      query.minuses.flatten.flatMap(p => Seq(p.s, p.p, p.o)) ++
       query.inlineValues.flatMap(_._2)).collect {
       case Constant(l) => l
     }.distinct
@@ -115,12 +116,25 @@ object BgpPlanner {
         else acc.join(opt, shared, "left")
     }
 
+    // MINUS (SPARQL negation): solutions compatible with the minus group on
+    // the SHARED variables are removed — a left ANTI join. With no shared
+    // variable no solution is minus-compatible (SPARQL spec), so the group
+    // is a no-op.
+    val afterMinus = query.minuses.zipWithIndex.foldLeft(joined) {
+      case (acc, (mPats, g)) =>
+        val m = joinGroup(mPats.zipWithIndex.map { case (p, i) =>
+          planPattern(p, 500000 * (g + 1) + i, store, enc)
+        })
+        val shared = acc.columns.toSet.intersect(m.columns.toSet).toSeq.sorted
+        if (shared.isEmpty) acc else acc.join(m, shared, "left_anti")
+    }
+
     // VALUES (single-variable inline bindings): the distinct binding set is
     // semantically a join against a literal table; planned as an `isin`
     // predicate, which Catalyst pushes into the pattern's scan — the
     // cheapest correct plan for a literal domain. An unknown term binds
     // nothing (it cannot match any encoded id).
-    val withValues = query.inlineValues.foldLeft(joined) { case (acc, (v, terms)) =>
+    val withValues = query.inlineValues.foldLeft(afterMinus) { case (acc, (v, terms)) =>
       require(acc.columns.contains(v),
         s"VALUES variable ?$v not bound by the BGP (bound: ${acc.columns.mkString(", ")})")
       val ids = terms.flatMap(t => enc.get(t.lexical)).distinct

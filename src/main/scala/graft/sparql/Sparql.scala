@@ -51,7 +51,8 @@ final case class BgpQuery(
     countAggs: Seq[CountAgg] = Nil,
     ask: Boolean = false,
     constructTemplate: Seq[TriplePattern] = Nil,
-    inlineValues: Seq[(String, Seq[Constant])] = Nil)
+    inlineValues: Seq[(String, Seq[Constant])] = Nil,
+    minuses: Seq[Seq[TriplePattern]] = Nil)
 
 object SparqlParser {
 
@@ -112,13 +113,19 @@ object SparqlParser {
           m.group(1) -> terms.map(_.asInstanceOf[Constant])
         }.toSeq
         val withoutValues = valuesRe.replaceAllIn(rawBody, " ")
+        // MINUS groups (negation): remove solutions compatible with the
+        // minus pattern on shared variables.
+        val minusRe = "(?i)MINUS\\s*\\{([^{}]*)\\}".r
+        val minuses = minusRe.findAllMatchIn(withoutValues)
+          .map(m => splitPatterns(m.group(1))).toSeq
+        val withoutMinus = minusRe.replaceAllIn(withoutValues, " ")
         // OPTIONAL groups next (their braces enclose plain BGPs — no
         // nesting in the subset), so the FILTER extraction below never
         // reaches inside an optional block.
         val optionalRe = "(?i)OPTIONAL\\s*\\{([^{}]*)\\}".r
-        val optionals = optionalRe.findAllMatchIn(withoutValues)
+        val optionals = optionalRe.findAllMatchIn(withoutMinus)
           .map(m => splitPatterns(m.group(1))).toSeq
-        val withoutOpt = optionalRe.replaceAllIn(withoutValues, " ")
+        val withoutOpt = optionalRe.replaceAllIn(withoutMinus, " ")
         // FILTER clauses: extract (they need no dot separator in SPARQL),
         // then parse the remaining segments as triple patterns. The
         // condition subset is `?var (=|!=) term` with no parentheses inside
@@ -131,7 +138,7 @@ object SparqlParser {
         BgpQuery(projection, patterns, filters, limit,
           optionals, distinct, orderBy = orderBy, offset = offset,
           groupByVars = groupByVars, countAggs = countAggs,
-          inlineValues = inlineValues)
+          inlineValues = inlineValues, minuses = minuses)
       case _ => throw new IllegalArgumentException(s"unsupported SPARQL: $query")
     }
   }

@@ -343,6 +343,22 @@ class SparqlSpec extends SparkTestBase {
     assert(reg.sparql("SELECT ?o WHERE { 'nosuch' :p1+ ?o }").count() == 0)
   }
 
+  test("MINUS removes solutions compatible on shared variables") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // subjects with :p1 minus those whose ?x also has :p2 outgoing — both
+    // chains have one (-5 via 10, 6 via 11), and both 10/11 have :p2
+    assert(reg.sparql(
+      "SELECT ?s WHERE { ?s :p1 ?x . MINUS { ?x :p2 ?y } }").count() == 0)
+    // minus group matching nothing removes nothing
+    val all = reg.sparql(
+      "SELECT ?s WHERE { ?s :p1 ?x . MINUS { ?x :p3 ?y } }").count()
+    assert(all == 2)
+    // disjoint variable domains: SPARQL says nothing is compatible → no-op
+    assert(reg.sparql(
+      "SELECT ?s WHERE { ?s :p1 ?x . MINUS { ?a :p2 ?b } }").count() == 2)
+  }
+
   test("VALUES restricts a variable to the inline binding set") {
     val (engine, triples) = fixture
     val reg = engine.registerSingleTable(triples)
