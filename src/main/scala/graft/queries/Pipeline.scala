@@ -1213,6 +1213,27 @@ object Pipeline {
       s.sql(tfidfSql(SparkDialect, Some(cachedTf(s, dir))))
     }
 
+  /** Source-mixing interleave — the training-data "mixing ratios" step:
+    * each source gets a weight (here derived from the source id; any
+    * weight table slots in), documents are deterministically shuffled
+    * within their source by content hash, and the training stream is
+    * emitted in rounds of `weight` docs per source — (round, source, slot)
+    * is the global order. Shape: ONE partitioned window (per-source
+    * ranking, no global sort) + scalar arithmetic; at 100 TB the stream
+    * order is a sort key for the writer, never a driver-side sequence.
+    */
+  private def corpusInterleave(d: Dialect): String =
+    s"""WITH dw AS (SELECT doc_id, source,
+       |    CAST(substr(source, 4) AS INTEGER) % 3 + 1 AS w,
+       |    ${F.strHash(d, "text")} AS h FROM documents),
+       |r AS (SELECT doc_id, source, w,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+       |  FROM dw)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       |  CAST(FLOOR(CAST(rk - 1 AS DOUBLE) / w) AS BIGINT) AS rnd,
+       |  CAST((rk - 1) % w AS BIGINT) AS slot
+       |FROM r""".stripMargin
+
   /** Edit-distance-verified near-duplicates: minhash band candidates (the
     * proven bounded generator — candidates ONLY from band-key equi-joins)
     * re-verified with true Levenshtein distance ≤ half the longer text.
@@ -1337,5 +1358,6 @@ object Pipeline {
     textEntropyDef,
     dedupEditDistance,
     corpusDedupApply,
+    docQuery("corpus_interleave", corpusInterleave),
   )
 }
