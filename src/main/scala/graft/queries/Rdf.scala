@@ -341,6 +341,27 @@ object Rdf {
         .sparql(s"SELECT ?o WHERE { 'cust_$minCust' (:placed|:contains|:supplied_by)+ ?o }")
     },
 
+    // ---- zero-or-more property path (`*`): the `+` closure plus the
+    // zero-step binding (the subject itself), deduplicated per ALP
+    // semantics. ----
+    QueryDef("rdf_sparql_path_star",
+      RdfBridge.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, seed AS (SELECT CAST(-(1000 + (SELECT MIN(o_custkey) FROM orders)) AS INTEGER) AS node),
+          |edges AS (SELECT Subject, Object FROM triples WHERE Predicate IN (-2, -13, -21)),
+          |reach AS (
+          |  SELECT e.Object AS node FROM edges e JOIN seed s ON e.Subject = s.node
+          |  UNION
+          |  SELECT e.Object FROM reach r JOIN edges e ON e.Subject = r.node)
+          |SELECT CAST(node AS INTEGER) AS o FROM reach
+          |UNION
+          |SELECT CAST(node AS INTEGER) AS o FROM seed""".stripMargin) { (s, dir) =>
+      val minCust = graft.sources.Tables.load(s, dir, "orders")
+        .agg(min(col("o_custkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"SELECT ?o WHERE { 'cust_$minCust' (:placed|:contains|:supplied_by)* ?o }")
+    },
+
     // ---- transitive reachability: semi-naive BFS fixpoint (iterative
     // distributed joins — Spark has no recursive SQL) vs DuckDB's
     // WITH RECURSIVE oracle. Seed = the placed-predicate's minimum subject;

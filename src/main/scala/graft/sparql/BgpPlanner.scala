@@ -41,14 +41,16 @@ object BgpPlanner {
     * decode with `Dictionary.decode`. A constant term that is absent from the
     * dictionary yields an empty (not failing) result — it can match nothing.
     */
-  /** `:p+` / `(:p|:q)+` — SPARQL property path: one-or-more steps over the
-    * (alternation of the) named predicates. Returns the base predicate
-    * lexical forms when `lexical` is the path syntax.
+  /** `:p+` / `(:p|:q)+` / `:p*` / `(:p|:q)*` — SPARQL property path:
+    * one-or-more (`+`) or zero-or-more (`*`) steps over the (alternation
+    * of the) named predicates. Returns (base predicate lexical forms,
+    * includesZeroStep) when `lexical` is the path syntax.
     */
-  private def pathPreds(lexical: String): Option[Seq[String]] = {
-    val re = "^\\(?((?::?\\w+)(?:\\|:?\\w+)*)\\)?\\+$".r
+  private def pathPreds(lexical: String): Option[(Seq[String], Boolean)] = {
+    val re = "^\\(?((?::?\\w+)(?:\\|:?\\w+)*)\\)?([+*])$".r
     lexical match {
-      case re(inner) => Some(inner.split("\\|").toSeq.map(Dictionary.normalizeTerm))
+      case re(inner, mod) =>
+        Some((inner.split("\\|").toSeq.map(Dictionary.normalizeTerm), mod == "*"))
       case _ => None
     }
   }
@@ -69,7 +71,7 @@ object BgpPlanner {
       query.constructTemplate)
       .flatMap(p => Seq(p.s, p.p, p.o)) ++
       pathPatterns.flatMap(p => Seq(p.s, p.o)) ++
-      pathPatterns.flatMap(p => pathPreds(p.p.asInstanceOf[Constant].lexical).get.map(Constant(_))) ++
+      pathPatterns.flatMap(p => pathPreds(p.p.asInstanceOf[Constant].lexical).get._1.map(Constant(_))) ++
       query.filters.map(_.value) ++
       query.minuses.flatten.flatMap(p => Seq(p.s, p.p, p.o)) ++
       query.inlineValues.flatMap(_._2)).collect {
@@ -257,7 +259,8 @@ object BgpPlanner {
     */
   private def planPathPattern(
       pat: TriplePattern, store: Store, enc: Map[String, Int]): DataFrame = {
-    val predIds = pathPreds(pat.p.asInstanceOf[Constant].lexical).get.flatMap(enc.get)
+    val (preds, zeroStep) = pathPreds(pat.p.asInstanceOf[Constant].lexical).get
+    val predIds = preds.flatMap(enc.get)
     val base = store match {
       case SingleTable(df) => df
       case SplitTables(pos, neg) => pos.unionAll(neg)
@@ -275,12 +278,24 @@ object BgpPlanner {
     }
     // one-or-more: seed the closure with the subject's DIRECT successors
     // (the `+` semantics — the subject itself only appears if reached by a
-    // cycle); an unknown subject term reaches nothing
+    // cycle); an unknown subject term reaches nothing. Zero-or-more (`*`)
+    // additionally includes the zero-step binding ?o = subject — even for
+    // a subject absent from the data, per SPARQL ZeroOrMorePath on the
+    // term itself.
     val direct = edges
       .filter(col(TripleSchema.subject) === lit(seedId.getOrElse(Int.MinValue)))
       .select(col(TripleSchema.objekt).as("node")).distinct()
-    graft.operators.Graph.reachableFrom(edges, direct)
-      .select(col("node").as(oVar))
+    val closure = graft.operators.Graph.reachableFrom(edges, direct)
+    val withZero =
+      if (!zeroStep) closure
+      else seedId match {
+        case Some(id) =>
+          val spark = edges.sparkSession
+          import spark.implicits._
+          closure.unionAll(Seq(id).toDF("node")).distinct()
+        case None => closure
+      }
+    withZero.select(col("node").as(oVar))
   }
 
   /** One pattern → filtered scan projected to its variable columns. */

@@ -341,6 +341,11 @@ class SparqlSpec extends SparkTestBase {
     assert(joined.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((-7, 20)))
     // unknown subject term: empty, not an error
     assert(reg.sparql("SELECT ?o WHERE { 'nosuch' :p1+ ?o }").count() == 0)
+    // zero-or-more includes the zero-step binding (the subject itself)
+    val star = reg.sparql(
+      "SELECT ?o WHERE { 'a' (:p1|:p2|:p3)* ?o }").collect().map(_.getInt(0))
+    assert(star.sorted.toSeq == Seq(-7, -5, 10, 20))
+    assert(reg.sparql("SELECT ?o WHERE { 'nosuch' :p1* ?o }").count() == 0)
   }
 
   test("MINUS removes solutions compatible on shared variables") {
