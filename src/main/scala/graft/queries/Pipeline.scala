@@ -1213,6 +1213,65 @@ object Pipeline {
       s.sql(tfidfSql(SparkDialect, Some(cachedTf(s, dir))))
     }
 
+  /** Corpus-wide bigram PMI (pointwise mutual information) — the classic
+    * collocation / phrase-mining signal: pmi(x,y) = ln(p(x,y)/(p(x)p(y)))
+    * over adjacent token pairs, for bigrams seen ≥ 5 times.
+    *
+    * Float discipline: the probability ratio is built from exact BIGINT
+    * counts with an explicit all-DOUBLE cast tree (both engines multiply/
+    * divide the same operands in the same order → identical doubles even
+    * past 2⁵³), and the final ln is quantized to micro-nats before emission
+    * (cross-engine ln differs by 1 ulp on ~0.05% of inputs — see
+    * text_entropy).
+    *
+    * Scale shape: bigram explode is map-only; unigram/bigram counts are two
+    * hash aggregates; the scoring join hits the unigram dim table twice
+    * (broadcast-sized: it's the vocabulary); corpus totals are 1-row cross
+    * joins (broadcast).
+    */
+  private def uniSql(d: Dialect): String =
+    s"""SELECT tk, CAST(COUNT(*) AS BIGINT) AS c
+       |FROM (${d.explodeSelect("doc_id", "documents", F.tokens(d, "text"), "tk")}) tok
+       |GROUP BY tk""".stripMargin
+
+  private def bigramSql(d: Dialect): String = {
+    val pair =
+      s"""SELECT ${d.elem("toks", "i")} AS x, ${d.elem("toks", "i + 1")} AS y
+         |FROM (${d.explodeSelect("doc_id, toks",
+              s"(SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM documents) tt",
+              d.seq("1", s"${d.len("toks")} - 1"), "i")}) e""".stripMargin
+    s"SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM ($pair) p GROUP BY x, y"
+  }
+
+  private def pmiSql(d: Dialect,
+      uniSrc: Option[String] = None, bcSrc: Option[String] = None): String = {
+    val ratio = "(CAST(bc.c AS DOUBLE) * CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)) / " +
+      "(CAST(bt.b AS DOUBLE) * CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE))"
+    s"""WITH uni AS (${uniSrc.getOrElse(uniSql(d))}),
+       |bc AS (${bcSrc.getOrElse(bigramSql(d))}),
+       |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+       |bt AS (SELECT CAST(SUM(c) AS BIGINT) AS b FROM bc)
+       |SELECT bc.x, bc.y, bc.c AS c_xy,
+       |  CAST(ROUND(ln($ratio) * 1000000.0) AS BIGINT) AS pmi_micro
+       |FROM bc JOIN uni ux ON bc.x = ux.tk
+       |JOIN uni uy ON bc.y = uy.tk
+       |CROSS JOIN t CROSS JOIN bt
+       |WHERE bc.c >= 5""".stripMargin
+  }
+
+  private def textPmiDef: QueryDef =
+    QueryDef("text_pmi", pmiSql(DuckDialect)) { (s, dir) =>
+      views(s, dir, "documents")
+      // uni feeds the two scoring joins + the corpus total; bc feeds the
+      // scoring join + the bigram total — materialize both once (Catalyst
+      // inlines multi-ref CTEs; released by per-query clearCache)
+      s.sql(uniSql(SparkDialect)).persist().createOrReplaceTempView("graft_pmi_uni")
+      s.sql(bigramSql(SparkDialect)).persist().createOrReplaceTempView("graft_pmi_bc")
+      s.sql(pmiSql(SparkDialect,
+        Some("SELECT tk, c FROM graft_pmi_uni"),
+        Some("SELECT x, y, c FROM graft_pmi_bc")))
+    }
+
   /** Source-mixing interleave — the training-data "mixing ratios" step:
     * each source gets a weight (here derived from the source id; any
     * weight table slots in), documents are deterministically shuffled
@@ -1359,5 +1418,6 @@ object Pipeline {
     dedupEditDistance,
     corpusDedupApply,
     docQuery("corpus_interleave", corpusInterleave),
+    textPmiDef,
   )
 }

@@ -718,6 +718,25 @@ object Relational {
         .select("event_id", "user_id", "event_type", "value")
     },
 
+    // ---- map-typed scalar surface: literal map construction + key lookup
+    // (priority → urgency score), missing key → null → coalesce. Map
+    // CONSTRUCTION syntax differs per engine (map(...) vs MAP {...}), the
+    // lookup is bracket/element_at; the map never reaches the output
+    // schema (the comparator is array/map-free by convention). ----
+    QueryDef("q45_map_funcs",
+      """SELECT o_orderkey,
+        |  COALESCE((MAP {'1-URGENT': 5, '2-HIGH': 4, '3-MEDIUM': 3}[o_orderpriority])[1], 0)
+        |    AS urgency
+        |FROM orders""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderkey,
+          |  COALESCE(element_at(
+          |    map('1-URGENT', 5, '2-HIGH', 4, '3-MEDIUM', 3), o_orderpriority), 0)
+          |    AS urgency
+          |FROM orders""".stripMargin)
+    },
+
     // ---- correlated EXISTS / NOT EXISTS predicate subqueries: Catalyst's
     // RewritePredicateSubquery turns both into semi/anti joins on the
     // correlation key (same physical shape as q6/q7, reached from the ANSI
