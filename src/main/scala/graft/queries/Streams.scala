@@ -273,6 +273,56 @@ object Streams {
       }
     },
 
+    // ---- foreachBatch UPSERT sink (the CDC "apply changes" pattern): each
+    // micro-batch MERGES into a keyed parquet store — union with the
+    // current state, keep the latest row per user (the native top-k
+    // operator, k=1), atomically swap directories. Deterministic because
+    // latest-per-key merge is associative and insensitive to batch
+    // boundaries: the final store equals the batch latest-state compaction
+    // regardless of how the stream was chunked. ----
+    QueryDef("stream_upsert_sink",
+      """SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+        |  CAST(event_id AS BIGINT) AS event_id, event_type, value
+        |FROM (SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnk
+        |  FROM events) t WHERE rnk = 1""".stripMargin) { (s, dir) =>
+      withStatePartitions(s, 8) {
+      val src = stagedEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_ups_ckpt_${dir.hashCode & 0x7fffffff}")
+      val store = cleanScratch(s, s"stream_ups_store_${dir.hashCode & 0x7fffffff}")
+      val conf = s.sparkContext.hadoopConfiguration
+      val storePath = new org.apache.hadoop.fs.Path(store)
+      val fs = storePath.getFileSystem(conf)
+      val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val cols = Seq("user_id", "ts", "event_id", "event_type", "value")
+            val incoming = batch.selectExpr(cols: _*)
+            val merged =
+              if (fs.exists(storePath))
+                s.read.parquet(store).unionByName(incoming)
+              else incoming
+            val latest = graft.operators.TopK.perGroup(merged,
+              Seq("user_id"), Seq("ts" -> false, "event_id" -> false), k = 1)
+            // materialize to a sibling dir, then atomic-swap (cannot
+            // overwrite a directory that the merge plan is still reading)
+            val tmp = new org.apache.hadoop.fs.Path(store + "__tmp")
+            latest.write.mode("overwrite").parquet(tmp.toString)
+            if (fs.exists(storePath)) fs.delete(storePath, true)
+            fs.rename(tmp, storePath)
+          }
+          (): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.read.parquet(store)
+        .select(col("user_id").cast("long").as("user_id"), col("ts"),
+          col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("value"))
+      }
+    },
+
     // ---- TRUE streaming sessionization through flatMapGroupsWithState:
     // state carries open sessions across micro-batches; emitted sessions =
     // gaps-and-islands sessions minus each user's final one (never flushed
