@@ -555,7 +555,11 @@ object Pipeline {
     * (documents are ASCII; a production corpus adds an explicit unicode
     * folding stage first).
     */
-  private def textNormalize(d: Dialect): String = {
+  /** The normalize EXPRESSION over a `text` column: lowercase, map every
+    * non-[a-z0-9 ] ASCII char to space (translate — ~7× a regex class
+    * strip), collapse runs. Shared by text_normalize and the e2e pipeline.
+    */
+  private def normExpr(d: Dialect): String = {
     // ASCII 1..127 minus [a-z0-9 ]; chr(0) excluded (rejected by DuckDB).
     // Built as constant-folded chr() concat — embedding quote/backslash
     // chars in a SQL literal identically across both engines is fragile.
@@ -567,8 +571,12 @@ object Pipeline {
     // ("don't" -> "don t", matching the regex semantics), then collapse —
     // via the dialect's replace-ALL (DuckDB needs the 'g' flag; a bare
     // regexp_replace there collapses only the FIRST run)
-    val norm = s"trim(${d.regexpReplaceAll(
+    s"trim(${d.regexpReplaceAll(
       s"translate(lower(text), $fromStr, repeat(' ', ${strip.length}))", " +", " ")})"
+  }
+
+  private def textNormalize(d: Dialect): String = {
+    val norm = normExpr(d)
     s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, norm_text,
        |  CAST(length(norm_text) AS BIGINT) AS norm_len
        |FROM (SELECT doc_id, $norm AS norm_text
@@ -1116,18 +1124,24 @@ object Pipeline {
     * shuffle at all; at 100 TB this is a map-only stage that parallelizes
     * with the input splits.
     */
-  private def corpusChunk(d: Dialect): String = {
+  /** The chunking tail stages over a `(doc_id, toks)` CTE — shared by the
+    * standalone gate and the end-to-end preprocessing pipeline.
+    */
+  private def chunkStages(d: Dialect, srcCte: String): String = {
     val nchunks =
       s"CASE WHEN ${d.len("toks")} <= $CHUNK THEN 1 ELSE " +
         s"CAST(CEIL(CAST(${d.len("toks")} - $CHUNK AS DOUBLE) / $STRIDE) AS INTEGER) + 1 END"
     val slice = d.slice("toks", s"k * $STRIDE + 1", CHUNK.toString)
-    s"""WITH t AS (SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM documents),
-       |e AS (${d.explodeSelect("doc_id, toks", "t", d.seq("0", s"($nchunks) - 1"), "k")})
+    s"""e AS (${d.explodeSelect("doc_id, toks", srcCte, d.seq("0", s"($nchunks) - 1"), "k")})
        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
        |  CAST(${d.len(slice)} AS BIGINT) AS n_tokens,
        |  ${d.joinWs(slice)} AS chunk
        |FROM e""".stripMargin
   }
+
+  private def corpusChunk(d: Dialect): String =
+    s"""WITH t AS (SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM documents),
+       |${chunkStages(d, "t")}""".stripMargin
 
   /** Per-document top-3 terms by tf-idf with RAW inverse document frequency
     * (score = tf/df): the ratio of two exactly-representable counts is ONE
@@ -1258,6 +1272,37 @@ object Pipeline {
        |CROSS JOIN t CROSS JOIN bt
        |WHERE bc.c >= 5""".stripMargin
   }
+
+  /** The WHOLE preprocessing pipeline as ONE declarative plan — the
+    * composition a real training-data run executes: normalize → length
+    * filter (≥ 20 tokens) → exact dedup (content-hash keeper) → sliding
+    * chunking. Every stage is the already-gate-verified operator; the point
+    * of this gate is the COMPOSITION: one Catalyst plan end to end, no
+    * materialization between stages except the one genuinely multi-consumed
+    * intermediate (the filtered set feeds the keeper aggregate AND the
+    * keeper join).
+    */
+  private def e2eFilteredSql(d: Dialect): String =
+    s"""SELECT doc_id, ntext, ${F.tokens(d, "ntext")} AS toks
+       |FROM (SELECT doc_id, ${normExpr(d)} AS ntext FROM documents) n
+       |WHERE ${d.len(F.tokens(d, "ntext"))} >= 20""".stripMargin
+
+  private def corpusPreprocessSql(d: Dialect, fSrc: Option[String] = None): String =
+    s"""WITH f AS (${fSrc.getOrElse(e2eFilteredSql(d))}),
+       |keep AS (SELECT MIN(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, ${F.strHash(d, "ntext")} AS h FROM f) x GROUP BY h),
+       |d2 AS (SELECT f.doc_id, f.toks FROM f JOIN keep ON f.doc_id = keep.doc_id),
+       |${chunkStages(d, "d2")}""".stripMargin
+
+  private def corpusPreprocessDef: QueryDef =
+    QueryDef("corpus_preprocess_e2e", corpusPreprocessSql(DuckDialect)) { (s, dir) =>
+      views(s, dir, "documents")
+      // f feeds the keeper aggregate AND the keeper join — materialize once
+      s.sql(e2eFilteredSql(SparkDialect)).persist()
+        .createOrReplaceTempView("graft_e2e_f")
+      s.sql(corpusPreprocessSql(SparkDialect,
+        Some("SELECT doc_id, ntext, toks FROM graft_e2e_f")))
+    }
 
   private def textPmiDef: QueryDef =
     QueryDef("text_pmi", pmiSql(DuckDialect)) { (s, dir) =>
@@ -1419,5 +1464,6 @@ object Pipeline {
     corpusDedupApply,
     docQuery("corpus_interleave", corpusInterleave),
     textPmiDef,
+    corpusPreprocessDef,
   )
 }
