@@ -1243,6 +1243,20 @@ object Pipeline {
     * (broadcast-sized: it's the vocabulary); corpus totals are 1-row cross
     * joins (broadcast).
     */
+  /** ANN EVALUATION — recall@3 of the LSH index against the exact top-3,
+    * per query: the quality-measurement operator every ANN deployment runs
+    * before trusting an index. Composes the two gate-verified similarity
+    * templates (same query set: vec_id % 50); recall = |ANN ∩ exact| / 3 as
+    * an exact small-int division (bit-identical).
+    */
+  private def simAnnRecall(d: Dialect): String =
+    s"""WITH bf AS (${bruteForceTopkSql(d, 50, 3)}),
+       |ann AS (${simAnnLsh(d)})
+       |SELECT bf.qid, CAST(COUNT(ann.nid) AS BIGINT) AS hits,
+       |  CAST(COUNT(ann.nid) AS DOUBLE) / 3.0 AS recall_at_3
+       |FROM bf LEFT JOIN ann ON bf.qid = ann.qid AND bf.nid = ann.nid
+       |GROUP BY bf.qid""".stripMargin
+
   private def uniSql(d: Dialect): String =
     s"""SELECT tk, CAST(COUNT(*) AS BIGINT) AS c
        |FROM (${d.explodeSelect("doc_id", "documents", F.tokens(d, "text"), "tk")}) tok
@@ -1302,6 +1316,44 @@ object Pipeline {
         .createOrReplaceTempView("graft_e2e_f")
       s.sql(corpusPreprocessSql(SparkDialect,
         Some("SELECT doc_id, ntext, toks FROM graft_e2e_f")))
+    }
+
+  /** Distribution-drift check: smoothed KL divergence (micro-nats) between
+    * the TRAIN and VAL splits' token distributions — the monitoring signal
+    * for "is my held-out set representative" / "did the corpus shift".
+    * Add-one smoothing over the union vocabulary keeps q(t) > 0. Per-term
+    * contributions are quantized to integer micro-nats and summed exactly
+    * (the ln rule — see text_entropy); the probability ratio is an
+    * explicit all-DOUBLE cast tree, identical on both engines. Splits are
+    * the SAME content-hash buckets as corpus_split_hash.
+    */
+  private def corpusKlSql(d: Dialect): String = {
+    val bucket = s"(${F.strHash(d, "text")} % 100)"
+    val p = "((CAST(c.p_c AS DOUBLE) + 1.0) / (CAST(t.p_n AS DOUBLE) + CAST(t.v AS DOUBLE)))"
+    val q = "((CAST(c.q_c AS DOUBLE) + 1.0) / (CAST(t.q_n AS DOUBLE) + CAST(t.v AS DOUBLE)))"
+    s"""WITH s AS (SELECT doc_id, text,
+       |    CASE WHEN $bucket < 90 THEN 'train'
+       |         WHEN $bucket < 95 THEN 'val' ELSE 'test' END AS split
+       |  FROM documents),
+       |tok AS (${d.explodeSelect("split", "s", F.tokens(d, "text"), "tk")}),
+       |c AS (SELECT tk,
+       |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS p_c,
+       |    CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS q_c
+       |  FROM tok WHERE split <> 'test' GROUP BY tk),
+       |t AS (SELECT CAST(SUM(p_c) AS BIGINT) AS p_n, CAST(SUM(q_c) AS BIGINT) AS q_n,
+       |    CAST(COUNT(*) AS BIGINT) AS v FROM c)
+       |SELECT CAST(SUM(CAST(ROUND($p * ln($p / $q) * 1000000.0) AS BIGINT)) AS BIGINT)
+       |    AS kl_micro_nats,
+       |  CAST(MAX(t.v) AS BIGINT) AS vocab,
+       |  CAST(MAX(t.p_n) AS BIGINT) AS train_tokens,
+       |  CAST(MAX(t.q_n) AS BIGINT) AS val_tokens
+       |FROM c CROSS JOIN t""".stripMargin
+  }
+
+  private def corpusKlDef: QueryDef =
+    QueryDef("corpus_kl_divergence", corpusKlSql(DuckDialect)) { (s, dir) =>
+      views(s, dir, "documents")
+      s.sql(corpusKlSql(SparkDialect))
     }
 
   private def textPmiDef: QueryDef =
@@ -1465,5 +1517,7 @@ object Pipeline {
     docQuery("corpus_interleave", corpusInterleave),
     textPmiDef,
     corpusPreprocessDef,
+    embQuery("sim_ann_recall", simAnnRecall),
+    corpusKlDef,
   )
 }
