@@ -168,17 +168,23 @@ class DecodeRewriteRule extends Rule[LogicalPlan] {
             ae // decodes inside aggregate functions stay below (memo-join case)
           case other => other.mapChildren(hoist)
         }
+        // hoist ONLY entries with a top-level decode; an entry whose decodes
+        // all sit inside aggregate functions (COUNT(graft_decode(x))) stays
+        // in the Aggregate — the memo-join case rewrites it on the next
+        // analyzer pass (hoisting it would strand a naked aggregate in the
+        // Project: confirmed MISSING_GROUP_BY when combined with a
+        // grouping-key decode)
         val outer = agg.aggregateExpressions.map {
           case a: org.apache.spark.sql.catalyst.expressions.Alias
-              if a.exists(_.isInstanceOf[DecodeTerm]) =>
+              if topLevelDecodes(a).nonEmpty =>
             org.apache.spark.sql.catalyst.expressions.Alias(
               hoist(a.child), a.name)(exprId = a.exprId, qualifier = a.qualifier)
-          case ne if ne.exists(_.isInstanceOf[DecodeTerm]) =>
+          case ne if topLevelDecodes(ne).nonEmpty =>
             hoist(ne).asInstanceOf[NamedExpression]
           case ne => ne.toAttribute
         }
-        val inner = agg.aggregateExpressions.filterNot(
-          _.exists(_.isInstanceOf[DecodeTerm])) ++ innerExtra
+        val inner = agg.aggregateExpressions.filter(
+          topLevelDecodes(_).isEmpty) ++ innerExtra
         Project(outer, agg.copy(aggregateExpressions = inner))
 
       case agg: Aggregate

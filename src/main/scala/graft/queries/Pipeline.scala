@@ -1227,6 +1227,39 @@ object Pipeline {
       s.sql(tfidfSql(SparkDialect, Some(cachedTf(s, dir))))
     }
 
+  /** ANN EVALUATION — recall@3 of the LSH index against the exact top-3,
+    * per query: the quality-measurement operator every ANN deployment runs
+    * before trusting an index. Composes the two gate-verified similarity
+    * templates (same query set: vec_id % 50); recall = |ANN ∩ exact| / 3 as
+    * an exact small-int division (bit-identical).
+    */
+  private def simAnnRecall(d: Dialect): String =
+    s"""WITH bf AS (${bruteForceTopkSql(d, 50, 3)}),
+       |ann AS (${simAnnLsh(d)})
+       |SELECT bf.qid, CAST(COUNT(ann.nid) AS BIGINT) AS hits,
+       |  CAST(COUNT(ann.nid) AS DOUBLE) / 3.0 AS recall_at_3
+       |FROM bf LEFT JOIN ann ON bf.qid = ann.qid AND bf.nid = ann.nid
+       |GROUP BY bf.qid""".stripMargin
+
+  /** The `(doc_id, toks)` token-array stage — tokenize ONCE; both the
+    * unigram and bigram counts read it.
+    */
+  private def toksSql(d: Dialect): String =
+    s"SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM documents"
+
+  private def uniSql(d: Dialect, toksSrc: String): String =
+    s"""SELECT tk, CAST(COUNT(*) AS BIGINT) AS c
+       |FROM (${d.explodeSelect("doc_id", s"($toksSrc) tt", "toks", "tk")}) tok
+       |GROUP BY tk""".stripMargin
+
+  private def bigramSql(d: Dialect, toksSrc: String): String = {
+    val pair =
+      s"""SELECT ${d.elem("toks", "i")} AS x, ${d.elem("toks", "i + 1")} AS y
+         |FROM (${d.explodeSelect("doc_id, toks", s"($toksSrc) tt",
+              d.seq("1", s"${d.len("toks")} - 1"), "i")}) e""".stripMargin
+    s"SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM ($pair) p GROUP BY x, y"
+  }
+
   /** Corpus-wide bigram PMI (pointwise mutual information) — the classic
     * collocation / phrase-mining signal: pmi(x,y) = ln(p(x,y)/(p(x)p(y)))
     * over adjacent token pairs, for bigrams seen ≥ 5 times.
@@ -1243,40 +1276,12 @@ object Pipeline {
     * (broadcast-sized: it's the vocabulary); corpus totals are 1-row cross
     * joins (broadcast).
     */
-  /** ANN EVALUATION — recall@3 of the LSH index against the exact top-3,
-    * per query: the quality-measurement operator every ANN deployment runs
-    * before trusting an index. Composes the two gate-verified similarity
-    * templates (same query set: vec_id % 50); recall = |ANN ∩ exact| / 3 as
-    * an exact small-int division (bit-identical).
-    */
-  private def simAnnRecall(d: Dialect): String =
-    s"""WITH bf AS (${bruteForceTopkSql(d, 50, 3)}),
-       |ann AS (${simAnnLsh(d)})
-       |SELECT bf.qid, CAST(COUNT(ann.nid) AS BIGINT) AS hits,
-       |  CAST(COUNT(ann.nid) AS DOUBLE) / 3.0 AS recall_at_3
-       |FROM bf LEFT JOIN ann ON bf.qid = ann.qid AND bf.nid = ann.nid
-       |GROUP BY bf.qid""".stripMargin
-
-  private def uniSql(d: Dialect): String =
-    s"""SELECT tk, CAST(COUNT(*) AS BIGINT) AS c
-       |FROM (${d.explodeSelect("doc_id", "documents", F.tokens(d, "text"), "tk")}) tok
-       |GROUP BY tk""".stripMargin
-
-  private def bigramSql(d: Dialect): String = {
-    val pair =
-      s"""SELECT ${d.elem("toks", "i")} AS x, ${d.elem("toks", "i + 1")} AS y
-         |FROM (${d.explodeSelect("doc_id, toks",
-              s"(SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM documents) tt",
-              d.seq("1", s"${d.len("toks")} - 1"), "i")}) e""".stripMargin
-    s"SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM ($pair) p GROUP BY x, y"
-  }
-
   private def pmiSql(d: Dialect,
       uniSrc: Option[String] = None, bcSrc: Option[String] = None): String = {
     val ratio = "(CAST(bc.c AS DOUBLE) * CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)) / " +
       "(CAST(bt.b AS DOUBLE) * CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE))"
-    s"""WITH uni AS (${uniSrc.getOrElse(uniSql(d))}),
-       |bc AS (${bcSrc.getOrElse(bigramSql(d))}),
+    s"""WITH uni AS (${uniSrc.getOrElse(uniSql(d, toksSql(d)))}),
+       |bc AS (${bcSrc.getOrElse(bigramSql(d, toksSql(d)))}),
        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
        |bt AS (SELECT CAST(SUM(c) AS BIGINT) AS b FROM bc)
        |SELECT bc.x, bc.y, bc.c AS c_xy,
@@ -1359,11 +1364,14 @@ object Pipeline {
   private def textPmiDef: QueryDef =
     QueryDef("text_pmi", pmiSql(DuckDialect)) { (s, dir) =>
       views(s, dir, "documents")
-      // uni feeds the two scoring joins + the corpus total; bc feeds the
-      // scoring join + the bigram total — materialize both once (Catalyst
+      // tokenize once (both counts read the materialized arrays); uni
+      // feeds the two scoring joins + the corpus total and bc feeds the
+      // scoring join + the bigram total — materialize all three (Catalyst
       // inlines multi-ref CTEs; released by per-query clearCache)
-      s.sql(uniSql(SparkDialect)).persist().createOrReplaceTempView("graft_pmi_uni")
-      s.sql(bigramSql(SparkDialect)).persist().createOrReplaceTempView("graft_pmi_bc")
+      s.sql(toksSql(SparkDialect)).persist().createOrReplaceTempView("graft_pmi_toks")
+      val toksView = "SELECT doc_id, toks FROM graft_pmi_toks"
+      s.sql(uniSql(SparkDialect, toksView)).persist().createOrReplaceTempView("graft_pmi_uni")
+      s.sql(bigramSql(SparkDialect, toksView)).persist().createOrReplaceTempView("graft_pmi_bc")
       s.sql(pmiSql(SparkDialect,
         Some("SELECT tk, c FROM graft_pmi_uni"),
         Some("SELECT x, y, c FROM graft_pmi_bc")))

@@ -304,12 +304,19 @@ object Streams {
               else incoming
             val latest = graft.operators.TopK.perGroup(merged,
               Seq("user_id"), Seq("ts" -> false, "event_id" -> false), k = 1)
-            // materialize to a sibling dir, then atomic-swap (cannot
-            // overwrite a directory that the merge plan is still reading)
+            // materialize to a sibling dir, then swap via TWO RENAMES (the
+            // old store moves aside before the new one moves in — a
+            // delete-then-rename would lose the whole store if the process
+            // died between the two; the remaining rename-pair window is
+            // what a transactional lakehouse MERGE target closes fully)
             val tmp = new org.apache.hadoop.fs.Path(store + "__tmp")
             latest.write.mode("overwrite").parquet(tmp.toString)
-            if (fs.exists(storePath)) fs.delete(storePath, true)
-            fs.rename(tmp, storePath)
+            val old = new org.apache.hadoop.fs.Path(store + "__old")
+            if (fs.exists(old)) fs.delete(old, true)
+            if (fs.exists(storePath))
+              require(fs.rename(storePath, old), s"rename aside failed: $storePath")
+            require(fs.rename(tmp, storePath), s"rename in failed: $tmp")
+            fs.delete(old, true)
           }
           (): Unit
         }

@@ -131,17 +131,36 @@ object BgpPlanner {
         if (shared.isEmpty) acc else acc.join(m, shared, "left_anti")
     }
 
-    // VALUES (single-variable inline bindings): the distinct binding set is
-    // semantically a join against a literal table; planned as an `isin`
-    // predicate, which Catalyst pushes into the pattern's scan — the
-    // cheapest correct plan for a literal domain. An unknown term binds
-    // nothing (it cannot match any encoded id).
+    // VALUES (single-variable inline bindings): semantically Join(P, data).
+    // When the variable is bound by a REQUIRED pattern it can never be
+    // null, and the join degenerates to an `isin` predicate that Catalyst
+    // pushes into the pattern's scan — the cheapest correct plan. When the
+    // variable is only OPTIONAL-bound (nullable), the full SPARQL
+    // compatibility rule applies: an unbound solution is compatible with
+    // every VALUES row and survives WITH the variable bound to it — a join
+    // against the (tiny, broadcast) literal table with null-extension.
+    // An unknown term binds nothing (it cannot match any encoded id).
+    val nonNullVars: Set[String] =
+      if (query.unionArms.nonEmpty)
+        query.unionArms.map(_.flatMap(p => Seq(p.s, p.p, p.o)
+          .collect { case Variable(v) => v }).toSet).reduce(_ intersect _)
+      else (plainPatterns.flatMap(p => Seq(p.s, p.p, p.o)
+          .collect { case Variable(v) => v }) ++
+        pathPatterns.collect { case TriplePattern(_, _, Variable(v)) => v }).toSet
     val withValues = query.inlineValues.foldLeft(afterMinus) { case (acc, (v, terms)) =>
       require(acc.columns.contains(v),
         s"VALUES variable ?$v not bound by the BGP (bound: ${acc.columns.mkString(", ")})")
       val ids = terms.flatMap(t => enc.get(t.lexical)).distinct
       if (ids.isEmpty) acc.filter(lit(false))
-      else acc.filter(col(v).isin(ids: _*))
+      else if (nonNullVars.contains(v)) acc.filter(col(v).isin(ids: _*))
+      else {
+        val spark = acc.sparkSession
+        import spark.implicits._
+        val vdf = ids.toDF("__graft_val")
+        acc.join(vdf, col(v).isNull || col(v) === col("__graft_val"))
+          .withColumn(v, coalesce(col(v), col("__graft_val")))
+          .drop("__graft_val")
+      }
     }
 
     // FILTER conditions: plain Column predicates over the joined variable
@@ -279,9 +298,11 @@ object BgpPlanner {
     // one-or-more: seed the closure with the subject's DIRECT successors
     // (the `+` semantics — the subject itself only appears if reached by a
     // cycle); an unknown subject term reaches nothing. Zero-or-more (`*`)
-    // additionally includes the zero-step binding ?o = subject — even for
-    // a subject absent from the data, per SPARQL ZeroOrMorePath on the
-    // term itself.
+    // additionally includes the zero-step binding ?o = subject — SUBSET
+    // DEVIATION: full SPARQL would emit the zero step even for a term
+    // absent from the dictionary, but this planner's output is encoded
+    // ids, so an un-encodable term yields the empty result instead
+    // (pinned by SparqlSpec).
     val direct = edges
       .filter(col(TripleSchema.subject) === lit(seedId.getOrElse(Int.MinValue)))
       .select(col(TripleSchema.objekt).as("node")).distinct()

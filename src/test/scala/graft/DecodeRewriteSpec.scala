@@ -80,8 +80,28 @@ class DecodeRewriteSpec extends SparkTestBase {
     assert(rows.toSeq == Seq(("one", 1L), ("three", 1L)))
   }
 
+  test("grouping-key decode combines with an in-aggregate decode in one query") {
+    setup()
+    // entry 1 hoists above the Aggregate; entry 2 stays below and takes the
+    // memo-join rewrite on the next analyzer pass — both in one statement
+    val rows = spark.sql(
+      """SELECT graft_decode(Subject) AS s, COUNT(graft_decode(Object)) AS n
+        |FROM dec_triples GROUP BY Subject""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_.toString)
+    // Object -2 decodes ('neg two'), 99 does not (null, uncounted)
+    assert(rows.toSeq == Seq(("one", 1L), ("three", 0L)))
+  }
+
   test("unsupported aggregate shapes fail with the clear error, not a cryptic one") {
     setup()
+    // decode of a genuinely NON-grouping column in the select list: no
+    // rewrite case may claim it — Spark's own missing-group-by analysis
+    // error (which names the offending expression) must surface
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      """SELECT graft_decode(Object) AS o, COUNT(*) AS n
+        |FROM dec_triples GROUP BY Subject""".stripMargin).collect())
+    assert(e1.getMessage.toUpperCase.contains("GROUP"),
+      s"unexpected error: ${e1.getMessage}")
     // decode OF an aggregate result: the join condition would contain MIN
     val e2 = intercept[org.apache.spark.sql.AnalysisException](spark.sql(
       """SELECT graft_decode(MIN(Object)) AS o

@@ -377,6 +377,13 @@ class SparqlSpec extends SparkTestBase {
       "SELECT ?s WHERE { ?s :p1 ?o . VALUES ?o { 'zzz' } }").count() == 0)
     intercept[IllegalArgumentException](reg.sparql(
       "SELECT ?s WHERE { ?s :p1 ?o . VALUES ?x { 'b' } }"))
+    // OPTIONAL-unbound variable: the unbound solution is compatible with
+    // every VALUES row and survives WITH the binding (SPARQL Join
+    // semantics) — an isin filter would silently drop it
+    val optRows = reg.sparql(
+      "SELECT ?s ?o WHERE { ?s :p3 ?x . OPTIONAL { ?x :p2 ?o } . VALUES ?o { 'g' } }")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(optRows.toSeq == Seq((-7, -8)))
   }
 
   test("reference Q1 SQL shape runs verbatim against registered views") {
