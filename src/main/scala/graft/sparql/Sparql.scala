@@ -83,10 +83,26 @@ object SparqlParser {
         return BgpQuery(Nil, patterns, constructTemplate = tmpl)
       case _ =>
     }
+    // Trailing ValuesClause (the SPARQL-standard position, after the
+    // solution modifiers): strip it first — the greedy body regex below
+    // would otherwise swallow its braces.
+    var work = normalized
+    val trailingValues = scala.collection.mutable.ListBuffer.empty[(String, Seq[Constant])]
+    val trailingRe = "(?i)VALUES\\s+\\?(\\w+)\\s*\\{([^{}]*)\\}\\s*$".r
+    var tm = trailingRe.findFirstMatchIn(work)
+    while (tm.isDefined) {
+      val m = tm.get
+      val terms = tokenize(m.group(2).trim).toSeq.map(toTerm)
+      require(terms.nonEmpty && terms.forall(_.isInstanceOf[Constant]),
+        s"VALUES terms must be constants: ${m.group(2)}")
+      (m.group(1) -> terms.map(_.asInstanceOf[Constant])) +=: trailingValues
+      work = work.substring(0, m.start).trim
+      tm = trailingRe.findFirstMatchIn(work)
+    }
     // body = up to the LAST closing brace (greedy — union arms contain
     // braces); tail = the solution-modifier clauses after it
     val re = "(?is)SELECT\\s+(.*?)\\s+WHERE\\s*\\{(.*)\\}(.*)".r
-    normalized match {
+    work match {
       case re(proj, rawBody, tail) =>
         val distinct = proj.trim.toUpperCase.startsWith("DISTINCT ")
         val projTerms = if (distinct) proj.trim.substring("DISTINCT ".length) else proj.trim
@@ -101,7 +117,8 @@ object SparqlParser {
           require(arms.forall(_.nonEmpty), "empty UNION arm")
           return BgpQuery(projection, Nil, Nil, limit, Nil, distinct,
             unionArms = arms, orderBy = orderBy, offset = offset,
-            groupByVars = groupByVars, countAggs = countAggs)
+            groupByVars = groupByVars, countAggs = countAggs,
+            inlineValues = trailingValues.toList)
         }
         // VALUES blocks first (their braces hold constants, not patterns):
         // single-variable inline bindings per SPARQL 1.1 ValuesClause.
@@ -138,7 +155,7 @@ object SparqlParser {
         BgpQuery(projection, patterns, filters, limit,
           optionals, distinct, orderBy = orderBy, offset = offset,
           groupByVars = groupByVars, countAggs = countAggs,
-          inlineValues = inlineValues, minuses = minuses)
+          inlineValues = inlineValues ++ trailingValues, minuses = minuses)
       case _ => throw new IllegalArgumentException(s"unsupported SPARQL: $query")
     }
   }

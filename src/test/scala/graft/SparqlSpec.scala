@@ -384,6 +384,16 @@ class SparqlSpec extends SparkTestBase {
       "SELECT ?s ?o WHERE { ?s :p3 ?x . OPTIONAL { ?x :p2 ?o } . VALUES ?o { 'g' } }")
       .collect().map(r => (r.getInt(0), r.getInt(1)))
     assert(optRows.toSeq == Seq((-7, -8)))
+    // a variable bound in only ONE union arm is nullable: the other arm's
+    // solutions are compatible with every VALUES row and get extended
+    val uRows = reg.sparql(
+      "SELECT ?x ?y WHERE { { ?s :p1 ?x } UNION { ?s :p2 ?y } } VALUES ?x { 'b' }")
+      .collect()
+      .map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+    // arm1: only x=10 ('b') survives, y stays null; arm2 rows (y=-7,-8)
+    // have x null -> compatible with the binding -> extended with x=10
+    assert(uRows.sortBy(_.toString).toSeq ==
+      Seq((10, None), (10, Some(-8)), (10, Some(-7))).sortBy(_.toString))
   }
 
   test("reference Q1 SQL shape runs verbatim against registered views") {
