@@ -56,14 +56,41 @@ object Bench {
         else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
       name -> mid
     }
-    // Compact values (ms resolution) keep the one-line report small enough
-    // that log tails don't truncate the query map.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sorted = results.map(_._2).sorted
+    def pct(p: Double): Double =
+      if (sorted.isEmpty) 0.0
+      else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+    def mapJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    def envelope(qs: String, extra: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.length},""" +
+        s""""median":${fmt(pct(0.5))},"p90":${fmt(pct(0.9))},"queries":$qs$extra,"sf":"$sfDir"}"""
+    // Full per-query report goes to a file the repo keeps (NOT stdout: the
+    // consumer of stdout tails only the last ~2000 chars, which a 125-entry
+    // map overflows — BENCH_r02's `parsed: null` — and an extra stderr line
+    // could interleave after the parseable stdout line).
+    val fullLine = envelope(mapJson(results), "")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
+    // The single stdout JSON line must survive a 2000-char tail window AND
+    // parse: pack queries slowest-first under a byte budget and roll the
+    // rest (all fast ones) into an `omitted` summary.
+    val budget = 1600
+    val bySlowest = results.sortBy(-_._2)
+    var used = 0
+    val kept = bySlowest.takeWhile { case (k, v) =>
+      used += k.length + fmt(v).length + 4; used <= budget
+    }
+    val dropped = bySlowest.drop(kept.length)
+    val omitted =
+      if (dropped.isEmpty) ""
+      else s""","omitted":{"n":${dropped.length},"sec":${fmt(dropped.map(_._2).sum)},"max_sec":${fmt(dropped.head._2)},"full_report":"BENCH_FULL.json"}"""
+    println(envelope(mapJson(kept.sortBy(_._1)), omitted))
     spark.stop()
   }
 }

@@ -341,6 +341,43 @@ object Rdf {
         .sparql(s"SELECT ?o WHERE { 'cust_$minCust' (:placed|:contains|:supplied_by)+ ?o }")
     },
 
+    // ---- SPARQL sequence property path (`:placed/:contains`): parsed into
+    // chained plain patterns through a hidden fresh variable, so the whole
+    // path is ONE Catalyst join plan (point predicate pushed into the first
+    // hop's scan, equi-join per step) — no bespoke path executor needed for
+    // fixed-length paths. ----
+    QueryDef("rdf_sparql_seq",
+      RdfBridge.oracleCte +
+        """SELECT t2.Object AS p2
+          |FROM triples t1 JOIN triples t2 ON t1.Object = t2.Subject
+          |WHERE t1.Subject = CAST(-(1000 + (SELECT MIN(o_custkey) FROM orders)) AS INTEGER)
+          |  AND t1.Predicate = -2 AND t2.Predicate = -13""".stripMargin) { (s, dir) =>
+      val minCust = graft.sources.Tables.load(s, dir, "orders")
+        .agg(min(col("o_custkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"SELECT ?p2 WHERE { 'cust_$minCust' :placed/:contains ?p2 }")
+    },
+
+    // ---- SPARQL inverse path steps (`^:contains/^:placed`): each `^` step
+    // swaps subject/object at parse time — "customers who placed an order
+    // containing part X" navigated backwards from the part. The bound term
+    // lands in the OBJECT position of both rewritten patterns, so the scans
+    // are point-predicate-pruned on Object. ----
+    QueryDef("rdf_sparql_inverse",
+      RdfBridge.oracleCte +
+        """SELECT t2.Subject AS c
+          |FROM triples t1 JOIN triples t2 ON t2.Object = t1.Subject
+          |WHERE t1.Predicate = -13
+          |  AND t1.Object = CAST(-((SELECT MIN(l_partkey) FROM lineitem) + 500000000) AS INTEGER)
+          |  AND t2.Predicate = -2""".stripMargin) { (s, dir) =>
+      val minPart = graft.sources.Tables.load(s, dir, "lineitem")
+        .agg(min(col("l_partkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"SELECT ?c WHERE { 'part_$minPart' ^:contains/^:placed ?c }")
+    },
+
     // ---- zero-or-more property path (`*`): the `+` closure plus the
     // zero-step binding (the subject itself), deduplicated per ALP
     // semantics. ----

@@ -246,7 +246,10 @@ object BgpPlanner {
 
     val projection =
       if (query.projection.nonEmpty) query.projection
-      else aggregated.columns.toSeq.filterNot(_.startsWith("__exists_")).sorted
+      // hide existence markers AND path-internal fresh variables (`__path*`
+      // from sequence/inverse rewrites — not visible bindings in SPARQL)
+      else aggregated.columns.toSeq
+        .filterNot(c => c.startsWith("__exists_") || c.startsWith("__path")).sorted
     val projected =
       if (projection.isEmpty) aggregated // fully-bound BGP: non-empty iff it matches
       else aggregated.select(projection.map(col): _*)

@@ -62,12 +62,19 @@ object SparqlParser {
     * multi-hop BGPs expressible (the generalization called for in SURVEY §2.3).
     */
   def parse(query: String): BgpQuery = {
+    // Fresh-variable supply for path rewrites (sequence `:p/:q`, inverse
+    // `^:p`): names carry the reserved `__path` prefix so the planner's
+    // star projection hides them (SPARQL path-internal variables are not
+    // visible bindings). Local to this parse call — deterministic,
+    // race-free.
+    var freshN = 0
+    def fresh(): String = { freshN += 1; s"__path$freshN" }
     val normalized = query.trim.replaceAll("\\s+", " ")
     // ASK: boolean existence of any solution (no projection/modifiers)
     val askRe = "(?is)ASK\\s*\\{(.*)\\}\\s*".r
     normalized match {
       case askRe(body) =>
-        val patterns = splitPatterns(body)
+        val patterns = splitPatterns(body, fresh)
         require(patterns.nonEmpty, "empty BGP")
         return BgpQuery(Nil, patterns, ask = true)
       case _ =>
@@ -77,7 +84,7 @@ object SparqlParser {
     normalized match {
       case consRe(template, body) =>
         val tmpl = splitPatterns(template)
-        val patterns = splitPatterns(body)
+        val patterns = splitPatterns(body, fresh)
         require(tmpl.nonEmpty, "empty CONSTRUCT template")
         require(patterns.nonEmpty, "empty BGP")
         return BgpQuery(Nil, patterns, constructTemplate = tmpl)
@@ -113,7 +120,7 @@ object SparqlParser {
         // misreads an arm's braces).
         if (rawBody.matches("(?is)\\s*\\{[^{}]*\\}(\\s*UNION\\s*\\{[^{}]*\\})+\\s*")) {
           val arms = "\\{([^{}]*)\\}".r.findAllMatchIn(rawBody)
-            .map(m => splitPatterns(m.group(1))).toSeq
+            .map(m => splitPatterns(m.group(1), fresh)).toSeq
           require(arms.forall(_.nonEmpty), "empty UNION arm")
           return BgpQuery(projection, Nil, Nil, limit, Nil, distinct,
             unionArms = arms, orderBy = orderBy, offset = offset,
@@ -134,14 +141,14 @@ object SparqlParser {
         // minus pattern on shared variables.
         val minusRe = "(?i)MINUS\\s*\\{([^{}]*)\\}".r
         val minuses = minusRe.findAllMatchIn(withoutValues)
-          .map(m => splitPatterns(m.group(1))).toSeq
+          .map(m => splitPatterns(m.group(1), fresh)).toSeq
         val withoutMinus = minusRe.replaceAllIn(withoutValues, " ")
         // OPTIONAL groups next (their braces enclose plain BGPs — no
         // nesting in the subset), so the FILTER extraction below never
         // reaches inside an optional block.
         val optionalRe = "(?i)OPTIONAL\\s*\\{([^{}]*)\\}".r
         val optionals = optionalRe.findAllMatchIn(withoutMinus)
-          .map(m => splitPatterns(m.group(1))).toSeq
+          .map(m => splitPatterns(m.group(1), fresh)).toSeq
         val withoutOpt = optionalRe.replaceAllIn(withoutMinus, " ")
         // FILTER clauses: extract (they need no dot separator in SPARQL),
         // then parse the remaining segments as triple patterns. The
@@ -150,7 +157,7 @@ object SparqlParser {
         val filterRe = "(?i)FILTER\\s*\\(\\s*([^)]*?)\\s*\\)".r
         val filters = filterRe.findAllMatchIn(withoutOpt).map(m => parseFilter(m.group(1))).toSeq
         val body = filterRe.replaceAllIn(withoutOpt, " ")
-        val patterns = splitPatterns(body)
+        val patterns = splitPatterns(body, fresh)
         require(patterns.nonEmpty, "empty BGP")
         BgpQuery(projection, patterns, filters, limit,
           optionals, distinct, orderBy = orderBy, offset = offset,
@@ -222,11 +229,39 @@ object SparqlParser {
 
   /** Split a brace-free pattern group on dots DELIMITED BY WHITESPACE (or
     * line end) and outside quotes — dots inside <uri>s or quoted literals
-    * don't split.
+    * don't split. With a `fresh` variable supply, predicate positions may be
+    * property-path expressions — sequence `:p/:q` and inverse `^:p` steps —
+    * each rewritten into plain patterns chained through fresh variables
+    * (`fresh = null` in CONSTRUCT templates, where paths are not triples).
     */
-  private def splitPatterns(body: String): Seq[TriplePattern] =
+  private def splitPatterns(body: String, fresh: () => String = null): Seq[TriplePattern] =
     body.split("\\s+\\.(?=\\s|$)(?=(?:[^']*'[^']*')*[^']*$)")
-      .map(_.trim).filter(s => s.nonEmpty && s != ".").toSeq.map(parsePattern)
+      .map(_.trim).filter(s => s.nonEmpty && s != ".").toSeq
+      .flatMap(t => expandPattern(t, fresh))
+
+  /** One pattern text → its plain patterns. A sequence path `e1/e2/.../en`
+    * (each step a predicate name, optionally `^`-inverted) chains n plain
+    * patterns through n-1 fresh intermediate variables; a lone inverse
+    * `^:p` swaps subject and object. The closure syntax (`:p+`, `(:p|:q)*`)
+    * stays a single pattern — the planner routes it to the BFS operator.
+    */
+  private def expandPattern(text: String, fresh: () => String): Seq[TriplePattern] = {
+    val toks = tokenize(text)
+    require(toks.length == 3, s"triple pattern needs 3 terms, got ${toks.length} in: $text")
+    val p = toks(1)
+    val pathLike = !p.startsWith("?") && fresh != null &&
+      (p.matches("\\^?:?\\w+(?:/\\^?:?\\w+)+") || p.matches("\\^:?\\w+"))
+    if (!pathLike) Seq(parsePattern(text))
+    else {
+      val steps = p.split("/").toSeq
+      val nodes = toks(0) +: Seq.fill(steps.length - 1)("?" + fresh()) :+ toks(2)
+      steps.zipWithIndex.map { case (st, i) =>
+        val (inv, pred) = if (st.startsWith("^")) (true, st.substring(1)) else (false, st)
+        val (sTok, oTok) = if (inv) (nodes(i + 1), nodes(i)) else (nodes(i), nodes(i + 1))
+        TriplePattern(toTerm(sTok), toTerm(pred), toTerm(oTok))
+      }
+    }
+  }
 
   private def parseFilter(cond: String): FilterCond = {
     val condRe = "\\?(\\w+)\\s*(!=|=)\\s*(.+)".r

@@ -348,6 +348,46 @@ class SparqlSpec extends SparkTestBase {
     assert(reg.sparql("SELECT ?o WHERE { 'nosuch' :p1* ?o }").count() == 0)
   }
 
+  test("sequence path chains patterns through hidden fresh variables") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // a -p1-> b -p2-> c as one sequence path; intermediate not projected
+    val q = SparqlParser.parse("SELECT ?m WHERE { 'a' :p1/:p2 ?m }")
+    assert(q.patterns.length == 2)
+    assert(q.patterns(0).o == q.patterns(1).s) // shared fresh variable
+    assert(q.patterns(0).o.asInstanceOf[Variable].name.startsWith("__path"))
+    val rows = reg.sparql("SELECT ?m WHERE { 'a' :p1/:p2 ?m }").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(-7))
+    // 3-step sequence reaches the chain's end
+    val rows3 = reg.sparql("SELECT ?o WHERE { 'a' :p1/:p2/:p3 ?o }").collect()
+    assert(rows3.map(_.getInt(0)).toSeq == Seq(20))
+    // star projection hides the path-internal variable
+    val starCols = reg.sparql("SELECT * WHERE { 'a' :p1/:p2 ?m }").columns
+    assert(starCols.toSeq == Seq("m"))
+    // sequences work inside OPTIONAL groups too
+    val opt = reg.sparql(
+      "SELECT ?s ?m WHERE { ?s :p1 ?x . OPTIONAL { ?s :p1/:p2 ?m } }")
+      .collect().map(r => (r.getInt(0), Option(r.get(1)))).sortBy(_._1)
+    assert(opt.toSeq == Seq((-5, Some(-7)), (6, Some(-8))))
+  }
+
+  test("inverse path steps swap subject and object") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // ^:p1 from b: who points to b via p1? (subject a = -5)
+    val rows = reg.sparql("SELECT ?s WHERE { 'b' ^:p1 ?s }").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(-5))
+    // inverse inside a sequence: c --(^p2)--> b --(^p1)--> a
+    val back = reg.sparql("SELECT ?s WHERE { 'c' ^:p2/^:p1 ?s }").collect()
+    assert(back.map(_.getInt(0)).toSeq == Seq(-5))
+    // mixed forward/inverse: a -p1-> b, then who ELSE points into b's p2
+    // target via p2 (only b itself) — forward then inverse round-trips
+    val mixed = reg.sparql("SELECT ?x WHERE { 'a' :p1/:p2/^:p2 ?x }").collect()
+    assert(mixed.map(_.getInt(0)).toSeq == Seq(10))
+    // unknown bound term: empty, not an error
+    assert(reg.sparql("SELECT ?s WHERE { 'nosuch' ^:p1 ?s }").count() == 0)
+  }
+
   test("MINUS removes solutions compatible on shared variables") {
     val (engine, triples) = fixture
     val reg = engine.registerSplitTables(triples)
