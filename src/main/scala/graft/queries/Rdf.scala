@@ -320,6 +320,59 @@ object Rdf {
           "(COUNT(?o) AS ?n) WHERE { ?c :placed ?o } GROUP BY ?c")
     },
 
+    // ---- SPARQL !BOUND over an OPTIONAL (negation-as-failure): customers
+    // with NO order — the LeftJoin's null-extension filtered on null-ness.
+    // Catalyst evaluates the IsNull filter streaming above the join probe;
+    // the oracle is the equivalent NOT EXISTS anti-join. ----
+    QueryDef("rdf_sparql_notbound",
+      RdfBridge.oracleCte +
+        """SELECT t1.Subject AS c, t1.Object AS o FROM triples t1
+          |WHERE t1.Predicate = -2
+          |  AND NOT EXISTS (SELECT 1 FROM triples x
+          |                  WHERE x.Predicate = -13 AND x.Subject = t1.Object
+          |                    AND x.Object = CAST(-((SELECT MIN(l_partkey) FROM lineitem) + 500000000) AS INTEGER))""".stripMargin) { (s, dir) =>
+      // (customer, order) pairs whose order does NOT contain the given part.
+      // The optional's ?s (the part's suppliers) only binds when the order
+      // contains the part, so !BOUND(?s) is the anti-join; inside the
+      // optional the supplier pattern shares no variable with the contains
+      // pattern — the planner's (tiny, suppliers-of-one-part) cross-join
+      // case, exercised here through a gate.
+      val minPart = graft.sources.Tables.load(s, dir, "lineitem")
+        .agg(min(col("l_partkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"""SELECT ?c ?o WHERE { ?c :placed ?o .
+                   | OPTIONAL { ?o :contains 'part_$minPart' . 'part_$minPart' :supplied_by ?s }
+                   | FILTER(!BOUND(?s)) }""".stripMargin)
+    },
+
+    // ---- SPARQL AVG + SAMPLE aggregates (SAMPLE pinned to MIN — the spec
+    // allows any group member; determinism is a refinement): per-customer
+    // order stats in one hash aggregate. ----
+    QueryDef("rdf_sparql_avg",
+      RdfBridge.oracleCte +
+        """SELECT Subject AS c, AVG(Object) AS avg_o, MIN(Object) AS any_o
+          |FROM triples WHERE Predicate = -2 GROUP BY Subject""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?c (AVG(?o) AS ?avg_o) (SAMPLE(?o) AS ?any_o) " +
+          "WHERE { ?c :placed ?o } GROUP BY ?c")
+    },
+
+    // ---- SPARQL GROUP_CONCAT (element order pinned ascending — the spec
+    // leaves it undefined; sorting inside the aggregate makes the string
+    // identical across engines and partitionings): each customer's order
+    // list as one comma-joined string. ----
+    QueryDef("rdf_sparql_groupconcat",
+      RdfBridge.oracleCte +
+        """SELECT Subject AS c,
+          |  string_agg(CAST(Object AS VARCHAR), ',' ORDER BY Object) AS orders
+          |FROM triples WHERE Predicate = -2 GROUP BY Subject""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?c (GROUP_CONCAT(?o) AS ?orders) WHERE { ?c :placed ?o } GROUP BY ?c")
+    },
+
     // ---- SPARQL property path (one-or-more over an alternation): the
     // 3-hop closure cust→orders→parts→suppliers through the SPARQL
     // surface, planned as the semi-naive BFS fixpoint — per round one

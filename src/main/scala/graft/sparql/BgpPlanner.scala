@@ -172,17 +172,27 @@ object BgpPlanner {
       require(df.columns.contains(f.variable),
         s"FILTER variable ?${f.variable} not bound by the BGP " +
           s"(bound: ${df.columns.mkString(", ")})")
-      val eq: Column = f.value match {
-        case Variable(v) =>
-          require(df.columns.contains(v),
-            s"FILTER variable ?$v not bound by the BGP")
-          col(f.variable) === col(v)
-        case Constant(l) => enc.get(l) match {
-          case Some(id) => col(f.variable) === lit(id)
-          case None => lit(false)
-        }
+      f.op match {
+        // BOUND over an OPTIONAL-bound variable: null-ness IS unboundness
+        // in the left-join encoding, so these are plain null predicates —
+        // !BOUND turns the LeftJoin into negation-as-failure (Catalyst
+        // cannot rewrite it to an anti-join because the optional's columns
+        // are referenced, but the filter is evaluated streaming post-join).
+        case FilterBound => df.filter(col(f.variable).isNotNull)
+        case FilterNotBound => df.filter(col(f.variable).isNull)
+        case eqOp =>
+          val eq: Column = f.value match {
+            case Variable(v) =>
+              require(df.columns.contains(v),
+                s"FILTER variable ?$v not bound by the BGP")
+              col(f.variable) === col(v)
+            case Constant(l) => enc.get(l) match {
+              case Some(id) => col(f.variable) === lit(id)
+              case None => lit(false)
+            }
+          }
+          df.filter(if (eqOp == FilterEq) eq else !eq)
       }
-      df.filter(f.op match { case FilterEq => eq; case FilterNeq => !eq })
     }
 
     // ASK: boolean existence — LocalLimit(1) stops each partition at the
@@ -235,6 +245,17 @@ object BgpPlanner {
             case ("SUM", Some(v), true) => sum_distinct(col(v))
             case ("MIN", Some(v), _) => min(col(v))
             case ("MAX", Some(v), _) => max(col(v))
+            case ("AVG", Some(v), false) => avg(col(v))
+            // SPARQL SAMPLE returns an ARBITRARY value per group; picking
+            // MIN is a valid refinement that makes the result deterministic
+            // across partitionings and engines
+            case ("SAMPLE", Some(v), _) => min(col(v))
+            // GROUP_CONCAT with the default separator; the SPARQL spec
+            // leaves element order undefined — pinned to ascending value
+            // order (array_sort before join) for cross-engine determinism
+            case ("GROUP_CONCAT", Some(v), false) =>
+              array_join(transform(array_sort(collect_list(col(v))),
+                x => x.cast("string")), ",")
             case other => throw new IllegalArgumentException(s"unsupported aggregate: $other")
           }
           c.as(a.alias)

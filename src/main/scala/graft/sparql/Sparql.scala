@@ -15,11 +15,14 @@ final case class Constant(lexical: String) extends Term
 final case class TriplePattern(s: Term, p: Term, o: Term)
 
 /** `FILTER(?var = term)` / `FILTER(?var != term)` — the term is a constant
-  * or another variable.
+  * or another variable — plus `FILTER(BOUND(?var))` / `FILTER(!BOUND(?var))`
+  * (for BOUND forms `value` is unused and carries the variable itself).
   */
 sealed trait FilterOp
 case object FilterEq extends FilterOp
 case object FilterNeq extends FilterOp
+case object FilterBound extends FilterOp
+case object FilterNotBound extends FilterOp
 final case class FilterCond(variable: String, op: FilterOp, value: Term)
 
 /** A basic graph pattern plus the query's projection (Nil = `*`), OPTIONAL
@@ -154,7 +157,8 @@ object SparqlParser {
         // then parse the remaining segments as triple patterns. The
         // condition subset is `?var (=|!=) term` with no parentheses inside
         // quoted terms.
-        val filterRe = "(?i)FILTER\\s*\\(\\s*([^)]*?)\\s*\\)".r
+        // one nesting level inside the FILTER parens (BOUND(?v) calls)
+        val filterRe = "(?i)FILTER\\s*\\(\\s*((?:[^()]|\\([^()]*\\))*?)\\s*\\)".r
         val filters = filterRe.findAllMatchIn(withoutOpt).map(m => parseFilter(m.group(1))).toSeq
         val body = filterRe.replaceAllIn(withoutOpt, " ")
         val patterns = splitPatterns(body, fresh)
@@ -175,7 +179,7 @@ object SparqlParser {
   private def parseProjection(proj: String): (Seq[String], Seq[CountAgg]) = {
     if (proj == "*") return (Nil, Nil)
     val itemRe =
-      ("(?i)\\(\\s*(COUNT|SUM|MIN|MAX)\\s*\\(\\s*(DISTINCT\\s+)?(\\*|\\?\\w+)\\s*\\)\\s+AS\\s+\\?(\\w+)\\s*\\)" +
+      ("(?i)\\(\\s*(COUNT|SUM|MIN|MAX|AVG|SAMPLE|GROUP_CONCAT)\\s*\\(\\s*(DISTINCT\\s+)?(\\*|\\?\\w+)\\s*\\)\\s+AS\\s+\\?(\\w+)\\s*\\)" +
         "|\\?(\\w+)").r
     val matches = itemRe.findAllMatchIn(proj).toSeq
     require(matches.nonEmpty &&
@@ -265,11 +269,14 @@ object SparqlParser {
 
   private def parseFilter(cond: String): FilterCond = {
     val condRe = "\\?(\\w+)\\s*(!=|=)\\s*(.+)".r
+    val boundRe = "(?i)(!)?\\s*BOUND\\s*\\(\\s*\\?(\\w+)\\s*\\)".r
     cond.trim match {
+      case boundRe(neg, v) =>
+        FilterCond(v, if (neg == null) FilterBound else FilterNotBound, Variable(v))
       case condRe(v, op, rhs) =>
         FilterCond(v, if (op == "=") FilterEq else FilterNeq, toTerm(rhs.trim))
       case other => throw new IllegalArgumentException(
-        s"unsupported FILTER condition (subset is ?var =|!= term): $other")
+        s"unsupported FILTER condition (subset is ?var =|!= term, [!]BOUND(?var)): $other")
     }
   }
 

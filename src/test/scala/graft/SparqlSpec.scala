@@ -348,6 +348,37 @@ class SparqlSpec extends SparkTestBase {
     assert(reg.sparql("SELECT ?o WHERE { 'nosuch' :p1* ?o }").count() == 0)
   }
 
+  test("BOUND/!BOUND filters over OPTIONAL-bound variables") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // p2 edges 10->-7, 11->-8; only -7 continues via p3 — !BOUND keeps the
+    // dead-end branch (negation-as-failure), BOUND keeps the continuing one
+    val notBound = reg.sparql(
+      "SELECT ?s WHERE { ?s :p2 ?o . OPTIONAL { ?o :p3 ?z } FILTER(!BOUND(?z)) }")
+      .collect().map(_.getInt(0))
+    assert(notBound.toSeq == Seq(11))
+    val bound = reg.sparql(
+      "SELECT ?s WHERE { ?s :p2 ?o . OPTIONAL { ?o :p3 ?z } FILTER(BOUND(?z)) }")
+      .collect().map(_.getInt(0))
+    assert(bound.toSeq == Seq(10))
+    // BOUND on a required variable is trivially true
+    assert(reg.sparql(
+      "SELECT ?s WHERE { ?s :p2 ?o . FILTER(BOUND(?o)) }").count() == 2)
+  }
+
+  test("AVG, SAMPLE, GROUP_CONCAT aggregates") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSingleTable(triples)
+    val rows = reg.sparql(
+      "SELECT ?p (AVG(?o) AS ?a) (SAMPLE(?o) AS ?any) (GROUP_CONCAT(?o) AS ?cat) " +
+        "WHERE { ?s ?p ?o } GROUP BY ?p").collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getInt(2), r.getString(3)))).toMap
+    assert(rows(1) == ((10.5, 10, "10,11"))) // p1 objects 10, 11
+    assert(rows(3) == ((20.0, 20, "20")))
+    // GROUP_CONCAT order is pinned ascending regardless of input order
+    assert(rows(2)._3 == "-8,-7")
+  }
+
   test("sequence path chains patterns through hidden fresh variables") {
     val (engine, triples) = fixture
     val reg = engine.registerSplitTables(triples)
