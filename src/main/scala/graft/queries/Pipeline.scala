@@ -60,6 +60,30 @@ object Pipeline {
        |FROM (SELECT doc_id, ${F.strHash(d, "text")} AS h FROM documents) t
        |GROUP BY h""".stripMargin
 
+  /** Cross-document repeated n-gram spans — the exact-substring-dedup
+    * signal (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499) at word-4-gram granularity: every span
+    * occurring in MORE THAN ONE document, with occurrence/document counts
+    * and the canonical first location. Downstream, such spans are the
+    * memorization hazard an exact-dedup pass clips.
+    *
+    * Scale shape: explode is map-only; the aggregate shuffles on the 62-bit
+    * span hash (never the raw text as key) with map-side partial
+    * aggregation; the span string rides along only as a MIN payload. The
+    * >1-document HAVING keeps the output a small "hazard report", not a
+    * second corpus.
+    */
+  private def dedupSpans(d: Dialect): String =
+    s"""WITH t AS (SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM documents),
+       |e AS (${d.explodeSelect("doc_id", "t", F.shingles(d, "toks", 4), "span")}),
+       |g AS (SELECT doc_id, span, ${F.strHash62(d, "span")} AS span_hash FROM e)
+       |SELECT span_hash, MIN(span) AS span,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+       |FROM g GROUP BY span_hash
+       |HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin
+
   /** MinHash(K=16) + LSH(4 bands × r=4) near-dup candidate pairs with
     * signature-estimated Jaccard >= 0.5. Candidates come ONLY from band-key
     * equi-joins (the scale path — shuffle by band key, no cross join); the
@@ -450,6 +474,31 @@ object Pipeline {
     * and none are). Training runs the deterministic k-means on executors;
     * scores come from the same graft_dot arithmetic as the oracle's fold.
     */
+  /** Symmetric int8 quantization of the embedding corpus (the standard
+    * storage/serving compression for ANN indexes: 4x smaller, SIMD-friendly
+    * dot products): per-vector absmax scaling, `q_i = round(127 * x_i /
+    * absmax)`, emitted with the dequantization scale. Zero vectors quantize
+    * to all-zero with scale 0.
+    *
+    * Cross-engine float discipline: absmax is a defined-order fold over
+    * exact double widenings of the floats; `127 * x / absmax` is two
+    * correctly-rounded IEEE double ops; both engines' ROUND on double is
+    * half-away-from-zero — every lane is bit-identical by construction.
+    * Scale shape: pure per-row scalar work, map-only, no shuffle at all.
+    */
+  private def embQuantize(d: Dialect): String = {
+    val absFold = d.reduce(
+      d.transform(d.seq("1", DIM.toString), "i",
+        s"ABS(CAST(${d.elem("embedding", "i")} AS DOUBLE))"),
+      "CAST(0 AS DOUBLE)", "acc", "x", "CASE WHEN x > acc THEN x ELSE acc END")
+    val lane = s"CAST(CASE WHEN amax = 0 THEN 0 ELSE " +
+      s"ROUND(CAST(${d.elem("embedding", "i")} AS DOUBLE) * 127.0 / amax) END AS INTEGER)"
+    s"""WITH a AS (SELECT vec_id, embedding, $absFold AS amax FROM embeddings)
+       |SELECT vec_id, amax / 127.0 AS scale,
+       |  ${d.joinWs(d.transform(d.seq("1", DIM.toString), "i", s"CAST($lane AS STRING)"))} AS qvec
+       |FROM a""".stripMargin
+  }
+
   private def simIvfExhaustive: QueryDef = {
     val d = DuckDialect
     val cos = s"(${F.dot(d, "qv", "ev", DIM)}) / (qn * en)"
@@ -1483,6 +1532,7 @@ object Pipeline {
 
   def defs: Seq[QueryDef] = Seq(
     docQuery("dedup_exact", dedupExact),
+    docQuery("dedup_repeated_spans", dedupSpans),
     dedupMinhashLsh,
     dedupNgramJaccard,
     dedupSimhash,
@@ -1517,6 +1567,7 @@ object Pipeline {
     eventsLatestState,
     corpusDecontaminate,
     embQuery("emb_label_centroids", embCentroids),
+    embQuery("emb_quantize_int8", embQuantize),
     docQuery("corpus_chunk", corpusChunk),
     textTfidfDef,
     textEntropyDef,
