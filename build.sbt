@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr straight through instead of routing
+// them via sbt's logger: the default LoggedOutput tags stdout as [info]
+// (silently DROPPED under `sbt -error` — Bench's one-line JSON report and
+// Explain's plans vanished) and can interleave logger lines after the
+// final report line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
