@@ -273,6 +273,33 @@ object Streams {
       }
     },
 
+    // ---- STREAM-STATIC broadcast join (stateless enrichment — the most
+    // common production streaming shape): each micro-batch of purchases
+    // joins the static customer dimension; no watermark and NO STATE at
+    // all (the static side is re-planned per batch, broadcast at this
+    // size). Sink = exactly the batch join. ----
+    QueryDef("stream_static_join",
+      """SELECT e.event_id, e.ts, CAST(e.user_id AS BIGINT) AS user_id,
+        |  CAST(c.c_nationkey AS INTEGER) AS nation
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'""".stripMargin) { (s, dir) =>
+      val src = stagedEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_dim_ckpt_${dir.hashCode & 0x7fffffff}")
+      val dim = broadcast(Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")))
+      val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+        .filter(col("event_type") === "purchase")
+        .join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("ts"),
+          col("user_id").cast("long").as("user_id"),
+          col("c_nationkey").cast("int").as("nation"))
+        .writeStream.format("memory").queryName("g_stream_dim")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.table("g_stream_dim")
+    },
+
     // ---- foreachBatch UPSERT sink (the CDC "apply changes" pattern): each
     // micro-batch MERGES into a keyed parquet store — union with the
     // current state, keep the latest row per user (the native top-k
