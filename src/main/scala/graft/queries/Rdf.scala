@@ -359,6 +359,21 @@ object Rdf {
           "WHERE { ?c :placed ?o } GROUP BY ?c")
     },
 
+    // ---- SPARQL HAVING (post-aggregation group filter): heavy customers
+    // (>12 orders) — the HAVING aggregate computes as a hidden column in
+    // the SAME hash aggregate as the projected COUNT, then filters and
+    // drops; no second aggregation pass in the plan. ----
+    QueryDef("rdf_sparql_having",
+      RdfBridge.oracleCte +
+        """SELECT Subject AS c, CAST(COUNT(Object) AS BIGINT) AS n
+          |FROM triples WHERE Predicate = -2 GROUP BY Subject
+          |HAVING COUNT(Object) > 12""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?c (COUNT(?o) AS ?n) WHERE { ?c :placed ?o } " +
+          "GROUP BY ?c HAVING (COUNT(?o) > 12)")
+    },
+
     // ---- SPARQL GROUP_CONCAT (element order pinned ascending — the spec
     // leaves it undefined; sorting inside the aggregate makes the string
     // identical across engines and partitionings): each customer's order

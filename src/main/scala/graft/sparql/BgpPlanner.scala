@@ -231,11 +231,25 @@ object BgpPlanner {
     // solution sequence by the GROUP BY variables (one hash aggregate,
     // map-side combinable — the same plan a SQL GROUP BY produces).
     val aggregated =
-      if (query.countAggs.isEmpty) filtered
+      if (query.countAggs.isEmpty && query.havings.isEmpty) filtered
       else {
         val plainVars = query.projection.filterNot(query.countAggs.map(_.alias).contains)
         require(plainVars.forall(query.groupByVars.contains),
           s"projected variables ${plainVars.mkString(",")} must appear in GROUP BY")
+        // HAVING aggregates compute as hidden columns in the SAME hash
+        // aggregate (no second pass), filter, then drop
+        val havingCols = query.havings.zipWithIndex.map { case (h, i) =>
+          val c = (h.fn, h.variable) match {
+            case ("COUNT", None) => count(lit(1))
+            case ("COUNT", Some(v)) => count(col(v))
+            case ("SUM", Some(v)) => sum(col(v))
+            case ("MIN", Some(v)) => min(col(v))
+            case ("MAX", Some(v)) => max(col(v))
+            case ("AVG", Some(v)) => avg(col(v))
+            case other => throw new IllegalArgumentException(s"unsupported HAVING aggregate: $other")
+          }
+          c.as(s"__having_$i")
+        }
         val aggCols = query.countAggs.map { a =>
           val c = (a.fn, a.variable, a.distinct) match {
             case ("COUNT", None, _) => count(lit(1))
@@ -259,10 +273,24 @@ object BgpPlanner {
             case other => throw new IllegalArgumentException(s"unsupported aggregate: $other")
           }
           c.as(a.alias)
+        } ++ havingCols
+        val grouped =
+          if (query.groupByVars.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
+          else filtered.groupBy(query.groupByVars.map(col): _*)
+            .agg(aggCols.head, aggCols.tail: _*)
+        val kept = query.havings.zipWithIndex.foldLeft(grouped) {
+          case (df, (h, i)) =>
+            val c = col(s"__having_$i")
+            df.filter(h.op match {
+              case "<" => c < h.value
+              case "<=" => c <= h.value
+              case ">" => c > h.value
+              case ">=" => c >= h.value
+              case "=" => c === h.value
+              case "!=" => c =!= h.value
+            })
         }
-        if (query.groupByVars.isEmpty) filtered.agg(aggCols.head, aggCols.tail: _*)
-        else filtered.groupBy(query.groupByVars.map(col): _*)
-          .agg(aggCols.head, aggCols.tail: _*)
+        kept.drop(query.havings.indices.map(i => s"__having_$i"): _*)
       }
 
     val projection =

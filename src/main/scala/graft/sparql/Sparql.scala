@@ -40,6 +40,10 @@ final case class FilterCond(variable: String, op: FilterOp, value: Term)
 final case class CountAgg(variable: Option[String], distinct: Boolean,
     alias: String, fn: String = "COUNT")
 
+/** `HAVING (AGG(?v | *) op n)` — a post-aggregation group filter. */
+final case class HavingCond(fn: String, variable: Option[String], op: String,
+    value: Long)
+
 final case class BgpQuery(
     projection: Seq[String],
     patterns: Seq[TriplePattern],
@@ -52,6 +56,7 @@ final case class BgpQuery(
     offset: Option[Int] = None,
     groupByVars: Seq[String] = Nil,
     countAggs: Seq[CountAgg] = Nil,
+    havings: Seq[HavingCond] = Nil,
     ask: Boolean = false,
     constructTemplate: Seq[TriplePattern] = Nil,
     inlineValues: Seq[(String, Seq[Constant])] = Nil,
@@ -117,7 +122,7 @@ object SparqlParser {
         val distinct = proj.trim.toUpperCase.startsWith("DISTINCT ")
         val projTerms = if (distinct) proj.trim.substring("DISTINCT ".length) else proj.trim
         val (projection, countAggs) = parseProjection(projTerms.trim)
-        val (orderBy, limit, offset, groupByVars) = parseModifiers(tail.trim)
+        val (orderBy, limit, offset, groupByVars, havings) = parseModifiers(tail.trim)
         // Top-level UNION: the whole body is `{ bgp } UNION { bgp } ...`
         // (checked exhaustively, so OPTIONAL/FILTER extraction below never
         // misreads an arm's braces).
@@ -128,7 +133,7 @@ object SparqlParser {
           return BgpQuery(projection, Nil, Nil, limit, Nil, distinct,
             unionArms = arms, orderBy = orderBy, offset = offset,
             groupByVars = groupByVars, countAggs = countAggs,
-            inlineValues = trailingValues.toList)
+            havings = havings, inlineValues = trailingValues.toList)
         }
         // VALUES blocks first (their braces hold constants, not patterns):
         // single-variable inline bindings per SPARQL 1.1 ValuesClause.
@@ -165,7 +170,7 @@ object SparqlParser {
         require(patterns.nonEmpty, "empty BGP")
         BgpQuery(projection, patterns, filters, limit,
           optionals, distinct, orderBy = orderBy, offset = offset,
-          groupByVars = groupByVars, countAggs = countAggs,
+          groupByVars = groupByVars, countAggs = countAggs, havings = havings,
           inlineValues = inlineValues ++ trailingValues, minuses = minuses)
       case _ => throw new IllegalArgumentException(s"unsupported SPARQL: $query")
     }
@@ -207,14 +212,30 @@ object SparqlParser {
     * [OFFSET m]` (LIMIT/OFFSET in either order, per the SPARQL
     * LimitOffsetClauses rule).
     */
-  private def parseModifiers(
-      tail: String): (Seq[(String, Boolean)], Option[Int], Option[Int], Seq[String]) = {
-    if (tail.isEmpty) return (Nil, None, None, Nil)
+  private def parseModifiers(tail: String): (Seq[(String, Boolean)],
+      Option[Int], Option[Int], Seq[String], Seq[HavingCond]) = {
+    if (tail.isEmpty) return (Nil, None, None, Nil, Nil)
     val groupRe = "(?i)GROUP\\s+BY((?:\\s+\\?\\w+)+)".r
     val groupByVars = groupRe.findFirstMatchIn(tail).map { m =>
       "\\?(\\w+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
     }.getOrElse(Nil)
-    val afterGroup = groupRe.replaceAllIn(tail, " ")
+    val afterGroupBy = groupRe.replaceAllIn(tail, " ")
+    // HAVING: one or more parenthesized aggregate comparisons against an
+    // integer literal (the SPARQL HavingClause restricted to the subset's
+    // aggregate grammar)
+    val havingRe = ("(?i)HAVING((?:\\s*\\(\\s*(?:COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*" +
+      "(?:\\*|\\?\\w+)\\s*\\)\\s*(?:<=|>=|!=|=|<|>)\\s*-?\\d+\\s*\\))+)").r
+    val condRe = ("(?i)\\(\\s*(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*" +
+      "(\\*|\\?\\w+)\\s*\\)\\s*(<=|>=|!=|=|<|>)\\s*(-?\\d+)\\s*\\)").r
+    val havings = havingRe.findFirstMatchIn(afterGroupBy).map { m =>
+      condRe.findAllMatchIn(m.group(1)).map { c =>
+        val v = if (c.group(2) == "*") None else Some(c.group(2).substring(1))
+        require(v.isDefined || c.group(1).equalsIgnoreCase("COUNT"),
+          s"${c.group(1)}(*) is not valid SPARQL")
+        HavingCond(c.group(1).toUpperCase, v, c.group(3), c.group(4).toLong)
+      }.toSeq
+    }.getOrElse(Nil)
+    val afterGroup = havingRe.replaceAllIn(afterGroupBy, " ")
     val orderItem = "(?i)(?:(ASC|DESC)\\s*\\(\\s*\\?(\\w+)\\s*\\)|\\?(\\w+))"
     val orderRe = s"(?i)ORDER\\s+BY((?:\\s*$orderItem)+)".r
     val orderBy = orderRe.findFirstMatchIn(afterGroup).map { m =>
@@ -228,7 +249,7 @@ object SparqlParser {
     val offset = "(?i)OFFSET\\s+(\\d+)".r.findFirstMatchIn(rest).map(_.group(1).toInt)
     val leftover = "(?i)(LIMIT|OFFSET)\\s+\\d+".r.replaceAllIn(rest, " ").trim
     require(leftover.isEmpty, s"unsupported solution modifiers: $leftover")
-    (orderBy, limit, offset, groupByVars)
+    (orderBy, limit, offset, groupByVars, havings)
   }
 
   /** Split a brace-free pattern group on dots DELIMITED BY WHITESPACE (or

@@ -348,6 +348,29 @@ class SparqlSpec extends SparkTestBase {
     assert(reg.sparql("SELECT ?o WHERE { 'nosuch' :p1* ?o }").count() == 0)
   }
 
+  test("HAVING filters groups after aggregation") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSingleTable(triples)
+    // predicates 1 and 2 occur twice; 3 and 9 once
+    val rows = reg.sparql(
+      "SELECT ?p (COUNT(?s) AS ?cnt) WHERE { ?s ?p ?o } GROUP BY ?p HAVING (COUNT(?s) > 1)")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(rows == Map(1 -> 2L, 2 -> 2L))
+    // HAVING without any projected aggregate: hidden column computed in the
+    // same aggregate, filtered, dropped
+    val singles = reg.sparql(
+      "SELECT ?p WHERE { ?s ?p ?o } GROUP BY ?p HAVING (COUNT(*) = 1)")
+      .collect().map(_.getInt(0)).sorted
+    assert(singles.toSeq == Seq(3, 9))
+    assert(reg.sparql("SELECT ?p WHERE { ?s ?p ?o } GROUP BY ?p HAVING (COUNT(*) = 1)")
+      .columns.toSeq == Seq("p"))
+    // two conditions conjoin; MAX over the group participates
+    val both = reg.sparql(
+      "SELECT ?p WHERE { ?s ?p ?o } GROUP BY ?p HAVING (COUNT(*) > 1) (MAX(?o) >= 11)")
+      .collect().map(_.getInt(0))
+    assert(both.toSeq == Seq(1)) // p1 objects 10,11; p2 objects -7,-8
+  }
+
   test("BOUND/!BOUND filters over OPTIONAL-bound variables") {
     val (engine, triples) = fixture
     val reg = engine.registerSplitTables(triples)
