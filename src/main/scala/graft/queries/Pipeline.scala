@@ -76,13 +76,14 @@ object Pipeline {
   private def dedupSpans(d: Dialect): String =
     s"""WITH t AS (SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM documents),
        |e AS (${d.explodeSelect("doc_id", "t", F.shingles(d, "toks", 4), "span")}),
-       |g AS (SELECT doc_id, span, ${F.strHash62(d, "span")} AS span_hash FROM e)
-       |SELECT span_hash, MIN(span) AS span,
-       |  CAST(COUNT(*) AS BIGINT) AS n_occ,
-       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-       |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
-       |FROM g GROUP BY span_hash
-       |HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin
+       |agg AS (SELECT span,
+       |    CAST(COUNT(*) AS BIGINT) AS n_occ,
+       |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(MIN(doc_id) AS BIGINT) AS first_doc
+       |  FROM e GROUP BY span
+       |  HAVING COUNT(DISTINCT doc_id) > 1)
+       |SELECT ${F.strHash62(d, "span")} AS span_hash, span, n_occ, n_docs, first_doc
+       |FROM agg""".stripMargin
 
   /** MinHash(K=16) + LSH(4 bands × r=4) near-dup candidate pairs with
     * signature-estimated Jaccard >= 0.5. Candidates come ONLY from band-key

@@ -346,6 +346,28 @@ object Rdf {
                    | FILTER(!BOUND(?s)) }""".stripMargin)
     },
 
+    // ---- FILTER inside OPTIONAL (group-scoped): every order keeps its
+    // row; the part binds only when it IS the given part — unlike a
+    // top-level filter, unmatched orders survive with null. The constant
+    // equality pushes into the optional side's scan as a point predicate
+    // before the left join. ----
+    QueryDef("rdf_sparql_optfilter",
+      RdfBridge.oracleCte +
+        """SELECT t1.Object AS o, t2.Object AS p2
+          |FROM triples t1
+          |LEFT JOIN (SELECT * FROM triples
+          |           WHERE Predicate = -13
+          |             AND Object = CAST(-((SELECT MIN(l_partkey) FROM lineitem) + 500000000) AS INTEGER)) t2
+          |  ON t2.Subject = t1.Object
+          |WHERE t1.Predicate = -2""".stripMargin) { (s, dir) =>
+      val minPart = graft.sources.Tables.load(s, dir, "lineitem")
+        .agg(min(col("l_partkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"""SELECT ?o ?p2 WHERE { ?c :placed ?o .
+                   | OPTIONAL { ?o :contains ?p2 . FILTER(?p2 = 'part_$minPart') } }""".stripMargin)
+    },
+
     // ---- SPARQL AVG + SAMPLE aggregates (SAMPLE pinned to MIN — the spec
     // allows any group member; determinism is a refinement): per-customer
     // order stats in one hash aggregate. ----

@@ -72,7 +72,7 @@ object BgpPlanner {
       .flatMap(p => Seq(p.s, p.p, p.o)) ++
       pathPatterns.flatMap(p => Seq(p.s, p.o)) ++
       pathPatterns.flatMap(p => pathPreds(p.p.asInstanceOf[Constant].lexical).get._1.map(Constant(_))) ++
-      query.filters.map(_.value) ++
+      (query.filters ++ query.optionalFilters.flatten).map(_.value) ++
       query.minuses.flatten.flatMap(p => Seq(p.s, p.p, p.o)) ++
       query.inlineValues.flatMap(_._2)).collect {
       case Constant(l) => l
@@ -108,11 +108,38 @@ object BgpPlanner {
     // without a match keep the optional variables null. Using-column join
     // keeps the left side's binding for shared variables, which is exactly
     // the compatible-mapping semantics.
+    def applyFilter(df: DataFrame, f: FilterCond): DataFrame = {
+      require(df.columns.contains(f.variable),
+        s"FILTER variable ?${f.variable} not bound " +
+          s"(bound: ${df.columns.mkString(", ")})")
+      f.op match {
+        case FilterBound => df.filter(col(f.variable).isNotNull)
+        case FilterNotBound => df.filter(col(f.variable).isNull)
+        case eqOp =>
+          val eq: Column = f.value match {
+            case Variable(v) =>
+              require(df.columns.contains(v),
+                s"FILTER variable ?$v not bound")
+              col(f.variable) === col(v)
+            case Constant(l) => enc.get(l) match {
+              case Some(id) => col(f.variable) === lit(id)
+              case None => lit(false)
+            }
+          }
+          df.filter(if (eqOp == FilterEq) eq else !eq)
+      }
+    }
+
     val joined = query.optionals.zipWithIndex.foldLeft(required) {
       case (acc, (optPatterns, g)) =>
-        val opt = joinGroup(optPatterns.zipWithIndex.map { case (p, i) =>
+        val optBase = joinGroup(optPatterns.zipWithIndex.map { case (p, i) =>
           planPattern(p, 1000 * (g + 1) + i, store, enc)
         })
+        // group-scoped FILTERs restrict the optional side BEFORE the left
+        // join (their variables are bound inside the group — subset rule),
+        // so Catalyst pushes constant equalities into the group's scans
+        val opt = query.optionalFilters.lift(g).getOrElse(Nil)
+          .foldLeft(optBase)(applyFilter)
         val shared = acc.columns.toSet.intersect(opt.columns.toSet).toSeq.sorted
         if (shared.isEmpty) acc.join(opt, lit(true), "left")
         else acc.join(opt, shared, "left")
@@ -168,32 +195,12 @@ object BgpPlanner {
     // down into that pattern's scan (encoded point predicate), so a FILTER
     // costs the same as writing the constant inside the pattern. An unknown
     // constant matches nothing: `=` → false, `!=` → true.
-    val filtered = query.filters.foldLeft(withValues) { (df, f) =>
-      require(df.columns.contains(f.variable),
-        s"FILTER variable ?${f.variable} not bound by the BGP " +
-          s"(bound: ${df.columns.mkString(", ")})")
-      f.op match {
-        // BOUND over an OPTIONAL-bound variable: null-ness IS unboundness
-        // in the left-join encoding, so these are plain null predicates —
-        // !BOUND turns the LeftJoin into negation-as-failure (Catalyst
-        // cannot rewrite it to an anti-join because the optional's columns
-        // are referenced, but the filter is evaluated streaming post-join).
-        case FilterBound => df.filter(col(f.variable).isNotNull)
-        case FilterNotBound => df.filter(col(f.variable).isNull)
-        case eqOp =>
-          val eq: Column = f.value match {
-            case Variable(v) =>
-              require(df.columns.contains(v),
-                s"FILTER variable ?$v not bound by the BGP")
-              col(f.variable) === col(v)
-            case Constant(l) => enc.get(l) match {
-              case Some(id) => col(f.variable) === lit(id)
-              case None => lit(false)
-            }
-          }
-          df.filter(if (eqOp == FilterEq) eq else !eq)
-      }
-    }
+    // Top-level FILTERs evaluate over the merged solution: BOUND/!BOUND on
+    // an OPTIONAL-bound variable are null predicates over the LeftJoin
+    // encoding (!BOUND = negation-as-failure, evaluated streaming above the
+    // join probe); constant equalities on required variables push into the
+    // pattern scans.
+    val filtered = query.filters.foldLeft(withValues)(applyFilter)
 
     // ASK: boolean existence — LocalLimit(1) stops each partition at the
     // first matching row, the count-over-limit aggregate folds to a single

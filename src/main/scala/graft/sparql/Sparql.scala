@@ -57,6 +57,7 @@ final case class BgpQuery(
     groupByVars: Seq[String] = Nil,
     countAggs: Seq[CountAgg] = Nil,
     havings: Seq[HavingCond] = Nil,
+    optionalFilters: Seq[Seq[FilterCond]] = Nil, // aligned with `optionals`
     ask: Boolean = false,
     constructTemplate: Seq[TriplePattern] = Nil,
     inlineValues: Seq[(String, Seq[Constant])] = Nil,
@@ -151,19 +152,24 @@ object SparqlParser {
         val minuses = minusRe.findAllMatchIn(withoutValues)
           .map(m => splitPatterns(m.group(1), fresh)).toSeq
         val withoutMinus = minusRe.replaceAllIn(withoutValues, " ")
+        // FILTER grammar: one nesting level inside the parens (BOUND calls)
+        val filterRe = "(?i)FILTER\\s*\\(\\s*((?:[^()]|\\([^()]*\\))*?)\\s*\\)".r
         // OPTIONAL groups next (their braces enclose plain BGPs — no
-        // nesting in the subset), so the FILTER extraction below never
-        // reaches inside an optional block.
+        // nesting in the subset). A FILTER INSIDE the group scopes to the
+        // group: it restricts the optional side BEFORE the left join
+        // (subset rule: its variables must be bound inside the group).
         val optionalRe = "(?i)OPTIONAL\\s*\\{([^{}]*)\\}".r
-        val optionals = optionalRe.findAllMatchIn(withoutMinus)
-          .map(m => splitPatterns(m.group(1), fresh)).toSeq
+        val optParsed = optionalRe.findAllMatchIn(withoutMinus).map { m =>
+          val body = m.group(1)
+          val fs = filterRe.findAllMatchIn(body).map(c => parseFilter(c.group(1))).toSeq
+          (splitPatterns(filterRe.replaceAllIn(body, " "), fresh), fs)
+        }.toSeq
+        val optionals = optParsed.map(_._1)
+        val optionalFilters = optParsed.map(_._2)
         val withoutOpt = optionalRe.replaceAllIn(withoutMinus, " ")
         // FILTER clauses: extract (they need no dot separator in SPARQL),
         // then parse the remaining segments as triple patterns. The
-        // condition subset is `?var (=|!=) term` with no parentheses inside
-        // quoted terms.
-        // one nesting level inside the FILTER parens (BOUND(?v) calls)
-        val filterRe = "(?i)FILTER\\s*\\(\\s*((?:[^()]|\\([^()]*\\))*?)\\s*\\)".r
+        // condition subset is `?var (=|!=) term` / [!]BOUND(?var).
         val filters = filterRe.findAllMatchIn(withoutOpt).map(m => parseFilter(m.group(1))).toSeq
         val body = filterRe.replaceAllIn(withoutOpt, " ")
         val patterns = splitPatterns(body, fresh)
@@ -171,6 +177,7 @@ object SparqlParser {
         BgpQuery(projection, patterns, filters, limit,
           optionals, distinct, orderBy = orderBy, offset = offset,
           groupByVars = groupByVars, countAggs = countAggs, havings = havings,
+          optionalFilters = optionalFilters,
           inlineValues = inlineValues ++ trailingValues, minuses = minuses)
       case _ => throw new IllegalArgumentException(s"unsupported SPARQL: $query")
     }

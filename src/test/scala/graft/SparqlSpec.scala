@@ -389,6 +389,24 @@ class SparqlSpec extends SparkTestBase {
       "SELECT ?s WHERE { ?s :p2 ?o . FILTER(BOUND(?o)) }").count() == 2)
   }
 
+  test("FILTER inside OPTIONAL scopes to the group") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // p1: -5->10, 6->11; p2: 10->-7 ('c'), 11->-8 ('g'); the group-scoped
+    // filter restricts the optional side only — the unmatched row SURVIVES
+    // with a null binding
+    val rows = reg.sparql(
+      "SELECT ?s ?m WHERE { ?s :p1 ?x . OPTIONAL { ?x :p2 ?m . FILTER(?m = 'g') } }")
+      .collect().map(r => (r.getInt(0), Option(r.get(1)))).sortBy(_._1)
+    assert(rows.toSeq == Seq((-5, None), (6, Some(-8))))
+    // the same filter at TOP level evaluates over the merged solution and
+    // drops the unmatched row — the scoping distinction
+    val top = reg.sparql(
+      "SELECT ?s ?m WHERE { ?s :p1 ?x . OPTIONAL { ?x :p2 ?m } FILTER(?m = 'g') }")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(top.toSeq == Seq((6, -8)))
+  }
+
   test("AVG, SAMPLE, GROUP_CONCAT aggregates") {
     val (engine, triples) = fixture
     val reg = engine.registerSingleTable(triples)
