@@ -306,6 +306,22 @@ object Rdf {
         .sparql("CONSTRUCT { ?o :placed ?c } WHERE { ?c :placed ?o }")
     },
 
+    // ---- SPARQL DESCRIBE (resource description query form): every triple
+    // mentioning the minimum order — the subject side sign-routes to one
+    // table (point predicate on the persisted layout's key), the object
+    // side scans both sign partitions. ----
+    QueryDef("rdf_sparql_describe",
+      RdfBridge.oracleCte +
+        """SELECT Subject, Predicate, Object FROM triples
+          |WHERE Subject = CAST((SELECT MIN(o_orderkey) FROM orders) + 1 AS INTEGER)
+          |   OR Object = CAST((SELECT MIN(o_orderkey) FROM orders) + 1 AS INTEGER)""".stripMargin) { (s, dir) =>
+      val minOrder = graft.sources.Tables.load(s, dir, "orders")
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"DESCRIBE 'order_$minOrder'")
+    },
+
     // ---- SPARQL MIN/MAX/COUNT aggregates per group (order range + count
     // of each customer's orders): one hash aggregate, three agg functions
     // over the same grouped scan. ----

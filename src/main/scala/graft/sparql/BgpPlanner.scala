@@ -56,6 +56,28 @@ object BgpPlanner {
   }
 
   def plan(query: BgpQuery, store: Store, dict: Dictionary): DataFrame = {
+    // DESCRIBE: all triples with the term in subject OR object position —
+    // the subject side sign-routes to ONE table (point predicate on the
+    // layout key); the object side scans both. An unknown term describes
+    // nothing.
+    query.describeTerm.foreach { t =>
+      val enc = dict.encodeTerms(Seq(t.lexical))
+      val id = enc.get(t.lexical)
+      val all = store match {
+        case SingleTable(df) => df
+        case SplitTables(pos, neg) => pos.unionAll(neg)
+      }
+      val bySubject = (store, id) match {
+        case (_, None) => return all.limit(0).select(
+          col(TripleSchema.subject), col(TripleSchema.predicate), col(TripleSchema.objekt))
+        case (SplitTables(pos, neg), Some(i)) =>
+          (if (i >= 0) pos else neg).filter(col(TripleSchema.subject) === lit(i))
+        case (SingleTable(df), Some(i)) => df.filter(col(TripleSchema.subject) === lit(i))
+      }
+      val byObject = all.filter(col(TripleSchema.objekt) === lit(id.get))
+      return bySubject.unionAll(byObject).select(
+        col(TripleSchema.subject), col(TripleSchema.predicate), col(TripleSchema.objekt))
+    }
     // Patterns whose predicate is a one-or-more property path plan through
     // the iterative closure operator, not a scan.
     val (pathPatterns, plainPatterns) = query.patterns.partition {

@@ -59,6 +59,7 @@ final case class BgpQuery(
     havings: Seq[HavingCond] = Nil,
     optionalFilters: Seq[Seq[FilterCond]] = Nil, // aligned with `optionals`
     ask: Boolean = false,
+    describeTerm: Option[Constant] = None,
     constructTemplate: Seq[TriplePattern] = Nil,
     inlineValues: Seq[(String, Seq[Constant])] = Nil,
     minuses: Seq[Seq[TriplePattern]] = Nil)
@@ -86,6 +87,17 @@ object SparqlParser {
         val patterns = splitPatterns(body, fresh)
         require(patterns.nonEmpty, "empty BGP")
         return BgpQuery(Nil, patterns, ask = true)
+      case _ =>
+    }
+    // DESCRIBE <term>: every triple mentioning the resource (the subset's
+    // concise-bounded-description — subject OR object position; no
+    // variable/WHERE form)
+    val descRe = "(?i)DESCRIBE\\s+(\\S+)\\s*".r
+    normalized match {
+      case descRe(term) =>
+        require(!term.startsWith("?"), "DESCRIBE ?var is not in the subset")
+        return BgpQuery(Nil, Nil,
+          describeTerm = Some(Constant(graft.core.Dictionary.normalizeTerm(term))))
       case _ =>
     }
     // CONSTRUCT: template triples instantiated per solution (set semantics)

@@ -28,7 +28,8 @@ class SparqlSpec extends SparkTestBase {
   }
 
   test("parser rejects non-BGP input") {
-    intercept[IllegalArgumentException](SparqlParser.parse("DESCRIBE <x>"))
+    intercept[IllegalArgumentException](
+      SparqlParser.parse("INSERT DATA { <a> <b> <c> }"))
   }
 
   test("ASK: true iff the BGP has any solution; probes only one row") {
@@ -52,6 +53,18 @@ class SparqlSpec extends SparkTestBase {
     val one = reg.sparql("CONSTRUCT { 'a' :p3 'd' } WHERE { ?s :p1 ?o }")
       .collect()
     assert(one.length == 1 && one.head.getInt(0) == -5)
+  }
+
+  test("DESCRIBE returns every triple mentioning the resource") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // 'b' = 10: subject of (10,2,-7), object of (-5,1,10)
+    val rows = reg.sparql("DESCRIBE 'b'")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sorted
+    assert(rows.toSeq == Seq((-5, 1, 10), (10, 2, -7)))
+    // unknown term describes nothing (empty, not an error)
+    assert(reg.sparql("DESCRIBE 'nosuch'").count() == 0)
+    intercept[IllegalArgumentException](SparqlParser.parse("DESCRIBE ?x"))
   }
 
   test("term normalization: variables, quotes, URIs, prefixed names") {
