@@ -487,17 +487,56 @@ object Pipeline {
     * half-away-from-zero — every lane is bit-identical by construction.
     * Scale shape: pure per-row scalar work, map-only, no shuffle at all.
     */
-  private def embQuantize(d: Dialect): String = {
+  /** Shared CTE body: per-vector absmax + the int8 lane array `qv` and
+    * dequantization `scale` (see [[embQuantize]] for the float discipline).
+    */
+  private def quantCte(d: Dialect): String = {
     val absFold = d.reduce(
       d.transform(d.seq("1", DIM.toString), "i",
         s"ABS(CAST(${d.elem("embedding", "i")} AS DOUBLE))"),
       "CAST(0 AS DOUBLE)", "acc", "x", "CASE WHEN x > acc THEN x ELSE acc END")
     val lane = s"CAST(CASE WHEN amax = 0 THEN 0 ELSE " +
       s"ROUND(CAST(${d.elem("embedding", "i")} AS DOUBLE) * 127.0 / amax) END AS INTEGER)"
-    s"""WITH a AS (SELECT vec_id, embedding, $absFold AS amax FROM embeddings)
-       |SELECT vec_id, amax / 127.0 AS scale,
-       |  ${d.joinWs(d.transform(d.seq("1", DIM.toString), "i", s"CAST($lane AS STRING)"))} AS qvec
-       |FROM a""".stripMargin
+    s"""a AS (SELECT vec_id, embedding, $absFold AS amax FROM embeddings),
+       |qz AS (SELECT vec_id, amax / 127.0 AS scale,
+       |  ${d.transform(d.seq("1", DIM.toString), "i", lane)} AS qv FROM a)""".stripMargin
+  }
+
+  private def embQuantize(d: Dialect): String =
+    s"""WITH ${quantCte(d)}
+       |SELECT vec_id, scale,
+       |  ${d.joinWs(d.transform("qv", "x", "CAST(x AS STRING)"))} AS qvec
+       |FROM qz""".stripMargin
+
+  /** Top-k similarity over the QUANTIZED corpus — the serving-side
+    * counterpart of [[embQuantize]]: score = dequantized dot product
+    * `dot(qa, qb) * scale_a * scale_b`. The int8 lanes are exactly
+    * representable as floats, so the dot reuses the native codegen'd
+    * `graft_dot` expression (Spark) / the defined-order fold (DuckDB) and
+    * every score is bit-identical across engines — integer products summed
+    * left-to-right, two correctly-rounded double multiplies.
+    *
+    * Scale shape: same as the float brute force (the deliberate exactness
+    * baseline); the production path composes quantization WITH the LSH/IVF
+    * bucketing, which cuts candidates, not this scoring.
+    */
+  private def simTopkQuantized(d: Dialect): String = {
+    val toF = (a: String) => d.transform(a, "x", "CAST(x AS FLOAT)")
+    s"""WITH ${quantCte(d)},
+       |qf AS (SELECT vec_id, scale, ${toF("qv")} AS fv FROM qz),
+       |q AS (SELECT vec_id AS qid, fv AS qa, scale AS sa FROM qf
+       |  WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT qid, e.vec_id AS nid,
+       |    ((${F.dot(d, "qa", "ev", DIM)}) * sa) * e.sb AS score
+       |  FROM q CROSS JOIN (SELECT vec_id, fv AS ev, scale AS sb FROM qf) e
+       |  WHERE e.vec_id <> qid)
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, score,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM (SELECT qid, nid, score,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+       |  FROM scored) s
+       |WHERE rnk <= 5""".stripMargin
   }
 
   private def simIvfExhaustive: QueryDef = {
@@ -1569,6 +1608,7 @@ object Pipeline {
     corpusDecontaminate,
     embQuery("emb_label_centroids", embCentroids),
     embQuery("emb_quantize_int8", embQuantize),
+    embQuery("sim_topk_quantized", simTopkQuantized),
     docQuery("corpus_chunk", corpusChunk),
     textTfidfDef,
     textEntropyDef,
