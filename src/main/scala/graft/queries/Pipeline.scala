@@ -1562,6 +1562,7 @@ object Pipeline {
 
   // debug handles for stage-level profiling (graft.Probe) and spec access
   def debugCorpusChunkSql: String = corpusChunk(SparkDialect)
+  def debugEmbQuantizeSql: String = embQuantize(SparkDialect)
   def debugTfidfSql: String = tfidfSql(SparkDialect)
   def chunkParams: (Int, Int) = (CHUNK, STRIDE)
   def debugTextNormalizeSql: String = textNormalize(SparkDialect)

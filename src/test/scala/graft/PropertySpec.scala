@@ -188,6 +188,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: int8 quantization error is bounded by half a quantum") {
+    import spark.implicits._
+    val vecGen = Gen.listOfN(12, Gen.listOfN(64,
+      Gen.choose(-1000000, 1000000).map(_ / 1000000.0f)))
+    forSamples(vecGen, 2) { vecs =>
+      val rows = vecs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, if (i == 0) Array.fill(64)(0.0f) else v.toArray, 0)
+      }
+      rows.toDF("vec_id", "embedding", "label").createOrReplaceTempView("embeddings")
+      val out = spark.sql(graft.queries.Pipeline.debugEmbQuantizeSql)
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+      rows.foreach { case (id, v, _) =>
+        val (scale, qstr) = out(id)
+        val q = qstr.split(" ").map(_.toInt)
+        assert(q.length == 64)
+        if (v.forall(_ == 0.0f)) {
+          assert(scale == 0.0 && q.forall(_ == 0), s"zero vector $id")
+        } else {
+          assert(q.forall(x => x >= -127 && x <= 127), s"lane range $id")
+          // at least one lane saturates at the absmax
+          assert(q.exists(x => math.abs(x) == 127), s"absmax lane $id")
+          v.zip(q).foreach { case (x, qi) =>
+            assert(math.abs(x.toDouble - qi * scale) <= scale / 2 + 1e-9,
+              s"vec $id: |${x} - $qi*$scale| exceeds half a quantum")
+          }
+        }
+      }
+    }
+  }
+
   test("property: text_tfidf equals the brute-force top-3 per document") {
     import spark.implicits._
     val docGen = Gen.listOfN(25, Gen.listOfN(30, Gen.choose(0, 9))).map { ws =>
