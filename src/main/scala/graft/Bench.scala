@@ -60,9 +60,17 @@ object Bench {
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sorted = results.map(_._2).sorted
+    // linear-interpolated percentile: the naive (p*n).toInt index
+    // over-reports at exact rank multiples (an even-count median would be
+    // the UPPER middle — the same bug the per-query median above fixes)
     def pct(p: Double): Double =
       if (sorted.isEmpty) 0.0
-      else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+      else {
+        val rank = p * (sorted.length - 1)
+        val lo = rank.toInt
+        val hi = math.min(sorted.length - 1, lo + 1)
+        sorted(lo) + (sorted(hi) - sorted(lo)) * (rank - lo)
+      }
     def mapJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     def envelope(qs: String, extra: String): String =
@@ -89,7 +97,7 @@ object Bench {
     val dropped = bySlowest.drop(kept.length)
     val omitted =
       if (dropped.isEmpty) ""
-      else s""","omitted":{"n":${dropped.length},"sec":${fmt(dropped.map(_._2).sum)},"max_sec":${fmt(dropped.head._2)},"full_report":"BENCH_FULL.json"}"""
+      else s""","omitted":{"n":${dropped.length},"sec":${fmt(dropped.map(_._2).sum)},"max_sec":${fmt(dropped.head._2)},"full_report":"$outPath"}"""
     println(envelope(mapJson(kept.sortBy(_._1)), omitted))
     spark.stop()
   }

@@ -312,7 +312,7 @@ object Rdf {
     // side scans both sign partitions. ----
     QueryDef("rdf_sparql_describe",
       RdfBridge.oracleCte +
-        """SELECT Subject, Predicate, Object FROM triples
+        """SELECT DISTINCT Subject, Predicate, Object FROM triples
           |WHERE Subject = CAST((SELECT MIN(o_orderkey) FROM orders) + 1 AS INTEGER)
           |   OR Object = CAST((SELECT MIN(o_orderkey) FROM orders) + 1 AS INTEGER)""".stripMargin) { (s, dir) =>
       val minOrder = graft.sources.Tables.load(s, dir, "orders")
@@ -344,9 +344,11 @@ object Rdf {
       RdfBridge.oracleCte +
         """SELECT t1.Subject AS c, t1.Object AS o FROM triples t1
           |WHERE t1.Predicate = -2
-          |  AND NOT EXISTS (SELECT 1 FROM triples x
+          |  AND NOT EXISTS (SELECT 1 FROM triples x, triples y
           |                  WHERE x.Predicate = -13 AND x.Subject = t1.Object
-          |                    AND x.Object = CAST(-((SELECT MIN(l_partkey) FROM lineitem) + 500000000) AS INTEGER))""".stripMargin) { (s, dir) =>
+          |                    AND x.Object = CAST(-((SELECT MIN(l_partkey) FROM lineitem) + 500000000) AS INTEGER)
+          |                    AND y.Predicate = -21
+          |                    AND y.Subject = x.Object)""".stripMargin) { (s, dir) =>
       // (customer, order) pairs whose order does NOT contain the given part.
       // The optional's ?s (the part's suppliers) only binds when the order
       // contains the part, so !BOUND(?s) is the anti-join; inside the

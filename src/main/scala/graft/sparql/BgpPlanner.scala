@@ -75,8 +75,11 @@ object BgpPlanner {
         case (SingleTable(df), Some(i)) => df.filter(col(TripleSchema.subject) === lit(i))
       }
       val byObject = all.filter(col(TripleSchema.objekt) === lit(id.get))
+      // an RDF description is a SET of triples: dedup collapses the
+      // double-emission of reflexive triples (term in both positions)
       return bySubject.unionAll(byObject).select(
         col(TripleSchema.subject), col(TripleSchema.predicate), col(TripleSchema.objekt))
+        .distinct()
     }
     // Patterns whose predicate is a one-or-more property path plan through
     // the iterative closure operator, not a scan.

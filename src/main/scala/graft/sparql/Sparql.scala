@@ -92,7 +92,9 @@ object SparqlParser {
     // DESCRIBE <term>: every triple mentioning the resource (the subset's
     // concise-bounded-description — subject OR object position; no
     // variable/WHERE form)
-    val descRe = "(?i)DESCRIBE\\s+(\\S+)\\s*".r
+    // greedy term capture: quoted lexical forms may contain spaces (the
+    // dictionary supports multi-word terms)
+    val descRe = "(?i)DESCRIBE\\s+(.+?)\\s*".r
     normalized match {
       case descRe(term) =>
         require(!term.startsWith("?"), "DESCRIBE ?var is not in the subset")
