@@ -280,6 +280,34 @@ object Rdf {
           "VALUES ?n { 'nation_0' 'nation_1' 'nation_2' } }")
     },
 
+    // ---- SPARQL multi-variable VALUES: row tuples over (customer, nation)
+    // joined under the compatibility rule — for required variables the
+    // null-tolerant condition simplifies to a broadcast equi-join on the
+    // tuple. Two real pairs match; one deliberately mismatched pair (a
+    // customer with the WRONG nation) binds nothing. ----
+    QueryDef("rdf_sparql_values_multi",
+      RdfBridge.oracleCte + """
+        |SELECT Subject AS c, Object AS n FROM triples
+        |WHERE Predicate = -31
+        |  AND ((Subject = CAST(-(1000 + (SELECT MIN(c_custkey) FROM customer)) AS INTEGER)
+        |        AND Object = CAST((SELECT c_nationkey FROM customer
+        |                           WHERE c_custkey = (SELECT MIN(c_custkey) FROM customer)) + 2000000000 AS BIGINT))
+        |    OR (Subject = CAST(-(1000 + (SELECT MAX(c_custkey) FROM customer)) AS INTEGER)
+        |        AND Object = CAST((SELECT c_nationkey FROM customer
+        |                           WHERE c_custkey = (SELECT MAX(c_custkey) FROM customer)) + 2000000000 AS BIGINT)))""".stripMargin) { (s, dir) =>
+      // driver lookups construct the query TEXT (user-supplied tuples)
+      val cust = graft.sources.Tables.load(s, dir, "customer")
+      val lo = cust.orderBy(col("c_custkey").asc).select("c_custkey", "c_nationkey").head()
+      val hi = cust.orderBy(col("c_custkey").desc).select("c_custkey", "c_nationkey").head()
+      val wrongNation = (lo.getInt(1) + 1) % 25
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"""SELECT ?c ?n WHERE { ?c :in_nation ?n .
+                   | VALUES (?c ?n) { ('cust_${lo.getLong(0)}' 'nation_${lo.getInt(1)}')
+                   |  ('cust_${hi.getLong(0)}' 'nation_${hi.getInt(1)}')
+                   |  ('cust_${lo.getLong(0)}' 'nation_$wrongNation') } }""".stripMargin)
+    },
+
     // ---- SPARQL ASK (boolean query form): existence probed with a
     // LocalLimit(1) per partition — no full scan survives in the plan. ----
     QueryDef("rdf_sparql_ask",

@@ -99,7 +99,8 @@ object BgpPlanner {
       pathPatterns.flatMap(p => pathPreds(p.p.asInstanceOf[Constant].lexical).get._1.map(Constant(_))) ++
       (query.filters ++ query.optionalFilters.flatten).map(_.value) ++
       query.minuses.flatten.flatMap(p => Seq(p.s, p.p, p.o)) ++
-      query.inlineValues.flatMap(_._2)).collect {
+      query.inlineValues.flatMap(_._2) ++
+      query.inlineValuesMulti.flatMap(_._2.flatten)).collect {
       case Constant(l) => l
     }.distinct
     val enc: Map[String, Int] = dict.encodeTerms(constants)
@@ -215,6 +216,42 @@ object BgpPlanner {
       }
     }
 
+    // Multi-variable VALUES: Join(P, data) against the (tiny, broadcast)
+    // literal tuple table under the compatibility rule — a solution matches
+    // a tuple when every shared variable is unbound or equal, and unbound
+    // variables come out bound to the tuple's value. Tuples containing a
+    // term absent from the dictionary are dropped (they cannot match any
+    // bound solution — subset deviation for the unbound-var case, as in
+    // the single-variable path). For all-required variables Catalyst
+    // simplifies the null-tolerant condition to a plain equi-join.
+    val withValuesMulti = query.inlineValuesMulti.foldLeft(withValues) {
+      case (acc, (vars, rows)) =>
+        vars.foreach(v => require(acc.columns.contains(v),
+          s"VALUES variable ?$v not bound by the BGP (bound: ${acc.columns.mkString(", ")})"))
+        val encRows = rows.flatMap { r =>
+          val ids = r.map(c => enc.get(c.lexical))
+          if (ids.exists(_.isEmpty)) None else Some(ids.map(_.get))
+        }
+        if (encRows.isEmpty) acc.filter(lit(false))
+        else {
+          val spark = acc.sparkSession
+          val tmpCols = vars.map(v => s"__graft_val_$v")
+          val schema = org.apache.spark.sql.types.StructType(
+            tmpCols.map(c => org.apache.spark.sql.types.StructField(
+              c, org.apache.spark.sql.types.IntegerType, nullable = false)))
+          val vdf = spark.createDataFrame(
+            java.util.Arrays.asList(encRows.map(r =>
+              org.apache.spark.sql.Row.fromSeq(r)): _*), schema)
+          val cond = vars.zip(tmpCols).map { case (v, c) =>
+            col(v).isNull || col(v) === col(c)
+          }.reduce(_ && _)
+          val joined = acc.join(broadcast(vdf), cond)
+          vars.zip(tmpCols).foldLeft(joined) { case (df, (v, c)) =>
+            df.withColumn(v, coalesce(col(v), col(c)))
+          }.drop(tmpCols: _*)
+        }
+    }
+
     // FILTER conditions: plain Column predicates over the joined variable
     // columns — Catalyst pushes an equality on a single pattern's variable
     // down into that pattern's scan (encoded point predicate), so a FILTER
@@ -225,7 +262,7 @@ object BgpPlanner {
     // encoding (!BOUND = negation-as-failure, evaluated streaming above the
     // join probe); constant equalities on required variables push into the
     // pattern scans.
-    val filtered = query.filters.foldLeft(withValues)(applyFilter)
+    val filtered = query.filters.foldLeft(withValuesMulti)(applyFilter)
 
     // ASK: boolean existence — LocalLimit(1) stops each partition at the
     // first matching row, the count-over-limit aggregate folds to a single

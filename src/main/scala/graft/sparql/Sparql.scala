@@ -62,6 +62,9 @@ final case class BgpQuery(
     describeTerm: Option[Constant] = None,
     constructTemplate: Seq[TriplePattern] = Nil,
     inlineValues: Seq[(String, Seq[Constant])] = Nil,
+    // multi-variable ValuesClause rows: (vars, tuples) — each tuple one
+    // binding per var
+    inlineValuesMulti: Seq[(Seq[String], Seq[Seq[Constant]])] = Nil,
     minuses: Seq[Seq[TriplePattern]] = Nil)
 
 object SparqlParser {
@@ -150,16 +153,32 @@ object SparqlParser {
             groupByVars = groupByVars, countAggs = countAggs,
             havings = havings, inlineValues = trailingValues.toList)
         }
-        // VALUES blocks first (their braces hold constants, not patterns):
-        // single-variable inline bindings per SPARQL 1.1 ValuesClause.
+        // VALUES blocks first (their braces hold constants, not patterns).
+        // Multi-variable form: `VALUES (?a ?b) { ('x' 'y') ... }` — rows of
+        // parenthesized tuples, one constant per variable.
+        val valuesMultiRe = "(?i)VALUES\\s*\\(([^()]*)\\)\\s*\\{([^{}]*)\\}".r
+        val inlineValuesMulti = valuesMultiRe.findAllMatchIn(rawBody).map { m =>
+          val vars = "\\?(\\w+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+          require(vars.nonEmpty, s"VALUES needs variables: ${m.group(1)}")
+          val rows = "\\(([^()]*)\\)".r.findAllMatchIn(m.group(2)).map { r =>
+            val terms = tokenize(r.group(1).trim).toSeq.map(toTerm)
+            require(terms.length == vars.length && terms.forall(_.isInstanceOf[Constant]),
+              s"VALUES row needs ${vars.length} constants: ${r.group(1)}")
+            terms.map(_.asInstanceOf[Constant])
+          }.toSeq
+          require(rows.nonEmpty, s"VALUES needs at least one row: ${m.group(2)}")
+          vars -> rows
+        }.toSeq
+        val withoutMultiValues = valuesMultiRe.replaceAllIn(rawBody, " ")
+        // Single-variable inline bindings per SPARQL 1.1 ValuesClause.
         val valuesRe = "(?i)VALUES\\s+\\?(\\w+)\\s*\\{([^{}]*)\\}".r
-        val inlineValues = valuesRe.findAllMatchIn(rawBody).map { m =>
+        val inlineValues = valuesRe.findAllMatchIn(withoutMultiValues).map { m =>
           val terms = tokenize(m.group(2).trim).toSeq.map(toTerm)
           require(terms.nonEmpty && terms.forall(_.isInstanceOf[Constant]),
             s"VALUES terms must be constants: ${m.group(2)}")
           m.group(1) -> terms.map(_.asInstanceOf[Constant])
         }.toSeq
-        val withoutValues = valuesRe.replaceAllIn(rawBody, " ")
+        val withoutValues = valuesRe.replaceAllIn(withoutMultiValues, " ")
         // MINUS groups (negation): remove solutions compatible with the
         // minus pattern on shared variables.
         val minusRe = "(?i)MINUS\\s*\\{([^{}]*)\\}".r
@@ -192,7 +211,8 @@ object SparqlParser {
           optionals, distinct, orderBy = orderBy, offset = offset,
           groupByVars = groupByVars, countAggs = countAggs, havings = havings,
           optionalFilters = optionalFilters,
-          inlineValues = inlineValues ++ trailingValues, minuses = minuses)
+          inlineValues = inlineValues ++ trailingValues,
+          inlineValuesMulti = inlineValuesMulti, minuses = minuses)
       case _ => throw new IllegalArgumentException(s"unsupported SPARQL: $query")
     }
   }

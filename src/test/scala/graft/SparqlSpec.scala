@@ -361,6 +361,28 @@ class SparqlSpec extends SparkTestBase {
     assert(reg.sparql("SELECT ?o WHERE { 'nosuch' :p1* ?o }").count() == 0)
   }
 
+  test("multi-variable VALUES restricts solutions to the tuple set") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // p1 solutions: (a=-5, b=10), (e=6, f=11); only the first tuple matches,
+    // the second names an unknown term and is dropped
+    val rows = reg.sparql(
+      "SELECT ?s ?o WHERE { ?s :p1 ?o . VALUES (?s ?o) { ('a' 'b') ('e' 'nosuch') } }")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((-5, 10)))
+    // two matching tuples keep both solutions
+    val both = reg.sparql(
+      "SELECT ?s ?o WHERE { ?s :p1 ?o . VALUES (?s ?o) { ('a' 'b') ('e' 'f') } }")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1)
+    assert(both.toSeq == Seq((-5, 10), (6, 11)))
+    // all tuples unknown: empty result, not an error
+    assert(reg.sparql(
+      "SELECT ?s ?o WHERE { ?s :p1 ?o . VALUES (?s ?o) { ('x1' 'x2') } }").count() == 0)
+    // arity mismatch rejected
+    intercept[IllegalArgumentException](SparqlParser.parse(
+      "SELECT ?s WHERE { ?s :p1 ?o . VALUES (?s ?o) { ('a') } }"))
+  }
+
   test("HAVING filters groups after aggregation") {
     val (engine, triples) = fixture
     val reg = engine.registerSingleTable(triples)
