@@ -82,7 +82,17 @@ object SparqlParser {
     // race-free.
     var freshN = 0
     def fresh(): String = { freshN += 1; s"__path$freshN" }
-    val normalized = query.trim.replaceAll("\\s+", " ")
+    // PREFIX declarations: remember the mappings, strip the clauses, and
+    // expand declared `ns:local` names to `<uri+local>` (which the term
+    // normalizer then reduces to its last segment, consistent with the
+    // URI rule). Undeclared prefixed names (e.g. the default `:p` forms
+    // the dictionary stores verbatim) pass through untouched.
+    val prefixRe = "(?i)PREFIX\\s+(\\w*):\\s*<([^>]*)>\\s*".r
+    val rawNorm = query.trim.replaceAll("\\s+", " ")
+    val prefixes = prefixRe.findAllMatchIn(rawNorm)
+      .map(m => m.group(1) -> m.group(2)).toMap
+    val normalized = expandPrefixes(
+      prefixRe.replaceAllIn(rawNorm, " ").trim, prefixes)
     // ASK: boolean existence of any solution (no projection/modifiers)
     val askRe = "(?is)ASK\\s*\\{(.*)\\}\\s*".r
     normalized match {
@@ -137,8 +147,15 @@ object SparqlParser {
     val re = "(?is)SELECT\\s+(.*?)\\s+WHERE\\s*\\{(.*)\\}(.*)".r
     work match {
       case re(proj, rawBody, tail) =>
-        val distinct = proj.trim.toUpperCase.startsWith("DISTINCT ")
-        val projTerms = if (distinct) proj.trim.substring("DISTINCT ".length) else proj.trim
+        val up = proj.trim.toUpperCase
+        val modifierLen =
+          if (up.startsWith("DISTINCT ")) "DISTINCT ".length
+          else if (up.startsWith("REDUCED ")) "REDUCED ".length
+          else 0
+        // REDUCED permits (without requiring) duplicate elimination —
+        // implementing it as DISTINCT is conformant and deterministic
+        val distinct = modifierLen > 0
+        val projTerms = proj.trim.substring(modifierLen)
         val (projection, countAggs) = parseProjection(projTerms.trim)
         val (orderBy, limit, offset, groupByVars, havings) = parseModifiers(tail.trim)
         // Top-level UNION: the whole body is `{ bgp } UNION { bgp } ...`
@@ -346,6 +363,34 @@ object SparqlParser {
     val toks = tokenize(text)
     require(toks.length == 3, s"triple pattern needs 3 terms, got ${toks.length} in: $text")
     TriplePattern(toTerm(toks(0)), toTerm(toks(1)), toTerm(toks(2)))
+  }
+
+  /** Expand declared `ns:local` prefixed names to `<uri+local>` OUTSIDE
+    * quoted literals and angle-bracketed URIs (a quoted `'ns:x'` is a
+    * lexical form, not a prefixed name).
+    */
+  private def expandPrefixes(text: String, prefixes: Map[String, String]): String = {
+    if (prefixes.isEmpty) return text
+    val nameRe = "(\\w*):(\\w+)".r
+    def expandRun(run: String): String =
+      nameRe.replaceAllIn(run, m => prefixes.get(m.group(1)) match {
+        case Some(uri) => java.util.regex.Matcher.quoteReplacement(s"<$uri${m.group(2)}>")
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+      })
+    val out = new StringBuilder
+    val run = new StringBuilder
+    var inQuote = false
+    var inAngle = false
+    def flush(): Unit = { out ++= expandRun(run.toString); run.clear() }
+    text.foreach {
+      case '\'' => if (!inAngle) { if (!inQuote) flush(); inQuote = !inQuote; if (inQuote) out += '\'' else { out ++= run; run.clear(); out += '\'' } } else run += '\''
+      case c if inQuote => out += c
+      case '<' => flush(); inAngle = true; run += '<'
+      case '>' if inAngle => run += '>'; out ++= run; run.clear(); inAngle = false
+      case c => run += c
+    }
+    if (inQuote) out ++= run else flush()
+    out.toString
   }
 
   /** Split on spaces outside single quotes (lexical forms may contain spaces,

@@ -55,6 +55,24 @@ class SparqlSpec extends SparkTestBase {
     assert(one.length == 1 && one.head.getInt(0) == -5)
   }
 
+  test("PREFIX declarations expand declared names; REDUCED dedups") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // ex:a expands to <http://ex.org/a> -> last segment 'a'; the undeclared
+    // default-prefix predicate :p1 passes through verbatim
+    val rows = reg.sparql(
+      "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { ex:a :p1 ?o }")
+      .collect().map(_.getInt(0))
+    assert(rows.toSeq == Seq(10))
+    // a quoted literal containing a colon is NOT a prefixed name
+    val q = SparqlParser.parse(
+      "PREFIX ex: <http://ex.org/> SELECT ?o WHERE { 'ex:a' :p1 ?o }")
+    assert(q.patterns.head.s == Constant("ex:a"))
+    // REDUCED permits dedup — implemented as DISTINCT
+    val r = SparqlParser.parse("SELECT REDUCED ?s WHERE { ?s ?p ?o }")
+    assert(r.distinct && r.projection == Seq("s"))
+  }
+
   test("DESCRIBE returns every triple mentioning the resource") {
     val (engine, triples) = fixture
     val reg = engine.registerSplitTables(triples)
