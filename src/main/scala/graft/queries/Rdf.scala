@@ -280,6 +280,19 @@ object Rdf {
           "VALUES ?n { 'nation_0' 'nation_1' 'nation_2' } }")
     },
 
+    // ---- SPARQL BIND: a variable alias plus a constant annotation over
+    // every solution — pure projection work above the joins (no shuffle);
+    // the constant binds its encoded id. ----
+    QueryDef("rdf_sparql_bind",
+      RdfBridge.oracleCte +
+        """SELECT Subject AS c, Object AS o2, CAST(2000000000 AS INTEGER) AS tag
+          |FROM triples WHERE Predicate = -2""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?c ?o2 ?tag WHERE { ?c :placed ?o . " +
+          "BIND(?o AS ?o2) . BIND('nation_0' AS ?tag) }")
+    },
+
     // ---- SPARQL multi-variable VALUES: row tuples over (customer, nation)
     // joined under the compatibility rule — for required variables the
     // null-tolerant condition simplifies to a broadcast equi-join on the

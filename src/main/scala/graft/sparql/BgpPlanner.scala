@@ -100,7 +100,8 @@ object BgpPlanner {
       (query.filters ++ query.optionalFilters.flatten).map(_.value) ++
       query.minuses.flatten.flatMap(p => Seq(p.s, p.p, p.o)) ++
       query.inlineValues.flatMap(_._2) ++
-      query.inlineValuesMulti.flatMap(_._2.flatten)).collect {
+      query.inlineValuesMulti.flatMap(_._2.flatten) ++
+      query.binds.map(_._1)).collect {
       case Constant(l) => l
     }.distinct
     val enc: Map[String, Int] = dict.encodeTerms(constants)
@@ -252,6 +253,24 @@ object BgpPlanner {
         }
     }
 
+    // BIND: new visible bindings over the joined solutions — a variable
+    // alias copies the column; a constant binds its encoded id (an unknown
+    // term binds the error value, null — SPARQL expression-error
+    // semantics). Evaluated before FILTER so filters can reference them.
+    val withBinds = query.binds.foldLeft(withValuesMulti) {
+      case (acc, (term, alias)) =>
+        require(!acc.columns.contains(alias),
+          s"BIND alias ?$alias is already bound")
+        term match {
+          case Variable(v) =>
+            require(acc.columns.contains(v), s"BIND source ?$v not bound")
+            acc.withColumn(alias, col(v))
+          case Constant(l) =>
+            acc.withColumn(alias,
+              enc.get(l).map(id => lit(id)).getOrElse(lit(null).cast("int")))
+        }
+    }
+
     // FILTER conditions: plain Column predicates over the joined variable
     // columns — Catalyst pushes an equality on a single pattern's variable
     // down into that pattern's scan (encoded point predicate), so a FILTER
@@ -262,7 +281,7 @@ object BgpPlanner {
     // encoding (!BOUND = negation-as-failure, evaluated streaming above the
     // join probe); constant equalities on required variables push into the
     // pattern scans.
-    val filtered = query.filters.foldLeft(withValuesMulti)(applyFilter)
+    val filtered = query.filters.foldLeft(withBinds)(applyFilter)
 
     // ASK: boolean existence — LocalLimit(1) stops each partition at the
     // first matching row, the count-over-limit aggregate folds to a single

@@ -58,6 +58,7 @@ final case class BgpQuery(
     countAggs: Seq[CountAgg] = Nil,
     havings: Seq[HavingCond] = Nil,
     optionalFilters: Seq[Seq[FilterCond]] = Nil, // aligned with `optionals`
+    binds: Seq[(Term, String)] = Nil, // BIND(term|?var AS ?alias)
     ask: Boolean = false,
     describeTerm: Option[Constant] = None,
     constructTemplate: Seq[TriplePattern] = Nil,
@@ -217,11 +218,19 @@ object SparqlParser {
         val optionals = optParsed.map(_._1)
         val optionalFilters = optParsed.map(_._2)
         val withoutOpt = optionalRe.replaceAllIn(withoutMinus, " ")
+        // BIND clauses: `BIND(term AS ?alias)` / `BIND(?var AS ?alias)` —
+        // extracted like FILTER (no dot separator required); the alias
+        // becomes a visible binding evaluated after the pattern joins.
+        val bindRe = "(?i)BIND\\s*\\(\\s*('[^']*'|\\S+?)\\s+AS\\s+\\?(\\w+)\\s*\\)".r
+        val binds = bindRe.findAllMatchIn(withoutOpt).map { m =>
+          (toTerm(m.group(1)), m.group(2))
+        }.toSeq
+        val withoutBind = bindRe.replaceAllIn(withoutOpt, " ")
         // FILTER clauses: extract (they need no dot separator in SPARQL),
         // then parse the remaining segments as triple patterns. The
         // condition subset is `?var (=|!=) term` / [!]BOUND(?var).
-        val filters = filterRe.findAllMatchIn(withoutOpt).map(m => parseFilter(m.group(1))).toSeq
-        val body = filterRe.replaceAllIn(withoutOpt, " ")
+        val filters = filterRe.findAllMatchIn(withoutBind).map(m => parseFilter(m.group(1))).toSeq
+        val body = filterRe.replaceAllIn(withoutBind, " ")
         val patterns = splitPatterns(body, fresh)
         require(patterns.nonEmpty, "empty BGP")
         BgpQuery(projection, patterns, filters, limit,
@@ -229,7 +238,8 @@ object SparqlParser {
           groupByVars = groupByVars, countAggs = countAggs, havings = havings,
           optionalFilters = optionalFilters,
           inlineValues = inlineValues ++ trailingValues,
-          inlineValuesMulti = inlineValuesMulti, minuses = minuses)
+          inlineValuesMulti = inlineValuesMulti, minuses = minuses,
+          binds = binds)
       case _ => throw new IllegalArgumentException(s"unsupported SPARQL: $query")
     }
   }

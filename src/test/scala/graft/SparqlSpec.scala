@@ -379,6 +379,28 @@ class SparqlSpec extends SparkTestBase {
     assert(reg.sparql("SELECT ?o WHERE { 'nosuch' :p1* ?o }").count() == 0)
   }
 
+  test("BIND adds visible bindings: variable alias and constant") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    val rows = reg.sparql(
+      "SELECT ?s ?o2 ?tag WHERE { ?s :p1 ?o . BIND(?o AS ?o2) . BIND('d' AS ?tag) }")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((-5, 10, 20), (6, 11, 20))) // 'd' encodes to 20
+    // an unknown constant binds the error value (null), rows survive
+    val nulls = reg.sparql(
+      "SELECT ?s ?x WHERE { ?s :p1 ?o . BIND('nosuch' AS ?x) }")
+      .collect().map(r => (r.getInt(0), r.isNullAt(1)))
+    assert(nulls.forall(_._2) && nulls.length == 2)
+    // a FILTER can reference the bound variable
+    val f = reg.sparql(
+      "SELECT ?s WHERE { ?s :p1 ?o . BIND(?o AS ?o2) FILTER(?o2 = 'b') }")
+      .collect().map(_.getInt(0))
+    assert(f.toSeq == Seq(-5))
+    // rebinding an existing variable is an error
+    intercept[IllegalArgumentException](reg.sparql(
+      "SELECT ?s WHERE { ?s :p1 ?o . BIND(?s AS ?o) }").collect())
+  }
+
   test("multi-variable VALUES restricts solutions to the tuple set") {
     val (engine, triples) = fixture
     val reg = engine.registerSplitTables(triples)
