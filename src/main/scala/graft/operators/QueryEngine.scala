@@ -83,12 +83,20 @@ final class QueryEngine(val spark: SparkSession, val dict: Dictionary) {
     BgpPlanner.plan(query, store, dict)
   }
 
-  /** SPARQL with decoded (lexical) output columns. Internal existence
-    * markers (`__exists_N`, from fully-bound patterns) are not variable
-    * bindings and are excluded from decoding.
+  /** SPARQL with decoded (lexical) output columns. Only INT columns decode
+    * — dictionary ids are IntegerType by schema, so aggregate outputs
+    * (COUNT/SUM bigint, AVG double, GROUP_CONCAT string) pass through as
+    * values instead of being misread as ids; MIN/MAX/SAMPLE over id-valued
+    * variables stay int and decode correctly. Internal existence markers
+    * (`__exists_N`, from fully-bound patterns) are not variable bindings
+    * and are excluded.
     */
   def sparqlDecoded(query: String): DataFrame = {
     val bound = sparql(query)
-    dict.decode(bound, bound.columns.toSeq.filterNot(_.startsWith("__exists_")))
+    val idCols = bound.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.IntegerType &&
+        !f.name.startsWith("__exists_") => f.name
+    }
+    dict.decode(bound, idCols.toSeq)
   }
 }

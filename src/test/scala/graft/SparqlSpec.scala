@@ -379,6 +379,16 @@ class SparqlSpec extends SparkTestBase {
     assert(reg.sparql("SELECT ?o WHERE { 'nosuch' :p1* ?o }").count() == 0)
   }
 
+  test("sparqlDecoded decodes id columns only; aggregates pass through") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    val rows = reg.sparqlDecoded(
+      "SELECT ?p (COUNT(?s) AS ?cnt) WHERE { ?s ?p ?o } GROUP BY ?p")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // predicate ids decode to lexical forms; counts stay numeric
+    assert(rows == Map(":p1" -> 2L, ":p2" -> 2L, ":p3" -> 1L, ":loop" -> 1L))
+  }
+
   test("BIND adds visible bindings: variable alias and constant") {
     val (engine, triples) = fixture
     val reg = engine.registerSplitTables(triples)
