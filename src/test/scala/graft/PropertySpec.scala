@@ -66,6 +66,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: modifier clauses round-trip around a generated BGP") {
+    // random combinations of the round-3 grammar: FILTER / BIND / VALUES /
+    // LIMIT-OFFSET / HAVING never corrupt the pattern list they decorate
+    val genVar = Gen.identifier.suchThat(_.nonEmpty)
+    val genCase = for {
+      v1 <- genVar; v2 <- genVar.suchThat(_ != v1); lit <- term
+      limit <- Gen.choose(1, 99)
+      pick <- Gen.choose(0, 4)
+    } yield (v1, v2, lit, limit, pick)
+    forSamples(genCase, 120) { case (v1, v2, lit, limit, pick) =>
+      val base = s"?$v1 :p ?$v2"
+      val (clause, tail) = pick match {
+        case 0 => (s" . FILTER(?$v2 = '$lit')", "")
+        case 1 => (s" . BIND(?$v2 AS ?${v2}_alias)", "")
+        case 2 => (s" VALUES ?$v2 { '$lit' }", "")
+        case 3 => ("", s" LIMIT $limit OFFSET $limit")
+        case 4 => ("", s" GROUP BY ?$v1 HAVING (COUNT(?$v2) > $limit)")
+      }
+      val proj = if (pick == 4) s"?$v1" else "*"
+      val q = SparqlParser.parse(s"SELECT $proj WHERE { $base$clause }$tail")
+      assert(q.patterns == Seq(TriplePattern(Variable(v1), Constant(":p"), Variable(v2))),
+        s"patterns corrupted by clause case $pick")
+      pick match {
+        case 0 => assert(q.filters.nonEmpty)
+        case 1 => assert(q.binds == Seq((Variable(v2), s"${v2}_alias")))
+        case 2 => assert(q.inlineValues.nonEmpty)
+        case 3 => assert(q.limit.contains(limit) && q.offset.contains(limit))
+        case 4 => assert(q.havings.nonEmpty && q.groupByVars == Seq(v1))
+      }
+    }
+  }
+
   test("property: dictionary encode is the inverse of the pair set") {
     forSamples(Gen.mapOf(Gen.zip(Gen.choose(1, 1000000), term)), 5) { m0 =>
         // distinct ids AND distinct terms (a dictionary is a bijection)
