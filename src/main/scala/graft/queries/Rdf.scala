@@ -347,6 +347,18 @@ object Rdf {
         .sparql("CONSTRUCT { ?o :placed ?c } WHERE { ?c :placed ?o }")
     },
 
+    // ---- SPARQL negated property set (`!(:p|:q)` path): every edge whose
+    // predicate is OUTSIDE the alternation — a hidden predicate variable
+    // post-filtered with NOT isin; the filter pushes into the scans. ----
+    QueryDef("rdf_sparql_negated_pred",
+      RdfBridge.oracleCte +
+        """SELECT Subject AS s, Object AS o FROM triples
+          |WHERE Predicate NOT IN (-2, -13, -31)""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?s ?o WHERE { ?s !(:placed|:contains|:in_nation) ?o }")
+    },
+
     // ---- SPARQL DESCRIBE (resource description query form): every triple
     // mentioning the minimum order — the subject side sign-routes to one
     // table (point predicate on the persisted layout's key), the object

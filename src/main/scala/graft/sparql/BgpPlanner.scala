@@ -55,6 +55,17 @@ object BgpPlanner {
     }
   }
 
+  /** `!:p` / `!(:p|:q)` — SPARQL negated property set: any predicate NOT
+    * in the alternation. Returns the base predicate lexical forms.
+    */
+  private def negPreds(lexical: String): Option[Seq[String]] = {
+    val re = "^!\\(?((?::?\\w+)(?:\\|:?\\w+)*)\\)?$".r
+    lexical match {
+      case re(inner) => Some(inner.split("\\|").toSeq.map(Dictionary.normalizeTerm))
+      case _ => None
+    }
+  }
+
   def plan(query: BgpQuery, store: Store, dict: Dictionary): DataFrame = {
     // DESCRIBE: all triples with the term in subject OR object position —
     // the subject side sign-routes to ONE table (point predicate on the
@@ -89,6 +100,16 @@ object BgpPlanner {
         case _ => false
       }
     }
+    // Negated property sets plan as ordinary scans over a hidden predicate
+    // variable post-filtered with NOT isin (an unknown negated term excludes
+    // nothing — it cannot occur in the data, so the pattern matches every
+    // predicate, per SPARQL semantics).
+    val (negPatterns, scanPatterns) = plainPatterns.partition {
+      p => p.p match {
+        case Constant(l) => negPreds(l).isDefined
+        case _ => false
+      }
+    }
     // Encode every constant — pattern terms, path base predicates, AND
     // filter right-hand sides — in one dictionary round-trip (single
     // pushed-down isin scan, not one scan per term).
@@ -97,6 +118,7 @@ object BgpPlanner {
       .flatMap(p => Seq(p.s, p.p, p.o)) ++
       pathPatterns.flatMap(p => Seq(p.s, p.o)) ++
       pathPatterns.flatMap(p => pathPreds(p.p.asInstanceOf[Constant].lexical).get._1.map(Constant(_))) ++
+      negPatterns.flatMap(p => negPreds(p.p.asInstanceOf[Constant].lexical).get.map(Constant(_))) ++
       (query.filters ++ query.optionalFilters.flatten).map(_.value) ++
       query.minuses.flatten.flatMap(p => Seq(p.s, p.p, p.o)) ++
       query.inlineValues.flatMap(_._2) ++
@@ -106,8 +128,16 @@ object BgpPlanner {
     }.distinct
     val enc: Map[String, Int] = dict.encodeTerms(constants)
 
-    val planned = plainPatterns.zipWithIndex.map { case (pat, i) =>
+    val planned = scanPatterns.zipWithIndex.map { case (pat, i) =>
       planPattern(pat, i, store, enc)
+    } ++ negPatterns.zipWithIndex.map { case (pat, i) =>
+      // the `__path` prefix keeps the synthetic predicate variable out of
+      // star projections; it is dropped before the joins regardless
+      val v = s"__pathneg$i"
+      val ids = negPreds(pat.p.asInstanceOf[Constant].lexical).get.flatMap(enc.get)
+      val base = planPattern(TriplePattern(pat.s, Variable(v), pat.o),
+        900000 + i, store, enc)
+      (if (ids.isEmpty) base else base.filter(!col(v).isin(ids: _*))).drop(v)
     } ++ pathPatterns.map(p => planPathPattern(p, store, enc))
 
     // Join patterns left-to-right on shared variables; disjoint patterns

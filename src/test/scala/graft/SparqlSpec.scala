@@ -505,6 +505,24 @@ class SparqlSpec extends SparkTestBase {
     assert(rows(2)._3 == "-8,-7")
   }
 
+  test("negated property set matches any predicate outside the alternation") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // predicates in the fixture: p1, p2, p3, loop — exclude p1/p2
+    val rows = reg.sparql("SELECT ?s ?o WHERE { ?s !(:p1|:p2) ?o }")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((-9, -9), (-7, 20))) // :loop and :p3 triples
+    // single negation composes with a plain pattern
+    val one = reg.sparql(
+      "SELECT ?s ?o WHERE { 'c' !:loop ?o . ?s :p2 'c' }")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(one.toSeq == Seq((10, 20)))
+    // an unknown negated term excludes nothing: every triple matches
+    assert(reg.sparql("SELECT ?s WHERE { ?s !:nosuch ?o }").count() == 6)
+    // the synthetic predicate variable never leaks into star output
+    assert(reg.sparql("SELECT * WHERE { ?s !(:p1) ?o }").columns.toSeq == Seq("o", "s"))
+  }
+
   test("sequence path chains patterns through hidden fresh variables") {
     val (engine, triples) = fixture
     val reg = engine.registerSplitTables(triples)
