@@ -560,6 +560,23 @@ object Rdf {
         .sparql(s"SELECT ?o WHERE { 'cust_$minCust' (:placed|:contains|:supplied_by)* ?o }")
     },
 
+    // ---- zero-or-one property path (`?`): the subject itself plus its
+    // DIRECT successors — no fixpoint in the plan, just the seeded scan
+    // plus the zero-step row. ----
+    QueryDef("rdf_sparql_path_opt",
+      RdfBridge.oracleCte +
+        """SELECT CAST(-(1000 + (SELECT MIN(o_custkey) FROM orders)) AS INTEGER) AS o
+          |UNION
+          |SELECT DISTINCT CAST(Object AS INTEGER) FROM triples
+          |WHERE Predicate = -2
+          |  AND Subject = CAST(-(1000 + (SELECT MIN(o_custkey) FROM orders)) AS INTEGER)""".stripMargin) { (s, dir) =>
+      val minCust = graft.sources.Tables.load(s, dir, "orders")
+        .agg(min(col("o_custkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"SELECT ?o WHERE { 'cust_$minCust' :placed? ?o }")
+    },
+
     // ---- transitive reachability: semi-naive BFS fixpoint (iterative
     // distributed joins — Spark has no recursive SQL) vs DuckDB's
     // WITH RECURSIVE oracle. Seed = the placed-predicate's minimum subject;

@@ -41,16 +41,16 @@ object BgpPlanner {
     * decode with `Dictionary.decode`. A constant term that is absent from the
     * dictionary yields an empty (not failing) result — it can match nothing.
     */
-  /** `:p+` / `(:p|:q)+` / `:p*` / `(:p|:q)*` — SPARQL property path:
-    * one-or-more (`+`) or zero-or-more (`*`) steps over the (alternation
-    * of the) named predicates. Returns (base predicate lexical forms,
-    * includesZeroStep) when `lexical` is the path syntax.
+  /** `:p+` / `(:p|:q)+` / `:p*` / `:p?` — SPARQL property path closure
+    * modifiers over the (alternation of the) named predicates: one-or-more
+    * (`+`), zero-or-more (`*`), zero-or-one (`?`). Returns (base predicate
+    * lexical forms, modifier) when `lexical` is the path syntax.
     */
-  private def pathPreds(lexical: String): Option[(Seq[String], Boolean)] = {
-    val re = "^\\(?((?::?\\w+)(?:\\|:?\\w+)*)\\)?([+*])$".r
+  private def pathPreds(lexical: String): Option[(Seq[String], Char)] = {
+    val re = "^\\(?((?::?\\w+)(?:\\|:?\\w+)*)\\)?([+*?])$".r
     lexical match {
       case re(inner, mod) =>
-        Some((inner.split("\\|").toSeq.map(Dictionary.normalizeTerm), mod == "*"))
+        Some((inner.split("\\|").toSeq.map(Dictionary.normalizeTerm), mod.head))
       case _ => None
     }
   }
@@ -448,7 +448,8 @@ object BgpPlanner {
     */
   private def planPathPattern(
       pat: TriplePattern, store: Store, enc: Map[String, Int]): DataFrame = {
-    val (preds, zeroStep) = pathPreds(pat.p.asInstanceOf[Constant].lexical).get
+    val (preds, mod) = pathPreds(pat.p.asInstanceOf[Constant].lexical).get
+    val zeroStep = mod == '*' || mod == '?' 
     val predIds = preds.flatMap(enc.get)
     val base = store match {
       case SingleTable(df) => df
@@ -476,7 +477,10 @@ object BgpPlanner {
     val direct = edges
       .filter(col(TripleSchema.subject) === lit(seedId.getOrElse(Int.MinValue)))
       .select(col(TripleSchema.objekt).as("node")).distinct()
-    val closure = graft.operators.Graph.reachableFrom(edges, direct)
+    // zero-or-one needs no fixpoint: at most one step from the seed
+    val closure =
+      if (mod == '?') direct
+      else graft.operators.Graph.reachableFrom(edges, direct)
     val withZero =
       if (!zeroStep) closure
       else seedId match {

@@ -377,6 +377,11 @@ class SparqlSpec extends SparkTestBase {
       "SELECT ?o WHERE { 'a' (:p1|:p2|:p3)* ?o }").collect().map(_.getInt(0))
     assert(star.sorted.toSeq == Seq(-7, -5, 10, 20))
     assert(reg.sparql("SELECT ?o WHERE { 'nosuch' :p1* ?o }").count() == 0)
+    // zero-or-one: the subject itself plus DIRECT successors only
+    val opt = reg.sparql(
+      "SELECT ?o WHERE { 'a' (:p1|:p2|:p3)? ?o }").collect().map(_.getInt(0))
+    assert(opt.sorted.toSeq == Seq(-5, 10)) // NOT the 2-hop -7 or 3-hop 20
+    assert(reg.sparql("SELECT ?o WHERE { 'nosuch' :p1? ?o }").count() == 0)
   }
 
   test("sparqlDecoded decodes id columns only; aggregates pass through") {
