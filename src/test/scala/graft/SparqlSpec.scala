@@ -85,6 +85,25 @@ class SparqlSpec extends SparkTestBase {
     intercept[IllegalArgumentException](SparqlParser.parse("DESCRIBE ?x"))
   }
 
+  test("the reference's own sample queries parse and run verbatim") {
+    // MyOpVisitorBase.java:132-133 — the exact query texts the reference
+    // feeds its translator, including the AIS literal with dots, dashes,
+    // and a colon inside the quotes. The reference's visitor kept only the
+    // LAST pattern of these; here both patterns join.
+    val ais = SparqlParser.parse("SELECT * WHERE " +
+      "{':node_376609000_1451606409000_-9.15947_38.70289' <a> ?x . ?x <a> ':Node'}")
+    assert(ais.patterns == Seq(
+      TriplePattern(Constant(":node_376609000_1451606409000_-9.15947_38.70289"),
+        Constant("a"), Variable("x")),
+      TriplePattern(Variable("x"), Constant("a"), Constant(":Node"))))
+    val str = SparqlParser.parse("SELECT * WHERE {'aString' <a> ?x . ?x <a> ':Node'}")
+    assert(str.patterns.length == 2)
+    // terms absent from a dictionary: the plan runs and returns empty
+    val (engine, triples) = fixture
+    assert(engine.registerSplitTables(triples)
+      .sparql("SELECT * WHERE {'aString' <a> ?x . ?x <a> ':Node'}").count() == 0)
+  }
+
   test("term normalization: variables, quotes, URIs, prefixed names") {
     assert(Dictionary.normalizeTerm("?v") == null)
     assert(Dictionary.normalizeTerm("'lit'") == "lit")
