@@ -83,19 +83,24 @@ final class QueryEngine(val spark: SparkSession, val dict: Dictionary) {
     BgpPlanner.plan(query, store, dict)
   }
 
-  /** SPARQL with decoded (lexical) output columns. Only INT columns decode
-    * — dictionary ids are IntegerType by schema, so aggregate outputs
-    * (COUNT/SUM bigint, AVG double, GROUP_CONCAT string) pass through as
-    * values instead of being misread as ids; MIN/MAX/SAMPLE over id-valued
-    * variables stay int and decode correctly. Internal existence markers
-    * (`__exists_N`, from fully-bound patterns) are not variable bindings
-    * and are excluded.
+  /** SPARQL with decoded (lexical) output columns: integral id columns
+    * decode (both the 32- and 64-bit triple widths); aggregate aliases are
+    * excluded by NAME and non-integral outputs (AVG double, GROUP_CONCAT
+    * string) by type, so they pass through as values. Internal existence
+    * markers (`__exists_N`, from fully-bound patterns) are not variable
+    * bindings and are excluded.
     */
   def sparqlDecoded(query: String): DataFrame = {
-    val bound = sparql(query)
+    val ast = SparqlParser.parse(query)
+    val bound = sparqlAst(ast)
+    // aggregate aliases are VALUES, not ids — excluded by NAME (a bigint
+    // COUNT is indistinguishable from a wide id by type alone, and the
+    // 64-bit triple schema makes id columns LongType)
+    val aggAliases = ast.countAggs.map(_.alias).toSet
     val idCols = bound.schema.fields.collect {
-      case f if f.dataType == org.apache.spark.sql.types.IntegerType &&
-        !f.name.startsWith("__exists_") => f.name
+      case f if !aggAliases.contains(f.name) && !f.name.startsWith("__exists_") &&
+        (f.dataType == org.apache.spark.sql.types.IntegerType ||
+          f.dataType == org.apache.spark.sql.types.LongType) => f.name
     }
     dict.decode(bound, idCols.toSeq)
   }

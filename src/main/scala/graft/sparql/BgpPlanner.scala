@@ -234,13 +234,18 @@ object BgpPlanner {
     val withValues = query.inlineValues.foldLeft(afterMinus) { case (acc, (v, terms)) =>
       require(acc.columns.contains(v),
         s"VALUES variable ?$v not bound by the BGP (bound: ${acc.columns.mkString(", ")})")
-      val ids = terms.flatMap(t => enc.get(t.lexical)).distinct
-      if (ids.isEmpty) acc.filter(lit(false))
-      else if (nonNullVars.contains(v)) acc.filter(col(v).isin(ids: _*))
+      // keep the MULTISET: a term listed twice doubles its solutions (VALUES
+      // is Join(P, data) over a bag) — the isin fast path applies only when
+      // the encoded list is duplicate-free
+      val rawIds = terms.flatMap(t => enc.get(t.lexical))
+      val ids = rawIds.distinct
+      if (rawIds.isEmpty) acc.filter(lit(false))
+      else if (nonNullVars.contains(v) && rawIds.length == ids.length)
+        acc.filter(col(v).isin(ids: _*))
       else {
         val spark = acc.sparkSession
         import spark.implicits._
-        val vdf = ids.toDF("__graft_val")
+        val vdf = rawIds.toDF("__graft_val")
         acc.join(vdf, col(v).isNull || col(v) === col("__graft_val"))
           .withColumn(v, coalesce(col(v), col("__graft_val")))
           .drop("__graft_val")

@@ -133,15 +133,23 @@ object SparqlParser {
     var work = normalized
     val trailingValues = scala.collection.mutable.ListBuffer.empty[(String, Seq[Constant])]
     val trailingRe = "(?i)VALUES\\s+\\?(\\w+)\\s*\\{([^{}]*)\\}\\s*$".r
-    var tm = trailingRe.findFirstMatchIn(work)
-    while (tm.isDefined) {
-      val m = tm.get
-      val terms = tokenize(m.group(2).trim).toSeq.map(toTerm)
-      require(terms.nonEmpty && terms.forall(_.isInstanceOf[Constant]),
-        s"VALUES terms must be constants: ${m.group(2)}")
-      (m.group(1) -> terms.map(_.asInstanceOf[Constant])) +=: trailingValues
-      work = work.substring(0, m.start).trim
-      tm = trailingRe.findFirstMatchIn(work)
+    val trailingMultiRe = "(?i)VALUES\\s*\\(([^()]*)\\)\\s*\\{([^{}]*)\\}\\s*$".r
+    val trailingValuesMulti =
+      scala.collection.mutable.ListBuffer.empty[(Seq[String], Seq[Seq[Constant]])]
+    var more = true
+    while (more) {
+      (trailingRe.findFirstMatchIn(work), trailingMultiRe.findFirstMatchIn(work)) match {
+        case (Some(m), _) =>
+          val terms = tokenize(m.group(2).trim).toSeq.map(toTerm)
+          require(terms.nonEmpty && terms.forall(_.isInstanceOf[Constant]),
+            s"VALUES terms must be constants: ${m.group(2)}")
+          (m.group(1) -> terms.map(_.asInstanceOf[Constant])) +=: trailingValues
+          work = work.substring(0, m.start).trim
+        case (None, Some(m)) =>
+          parseValuesRows(m.group(1), m.group(2)) +=: trailingValuesMulti
+          work = work.substring(0, m.start).trim
+        case _ => more = false
+      }
     }
     // body = up to the LAST closing brace (greedy — union arms contain
     // braces); tail = the solution-modifier clauses after it
@@ -175,18 +183,8 @@ object SparqlParser {
         // Multi-variable form: `VALUES (?a ?b) { ('x' 'y') ... }` — rows of
         // parenthesized tuples, one constant per variable.
         val valuesMultiRe = "(?i)VALUES\\s*\\(([^()]*)\\)\\s*\\{([^{}]*)\\}".r
-        val inlineValuesMulti = valuesMultiRe.findAllMatchIn(rawBody).map { m =>
-          val vars = "\\?(\\w+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
-          require(vars.nonEmpty, s"VALUES needs variables: ${m.group(1)}")
-          val rows = "\\(([^()]*)\\)".r.findAllMatchIn(m.group(2)).map { r =>
-            val terms = tokenize(r.group(1).trim).toSeq.map(toTerm)
-            require(terms.length == vars.length && terms.forall(_.isInstanceOf[Constant]),
-              s"VALUES row needs ${vars.length} constants: ${r.group(1)}")
-            terms.map(_.asInstanceOf[Constant])
-          }.toSeq
-          require(rows.nonEmpty, s"VALUES needs at least one row: ${m.group(2)}")
-          vars -> rows
-        }.toSeq
+        val inlineValuesMulti = valuesMultiRe.findAllMatchIn(rawBody)
+          .map(m => parseValuesRows(m.group(1), m.group(2))).toSeq
         val withoutMultiValues = valuesMultiRe.replaceAllIn(rawBody, " ")
         // Single-variable inline bindings per SPARQL 1.1 ValuesClause.
         val valuesRe = "(?i)VALUES\\s+\\?(\\w+)\\s*\\{([^{}]*)\\}".r
@@ -238,8 +236,8 @@ object SparqlParser {
           groupByVars = groupByVars, countAggs = countAggs, havings = havings,
           optionalFilters = optionalFilters,
           inlineValues = inlineValues ++ trailingValues,
-          inlineValuesMulti = inlineValuesMulti, minuses = minuses,
-          binds = binds)
+          inlineValuesMulti = inlineValuesMulti ++ trailingValuesMulti,
+          minuses = minuses, binds = binds)
       case _ => throw new IllegalArgumentException(s"unsupported SPARQL: $query")
     }
   }
@@ -332,6 +330,25 @@ object SparqlParser {
       .map(_.trim).filter(s => s.nonEmpty && s != ".").toSeq
       .flatMap(t => expandPattern(t, fresh))
 
+  /** Parse a multi-variable VALUES block: `(?a ?b)` vars + `('x' 'y') ...`
+    * rows. Variables must be distinct (SPARQL DataBlock grammar); every row
+    * carries one constant per variable.
+    */
+  private def parseValuesRows(varText: String, rowText: String): (Seq[String], Seq[Seq[Constant]]) = {
+    val vars = "\\?(\\w+)".r.findAllMatchIn(varText).map(_.group(1)).toSeq
+    require(vars.nonEmpty, s"VALUES needs variables: $varText")
+    require(vars.distinct.size == vars.size,
+      s"duplicate VALUES variables: ${vars.mkString(", ")}")
+    val rows = "\\(([^()]*)\\)".r.findAllMatchIn(rowText).map { r =>
+      val terms = tokenize(r.group(1).trim).toSeq.map(toTerm)
+      require(terms.length == vars.length && terms.forall(_.isInstanceOf[Constant]),
+        s"VALUES row needs ${vars.length} constants: ${r.group(1)}")
+      terms.map(_.asInstanceOf[Constant])
+    }.toSeq
+    require(rows.nonEmpty, s"VALUES needs at least one row: $rowText")
+    vars -> rows
+  }
+
   /** One pattern text → its plain patterns. A sequence path `e1/e2/.../en`
     * (each step a predicate name, optionally `^`-inverted) chains n plain
     * patterns through n-1 fresh intermediate variables; a lone inverse
@@ -375,16 +392,20 @@ object SparqlParser {
     TriplePattern(toTerm(toks(0)), toTerm(toks(1)), toTerm(toks(2)))
   }
 
-  /** Expand declared `ns:local` prefixed names to `<uri+local>` OUTSIDE
-    * quoted literals and angle-bracketed URIs (a quoted `'ns:x'` is a
-    * lexical form, not a prefixed name).
+  /** Expand declared `ns:local` prefixed names OUTSIDE quoted literals and
+    * angle-bracketed URIs (a quoted `'ns:x'` is a lexical form, not a
+    * prefixed name). The replacement is the NORMALIZED form — the last
+    * segment of `uri+local`, exactly what `<uri+local>` would reduce to —
+    * so names inside property-path syntax (`ex:p/ex:q`, `ex:p+`, `!ex:p`)
+    * stay plain tokens the path grammar still recognizes.
     */
   private def expandPrefixes(text: String, prefixes: Map[String, String]): String = {
     if (prefixes.isEmpty) return text
     val nameRe = "(\\w*):(\\w+)".r
     def expandRun(run: String): String =
       nameRe.replaceAllIn(run, m => prefixes.get(m.group(1)) match {
-        case Some(uri) => java.util.regex.Matcher.quoteReplacement(s"<$uri${m.group(2)}>")
+        case Some(uri) => java.util.regex.Matcher.quoteReplacement(
+          graft.core.Dictionary.normalizeTerm(s"<$uri${m.group(2)}>"))
         case None => java.util.regex.Matcher.quoteReplacement(m.matched)
       })
     val out = new StringBuilder

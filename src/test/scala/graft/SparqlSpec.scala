@@ -71,6 +71,15 @@ class SparqlSpec extends SparkTestBase {
     // REDUCED permits dedup — implemented as DISTINCT
     val r = SparqlParser.parse("SELECT REDUCED ?s WHERE { ?s ?p ?o }")
     assert(r.distinct && r.projection == Seq("s"))
+    // declared prefixes inside PATH syntax expand to plain local names,
+    // so the sequence grammar still recognizes them
+    val seq = reg.sparql(
+      "PREFIX x: <http://ex.org/> SELECT ?m WHERE { x:a x:p1/x:p2 ?m }")
+    // x:p1 -> 'p1' which is NOT in the dictionary (stored as ':p1'), so
+    // empty — but the PATTERN must have expanded to a 2-step chain
+    val seqAst = SparqlParser.parse(
+      "PREFIX x: <http://ex.org/> SELECT ?m WHERE { x:a x:p1/x:p2 ?m }")
+    assert(seqAst.patterns.length == 2 && seq.count() == 0)
   }
 
   test("DESCRIBE returns every triple mentioning the resource") {
@@ -452,9 +461,20 @@ class SparqlSpec extends SparkTestBase {
     // all tuples unknown: empty result, not an error
     assert(reg.sparql(
       "SELECT ?s ?o WHERE { ?s :p1 ?o . VALUES (?s ?o) { ('x1' 'x2') } }").count() == 0)
-    // arity mismatch rejected
+    // arity mismatch and duplicate variables rejected at parse time
     intercept[IllegalArgumentException](SparqlParser.parse(
       "SELECT ?s WHERE { ?s :p1 ?o . VALUES (?s ?o) { ('a') } }"))
+    intercept[IllegalArgumentException](SparqlParser.parse(
+      "SELECT ?s WHERE { ?s :p1 ?o . VALUES (?s ?s) { ('a' 'b') } }"))
+    // the SPARQL-standard TRAILING position parses too
+    val t = reg.sparql(
+      "SELECT ?s ?o WHERE { ?s :p1 ?o } VALUES (?s ?o) { ('a' 'b') }")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(t.toSeq == Seq((-5, 10)))
+    // VALUES is a multiset: a duplicated single-var term doubles solutions
+    val dup = reg.sparql(
+      "SELECT ?o WHERE { 'a' :p1 ?o . VALUES ?o { 'b' 'b' } }").count()
+    assert(dup == 2)
   }
 
   test("HAVING filters groups after aggregation") {
