@@ -278,8 +278,14 @@ object BgpPlanner {
           val vdf = spark.createDataFrame(
             java.util.Arrays.asList(encRows.map(r =>
               org.apache.spark.sql.Row.fromSeq(r)): _*), schema)
+          // required variables are provably non-null: emit the plain
+          // equality so Catalyst plans a Broadcast HASH join on the tuple
+          // (the null-tolerant OR would force a nested-loop probe — the
+          // scan's nullable column type hides the invariant from the
+          // optimizer)
           val cond = vars.zip(tmpCols).map { case (v, c) =>
-            col(v).isNull || col(v) === col(c)
+            if (nonNullVars.contains(v)) col(v) === col(c)
+            else col(v).isNull || col(v) === col(c)
           }.reduce(_ && _)
           val joined = acc.join(broadcast(vdf), cond)
           vars.zip(tmpCols).foldLeft(joined) { case (df, (v, c)) =>
