@@ -280,6 +280,24 @@ object Rdf {
           "VALUES ?n { 'nation_0' 'nation_1' 'nation_2' } }")
     },
 
+    // ---- SPARQL FILTER EXISTS (correlated semi-join from the SPARQL
+    // surface): (customer, order) pairs whose order contains the given
+    // part — the dual of rdf_sparql_notbound's anti-join. ----
+    QueryDef("rdf_sparql_exists",
+      RdfBridge.oracleCte +
+        """SELECT t1.Subject AS c, t1.Object AS o FROM triples t1
+          |WHERE t1.Predicate = -2
+          |  AND EXISTS (SELECT 1 FROM triples x
+          |              WHERE x.Predicate = -13 AND x.Subject = t1.Object
+          |                AND x.Object = CAST(-((SELECT MIN(l_partkey) FROM lineitem) + 500000000) AS INTEGER))""".stripMargin) { (s, dir) =>
+      val minPart = graft.sources.Tables.load(s, dir, "lineitem")
+        .agg(min(col("l_partkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"""SELECT ?c ?o WHERE { ?c :placed ?o .
+                   | FILTER(EXISTS { ?o :contains 'part_$minPart' }) }""".stripMargin)
+    },
+
     // ---- SPARQL BIND: a variable alias plus a constant annotation over
     // every solution — pure projection work above the joins (no shuffle);
     // the constant binds its encoded id. ----

@@ -121,6 +121,7 @@ object BgpPlanner {
       negPatterns.flatMap(p => negPreds(p.p.asInstanceOf[Constant].lexical).get.map(Constant(_))) ++
       (query.filters ++ query.optionalFilters.flatten).map(_.value) ++
       query.minuses.flatten.flatMap(p => Seq(p.s, p.p, p.o)) ++
+      query.existsFilters.flatMap(_._1).flatMap(p => Seq(p.s, p.p, p.o)) ++
       query.inlineValues.flatMap(_._2) ++
       query.inlineValuesMulti.flatMap(_._2.flatten) ++
       query.binds.map(_._1)).collect {
@@ -215,6 +216,23 @@ object BgpPlanner {
         if (shared.isEmpty) acc else acc.join(m, shared, "left_anti")
     }
 
+    // FILTER [NOT] EXISTS: a correlated semi-join (anti-join when negated)
+    // on the SHARED variables. With NO shared variable the test is the
+    // group's global non-emptiness — planned as a semi/anti join against
+    // LocalLimit(1) of the group (a one-row probe, never a count), which
+    // is exactly where EXISTS and MINUS diverge: a disjoint-domain MINUS
+    // is a no-op, a disjoint-domain NOT EXISTS can remove everything.
+    val afterExists = query.existsFilters.zipWithIndex.foldLeft(afterMinus) {
+      case (acc, ((ePats, negated), g)) =>
+        val e = joinGroup(ePats.zipWithIndex.map { case (p, i) =>
+          planPattern(p, 700000 * (g + 1) + i, store, enc)
+        })
+        val shared = acc.columns.toSet.intersect(e.columns.toSet).toSeq.sorted
+        val joinType = if (negated) "left_anti" else "left_semi"
+        if (shared.isEmpty) acc.join(e.limit(1), lit(true), joinType)
+        else acc.join(e, shared, joinType)
+    }
+
     // VALUES (single-variable inline bindings): semantically Join(P, data).
     // When the variable is bound by a REQUIRED pattern it can never be
     // null, and the join degenerates to an `isin` predicate that Catalyst
@@ -231,7 +249,7 @@ object BgpPlanner {
       else (plainPatterns.flatMap(p => Seq(p.s, p.p, p.o)
           .collect { case Variable(v) => v }) ++
         pathPatterns.collect { case TriplePattern(_, _, Variable(v)) => v }).toSet
-    val withValues = query.inlineValues.foldLeft(afterMinus) { case (acc, (v, terms)) =>
+    val withValues = query.inlineValues.foldLeft(afterExists) { case (acc, (v, terms)) =>
       require(acc.columns.contains(v),
         s"VALUES variable ?$v not bound by the BGP (bound: ${acc.columns.mkString(", ")})")
       // keep the MULTISET: a term listed twice doubles its solutions (VALUES

@@ -59,6 +59,8 @@ final case class BgpQuery(
     havings: Seq[HavingCond] = Nil,
     optionalFilters: Seq[Seq[FilterCond]] = Nil, // aligned with `optionals`
     binds: Seq[(Term, String)] = Nil, // BIND(term|?var AS ?alias)
+    // FILTER [NOT] EXISTS { bgp } groups: (patterns, negated)
+    existsFilters: Seq[(Seq[TriplePattern], Boolean)] = Nil,
     ask: Boolean = false,
     describeTerm: Option[Constant] = None,
     constructTemplate: Seq[TriplePattern] = Nil,
@@ -195,12 +197,21 @@ object SparqlParser {
           m.group(1) -> terms.map(_.asInstanceOf[Constant])
         }.toSeq
         val withoutValues = valuesRe.replaceAllIn(withoutMultiValues, " ")
+        // FILTER [NOT] EXISTS groups FIRST (their brace blocks sit inside
+        // FILTER parens — extracting them before the plain-group regexes
+        // keeps those from misreading the braces). Unlike MINUS, EXISTS
+        // correlates on shared variables AND applies with none shared.
+        val existsRe = "(?i)FILTER\\s*\\(\\s*(NOT\\s+)?EXISTS\\s*\\{([^{}]*)\\}\\s*\\)".r
+        val existsFilters = existsRe.findAllMatchIn(withoutValues).map { m =>
+          (splitPatterns(m.group(2), fresh), m.group(1) != null)
+        }.toSeq
+        val withoutExists = existsRe.replaceAllIn(withoutValues, " ")
         // MINUS groups (negation): remove solutions compatible with the
         // minus pattern on shared variables.
         val minusRe = "(?i)MINUS\\s*\\{([^{}]*)\\}".r
-        val minuses = minusRe.findAllMatchIn(withoutValues)
+        val minuses = minusRe.findAllMatchIn(withoutExists)
           .map(m => splitPatterns(m.group(1), fresh)).toSeq
-        val withoutMinus = minusRe.replaceAllIn(withoutValues, " ")
+        val withoutMinus = minusRe.replaceAllIn(withoutExists, " ")
         // FILTER grammar: one nesting level inside the parens (BOUND calls)
         val filterRe = "(?i)FILTER\\s*\\(\\s*((?:[^()]|\\([^()]*\\))*?)\\s*\\)".r
         // OPTIONAL groups next (their braces enclose plain BGPs — no
@@ -237,7 +248,7 @@ object SparqlParser {
           optionalFilters = optionalFilters,
           inlineValues = inlineValues ++ trailingValues,
           inlineValuesMulti = inlineValuesMulti ++ trailingValuesMulti,
-          minuses = minuses, binds = binds)
+          minuses = minuses, binds = binds, existsFilters = existsFilters)
       case _ => throw new IllegalArgumentException(s"unsupported SPARQL: $query")
     }
   }

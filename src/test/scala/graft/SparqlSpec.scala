@@ -607,6 +607,36 @@ class SparqlSpec extends SparkTestBase {
     assert(reg.sparql("SELECT ?s WHERE { 'nosuch' ^:p1 ?s }").count() == 0)
   }
 
+  test("FILTER EXISTS/NOT EXISTS: correlated semi/anti join; differs from MINUS on disjoint domains") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // keep p1 solutions whose object continues via p2 — both do
+    assert(reg.sparql(
+      "SELECT ?s WHERE { ?s :p1 ?x . FILTER(EXISTS { ?x :p2 ?y }) }").count() == 2)
+    // NOT EXISTS removes them all
+    assert(reg.sparql(
+      "SELECT ?s WHERE { ?s :p1 ?x . FILTER(NOT EXISTS { ?x :p2 ?y }) }").count() == 0)
+    // only -7 continues via p3: correlated through the 2-hop variable
+    val deep = reg.sparql(
+      "SELECT ?s WHERE { ?s :p2 ?x . FILTER(EXISTS { ?x :p3 ?y }) }")
+      .collect().map(_.getInt(0))
+    assert(deep.toSeq == Seq(10))
+    // THE DIVERGENCE: a disjoint-domain MINUS is a no-op, but a
+    // disjoint-domain NOT EXISTS removes every solution when the group
+    // matches anything at all
+    assert(reg.sparql(
+      "SELECT ?s WHERE { ?s :p1 ?x . MINUS { ?a :p3 ?b } }").count() == 2)
+    assert(reg.sparql(
+      "SELECT ?s WHERE { ?s :p1 ?x . FILTER(NOT EXISTS { ?a :p3 ?b }) }").count() == 0)
+    assert(reg.sparql(
+      "SELECT ?s WHERE { ?s :p1 ?x . FILTER(EXISTS { ?a :p3 ?b }) }").count() == 2)
+    // a group matching nothing: EXISTS empties, NOT EXISTS keeps all
+    assert(reg.sparql(
+      "SELECT ?s WHERE { ?s :p1 ?x . FILTER(EXISTS { 'nosuch' :p3 ?b }) }").count() == 0)
+    assert(reg.sparql(
+      "SELECT ?s WHERE { ?s :p1 ?x . FILTER(NOT EXISTS { 'nosuch' :p3 ?b }) }").count() == 2)
+  }
+
   test("MINUS removes solutions compatible on shared variables") {
     val (engine, triples) = fixture
     val reg = engine.registerSplitTables(triples)
