@@ -15,6 +15,14 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner reaps dead broadcasts/shuffles only after a DRIVER
+      // GC; the default periodic-GC interval (30 min) never fires inside a
+      // bench run, so debris from 142 gates × 4 runs accumulated until heap
+      // pressure taxed whichever gates ran late in the alphabet (r03:
+      // rdf_sparql_describe 5.7s full-board vs 0.7s isolated — same query,
+      // same data). A short interval keeps cleanup continuous instead of
+      // letting it land as one stall inside somebody's timed region.
+      .config("spark.cleaner.periodicGC.interval", "15s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Stable measurement order: sorted by name, so any downstream truncation
@@ -49,6 +57,11 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }.sorted
+      // Between gates (outside any timed region): release the references
+      // this gate pinned, then GC so ContextCleaner can actually reclaim
+      // its broadcasts/shuffle files — the next gate starts from a clean
+      // heap instead of inheriting this one's debris.
+      System.gc()
       // True median: for even N average the two middles — indexing
       // times(n/2) alone would report the WORSE of two runs at N=2.
       val mid =

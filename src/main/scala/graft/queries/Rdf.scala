@@ -295,7 +295,7 @@ object Rdf {
       engine(s, dir)
         .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
         .sparql(s"""SELECT ?c ?o WHERE { ?c :placed ?o .
-                   | FILTER(EXISTS { ?o :contains 'part_$minPart' }) }""".stripMargin)
+                   | FILTER EXISTS { ?o :contains 'part_$minPart' } }""".stripMargin)
     },
 
     // ---- SPARQL BIND: a variable alias plus a constant annotation over
@@ -593,6 +593,108 @@ object Rdf {
       engine(s, dir)
         .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
         .sparql(s"SELECT ?o WHERE { 'cust_$minCust' :placed? ?o }")
+    },
+
+    // ---- SPARQL FILTER comparisons + &&/|| (ConditionalAnd/Or): an id
+    // range on the order variable OR'd with a point disjunct — `&&` binds
+    // tighter than `||` per the SPARQL grammar. Encoded order ids are
+    // monotone in the order key, so id comparison = key comparison; the
+    // whole tree evaluates as one Column predicate pushed into the scan. ----
+    QueryDef("rdf_sparql_filter_range",
+      RdfBridge.oracleCte +
+        """SELECT t.Subject AS c, t.Object AS o FROM triples t
+          |WHERE t.Predicate = -2
+          |  AND ((t.Object > CAST((SELECT MIN(o_orderkey) FROM orders) + 11 AS INTEGER)
+          |        AND t.Object <= CAST((SELECT MIN(o_orderkey) FROM orders) + 1001 AS INTEGER))
+          |    OR t.Object = CAST((SELECT MAX(o_orderkey) FROM orders) + 1 AS INTEGER))""".stripMargin) { (s, dir) =>
+      // driver lookups construct the query TEXT (user-supplied bounds)
+      val orders = graft.sources.Tables.load(s, dir, "orders")
+      val Seq(minK, maxK) = orders.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .head().toSeq.map(_.asInstanceOf[Long])
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"""SELECT ?c ?o WHERE { ?c :placed ?o .
+                   | FILTER(?o > 'order_${minK + 10}' && ?o <= 'order_${minK + 1000}'
+                   |   || ?o = 'order_$maxK') }""".stripMargin)
+    },
+
+    // ---- SPARQL FILTER regex(): the variable's DECODED lexical form
+    // matched against the pattern — planned as a semi-join against the
+    // rlike-filtered dictionary (pattern evaluated once per vocabulary
+    // entry, never per solution row). ----
+    QueryDef("rdf_sparql_regex",
+      RdfBridge.oracleCte +
+        """SELECT Subject AS c, Object AS n FROM triples
+          |WHERE Predicate = -31
+          |  AND (Object - 2000000000) IN (10, 11, 12)""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?c ?n WHERE { ?c :in_nation ?n . " +
+          "FILTER(regex(?n, '^nation_1[0-2]$')) }")
+    },
+
+    // ---- SPARQL 1.1 subquery (SubSelect as a group graph pattern): the
+    // inner SELECT aggregates per-customer order counts; the outer BGP
+    // joins it on the shared ?c — planned as a derived aggregate relation
+    // equi-joined to the enclosing pattern scan. ----
+    QueryDef("rdf_sparql_subquery",
+      RdfBridge.oracleCte +
+        """SELECT t.Subject AS c, g.n, t.Object AS nat
+          |FROM triples t
+          |JOIN (SELECT Subject, CAST(COUNT(*) AS BIGINT) AS n
+          |      FROM triples WHERE Predicate = -2 GROUP BY Subject) g
+          |  ON g.Subject = t.Subject
+          |WHERE t.Predicate = -31""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?c ?n ?nat WHERE { ?c :in_nation ?nat . " +
+          "{ SELECT ?c (COUNT(?o) AS ?n) WHERE { ?c :placed ?o } GROUP BY ?c } }")
+    },
+
+    // ---- nested property path: group closure over a SEQUENCE —
+    // `(:placed/:contains)+` composes the two-step relation (cust→part via
+    // any order) into one edge set with an equi-join, then runs the BFS
+    // fixpoint over the composed edges. Oracle: WITH RECURSIVE over the
+    // same composed relation. ----
+    QueryDef("rdf_sparql_path_group",
+      RdfBridge.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, seed AS (SELECT CAST(-(1000 + (SELECT MIN(o_custkey) FROM orders)) AS INTEGER) AS node),
+          |comp AS (SELECT a.Subject AS src, b.Object AS dst
+          |         FROM triples a JOIN triples b ON a.Object = b.Subject
+          |         WHERE a.Predicate = -2 AND b.Predicate = -13),
+          |reach AS (
+          |  SELECT c.dst AS node FROM comp c JOIN seed s ON c.src = s.node
+          |  UNION
+          |  SELECT c.dst FROM reach r JOIN comp c ON c.src = r.node)
+          |SELECT CAST(node AS INTEGER) AS o FROM reach""".stripMargin) { (s, dir) =>
+      val minCust = graft.sources.Tables.load(s, dir, "orders")
+        .agg(min(col("o_custkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"SELECT ?o WHERE { 'cust_$minCust' (:placed/:contains)+ ?o }")
+    },
+
+    // ---- nested property path: a sequence whose SECOND step is an
+    // alternation closure — `:placed/(:contains|:supplied_by)+` — evaluated
+    // left-to-right over a frontier: one equi-join for the plain step, then
+    // the BFS fixpoint over the alternation's edge set seeded by the
+    // frontier's successors. ----
+    QueryDef("rdf_sparql_path_mixed",
+      RdfBridge.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, seed AS (SELECT CAST(-(1000 + (SELECT MIN(o_custkey) FROM orders)) AS INTEGER) AS node),
+          |hop1 AS (SELECT Object AS node FROM triples t JOIN seed s ON t.Subject = s.node
+          |         WHERE t.Predicate = -2),
+          |alt AS (SELECT Subject, Object FROM triples WHERE Predicate IN (-13, -21)),
+          |reach AS (
+          |  SELECT a.Object AS node FROM alt a JOIN hop1 f ON a.Subject = f.node
+          |  UNION
+          |  SELECT a.Object FROM reach r JOIN alt a ON a.Subject = r.node)
+          |SELECT CAST(node AS INTEGER) AS o FROM reach""".stripMargin) { (s, dir) =>
+      val minCust = graft.sources.Tables.load(s, dir, "orders")
+        .agg(min(col("o_custkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"SELECT ?o WHERE { 'cust_$minCust' :placed/(:contains|:supplied_by)+ ?o }")
     },
 
     // ---- transitive reachability: semi-naive BFS fixpoint (iterative

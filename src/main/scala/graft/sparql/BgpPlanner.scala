@@ -66,6 +66,70 @@ object BgpPlanner {
     }
   }
 
+  /** One step of a sequence property path: the alternation's predicate
+    * lexical forms, inverse (`^`) flag, and an optional closure modifier
+    * (`+` / `*` / `?`) applying to THIS step.
+    */
+  final case class PathStep(preds: Seq[String], inverse: Boolean, mod: Option[Char])
+
+  private val stepRe = "^(\\^?)(:?\\w+|\\((?::?\\w+)(?:\\|:?\\w+)*\\))([+*?]?)$".r
+
+  private def parseStep(text: String): Option[PathStep] = text match {
+    case stepRe(inv, core, mod) =>
+      val preds = core.stripPrefix("(").stripSuffix(")")
+        .split("\\|").toSeq.map(Dictionary.normalizeTerm)
+      Some(PathStep(preds, inv == "^", mod.headOption))
+    case _ => None
+  }
+
+  /** Nested sequence property paths (SPARQL 1.1 PathSequence with closure):
+    *  - group closure `(:p/:q)+` / `(^:p/:q)*` / `(:p/:q)?` — the closure
+    *    of the COMPOSED relation (the sequence joined into one edge set);
+    *  - flat sequence with closure steps `:p/:q+`, `:p+/^:q`,
+    *    `:p/(:q|:r)*` — each step evaluated left-to-right over a frontier,
+    *    closure steps through the BFS fixpoint.
+    * Returns (steps, outer modifier — Some for the group-closure form).
+    * Plain sequences without any modifier are NOT matched here (the parser
+    * rewrites those to fresh-variable chains — one static join plan).
+    */
+  private[sparql] def seqPath(lexical: String): Option[(Seq[PathStep], Option[Char])] = {
+    val groupRe = "^\\((.+)\\)([+*?])$".r
+    lexical match {
+      case groupRe(inner, mod) if inner.contains("/") =>
+        val steps = inner.split("/").toSeq.map(parseStep)
+        // group-closure steps must be modifier-free (no nested closures)
+        if (steps.forall(s => s.isDefined && s.get.mod.isEmpty))
+          Some((steps.map(_.get), Some(mod.head)))
+        else None
+      case l if l.contains("/") =>
+        val steps = l.split("/").toSeq.map(parseStep)
+        // at least one closure step or alternation group — otherwise the
+        // parser's plain-sequence rewrite owns the syntax
+        if (steps.forall(_.isDefined) &&
+            steps.exists(s => s.get.mod.nonEmpty || s.get.preds.length > 1))
+          Some((steps.map(_.get), None))
+        else None
+      case _ => None
+    }
+  }
+
+  /** All atoms of a FILTER condition tree. */
+  private def filterLeaves(e: FilterExpr): Seq[FilterCond] = e match {
+    case FilterLeaf(c) => Seq(c)
+    case FilterAnd(l, r) => filterLeaves(l) ++ filterLeaves(r)
+    case FilterOr(l, r) => filterLeaves(l) ++ filterLeaves(r)
+  }
+
+  /** True when `lexical` uses property-path syntax THIS planner supports in
+    * the predicate position (closure, negated set, or sequence-with-closure
+    * forms — plain sequences/inverses are the parser's rewrite). The parser
+    * uses this to fail loudly on unsupported path syntax instead of letting
+    * it fall through as a constant term that encodes to nothing.
+    */
+  private[sparql] def supportedPathSyntax(lexical: String): Boolean =
+    pathPreds(lexical).isDefined || negPreds(lexical).isDefined ||
+      seqPath(lexical).isDefined
+
   def plan(query: BgpQuery, store: Store, dict: Dictionary): DataFrame = {
     // DESCRIBE: all triples with the term in subject OR object position —
     // the subject side sign-routes to ONE table (point predicate on the
@@ -94,9 +158,17 @@ object BgpPlanner {
     }
     // Patterns whose predicate is a one-or-more property path plan through
     // the iterative closure operator, not a scan.
-    val (pathPatterns, plainPatterns) = query.patterns.partition {
+    val (pathPatterns, nonPathPatterns) = query.patterns.partition {
       p => p.p match {
         case Constant(l) => pathPreds(l).isDefined
+        case _ => false
+      }
+    }
+    // Sequence paths carrying closure steps (`:p/:q+`, `(:p/:q)*`) plan
+    // left-to-right over a frontier (closures through the BFS fixpoint).
+    val (seqPatterns, plainPatterns) = nonPathPatterns.partition {
+      p => p.p match {
+        case Constant(l) => seqPath(l).isDefined
         case _ => false
       }
     }
@@ -118,8 +190,15 @@ object BgpPlanner {
       .flatMap(p => Seq(p.s, p.p, p.o)) ++
       pathPatterns.flatMap(p => Seq(p.s, p.o)) ++
       pathPatterns.flatMap(p => pathPreds(p.p.asInstanceOf[Constant].lexical).get._1.map(Constant(_))) ++
+      seqPatterns.flatMap(p => Seq(p.s, p.o)) ++
+      seqPatterns.flatMap(p => seqPath(p.p.asInstanceOf[Constant].lexical).get._1
+        .flatMap(_.preds).map(Constant(_))) ++
       negPatterns.flatMap(p => negPreds(p.p.asInstanceOf[Constant].lexical).get.map(Constant(_))) ++
-      (query.filters ++ query.optionalFilters.flatten).map(_.value) ++
+      (query.filters ++ query.optionalFilters.flatten ++
+        query.filterExprs.flatMap(filterLeaves))
+        // regex patterns are raw regexes, not dictionary terms
+        .filterNot(c => c.op == FilterRegex || c.op == FilterNotRegex)
+        .map(_.value) ++
       query.minuses.flatten.flatMap(p => Seq(p.s, p.p, p.o)) ++
       query.existsFilters.flatMap(_._1).flatMap(p => Seq(p.s, p.p, p.o)) ++
       query.inlineValues.flatMap(_._2) ++
@@ -139,7 +218,8 @@ object BgpPlanner {
       val base = planPattern(TriplePattern(pat.s, Variable(v), pat.o),
         900000 + i, store, enc)
       (if (ids.isEmpty) base else base.filter(!col(v).isin(ids: _*))).drop(v)
-    } ++ pathPatterns.map(p => planPathPattern(p, store, enc))
+    } ++ pathPatterns.map(p => planPathPattern(p, store, enc)) ++
+      seqPatterns.map(p => planSeqPathPattern(p, store, enc))
 
     // Join patterns left-to-right on shared variables; disjoint patterns
     // cross-join (correct per SPARQL semantics, logged as a scale hazard).
@@ -148,13 +228,18 @@ object BgpPlanner {
       if (shared.isEmpty) acc.crossJoin(next)
       else acc.join(next, shared, "inner")
     }
+    // Subqueries (SPARQL 1.1 SubSelect): each plans RECURSIVELY as a full
+    // query — aggregates, modifiers and all — and its projected columns
+    // join the enclosing group like any other pattern relation (shared
+    // variables ⇒ equi-join; none ⇒ cross join per SPARQL semantics).
+    val subDfs = query.subqueries.map(sq => plan(sq, store, dict))
     // Top-level UNION (SPARQL Union): each arm is its own BGP join plan;
     // arms are combined with bag semantics, and a variable unbound in an
     // arm pads to null — `unionByName(allowMissingColumns)` gives exactly
     // the SPARQL multiset-union-with-null-padding, and each arm stays an
     // independently optimized subtree (filters pushed per arm).
     val required =
-      if (query.unionArms.isEmpty) joinGroup(planned)
+      if (query.unionArms.isEmpty) joinGroup(planned ++ subDfs)
       else query.unionArms.zipWithIndex.map { case (arm, a) =>
         joinGroup(arm.zipWithIndex.map { case (p, i) =>
           planPattern(p, 100000 * (a + 1) + i, store, enc)
@@ -166,26 +251,72 @@ object BgpPlanner {
     // without a match keep the optional variables null. Using-column join
     // keeps the left side's binding for shared variables, which is exactly
     // the compatible-mapping semantics.
-    def applyFilter(df: DataFrame, f: FilterCond): DataFrame = {
+    // One FILTER atom as a Column predicate (everything except regex, whose
+    // dictionary join cannot compose inside an &&/|| Column tree).
+    // Comparison RHS resolution: dictionary term → its encoded id; bare
+    // integer literal → compared AS an encoded id (the engine's value
+    // domain, like the reference's — its data is dictionary-encoded ints);
+    // unknown non-numeric term → SPARQL expression error: `!=` keeps the
+    // row (true), every other op drops it (false).
+    def condColumn(df: DataFrame, f: FilterCond): Column = {
       require(df.columns.contains(f.variable),
         s"FILTER variable ?${f.variable} not bound " +
           s"(bound: ${df.columns.mkString(", ")})")
       f.op match {
-        case FilterBound => df.filter(col(f.variable).isNotNull)
-        case FilterNotBound => df.filter(col(f.variable).isNull)
-        case eqOp =>
-          val eq: Column = f.value match {
+        case FilterBound => col(f.variable).isNotNull
+        case FilterNotBound => col(f.variable).isNull
+        case FilterRegex | FilterNotRegex => throw new IllegalArgumentException(
+          "regex() cannot appear inside &&/|| in the subset")
+        case cmp =>
+          val rhs: Option[Column] = f.value match {
             case Variable(v) =>
-              require(df.columns.contains(v),
-                s"FILTER variable ?$v not bound")
-              col(f.variable) === col(v)
-            case Constant(l) => enc.get(l) match {
-              case Some(id) => col(f.variable) === lit(id)
-              case None => lit(false)
+              require(df.columns.contains(v), s"FILTER variable ?$v not bound")
+              Some(col(v))
+            case Constant(l) =>
+              enc.get(l).map(id => lit(id)).orElse(l.toIntOption.map(n => lit(n)))
+          }
+          rhs match {
+            case None => if (cmp == FilterNeq) lit(true) else lit(false)
+            case Some(r) => cmp match {
+              case FilterEq => col(f.variable) === r
+              case FilterNeq => !(col(f.variable) === r)
+              case FilterLt => col(f.variable) < r
+              case FilterLe => col(f.variable) <= r
+              case FilterGt => col(f.variable) > r
+              case FilterGe => col(f.variable) >= r
+              case other => throw new IllegalStateException(s"unreachable: $other")
             }
           }
-          df.filter(if (eqOp == FilterEq) eq else !eq)
       }
+    }
+
+    def applyFilter(df: DataFrame, f: FilterCond): DataFrame = f.op match {
+      // [!]regex(?v, 'pat'): the variable's DECODED lexical form matches the
+      // pattern — planned as a semi-join (anti for the negation) against the
+      // rlike-filtered dictionary, so matching stays distributed and the
+      // pattern is evaluated once per VOCABULARY entry, not per solution
+      // row. No broadcast hint: a broad pattern can match a large id set —
+      // Catalyst/AQE picks the join side from size stats.
+      case FilterRegex | FilterNotRegex =>
+        val pattern = f.value.asInstanceOf[Constant].lexical
+        val ids = dict.entries.toDF("__rx_id", "__rx_term")
+          .filter(col("__rx_term").rlike(pattern)).select(col("__rx_id"))
+        val joinType = if (f.op == FilterRegex) "left_semi" else "left_anti"
+        // SPARQL error semantics: a null (OPTIONAL-unbound) variable is an
+        // expression error — the row drops under regex AND under !regex
+        // (an anti join alone would keep nulls)
+        val base = if (f.op == FilterNotRegex) df.filter(col(f.variable).isNotNull) else df
+        base.join(ids, base(f.variable) === col("__rx_id"), joinType)
+      case _ => df.filter(condColumn(df, f))
+    }
+
+    def applyFilterExpr(df: DataFrame, e: FilterExpr): DataFrame = {
+      def toCol(x: FilterExpr): Column = x match {
+        case FilterLeaf(c) => condColumn(df, c)
+        case FilterAnd(l, r) => toCol(l) && toCol(r)
+        case FilterOr(l, r) => toCol(l) || toCol(r)
+      }
+      df.filter(toCol(e))
     }
 
     val joined = query.optionals.zipWithIndex.foldLeft(required) {
@@ -216,12 +347,32 @@ object BgpPlanner {
         if (shared.isEmpty) acc else acc.join(m, shared, "left_anti")
     }
 
+    // Variables bound by a REQUIRED pattern (every arm, for a union) are
+    // provably non-null; OPTIONAL-only variables are nullable. Needed by
+    // EXISTS (below) and the VALUES compatibility rule (further below).
+    val nonNullVars: Set[String] =
+      if (query.unionArms.nonEmpty)
+        query.unionArms.map(_.flatMap(p => Seq(p.s, p.p, p.o)
+          .collect { case Variable(v) => v }).toSet).reduce(_ intersect _)
+      else (plainPatterns.flatMap(p => Seq(p.s, p.p, p.o)
+          .collect { case Variable(v) => v }) ++
+        (pathPatterns ++ seqPatterns).collect {
+          case TriplePattern(_, _, Variable(v)) => v }).toSet
+
     // FILTER [NOT] EXISTS: a correlated semi-join (anti-join when negated)
     // on the SHARED variables. With NO shared variable the test is the
     // group's global non-emptiness — planned as a semi/anti join against
     // LocalLimit(1) of the group (a one-row probe, never a count), which
     // is exactly where EXISTS and MINUS diverge: a disjoint-domain MINUS
     // is a no-op, a disjoint-domain NOT EXISTS can remove everything.
+    // SPARQL substitution semantics: an OPTIONAL-bound variable that is
+    // null in a solution stays FREE inside EXISTS (the group can still
+    // match) — a null-rejecting equi key would wrongly drop (EXISTS) or
+    // keep (NOT EXISTS) those rows, so nullable shared variables get the
+    // null-tolerant `isNull || =` condition instead. Required variables
+    // keep the plain equi key (hash semi/anti join); the group side is
+    // deduplicated on the shared variables so the null-tolerant probe
+    // stays bounded by the distinct binding count.
     val afterExists = query.existsFilters.zipWithIndex.foldLeft(afterMinus) {
       case (acc, ((ePats, negated), g)) =>
         val e = joinGroup(ePats.zipWithIndex.map { case (p, i) =>
@@ -230,7 +381,17 @@ object BgpPlanner {
         val shared = acc.columns.toSet.intersect(e.columns.toSet).toSeq.sorted
         val joinType = if (negated) "left_anti" else "left_semi"
         if (shared.isEmpty) acc.join(e.limit(1), lit(true), joinType)
-        else acc.join(e, shared, joinType)
+        else if (shared.forall(nonNullVars.contains)) acc.join(e, shared, joinType)
+        else {
+          val probe = e.select(shared.map(col): _*).distinct()
+          val renamed = shared.foldLeft(probe)(
+            (d, v) => d.withColumnRenamed(v, s"__ex_$v"))
+          val cond = shared.map { v =>
+            if (nonNullVars.contains(v)) col(v) === col(s"__ex_$v")
+            else col(v).isNull || col(v) === col(s"__ex_$v")
+          }.reduce(_ && _)
+          acc.join(renamed, cond, joinType)
+        }
     }
 
     // VALUES (single-variable inline bindings): semantically Join(P, data).
@@ -242,13 +403,6 @@ object BgpPlanner {
     // every VALUES row and survives WITH the variable bound to it — a join
     // against the (tiny, broadcast) literal table with null-extension.
     // An unknown term binds nothing (it cannot match any encoded id).
-    val nonNullVars: Set[String] =
-      if (query.unionArms.nonEmpty)
-        query.unionArms.map(_.flatMap(p => Seq(p.s, p.p, p.o)
-          .collect { case Variable(v) => v }).toSet).reduce(_ intersect _)
-      else (plainPatterns.flatMap(p => Seq(p.s, p.p, p.o)
-          .collect { case Variable(v) => v }) ++
-        pathPatterns.collect { case TriplePattern(_, _, Variable(v)) => v }).toSet
     val withValues = query.inlineValues.foldLeft(afterExists) { case (acc, (v, terms)) =>
       require(acc.columns.contains(v),
         s"VALUES variable ?$v not bound by the BGP (bound: ${acc.columns.mkString(", ")})")
@@ -340,7 +494,8 @@ object BgpPlanner {
     // encoding (!BOUND = negation-as-failure, evaluated streaming above the
     // join probe); constant equalities on required variables push into the
     // pattern scans.
-    val filtered = query.filters.foldLeft(withBinds)(applyFilter)
+    val filtered = query.filterExprs.foldLeft(
+      query.filters.foldLeft(withBinds)(applyFilter))(applyFilterExpr)
 
     // ASK: boolean existence — LocalLimit(1) stops each partition at the
     // first matching row, the count-over-limit aggregate folds to a single
@@ -520,6 +675,94 @@ object BgpPlanner {
         case None => closure
       }
     withZero.select(col("node").as(oVar))
+  }
+
+  /** A sequence property path with closure steps — `<bound subject>
+    * :p/:q+ ?var` or `<bound subject> (:p/:q)+ ?var` — evaluated
+    * left-to-right over a FRONTIER of reached nodes:
+    *  - a plain step is one frontier⋈edges equi-join (edge side filtered to
+    *    the step's predicate alternation, reversed for `^`);
+    *  - a closure step (`+`/`*`/`?`) runs the semi-naive BFS fixpoint
+    *    ([[graft.operators.Graph.reachableFrom]]) over that step's edge
+    *    set, seeded by the current frontier (`*` keeps the frontier as the
+    *    zero-step case, `?` is frontier ∪ one-step — no fixpoint);
+    *  - the group-closure form composes the whole sequence into ONE edge
+    *    relation (a chain of equi-joins — the composed relation is
+    *    bounded by the join of the per-step edge sets; at scale the
+    *    per-step predicate filters keep it far below |E|²) and closes
+    *    over it.
+    * Solutions are DISTINCT endpoints (SPARQL arbitrary-length-path
+    * semantics). The closure spans both sign tables, so the split store
+    * scans their union. Intermediate frontier nodes are existential — they
+    * never surface as bindings — which is what licenses the frontier
+    * evaluation (no provenance to the seed is required beyond reachability).
+    */
+  private def planSeqPathPattern(
+      pat: TriplePattern, store: Store, enc: Map[String, Int]): DataFrame = {
+    val (steps, outerMod) = seqPath(pat.p.asInstanceOf[Constant].lexical).get
+    val base = store match {
+      case SingleTable(df) => df
+      case SplitTables(pos, neg) => pos.unionAll(neg)
+    }
+    val spark = base.sparkSession
+    import spark.implicits._
+    val oVar = pat.o match {
+      case Variable(v) => v
+      case _ => throw new IllegalArgumentException(
+        "property-path object must be a variable in the subset")
+    }
+    val seedId = pat.s match {
+      case Constant(l) => enc.get(l)
+      case _ => throw new IllegalArgumentException(
+        "property-path subject must be bound in the subset")
+    }
+    // src→dst edge set of one step: predicate-filtered scan, reversed for ^
+    def stepEdges(st: PathStep): DataFrame = {
+      val ids = st.preds.flatMap(enc.get)
+      val e = base.filter(col(TripleSchema.predicate).isin(ids: _*))
+      if (st.inverse)
+        e.select(col(TripleSchema.objekt).as("src"), col(TripleSchema.subject).as("dst"))
+      else
+        e.select(col(TripleSchema.subject).as("src"), col(TripleSchema.objekt).as("dst"))
+    }
+    def oneStep(frontier: DataFrame, edges: DataFrame): DataFrame =
+      frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+    val seed = seedId.toSeq.toDF("node") // unknown subject term: empty seed
+    val result = outerMod match {
+      case Some(mod) =>
+        // group closure: compose the sequence into one edge relation, then
+        // close over it (reachableFrom includes its seeds — exactly the
+        // zero-step case `*` needs)
+        val composed = steps.map(stepEdges).reduceLeft { (a, b) =>
+          a.join(b, a("dst") === b("src")).select(a("src"), b("dst"))
+        }
+        mod match {
+          case '+' => graft.operators.Graph.reachableFrom(
+            composed.select(col("src").as(TripleSchema.subject), col("dst").as(TripleSchema.objekt)),
+            oneStep(seed, composed))
+          case '*' => graft.operators.Graph.reachableFrom(
+            composed.select(col("src").as(TripleSchema.subject), col("dst").as(TripleSchema.objekt)),
+            seed)
+          case _ => seed.unionAll(oneStep(seed, composed)).distinct() // '?'
+        }
+      case None =>
+        steps.foldLeft(seed) { (frontier, st) =>
+          val edges = stepEdges(st)
+          val asTriples = edges.select(
+            col("src").as(TripleSchema.subject), col("dst").as(TripleSchema.objekt))
+          st.mod match {
+            case None => oneStep(frontier, edges)
+            case Some('+') =>
+              graft.operators.Graph.reachableFrom(asTriples, oneStep(frontier, edges))
+            case Some('*') =>
+              graft.operators.Graph.reachableFrom(asTriples, frontier)
+            case Some(_) => // '?': zero-or-one, no fixpoint
+              frontier.unionAll(oneStep(frontier, edges)).distinct()
+          }
+        }
+    }
+    result.select(col("node").as(oVar))
   }
 
   /** One pattern → filtered scan projected to its variable columns. */

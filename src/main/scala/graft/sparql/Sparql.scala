@@ -14,16 +14,36 @@ final case class Constant(lexical: String) extends Term
 
 final case class TriplePattern(s: Term, p: Term, o: Term)
 
-/** `FILTER(?var = term)` / `FILTER(?var != term)` — the term is a constant
-  * or another variable — plus `FILTER(BOUND(?var))` / `FILTER(!BOUND(?var))`
-  * (for BOUND forms `value` is unused and carries the variable itself).
+/** `FILTER(?var op term)` — op ∈ {=, !=, <, <=, >, >=}, the term a constant,
+  * an integer literal (compared as an encoded id — the engine's value domain,
+  * like the reference's), or another variable — plus
+  * `FILTER([!]BOUND(?var))` (for BOUND forms `value` is unused and carries
+  * the variable itself) and `FILTER([!]regex(?var, 'pattern'))` (`value`
+  * carries the RAW regex pattern, not a dictionary term — the variable's
+  * decoded lexical form is matched).
   */
 sealed trait FilterOp
 case object FilterEq extends FilterOp
 case object FilterNeq extends FilterOp
+case object FilterLt extends FilterOp
+case object FilterLe extends FilterOp
+case object FilterGt extends FilterOp
+case object FilterGe extends FilterOp
 case object FilterBound extends FilterOp
 case object FilterNotBound extends FilterOp
+case object FilterRegex extends FilterOp
+case object FilterNotRegex extends FilterOp
 final case class FilterCond(variable: String, op: FilterOp, value: Term)
+
+/** A FILTER condition tree: leaves are [[FilterCond]] atoms combined with
+  * `&&` / `||` (SPARQL ConditionalAndExpression / ConditionalOrExpression;
+  * `&&` binds tighter, no parenthesized grouping in the subset). Single-atom
+  * filters stay plain [[FilterCond]]s in `BgpQuery.filters`.
+  */
+sealed trait FilterExpr
+final case class FilterLeaf(cond: FilterCond) extends FilterExpr
+final case class FilterAnd(l: FilterExpr, r: FilterExpr) extends FilterExpr
+final case class FilterOr(l: FilterExpr, r: FilterExpr) extends FilterExpr
 
 /** A basic graph pattern plus the query's projection (Nil = `*`), OPTIONAL
   * pattern groups (each left-joined to the required patterns on shared
@@ -68,7 +88,13 @@ final case class BgpQuery(
     // multi-variable ValuesClause rows: (vars, tuples) — each tuple one
     // binding per var
     inlineValuesMulti: Seq[(Seq[String], Seq[Seq[Constant]])] = Nil,
-    minuses: Seq[Seq[TriplePattern]] = Nil)
+    minuses: Seq[Seq[TriplePattern]] = Nil,
+    // compound FILTER condition trees (&&/||); single-atom filters stay in
+    // `filters`
+    filterExprs: Seq[FilterExpr] = Nil,
+    // `{ SELECT … WHERE { … } … }` group graph patterns, parsed recursively;
+    // each joins the enclosing solutions on its shared projected variables
+    subqueries: Seq[BgpQuery] = Nil)
 
 object SparqlParser {
 
@@ -179,15 +205,28 @@ object SparqlParser {
           return BgpQuery(projection, Nil, Nil, limit, Nil, distinct,
             unionArms = arms, orderBy = orderBy, offset = offset,
             groupByVars = groupByVars, countAggs = countAggs,
-            havings = havings, inlineValues = trailingValues.toList)
+            havings = havings, inlineValues = trailingValues.toList,
+            // multi-variable trailing VALUES restrict a union exactly like
+            // the single-variable form (the planner's withValuesMulti path
+            // is union-aware) — dropping them here would silently return
+            // the unrestricted union
+            inlineValuesMulti = trailingValuesMulti.toList)
         }
+        // Subqueries `{ SELECT … WHERE { … } … }` (SPARQL 1.1 SubSelect as a
+        // GroupGraphPattern): extracted before every one-level group regex
+        // below — their nested WHERE braces would defeat those — and parsed
+        // RECURSIVELY as full queries (aggregates/modifiers included). One
+        // nesting level in the subset (a subquery cannot hold a subquery).
+        val subqRe = "(?is)\\{\\s*(SELECT\\s+[^{}]*\\{[^{}]*\\}[^{}]*)\\}".r
+        val subqueries = subqRe.findAllMatchIn(rawBody).map(m => parse(m.group(1).trim)).toSeq
+        val withoutSubq = subqRe.replaceAllIn(rawBody, " ")
         // VALUES blocks first (their braces hold constants, not patterns).
         // Multi-variable form: `VALUES (?a ?b) { ('x' 'y') ... }` — rows of
         // parenthesized tuples, one constant per variable.
         val valuesMultiRe = "(?i)VALUES\\s*\\(([^()]*)\\)\\s*\\{([^{}]*)\\}".r
-        val inlineValuesMulti = valuesMultiRe.findAllMatchIn(rawBody)
+        val inlineValuesMulti = valuesMultiRe.findAllMatchIn(withoutSubq)
           .map(m => parseValuesRows(m.group(1), m.group(2))).toSeq
-        val withoutMultiValues = valuesMultiRe.replaceAllIn(rawBody, " ")
+        val withoutMultiValues = valuesMultiRe.replaceAllIn(withoutSubq, " ")
         // Single-variable inline bindings per SPARQL 1.1 ValuesClause.
         val valuesRe = "(?i)VALUES\\s+\\?(\\w+)\\s*\\{([^{}]*)\\}".r
         val inlineValues = valuesRe.findAllMatchIn(withoutMultiValues).map { m =>
@@ -201,7 +240,11 @@ object SparqlParser {
         // FILTER parens — extracting them before the plain-group regexes
         // keeps those from misreading the braces). Unlike MINUS, EXISTS
         // correlates on shared variables AND applies with none shared.
-        val existsRe = "(?i)FILTER\\s*\\(\\s*(NOT\\s+)?EXISTS\\s*\\{([^{}]*)\\}\\s*\\)".r
+        // Both SPARQL 1.1 grammar forms: `FILTER EXISTS { … }` (Constraint
+        // ::= BuiltInCall, no parens — the primary form) and the
+        // parenthesized `FILTER(EXISTS { … })`; the optional paren pair is
+        // consumed together (greedy), never leaving a dangling `)`.
+        val existsRe = "(?i)FILTER\\s*(?:\\(\\s*)?(NOT\\s+)?EXISTS\\s*\\{([^{}]*)\\}(?:\\s*\\))?".r
         val existsFilters = existsRe.findAllMatchIn(withoutValues).map { m =>
           (splitPatterns(m.group(2), fresh), m.group(1) != null)
         }.toSeq
@@ -221,7 +264,13 @@ object SparqlParser {
         val optionalRe = "(?i)OPTIONAL\\s*\\{([^{}]*)\\}".r
         val optParsed = optionalRe.findAllMatchIn(withoutMinus).map { m =>
           val body = m.group(1)
-          val fs = filterRe.findAllMatchIn(body).map(c => parseFilter(c.group(1))).toSeq
+          val fs = filterRe.findAllMatchIn(body).map { c =>
+            parseFilterExpr(c.group(1)) match {
+              case FilterLeaf(fc) => fc
+              case _ => throw new IllegalArgumentException(
+                "compound FILTER (&&/||) is not supported inside OPTIONAL")
+            }
+          }.toSeq
           (splitPatterns(filterRe.replaceAllIn(body, " "), fresh), fs)
         }.toSeq
         val optionals = optParsed.map(_._1)
@@ -236,19 +285,23 @@ object SparqlParser {
         }.toSeq
         val withoutBind = bindRe.replaceAllIn(withoutOpt, " ")
         // FILTER clauses: extract (they need no dot separator in SPARQL),
-        // then parse the remaining segments as triple patterns. The
-        // condition subset is `?var (=|!=) term` / [!]BOUND(?var).
-        val filters = filterRe.findAllMatchIn(withoutBind).map(m => parseFilter(m.group(1))).toSeq
+        // then parse the remaining segments as triple patterns. Single-atom
+        // conditions stay plain FilterConds; &&/|| trees go to filterExprs.
+        val parsedFilters =
+          filterRe.findAllMatchIn(withoutBind).map(m => parseFilterExpr(m.group(1))).toSeq
+        val filters = parsedFilters.collect { case FilterLeaf(c) => c }
+        val filterExprs = parsedFilters.filterNot(_.isInstanceOf[FilterLeaf])
         val body = filterRe.replaceAllIn(withoutBind, " ")
         val patterns = splitPatterns(body, fresh)
-        require(patterns.nonEmpty, "empty BGP")
+        require(patterns.nonEmpty || subqueries.nonEmpty, "empty BGP")
         BgpQuery(projection, patterns, filters, limit,
           optionals, distinct, orderBy = orderBy, offset = offset,
           groupByVars = groupByVars, countAggs = countAggs, havings = havings,
           optionalFilters = optionalFilters,
           inlineValues = inlineValues ++ trailingValues,
           inlineValuesMulti = inlineValuesMulti ++ trailingValuesMulti,
-          minuses = minuses, binds = binds, existsFilters = existsFilters)
+          minuses = minuses, binds = binds, existsFilters = existsFilters,
+          filterExprs = filterExprs, subqueries = subqueries)
       case _ => throw new IllegalArgumentException(s"unsupported SPARQL: $query")
     }
   }
@@ -372,7 +425,19 @@ object SparqlParser {
     val p = toks(1)
     val pathLike = !p.startsWith("?") && fresh != null &&
       (p.matches("\\^?:?\\w+(?:/\\^?:?\\w+)+") || p.matches("\\^:?\\w+"))
-    if (!pathLike) Seq(parsePattern(text))
+    if (!pathLike) {
+      // Predicate tokens carrying property-path syntax that neither the
+      // sequence rewrite above nor the planner's recognizers (closure,
+      // negated set, sequence-with-closure) accept must FAIL LOUDLY —
+      // falling through as a constant term would encode to nothing and
+      // silently return an empty result instead of an error. Quoted
+      // literals and raw URIs are lexical forms, never path syntax.
+      if (!p.startsWith("?") && !p.startsWith("'") && !p.startsWith("<") &&
+          p.exists(c => "/|+*?^!()".contains(c)) &&
+          !BgpPlanner.supportedPathSyntax(p))
+        throw new IllegalArgumentException(s"unsupported property path: $p")
+      Seq(parsePattern(text))
+    }
     else {
       val steps = p.split("/").toSeq
       val nodes = toks(0) +: Seq.fill(steps.length - 1)("?" + fresh()) :+ toks(2)
@@ -384,16 +449,70 @@ object SparqlParser {
     }
   }
 
+  /** Split on a two-character operator (`||` / `&&`) at paren depth 0 and
+    * outside single quotes.
+    */
+  private def splitTop(s: String, sep: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { inQuote = !inQuote; cur += c; i += 1 }
+      else if (inQuote) { cur += c; i += 1 }
+      else if (c == '(') { depth += 1; cur += c; i += 1 }
+      else if (c == ')') { depth -= 1; cur += c; i += 1 }
+      else if (depth == 0 && i + 1 < s.length && s.substring(i, i + 2) == sep) {
+        out += cur.toString; cur.clear(); i += 2
+      }
+      else { cur += c; i += 1 }
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
+  /** One FILTER constraint → its condition tree: `||` at lowest precedence,
+    * `&&` above it (the SPARQL ConditionalOr/ConditionalAnd nesting), atoms
+    * at the leaves. No parenthesized grouping in the subset.
+    */
+  private def parseFilterExpr(cond: String): FilterExpr = {
+    val orParts = splitTop(cond, "||")
+    if (orParts.length > 1)
+      return orParts.map(parseFilterExpr).reduceLeft(FilterOr.apply)
+    val andParts = splitTop(cond, "&&")
+    if (andParts.length > 1)
+      return andParts.map(parseFilterExpr).reduceLeft(FilterAnd.apply)
+    FilterLeaf(parseFilter(cond))
+  }
+
   private def parseFilter(cond: String): FilterCond = {
-    val condRe = "\\?(\\w+)\\s*(!=|=)\\s*(.+)".r
+    val condRe = "\\?(\\w+)\\s*(!=|<=|>=|=|<|>)\\s*(.+)".r
     val boundRe = "(?i)(!)?\\s*BOUND\\s*\\(\\s*\\?(\\w+)\\s*\\)".r
+    // SPARQL regex strings are double-quoted; the subset's lexical forms are
+    // single-quoted — accept either
+    val regexRe = "(?i)(!)?\\s*REGEX\\s*\\(\\s*\\?(\\w+)\\s*,\\s*['\"]([^'\"]*)['\"]\\s*\\)".r
     cond.trim match {
       case boundRe(neg, v) =>
         FilterCond(v, if (neg == null) FilterBound else FilterNotBound, Variable(v))
+      case regexRe(neg, v, pattern) =>
+        // the pattern is NOT a dictionary term — carried raw in the value
+        FilterCond(v, if (neg == null) FilterRegex else FilterNotRegex,
+          Constant(pattern))
       case condRe(v, op, rhs) =>
-        FilterCond(v, if (op == "=") FilterEq else FilterNeq, toTerm(rhs.trim))
+        val fop = op match {
+          case "=" => FilterEq
+          case "!=" => FilterNeq
+          case "<" => FilterLt
+          case "<=" => FilterLe
+          case ">" => FilterGt
+          case ">=" => FilterGe
+        }
+        FilterCond(v, fop, toTerm(rhs.trim))
       case other => throw new IllegalArgumentException(
-        s"unsupported FILTER condition (subset is ?var =|!= term, [!]BOUND(?var)): $other")
+        "unsupported FILTER condition (subset is ?var =|!=|<|<=|>|>= term, " +
+          s"[!]BOUND(?var), [!]regex(?var, 'pattern')): $other")
     }
   }
 

@@ -214,7 +214,10 @@ class SparqlSpec extends SparkTestBase {
 
   test("parser rejects unsupported FILTER condition forms") {
     intercept[IllegalArgumentException](
-      SparqlParser.parse("SELECT ?x WHERE { ?x :p1 ?y . FILTER(?y > 3) }"))
+      SparqlParser.parse("SELECT ?x WHERE { ?x :p1 ?y . FILTER(isIRI(?y)) }"))
+    // comparisons are supported since round 4 — they must parse
+    assert(SparqlParser.parse("SELECT ?x WHERE { ?x :p1 ?y . FILTER(?y > 3) }")
+      .filters.head.op == FilterGt)
   }
 
   test("FILTER equality on constant narrows the BGP result") {
@@ -694,5 +697,148 @@ class SparqlSpec extends SparkTestBase {
         |WHERE `table`.Subject = -5 AND `table`.Predicate = 1
         |  AND t1.Predicate = 2 AND t2.Predicate = 3""".stripMargin).count()
     assert(n == 1)
+  }
+
+  test("FILTER comparisons: <,<=,>,>= over encoded ids; integer-literal RHS") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // :p1 solutions: (-5,10) and (6,11); 'b' encodes to 10
+    assert(reg.sparql("SELECT ?s ?o WHERE { ?s :p1 ?o . FILTER(?o > 'b') }")
+      .collect().map(_.getInt(1)).toSeq == Seq(11))
+    assert(reg.sparql("SELECT ?s ?o WHERE { ?s :p1 ?o . FILTER(?o <= 'b') }")
+      .collect().map(_.getInt(1)).toSeq == Seq(10))
+    // a bare integer literal compares AS an encoded id
+    assert(reg.sparql("SELECT ?s ?o WHERE { ?s :p1 ?o . FILTER(?o >= 11) }")
+      .collect().map(_.getInt(1)).toSeq == Seq(11))
+    // unknown non-numeric term: expression error — comparison drops the row
+    assert(reg.sparql(
+      "SELECT ?s WHERE { ?s :p1 ?o . FILTER(?o < 'nosuch') }").count() == 0)
+  }
+
+  test("FILTER &&/||: && binds tighter than || (SPARQL ConditionalOr/And)") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // correct precedence: ?o='b' OR (?o='f' AND ?s='nosuch'→false) → only b;
+    // a left-to-right misparse ((b OR f) AND false) would return EMPTY
+    val rows = reg.sparql("SELECT ?s ?o WHERE { ?s :p1 ?o . " +
+      "FILTER(?o = 'b' || ?o = 'f' && ?s = 'nosuch') }")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((-5, 10)))
+    // range conjunction ANDed into one pushable predicate
+    assert(reg.sparql("SELECT ?o WHERE { ?s :p1 ?o . " +
+      "FILTER(?o >= 'b' && ?o < 'f') }").collect().map(_.getInt(0)).toSeq == Seq(10))
+    // compound filters are rejected inside OPTIONAL (subset rule, loud)
+    intercept[IllegalArgumentException](SparqlParser.parse(
+      "SELECT ?s WHERE { ?s :p1 ?o . OPTIONAL { ?o :p2 ?x . FILTER(?x = 'g' && ?x != 'c') } }"))
+  }
+
+  test("FILTER regex matches the DECODED lexical form via dictionary join") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // ?o ∈ {b(10), f(11)}: pattern ^f$ keeps only f
+    assert(reg.sparql(
+      "SELECT ?s ?o WHERE { ?s :p1 ?o . FILTER(regex(?o, '^f$')) }")
+      .collect().map(_.getInt(1)).toSeq == Seq(11))
+    // negated regex keeps the complement
+    assert(reg.sparql(
+      "SELECT ?s ?o WHERE { ?s :p1 ?o . FILTER(!regex(?o, '^f$')) }")
+      .collect().map(_.getInt(1)).toSeq == Seq(10))
+    // null (OPTIONAL-unbound) variable is an expression error under BOTH
+    // regex and !regex — the row drops (an anti join alone would keep it)
+    assert(reg.sparql("SELECT ?s ?x WHERE { ?s :p1 ?o . " +
+      "OPTIONAL { ?o :p3 ?x } FILTER(!regex(?x, 'z')) }").count() == 0)
+  }
+
+  test("FILTER EXISTS without parens (primary SPARQL 1.1 grammar form)") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // o=10 has :p2 → -7 (not g); o=11 has :p2 → -8 (= g)
+    val rows = reg.sparql("SELECT ?s ?o WHERE { ?s :p1 ?o . " +
+      "FILTER NOT EXISTS { ?o :p2 'g' } }")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((-5, 10)))
+    assert(reg.sparql("SELECT ?s ?o WHERE { ?s :p1 ?o . " +
+      "FILTER EXISTS { ?o :p2 'g' } }")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((6, 11)))
+  }
+
+  test("EXISTS over an OPTIONAL-nullable shared variable: null stays FREE") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // base (-5,10),(6,11); OPTIONAL {?o :p2 ?x . ?x :p3 ?z}: o=10 → x=-7
+    // (has :p3 20); o=11 → x=-8 has no :p3 → group unmatched → x null.
+    // SPARQL substitution semantics: the null ?x is FREE inside EXISTS, so
+    // EXISTS { ?x :p3 ?w } asks "does ANY :p3 triple exist" → true → the
+    // null row SURVIVES (a null-rejecting equi key would drop it).
+    val rows = reg.sparql("SELECT ?s ?x WHERE { ?s :p1 ?o . " +
+      "OPTIONAL { ?o :p2 ?x . ?x :p3 ?z } FILTER EXISTS { ?x :p3 ?w } }")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+    assert(rows.sortBy(_.toString).toSeq ==
+      Seq((-5, Some(-7)), (6, None)).sortBy(_.toString))
+    // dual: NOT EXISTS drops both (bound match AND free-match null row)
+    assert(reg.sparql("SELECT ?s WHERE { ?s :p1 ?o . " +
+      "OPTIONAL { ?o :p2 ?x . ?x :p3 ?z } FILTER NOT EXISTS { ?x :p3 ?w } }")
+      .count() == 0)
+  }
+
+  test("sequence path with closure step: frontier evaluation") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // :p1/:p2+ from 'a'(-5): step1 → {10}; :p2 closure from 10 → {-7}
+    assert(reg.sparql("SELECT ?x WHERE { 'a' :p1/:p2+ ?x }")
+      .collect().map(_.getInt(0)).toSeq == Seq(-7))
+    // :p1/:p2* keeps the zero-step frontier: {10} ∪ {-7}
+    assert(reg.sparql("SELECT ?x WHERE { 'a' :p1/:p2* ?x }")
+      .collect().map(_.getInt(0)).toSeq.sorted == Seq(-7, 10))
+    // alternation closure as a step: :p1/(:p2|:p3)+ from 'a' → 10 → -7 → 20
+    assert(reg.sparql("SELECT ?x WHERE { 'a' :p1/(:p2|:p3)+ ?x }")
+      .collect().map(_.getInt(0)).toSeq.sorted == Seq(-7, 20))
+  }
+
+  test("group-closure sequence path (:p/:q)+ composes then closes") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // composed :p1/:p2 edges: -5→-7, 6→-8; from 'a'(-5), one-or-more → {-7}
+    assert(reg.sparql("SELECT ?x WHERE { 'a' (:p1/:p2)+ ?x }")
+      .collect().map(_.getInt(0)).toSeq == Seq(-7))
+    // zero-or-more includes the seed itself
+    assert(reg.sparql("SELECT ?x WHERE { 'a' (:p1/:p2)* ?x }")
+      .collect().map(_.getInt(0)).toSeq.sorted == Seq(-7, -5).sorted)
+    // zero-or-one: seed ∪ direct composed successors, no fixpoint
+    assert(reg.sparql("SELECT ?x WHERE { 'a' (:p1/:p2)? ?x }")
+      .collect().map(_.getInt(0)).toSeq.sorted == Seq(-7, -5).sorted)
+  }
+
+  test("unsupported property-path syntax fails loudly, not silently empty") {
+    intercept[IllegalArgumentException](SparqlParser.parse(
+      "SELECT ?x WHERE { 'a' :p1//:p2 ?x }"))
+    intercept[IllegalArgumentException](SparqlParser.parse(
+      "SELECT ?x WHERE { 'a' (:p1/(:p2)+)+ ?x }"))
+    // supported forms still parse
+    SparqlParser.parse("SELECT ?x WHERE { 'a' (:p1/:p2)+ ?x }")
+    SparqlParser.parse("SELECT ?x WHERE { 'a' :p1+ ?x }")
+    SparqlParser.parse("SELECT ?x WHERE { 'a' !(:p1|:p2) ?x }")
+  }
+
+  test("subquery: inner SELECT aggregates join the enclosing BGP on shared vars") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    val q = SparqlParser.parse("SELECT ?s ?n WHERE { ?s :p1 ?o . " +
+      "{ SELECT ?s (COUNT(?o2) AS ?n) WHERE { ?s ?p ?o2 } GROUP BY ?s } }")
+    assert(q.subqueries.length == 1 && q.patterns.length == 1)
+    assert(q.subqueries.head.groupByVars == Seq("s"))
+    val rows = reg.sparqlAst(q).collect().map(r => (r.getInt(0), r.getLong(1)))
+    // every subject has exactly one outgoing triple in the fixture
+    assert(rows.sortBy(_._1).toSeq == Seq((-5, 1L), (6, 1L)))
+  }
+
+  test("UNION with trailing multi-variable VALUES applies the tuple restriction") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSingleTable(triples)
+    // without the restriction the union has 4 rows; the tuple keeps ONE
+    val rows = reg.sparql("SELECT ?a ?b WHERE { { ?a :p1 ?b } UNION { ?a :p2 ?b } } " +
+      "VALUES (?a ?b) { ('a' 'b') }")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.toSeq == Seq((-5, 10)))
   }
 }
