@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: synthesize an ~sf1 dataset by replicating sf0.1 `factor`
+  * times with per-replica key shifts (foreign keys shifted consistently, so
+  * join cardinalities scale linearly and the RdfBridge id spaces stay
+  * disjoint). Shared small dims (region, nation) are NOT replicated — as in
+  * TPC-H, they are scale-invariant.
+  *
+  * Purpose: measured scaling curves for SCALE.md (the driver ships no sf1
+  * parquet). Usage:
+  *   sbt "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/sfscale 10"
+  * then bench with SPARK_GRAFT_SF_DIR=/tmp/sfscale.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val (src, dst, factor) = (args(0), args(1), args(2).toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // key shift: replica i adds i*stride to every key in that key space;
+    // strides are per-key-space constants chosen past each space's max so
+    // replicas never collide, and SMALL enough that the RdfBridge encoding
+    // offsets (part +5e8, supplier +1e9, nation +2e9) stay disjoint.
+    val orderStride = 10000000L  // sf0.1 max o_orderkey ~600k
+    val custStride = 1000000L    // sf0.1 max c_custkey ~15k
+    val partStride = 1000000L    // sf0.1 max p_partkey ~20k
+    val suppStride = 100000L     // sf0.1 max s_suppkey ~1k
+    val docStride = 10000000L
+    val vecStride = 10000000L
+    val userStride = 10000000L
+    val eventStride = 100000000L
+
+    def replicate(table: String, shifts: Map[String, Long]): Unit = {
+      val df = spark.read.parquet(s"$src/$table.parquet")
+      val out = (0 until factor).map { i =>
+        shifts.foldLeft(df) { case (acc, (c, stride)) =>
+          if (acc.columns.contains(c)) acc.withColumn(c, col(c) + lit(i * stride))
+          else acc
+        }
+      }.reduceLeft(_.unionAll(_))
+      out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      println(s"[scaleup] $table: ${df.count()} -> ${spark.read.parquet(s"$dst/$table.parquet").count()}")
+    }
+
+    def copy(table: String): Unit = {
+      spark.read.parquet(s"$src/$table.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      println(s"[scaleup] $table: copied (scale-invariant dim)")
+    }
+
+    copy("region"); copy("nation")
+    replicate("customer", Map("c_custkey" -> custStride))
+    replicate("supplier", Map("s_suppkey" -> suppStride))
+    replicate("part", Map("p_partkey" -> partStride))
+    replicate("orders", Map("o_orderkey" -> orderStride, "o_custkey" -> custStride))
+    replicate("lineitem", Map("l_orderkey" -> orderStride,
+      "l_partkey" -> partStride, "l_suppkey" -> suppStride))
+    replicate("events", Map("event_id" -> eventStride, "user_id" -> userStride))
+    replicate("documents", Map("doc_id" -> docStride))
+    replicate("embeddings", Map("vec_id" -> vecStride))
+    spark.stop()
+  }
+}

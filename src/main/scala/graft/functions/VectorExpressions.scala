@@ -80,6 +80,93 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 }
 
+/** Codegen'd nearest-centroid assignment for the IVF coarse quantizer:
+  * argmin over squared L2 distance between the float embedding and the
+  * (tiny, expression-embedded) double centroid matrix, ties broken to the
+  * SMALLEST cell id — bit-identical to the typed-Dataset formulation it
+  * replaces (`Ivf.assign` pre-r4: an interpreted per-row closure), but
+  * running inside whole-stage codegen. Model state rides in the expression
+  * as a reference object (the broadcast-a-small-model pattern; k × dim
+  * doubles).
+  */
+case class CentroidArgminExpr(child: Expression,
+    cents: Array[Array[Double]], ids: Array[Int])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_centroid_argmin expects array<float>, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD = Double.MaxValue
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      val n = math.min(v.numElements(), c.length)
+      var s = 0d
+      var i = 0
+      while (i < n) {
+        val x = if (v.isNullAt(i)) 0d else v.getFloat(i).toDouble
+        val d = x - c(i)
+        s += d * d
+        i += 1
+      }
+      val cid = ids(ci)
+      if (s < bestD || (s == bestD && cid < best)) { best = cid; bestD = s }
+      ci += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cm = ctx.addReferenceObj("centroids", cents, "double[][]")
+      val im = ctx.addReferenceObj("cellIds", ids, "int[]")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val ci = ctx.freshName("ci")
+      val c = ctx.freshName("c")
+      val s = ctx.freshName("s")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val d = ctx.freshName("d")
+      val cid = ctx.freshName("cid")
+      s"""
+         |int $best = 0;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $ci = 0; $ci < $cm.length; $ci++) {
+         |  double[] $c = $cm[$ci];
+         |  int $n = java.lang.Math.min($v.numElements(), $c.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $v.isNullAt($i) ? 0.0 : (double) $v.getFloat($i);
+         |    double $d = $x - $c[$i];
+         |    $s += $d * $d;
+         |  }
+         |  int $cid = $im[$ci];
+         |  if ($s < $bestD || ($s == $bestD && $cid < $best)) {
+         |    $best = $cid; $bestD = $s;
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidArgminExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_centroid_argmin"
+}
+
 object VectorExpressions {
 
   /** Register `graft_dot` in the session's function registry so it is

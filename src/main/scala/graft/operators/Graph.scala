@@ -56,7 +56,11 @@ object Graph {
         .localCheckpoint()
       if (next.isEmpty) done = true
       else {
-        reached = reached.unionAll(next).localCheckpoint()
+        // `next` is already a materialized localCheckpoint — `reached` stays
+        // a UNION of those cached blocks (breadth O(iters), no plan depth,
+        // nothing recomputed), so re-checkpointing the growing set each
+        // round would only duplicate storage writes
+        reached = reached.unionAll(next)
         frontier = next
         iter += 1
       }
@@ -151,8 +155,8 @@ object Graph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     val edgeDeg = e.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var r = nodes.withColumn("r", lit(1000000L)).localCheckpoint()
-    (0 until iters).foreach { _ =>
+    var r = nodes.withColumn("r", lit(1000000L))
+    (0 until iters).foreach { i =>
       val contrib = edgeDeg.join(r, edgeDeg("src") === r("node"))
         .select(col("dst").as("node"), expr("r div d").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
@@ -160,7 +164,12 @@ object Graph {
         .select(col("node"),
           expr("CAST(150000 AS BIGINT) + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
             .as("r"))
-        .localCheckpoint()
+      // lineage truncation every 5th round only: a per-round EAGER
+      // localCheckpoint materializes every iteration as its own job (3
+      // extra jobs for the 3-iteration gate); a handful of join+agg rounds
+      // compose fine in one plan, and the cadence still bounds plan depth
+      // at O(5) for long runs
+      if ((i + 1) % 5 == 0) r = r.localCheckpoint()
     }
     e.unpersist()
     edgeDeg.unpersist()

@@ -71,21 +71,18 @@ object Ivf {
     Model(centroids)
   }
 
-  /** Assign each vector to its nearest centroid cell. */
+  /** Assign each vector to its nearest centroid cell — a codegen'd
+    * [[graft.functions.CentroidArgminExpr]] over the embedding column (the
+    * centroid matrix is model state embedded in the expression), replacing
+    * the earlier interpreted per-row closure. Same double arithmetic and
+    * smallest-id tie-break: assignments are bit-identical (IvfSpec).
+    */
   def assign(emb: DataFrame, model: Model): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(model.centroids)
-    emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .map { case (id, v) =>
-        val dv = toDouble(v)
-        var best = 0; var bestD = Double.MaxValue
-        bc.value.foreach { case (cid, c) =>
-          val d = dist2(dv, c)
-          if (d < bestD || (d == bestD && cid < best)) { best = cid; bestD = d }
-        }
-        (id, best)
-      }.toDF("vec_id", "cell")
+    import org.apache.spark.sql.GraftColumnBridge
+    val cell = GraftColumnBridge.column(graft.functions.CentroidArgminExpr(
+      GraftColumnBridge.expression(col("embedding")),
+      model.centroids.map(_._2), model.centroids.map(_._1)))
+    emb.select(col("vec_id"), cell.as("cell"))
   }
 
   /** Top-k cosine search probing the query's `nprobe` nearest cells.

@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is real and at-scale correct — binary column +
   * metadata struct in parquet, `mapPartitions` over the typed Dataset (one
-  * JVM pass per partition, no driver involvement, no shuffle) — while the
-  * actual media codecs are STUBBED with deterministic byte-level fakes
-  * (image/audio libs are not in this container). Swapping `decodeStub` for
-  * a real JNI/ffmpeg call changes no schema, partitioning, or plan shape.
+  * JVM pass per partition, no driver involvement, no shuffle). The IMAGE
+  * codec is REAL (`javax.imageio` PNG encode/decode — [[imageTable]] /
+  * [[decodeImageFeatures]]); audio/video codecs remain STUBBED with
+  * deterministic byte-level fakes (those libs are not in this container).
+  * Swapping a stub for a real JNI/ffmpeg call changes no schema,
+  * partitioning, or plan shape — the PNG path demonstrates exactly that
+  * swap.
   */
 object Multimodal {
 
@@ -87,6 +90,69 @@ object Multimodal {
       m.copy(payload = ds,
         meta = m.meta.copy(width = math.min(m.meta.width, targetWidth)))
     }
+  }
+
+  final case class ImageRow(doc_id: Long, png: Array[Byte])
+
+  /** REAL image path (no stub): deterministic PNG bytes per document via
+    * `javax.imageio` (in the JDK — no extra deps). Pixel (x, y) of doc `id`
+    * is the grayscale byte `(id + 7x + 13y) mod 251`, dimensions
+    * `(1 + id mod 64) × (1 + id mod 48)` — all derivable in plain SQL, so
+    * the decode gate's oracle can recompute width/height/pixel-sum without
+    * an image library. PNG is lossless: the round-trip is bit-exact.
+    * Encoding runs inside mapPartitions on executors (the codec shape a
+    * real ingest has — CPU-bound work next to the data, no shuffle).
+    */
+  def imageTable(spark: SparkSession, sfDir: String): Dataset[ImageRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (1 + id % 64).toInt
+        val h = (1 + id % 48).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((id + 7L * x + 13L * y) % 251).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        ImageRow(id, bos.toByteArray)
+      })
+  }
+
+  /** REAL image decode via `javax.imageio`: pixel dimensions and the
+    * blue-channel sum read back from the PNG bytes — executor-side
+    * mapPartitions, the exact plumbing a production feature extractor uses
+    * (only the codec library differs). An undecodable payload yields the
+    * (-1, -1, -1) sentinel row instead of failing the batch — per-record
+    * codec errors must never kill a 100 TB ingest.
+    */
+  def decodeImageFeatures(images: Dataset[ImageRow]): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions(_.map { r =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+        (r.doc_id, img.getWidth, img.getHeight, sum)
+      } catch {
+        case _: Exception => (r.doc_id, -1, -1, -1L)
+      }
+    }).toDF("doc_id", "width", "height", "pixel_sum")
   }
 
   /** "Frame sample" stub for video rows: split payload into fixed-size

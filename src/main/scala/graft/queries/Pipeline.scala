@@ -1131,6 +1131,31 @@ object Pipeline {
             .as("tail_byte"))
     }
 
+  /** REAL image decode through the gate (no stub): deterministic PNGs built
+    * with `javax.imageio` on executors, decoded back to width/height/
+    * pixel-sum. The pixel formula `(id + 7x + 13y) mod 251` and dimensions
+    * `(1 + id mod 64) × (1 + id mod 48)` are SQL-derivable, so the oracle
+    * recomputes what the decoder must read WITHOUT an image library —
+    * PNG is lossless, the round-trip is exact.
+    */
+  private def multimodalDecodeImage: QueryDef =
+    QueryDef("multimodal_decode_image",
+      """WITH dims AS (SELECT doc_id,
+        |    CAST(1 + doc_id % 64 AS INTEGER) AS width,
+        |    CAST(1 + doc_id % 48 AS INTEGER) AS height
+        |  FROM documents),
+        |xs AS (SELECT unnest(range(0, 64)) AS x),
+        |ys AS (SELECT unnest(range(0, 48)) AS y),
+        |px AS (SELECT d.doc_id, d.width, d.height,
+        |    CAST((d.doc_id + 7*xs.x + 13*ys.y) % 251 AS BIGINT) AS v
+        |  FROM dims d JOIN xs ON xs.x < d.width JOIN ys ON ys.y < d.height)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, width, height,
+        |  CAST(SUM(v) AS BIGINT) AS pixel_sum
+        |FROM px GROUP BY doc_id, width, height""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.decodeImageFeatures(
+        graft.operators.Multimodal.imageTable(s, dir))
+    }
+
   /** CDC latest-state compaction: each user's single most recent event
     * (ts desc, event_id desc tie-break) — the upsert-materialization shape
     * of change-data capture. Runs on the NATIVE top-k operator with k=1:
@@ -1605,6 +1630,7 @@ object Pipeline {
     docQuery("corpus_profile", corpusProfile),
     multimodalResize,
     multimodalFrameSample,
+    multimodalDecodeImage,
     eventsLatestState,
     corpusDecontaminate,
     embQuery("emb_label_centroids", embCentroids),
