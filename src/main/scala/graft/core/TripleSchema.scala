@@ -23,6 +23,8 @@ object TripleSchema {
   val subject = "Subject"
   val predicate = "Predicate"
   val objekt = "Object"
+  /** 4th column of a QUAD store (named graphs): the encoded graph id. */
+  val graph = "Graph"
 
   /** Reference-parity schema: three nullable IntegerType columns. */
   val schema: StructType = StructType(Seq(

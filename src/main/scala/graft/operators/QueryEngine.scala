@@ -18,6 +18,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class QueryEngine(val spark: SparkSession, val dict: Dictionary) {
 
   private var store: BgpPlanner.Store = _
+  private var quadStore: Option[DataFrame] = None
+
+  /** Register a 4-column (Subject, Predicate, Object, Graph) quad store
+    * backing SPARQL `GRAPH` groups. At scale, persist it partitioned by
+    * Graph so a bound-graph group becomes partition pruning.
+    */
+  def registerQuads(quads: DataFrame): this.type = {
+    quadStore = Some(quads)
+    this
+  }
 
   /** Register the single-table layout under the reference's view name. */
   def registerSingleTable(triples: DataFrame, key: Layouts.Key = Layouts.BySubject,
@@ -80,7 +90,7 @@ final class QueryEngine(val spark: SparkSession, val dict: Dictionary) {
 
   def sparqlAst(query: BgpQuery): DataFrame = {
     require(store != null, "register a layout before querying")
-    BgpPlanner.plan(query, store, dict)
+    BgpPlanner.plan(query, store, dict, quadStore)
   }
 
   /** SPARQL with decoded (lexical) output columns: integral id columns

@@ -697,6 +697,34 @@ object Rdf {
         .sparql(s"SELECT ?o WHERE { 'cust_$minCust' :placed/(:contains|:supplied_by)+ ?o }")
     },
 
+    // ---- SPARQL GRAPH with a BOUND graph term, joined to a default-graph
+    // pattern: the quad store filters to the named graph (a point predicate
+    // — partition pruning under a graph-partitioned layout), its patterns
+    // plan as ordinary scans, and the group joins the outer BGP on ?c. ----
+    QueryDef("rdf_sparql_graph_bound",
+      RdfBridge.oracleCte +
+        """SELECT t1.Subject AS c, t2.Object AS n
+          |FROM triples t1 JOIN triples t2 ON t2.Subject = t1.Subject
+          |WHERE t1.Predicate = -2 AND t2.Predicate = -31""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .registerQuads(RdfBridge.quads(s, dir))
+        .sparql("SELECT ?c ?n WHERE { GRAPH :placed { ?c ?p ?o } . ?c :in_nation ?n }")
+    },
+
+    // ---- SPARQL GRAPH with a graph VARIABLE: every pattern of the group
+    // carries the Graph column as a binding (same graph = shared-variable
+    // equi-join), aggregated per graph. ----
+    QueryDef("rdf_sparql_graph_var",
+      RdfBridge.oracleCte +
+        """SELECT Predicate AS g, CAST(COUNT(*) AS BIGINT) AS n
+          |FROM triples GROUP BY Predicate""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .registerQuads(RdfBridge.quads(s, dir))
+        .sparql("SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?g")
+    },
+
     // ---- transitive reachability: semi-naive BFS fixpoint (iterative
     // distributed joins — Spark has no recursive SQL) vs DuckDB's
     // WITH RECURSIVE oracle. Seed = the placed-predicate's minimum subject;

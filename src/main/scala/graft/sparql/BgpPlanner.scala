@@ -130,7 +130,11 @@ object BgpPlanner {
     pathPreds(lexical).isDefined || negPreds(lexical).isDefined ||
       seqPath(lexical).isDefined
 
-  def plan(query: BgpQuery, store: Store, dict: Dictionary): DataFrame = {
+  /** `quads`: optional 4-column (Subject, Predicate, Object, Graph) store
+    * backing `GRAPH` groups — absent, a GRAPH query fails loudly.
+    */
+  def plan(query: BgpQuery, store: Store, dict: Dictionary,
+      quads: Option[DataFrame] = None): DataFrame = {
     // DESCRIBE: all triples with the term in subject OR object position —
     // the subject side sign-routes to ONE table (point predicate on the
     // layout key); the object side scans both. An unknown term describes
@@ -203,6 +207,8 @@ object BgpPlanner {
       query.existsFilters.flatMap(_._1).flatMap(p => Seq(p.s, p.p, p.o)) ++
       query.inlineValues.flatMap(_._2) ++
       query.inlineValuesMulti.flatMap(_._2.flatten) ++
+      query.graphGroups.flatMap { case (g, pats) =>
+        g +: pats.flatMap(p => Seq(p.s, p.p, p.o)) } ++
       query.binds.map(_._1)).collect {
       case Constant(l) => l
     }.distinct
@@ -228,18 +234,45 @@ object BgpPlanner {
       if (shared.isEmpty) acc.crossJoin(next)
       else acc.join(next, shared, "inner")
     }
+    // GRAPH groups (named graphs): a bound graph term filters the quad
+    // store to that graph (a point predicate Catalyst pushes into the
+    // scan — with a graph-partitioned quad layout this is partition
+    // pruning) and the patterns plan as ordinary triple patterns over the
+    // filtered store; a graph VARIABLE plans each pattern as a QUAD
+    // pattern carrying the graph column as a binding — all patterns of
+    // one group share the variable, so "same graph" is the ordinary
+    // shared-variable equi-join.
+    val graphPlanned = query.graphGroups.zipWithIndex.flatMap {
+      case ((gTerm, pats), gi) =>
+        val q = quads.getOrElse(throw new IllegalArgumentException(
+          "GRAPH requires a registered quad store"))
+        gTerm match {
+          case Constant(l) =>
+            val sub = enc.get(l) match {
+              case Some(id) => q.filter(col(TripleSchema.graph) === lit(id))
+              case None => q.limit(0) // unknown graph holds nothing
+            }
+            val st = SingleTable(sub.select(col(TripleSchema.subject),
+              col(TripleSchema.predicate), col(TripleSchema.objekt)))
+            pats.zipWithIndex.map { case (p, i) =>
+              planPattern(p, 300000 * (gi + 1) + i, st, enc) }
+          case Variable(gv) =>
+            pats.zipWithIndex.map { case (p, i) =>
+              planQuadPattern(p, gv, 300000 * (gi + 1) + i, q, enc) }
+        }
+    }
     // Subqueries (SPARQL 1.1 SubSelect): each plans RECURSIVELY as a full
     // query — aggregates, modifiers and all — and its projected columns
     // join the enclosing group like any other pattern relation (shared
     // variables ⇒ equi-join; none ⇒ cross join per SPARQL semantics).
-    val subDfs = query.subqueries.map(sq => plan(sq, store, dict))
+    val subDfs = query.subqueries.map(sq => plan(sq, store, dict, quads))
     // Top-level UNION (SPARQL Union): each arm is its own BGP join plan;
     // arms are combined with bag semantics, and a variable unbound in an
     // arm pads to null — `unionByName(allowMissingColumns)` gives exactly
     // the SPARQL multiset-union-with-null-padding, and each arm stays an
     // independently optimized subtree (filters pushed per arm).
     val required =
-      if (query.unionArms.isEmpty) joinGroup(planned ++ subDfs)
+      if (query.unionArms.isEmpty) joinGroup(planned ++ graphPlanned ++ subDfs)
       else query.unionArms.zipWithIndex.map { case (arm, a) =>
         joinGroup(arm.zipWithIndex.map { case (p, i) =>
           planPattern(p, 100000 * (a + 1) + i, store, enc)
@@ -356,6 +389,9 @@ object BgpPlanner {
           .collect { case Variable(v) => v }).toSet).reduce(_ intersect _)
       else (plainPatterns.flatMap(p => Seq(p.s, p.p, p.o)
           .collect { case Variable(v) => v }) ++
+        query.graphGroups.flatMap { case (g, pats) =>
+          (g +: pats.flatMap(p => Seq(p.s, p.p, p.o)))
+            .collect { case Variable(v) => v } } ++
         (pathPatterns ++ seqPatterns).collect {
           case TriplePattern(_, _, Variable(v)) => v }).toSet
 
@@ -763,6 +799,34 @@ object BgpPlanner {
         }
     }
     result.select(col("node").as(oVar))
+  }
+
+  /** One QUAD pattern (a GRAPH-variable group member) → filtered scan of
+    * the quad store projected to its variable columns, the graph column
+    * bound to the group's graph variable.
+    */
+  private def planQuadPattern(pat: TriplePattern, gVar: String, idx: Int,
+      quads: DataFrame, enc: Map[String, Int]): DataFrame = {
+    val positions = Seq(
+      (pat.s, TripleSchema.subject),
+      (pat.p, TripleSchema.predicate),
+      (pat.o, TripleSchema.objekt),
+      (Variable(gVar): Term, TripleSchema.graph))
+    val filters: Seq[Column] = positions.collect {
+      case (Constant(l), c) => enc.get(l) match {
+        case Some(id) => col(c) === lit(id)
+        case None => lit(false)
+      }
+    }
+    val varCols = positions.collect { case (Variable(v), c) => (v, c) }
+    val selfEq: Seq[Column] = varCols.groupBy(_._1).values.collect {
+      case vs if vs.size > 1 => vs.map(_._2).sliding(2).map {
+        case Seq(a, b) => col(a) === col(b)
+      }.reduce(_ && _)
+    }.toSeq
+    val filtered = (filters ++ selfEq).foldLeft(quads)(_.filter(_))
+    val distinctVars = varCols.distinctBy(_._1)
+    filtered.select(distinctVars.map { case (v, c) => col(c).as(v) }: _*)
   }
 
   /** One pattern → filtered scan projected to its variable columns. */

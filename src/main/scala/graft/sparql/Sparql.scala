@@ -94,7 +94,11 @@ final case class BgpQuery(
     filterExprs: Seq[FilterExpr] = Nil,
     // `{ SELECT … WHERE { … } … }` group graph patterns, parsed recursively;
     // each joins the enclosing solutions on its shared projected variables
-    subqueries: Seq[BgpQuery] = Nil)
+    subqueries: Seq[BgpQuery] = Nil,
+    // `GRAPH <term|?var> { bgp }` groups (SPARQL named graphs): the term
+    // names the graph (variable form binds it); patterns scope to it.
+    // Requires a registered quad store.
+    graphGroups: Seq[(Term, Seq[TriplePattern])] = Nil)
 
 object SparqlParser {
 
@@ -236,6 +240,16 @@ object SparqlParser {
           m.group(1) -> terms.map(_.asInstanceOf[Constant])
         }.toSeq
         val withoutValues = valuesRe.replaceAllIn(withoutMultiValues, " ")
+        // GRAPH groups (SPARQL named graphs): `GRAPH <term|?var> { bgp }` —
+        // the term/variable names the graph, the patterns scope to it. Same
+        // one-level brace shape as OPTIONAL/MINUS.
+        val graphRe = "(?i)GRAPH\\s+('[^']*'|\\S+)\\s*\\{([^{}]*)\\}".r
+        val graphGroups = graphRe.findAllMatchIn(withoutValues).map { m =>
+          (toTerm(m.group(1)), splitPatterns(m.group(2), fresh))
+        }.toSeq
+        graphGroups.foreach { case (_, pats) =>
+          require(pats.nonEmpty, "empty GRAPH group") }
+        val withoutGraph = graphRe.replaceAllIn(withoutValues, " ")
         // FILTER [NOT] EXISTS groups FIRST (their brace blocks sit inside
         // FILTER parens — extracting them before the plain-group regexes
         // keeps those from misreading the braces). Unlike MINUS, EXISTS
@@ -245,10 +259,10 @@ object SparqlParser {
         // parenthesized `FILTER(EXISTS { … })`; the optional paren pair is
         // consumed together (greedy), never leaving a dangling `)`.
         val existsRe = "(?i)FILTER\\s*(?:\\(\\s*)?(NOT\\s+)?EXISTS\\s*\\{([^{}]*)\\}(?:\\s*\\))?".r
-        val existsFilters = existsRe.findAllMatchIn(withoutValues).map { m =>
+        val existsFilters = existsRe.findAllMatchIn(withoutGraph).map { m =>
           (splitPatterns(m.group(2), fresh), m.group(1) != null)
         }.toSeq
-        val withoutExists = existsRe.replaceAllIn(withoutValues, " ")
+        val withoutExists = existsRe.replaceAllIn(withoutGraph, " ")
         // MINUS groups (negation): remove solutions compatible with the
         // minus pattern on shared variables.
         val minusRe = "(?i)MINUS\\s*\\{([^{}]*)\\}".r
@@ -293,7 +307,8 @@ object SparqlParser {
         val filterExprs = parsedFilters.filterNot(_.isInstanceOf[FilterLeaf])
         val body = filterRe.replaceAllIn(withoutBind, " ")
         val patterns = splitPatterns(body, fresh)
-        require(patterns.nonEmpty || subqueries.nonEmpty, "empty BGP")
+        require(patterns.nonEmpty || subqueries.nonEmpty || graphGroups.nonEmpty,
+          "empty BGP")
         BgpQuery(projection, patterns, filters, limit,
           optionals, distinct, orderBy = orderBy, offset = offset,
           groupByVars = groupByVars, countAggs = countAggs, havings = havings,
@@ -301,7 +316,8 @@ object SparqlParser {
           inlineValues = inlineValues ++ trailingValues,
           inlineValuesMulti = inlineValuesMulti ++ trailingValuesMulti,
           minuses = minuses, binds = binds, existsFilters = existsFilters,
-          filterExprs = filterExprs, subqueries = subqueries)
+          filterExprs = filterExprs, subqueries = subqueries,
+          graphGroups = graphGroups)
       case _ => throw new IllegalArgumentException(s"unsupported SPARQL: $query")
     }
   }

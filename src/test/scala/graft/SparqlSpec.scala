@@ -832,6 +832,34 @@ class SparqlSpec extends SparkTestBase {
     assert(rows.sortBy(_._1).toSeq == Seq((-5, 1L), (6, 1L)))
   }
 
+  test("GRAPH groups: bound term scopes patterns; variable binds the graph") {
+    val (engine, triples) = fixture
+    // quad fixture: graph column = the predicate's own id (one named graph
+    // per relation)
+    val quads = triples.withColumn(TripleSchema.graph, col(TripleSchema.predicate))
+    val reg = engine.registerSplitTables(triples).registerQuads(quads)
+    // bound graph: only :p1 triples are in graph :p1
+    val rows = reg.sparql("SELECT ?s ?o WHERE { GRAPH :p1 { ?s ?p ?o } }")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.sortBy(_._1).toSeq == Seq((-5, 10), (6, 11)))
+    // unknown graph holds nothing
+    assert(reg.sparql("SELECT ?s WHERE { GRAPH 'nosuch' { ?s ?p ?o } }").count() == 0)
+    // graph variable binds; patterns of one group share the SAME graph
+    val gRows = reg.sparql(
+      "SELECT ?g (COUNT(?s) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?g")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(gRows.toSeq == Seq((1, 2L), (2, 2L), (3, 1L), (9, 1L)))
+    // GRAPH group joins default-graph patterns on shared variables
+    val joined = reg.sparql(
+      "SELECT ?s ?m WHERE { GRAPH :p1 { ?s ?p ?o } . ?o :p2 ?m }")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(joined.sortBy(_._1).toSeq == Seq((-5, -7), (6, -8)))
+    // GRAPH without a registered quad store fails loudly
+    val bare = new QueryEngine(spark, engine.dict).registerSplitTables(triples)
+    intercept[IllegalArgumentException](
+      bare.sparql("SELECT ?s WHERE { GRAPH :p1 { ?s ?p ?o } }").collect())
+  }
+
   test("UNION with trailing multi-variable VALUES applies the tuple restriction") {
     val (engine, triples) = fixture
     val reg = engine.registerSingleTable(triples)
