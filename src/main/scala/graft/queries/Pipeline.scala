@@ -1131,6 +1131,60 @@ object Pipeline {
             .as("tail_byte"))
     }
 
+  /** CCNet-style LM quality filter in EXACT integer micro-units: each
+    * document's mean add-one-smoothed bigram conditional probability under
+    * the corpus's OWN bigram model —
+    * `p(w2|w1) ≈ (c(w1,w2)+1)·10⁶ div (c(w1)+V)`, averaged with integer
+    * division — so the score is bit-identical on any engine/partitioning
+    * (a log-prob double formulation would diverge in the last ulp between
+    * Spark and DuckDB libm's). Rank order ≈ the arithmetic-mean variant of
+    * perplexity filtering; repetitive in-distribution docs score high,
+    * out-of-distribution word salad scores low.
+    *
+    * Scale shape: bigram extraction is array slicing + one explode (no
+    * joins); model counts are two map-side-combinable aggregates; scoring
+    * joins bigrams to counts on (w1,w2)/(w1) — hash-partitioned equi-joins
+    * — and the vocab size rides as a broadcast scalar. The standard
+    * distributed n-gram-LM pipeline at any corpus size.
+    */
+  private def textLmScore: QueryDef =
+    QueryDef("text_lm_score",
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bi AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM toks),
+        |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
+        |uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+        |voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+        |        FROM (SELECT unnest(t) AS w FROM toks) q),
+        |p AS (SELECT b.doc_id, ((big.c12 + 1) * 1000000) // (uni.c1 + voc.v) AS p_micro
+        |      FROM bi b JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN voc)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS lm_score_micro
+        |FROM p GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      val bi = toks
+        .select(col("doc_id"),
+          expr("slice(t, 1, size(t) - 1)").as("a1"),
+          expr("slice(t, 2, size(t) - 1)").as("a2"))
+        .select(col("doc_id"), explode(arrays_zip(col("a1"), col("a2"))).as("b"))
+        .select(col("doc_id"), col("b.a1").as("w1"), col("b.a2").as("w2"))
+      val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val uni = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val voc = toks.select(explode(col("t")).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1")).crossJoin(broadcast(voc))
+        .select(col("doc_id"),
+          expr("((c12 + CAST(1 AS BIGINT)) * CAST(1000000 AS BIGINT)) div (c1 + v)")
+            .as("p_micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_micro) div count(1)").as("lm_score_micro"))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_bigrams"), col("lm_score_micro"))
+    }
+
   /** REAL image decode through the gate (no stub): deterministic PNGs built
     * with `javax.imageio` on executors, decoded back to width/height/
     * pixel-sum. The pixel formula `(id + 7x + 13y) mod 251` and dimensions
@@ -1631,6 +1685,7 @@ object Pipeline {
     multimodalResize,
     multimodalFrameSample,
     multimodalDecodeImage,
+    textLmScore,
     eventsLatestState,
     corpusDecontaminate,
     embQuery("emb_label_centroids", embCentroids),
