@@ -697,6 +697,27 @@ object Rdf {
         .sparql(s"SELECT ?o WHERE { 'cust_$minCust' :placed/(:contains|:supplied_by)+ ?o }")
     },
 
+    // ---- property-path closure with a bound OBJECT (`?s path+ <o>`): the
+    // who-reaches direction — the same BFS fixpoint over REVERSED edges
+    // seeded at the object (customers/orders/parts upstream of one
+    // supplier). Oracle: WITH RECURSIVE walking Object→Subject. ----
+    QueryDef("rdf_sparql_path_to_bound",
+      RdfBridge.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, seed AS (SELECT CAST((SELECT MIN(l_suppkey) FROM lineitem) + 1000000000 AS INTEGER) AS node),
+          |reach AS (
+          |  SELECT e.Subject AS node FROM triples e JOIN seed s ON e.Object = s.node
+          |  WHERE e.Predicate IN (-2, -13, -21)
+          |  UNION
+          |  SELECT e.Subject FROM reach r JOIN triples e ON e.Object = r.node
+          |  WHERE e.Predicate IN (-2, -13, -21))
+          |SELECT CAST(node AS INTEGER) AS s FROM reach""".stripMargin) { (s, dir) =>
+      val minSupp = graft.sources.Tables.load(s, dir, "lineitem")
+        .agg(min(col("l_suppkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"SELECT ?s WHERE { ?s (:placed|:contains|:supplied_by)+ 'supp_$minSupp' }")
+    },
+
     // ---- SPARQL GRAPH with a BOUND graph term, joined to a default-graph
     // pattern: the quad store filters to the named graph (a point predicate
     // — partition pruning under a graph-partitioned layout), its patterns

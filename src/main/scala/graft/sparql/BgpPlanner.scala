@@ -392,8 +392,8 @@ object BgpPlanner {
         query.graphGroups.flatMap { case (g, pats) =>
           (g +: pats.flatMap(p => Seq(p.s, p.p, p.o)))
             .collect { case Variable(v) => v } } ++
-        (pathPatterns ++ seqPatterns).collect {
-          case TriplePattern(_, _, Variable(v)) => v }).toSet
+        (pathPatterns ++ seqPatterns).flatMap(p =>
+          Seq(p.s, p.o).collect { case Variable(v) => v })).toSet
 
     // FILTER [NOT] EXISTS: a correlated semi-join (anti-join when negated)
     // on the SHARED variables. With NO shared variable the test is the
@@ -669,22 +669,31 @@ object BgpPlanner {
   private def planPathPattern(
       pat: TriplePattern, store: Store, enc: Map[String, Int]): DataFrame = {
     val (preds, mod) = pathPreds(pat.p.asInstanceOf[Constant].lexical).get
-    val zeroStep = mod == '*' || mod == '?' 
+    val zeroStep = mod == '*' || mod == '?'
     val predIds = preds.flatMap(enc.get)
     val base = store match {
       case SingleTable(df) => df
       case SplitTables(pos, neg) => pos.unionAll(neg)
     }
-    val edges = base.filter(col(TripleSchema.predicate).isin(predIds: _*))
-    val oVar = pat.o match {
-      case Variable(v) => v
+    // Direction: `<bound> :p+ ?v` closes FORWARD from the subject;
+    // `?v :p+ <bound>` closes over REVERSED edges from the object (the set
+    // of nodes that REACH it) — same fixpoint, edge projection swapped.
+    val forward = (pat.s, pat.o) match {
+      case (Constant(_), Variable(_)) => true
+      case (Variable(_), Constant(_)) => false
       case _ => throw new IllegalArgumentException(
-        "property-path object must be a variable in the subset")
+        "property path needs exactly one bound end in the subset " +
+          "(all-pairs closure is not planned)")
     }
-    val seedId = pat.s match {
+    val edges0 = base.filter(col(TripleSchema.predicate).isin(predIds: _*))
+    val edges =
+      if (forward) edges0
+      else edges0.select(col(TripleSchema.objekt).as(TripleSchema.subject),
+        col(TripleSchema.subject).as(TripleSchema.objekt))
+    val oVar = (if (forward) pat.o else pat.s).asInstanceOf[Variable].name
+    val seedId = (if (forward) pat.s else pat.o) match {
       case Constant(l) => enc.get(l)
-      case _ => throw new IllegalArgumentException(
-        "property-path subject must be bound in the subset")
+      case _ => throw new IllegalStateException("unreachable")
     }
     // one-or-more: seed the closure with the subject's DIRECT successors
     // (the `+` semantics — the subject itself only appears if reached by a
@@ -735,22 +744,31 @@ object BgpPlanner {
     */
   private def planSeqPathPattern(
       pat: TriplePattern, store: Store, enc: Map[String, Int]): DataFrame = {
-    val (steps, outerMod) = seqPath(pat.p.asInstanceOf[Constant].lexical).get
+    val parsed = seqPath(pat.p.asInstanceOf[Constant].lexical).get
     val base = store match {
       case SingleTable(df) => df
       case SplitTables(pos, neg) => pos.unionAll(neg)
     }
     val spark = base.sparkSession
     import spark.implicits._
-    val oVar = pat.o match {
-      case Variable(v) => v
+    // `?v seq <bound>`: evaluate the INVERSE path — steps reversed and each
+    // step's direction flipped (`(a/b)⁻¹ = b⁻¹/a⁻¹`; closure modifiers
+    // commute with inversion) — seeded at the bound object, binding the
+    // subject variable.
+    val forward = (pat.s, pat.o) match {
+      case (Constant(_), Variable(_)) => true
+      case (Variable(_), Constant(_)) => false
       case _ => throw new IllegalArgumentException(
-        "property-path object must be a variable in the subset")
+        "property path needs exactly one bound end in the subset " +
+          "(all-pairs closure is not planned)")
     }
-    val seedId = pat.s match {
+    val (steps, outerMod) =
+      if (forward) parsed
+      else (parsed._1.reverse.map(st => st.copy(inverse = !st.inverse)), parsed._2)
+    val oVar = (if (forward) pat.o else pat.s).asInstanceOf[Variable].name
+    val seedId = (if (forward) pat.s else pat.o) match {
       case Constant(l) => enc.get(l)
-      case _ => throw new IllegalArgumentException(
-        "property-path subject must be bound in the subset")
+      case _ => throw new IllegalStateException("unreachable")
     }
     // src→dst edge set of one step: predicate-filtered scan, reversed for ^
     def stepEdges(st: PathStep): DataFrame = {

@@ -809,6 +809,27 @@ class SparqlSpec extends SparkTestBase {
       .collect().map(_.getInt(0)).toSeq.sorted == Seq(-7, -5).sorted)
   }
 
+  test("path closure with bound OBJECT: who-reaches, via reversed edges") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // nodes reaching 'c'(-7) over :p2+ — only 10
+    assert(reg.sparql("SELECT ?x WHERE { ?x :p2+ 'c' }")
+      .collect().map(_.getInt(0)).toSeq == Seq(10))
+    // group closure reversed: composed :p1/:p2 edges are -5→-7, 6→-8
+    assert(reg.sparql("SELECT ?x WHERE { ?x (:p1/:p2)+ 'c' }")
+      .collect().map(_.getInt(0)).toSeq == Seq(-5))
+    // flat sequence with closure step, inverse evaluation:
+    // (:p1/:p2+)⁻¹ from 'g'(-8): p2-closure back → {11}, then p1 back → {6}
+    assert(reg.sparql("SELECT ?x WHERE { ?x :p1/:p2+ 'g' }")
+      .collect().map(_.getInt(0)).toSeq == Seq(6))
+    // zero-or-more to a bound end includes the bound node itself
+    assert(reg.sparql("SELECT ?x WHERE { ?x :p2* 'c' }")
+      .collect().map(_.getInt(0)).toSeq.sorted == Seq(-7, 10))
+    // both ends variable: loud error, not a silent all-pairs attempt
+    intercept[IllegalArgumentException](
+      reg.sparql("SELECT ?x ?y WHERE { ?x :p2+ ?y }").collect())
+  }
+
   test("unsupported property-path syntax fails loudly, not silently empty") {
     intercept[IllegalArgumentException](SparqlParser.parse(
       "SELECT ?x WHERE { 'a' :p1//:p2 ?x }"))
