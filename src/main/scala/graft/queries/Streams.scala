@@ -357,6 +357,33 @@ object Streams {
       }
     },
 
+    // ---- stream-static ANTI join (incremental dedup against a HISTORICAL
+    // corpus): arriving events whose key already exists in the static
+    // "previously ingested" set are dropped — stateless (no watermark/state
+    // store; the static side broadcasts), the streaming twin of
+    // dedup_incremental's batch anti-join. Static set here = the lower half
+    // of the user key space. ----
+    QueryDef("stream_dedup_static",
+      """SELECT CAST(event_id AS BIGINT) AS event_id, ts,
+        |  CAST(user_id AS BIGINT) AS user_id, event_type
+        |FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                  WHERE c.c_custkey = e.user_id AND c.c_custkey < 75)""".stripMargin) { (s, dir) =>
+      val src = stagedEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_dedupst_ckpt_${dir.hashCode & 0x7fffffff}")
+      val seen = broadcast(Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 75).select(col("c_custkey")))
+      val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+        .join(seen, col("user_id") === col("c_custkey"), "left_anti")
+        .select(col("event_id").cast("long").as("event_id"), col("ts"),
+          col("user_id").cast("long").as("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName("g_stream_dedupst")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.table("g_stream_dedupst")
+    },
+
     // ---- TRUE streaming sessionization through flatMapGroupsWithState:
     // state carries open sessions across micro-batches; emitted sessions =
     // gaps-and-islands sessions minus each user's final one (never flushed
