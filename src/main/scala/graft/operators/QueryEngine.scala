@@ -29,6 +29,16 @@ final class QueryEngine(val spark: SparkSession, val dict: Dictionary) {
     this
   }
 
+  /** Quad store over a ONCE-persisted Graph-partitioned bucketed table:
+    * bound-graph groups become planning-time partition pruning instead of
+    * a derived-union recompute per query.
+    */
+  def registerQuadsPersisted(quads: DataFrame, seed: String): this.type = {
+    val tbl = Layouts.persistedQuadLayout(quads, seed)
+    quadStore = Some(spark.table(tbl))
+    this
+  }
+
   /** Register the single-table layout under the reference's view name. */
   def registerSingleTable(triples: DataFrame, key: Layouts.Key = Layouts.BySubject,
       numPartitions: Int = 32): this.type = {

@@ -134,35 +134,62 @@ object Layouts {
       signPartitioned: Boolean, buckets: Int = 32): String = {
     val spark = df.sparkSession
     val kind = if (signPartitioned) "split" else "single"
-    val seedIdent = seed.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+    val ident = s"graft_${kind}_${key.column.toLowerCase}_${seedIdent(seed)}"
+    memoizedTable(spark, ident) {
+      val writer =
+        if (signPartitioned)
+          df.withColumn("sign",
+              when(col(TripleSchema.subject) >= 0, "pos").otherwise("neg"))
+            .write.format("parquet").partitionBy("sign")
+        else df.write.format("parquet")
+      writer.bucketBy(buckets, key.column).sortBy(key.column)
+        .mode("overwrite").saveAsTable(ident)
+    }
+  }
+
+  /** Persisted QUAD layout for named graphs: partitioned by the Graph
+    * column (a bound `GRAPH <g>` group becomes planning-time partition
+    * pruning — PruneFileSourcePartitions) and bucketed + sorted on Subject
+    * within each graph (joins on the subject inherit the bucket
+    * partitioning). Memoized like [[persistedLayout]].
+    */
+  def persistedQuadLayout(df: DataFrame, seed: String, buckets: Int = 32): String = {
+    val spark = df.sparkSession
+    val ident = s"graft_quads_${seedIdent(seed)}"
+    memoizedTable(spark, ident) {
+      df.write.format("parquet").partitionBy(TripleSchema.graph)
+        .bucketBy(buckets, TripleSchema.subject).sortBy(TripleSchema.subject)
+        .mode("overwrite").saveAsTable(ident)
+    }
+  }
+
+  private def seedIdent(seed: String): String =
+    seed.toLowerCase.replaceAll("[^a-z0-9]+", "_")
       .stripPrefix("_").stripSuffix("_") + "_" + rawFingerprint(seed)
-    val ident = s"graft_${kind}_${key.column.toLowerCase}_$seedIdent"
+
+  /** Write-once memoization of a catalog table per (session, identifier):
+    * a cache hit is trusted only while the table is still resolvable in
+    * THIS session's catalog (identity hashes can be reused after a session
+    * is GC'd; a stale hit would hand out an unresolvable name). Handles the
+    * in-memory-catalog + fresh-JVM orphan: a previous process may have left
+    * the managed location behind while the catalog has no table entry,
+    * which turns `overwrite` into CREATE and fails with
+    * LOCATION_ALREADY_EXISTS — the orphaned location is removed first.
+    */
+  private def memoizedTable(spark: org.apache.spark.sql.SparkSession,
+      ident: String)(write: => Unit): String = {
     val cacheKey = s"${System.identityHashCode(spark)}/$ident"
-    // a cache hit is trusted only while the table is still resolvable in
-    // THIS session's catalog (identity hashes can be reused after a session
-    // is GC'd; a stale hit would hand out an unresolvable name)
     if (persistCache.containsKey(cacheKey) && spark.catalog.tableExists(ident))
       return ident
     this.synchronized {
       if (!(persistCache.containsKey(cacheKey) && spark.catalog.tableExists(ident))) {
-        // in-memory catalog + fresh JVM: a previous process may have left
-        // the managed location behind while the catalog has no table entry,
-        // which turns `overwrite` into CREATE and fails with
-        // LOCATION_ALREADY_EXISTS — remove the orphaned location first
         if (!spark.catalog.tableExists(ident)) {
           val loc = new org.apache.hadoop.fs.Path(
             spark.conf.get("spark.sql.warehouse.dir"), ident)
           val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(loc)) fs.delete(loc, true)
         }
-        val writer =
-          if (signPartitioned)
-            df.withColumn("sign",
-                when(col(TripleSchema.subject) >= 0, "pos").otherwise("neg"))
-              .write.format("parquet").partitionBy("sign")
-          else df.write.format("parquet")
-        writer.bucketBy(buckets, key.column).sortBy(key.column)
-          .mode("overwrite").saveAsTable(ident)
+        write
         persistCache.put(cacheKey, ident)
       }
     }

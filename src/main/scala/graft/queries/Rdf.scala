@@ -729,7 +729,7 @@ object Rdf {
           |WHERE t1.Predicate = -2 AND t2.Predicate = -31""".stripMargin) { (s, dir) =>
       engine(s, dir)
         .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
-        .registerQuads(RdfBridge.quads(s, dir))
+        .registerQuadsPersisted(RdfBridge.quads(s, dir), dir)
         .sparql("SELECT ?c ?n WHERE { GRAPH :placed { ?c ?p ?o } . ?c :in_nation ?n }")
     },
 
@@ -742,7 +742,7 @@ object Rdf {
           |FROM triples GROUP BY Predicate""".stripMargin) { (s, dir) =>
       engine(s, dir)
         .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
-        .registerQuads(RdfBridge.quads(s, dir))
+        .registerQuadsPersisted(RdfBridge.quads(s, dir), dir)
         .sparql("SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?g")
     },
 

@@ -165,4 +165,23 @@ class ScaleTechniquesSpec extends SparkTestBase {
       .filter(col(graft.core.TripleSchema.subject) >= 0).count()
     assert(negCount == 0)
   }
+
+  test("persisted quad layout: bound GRAPH groups prune Graph partitions") {
+    import graft.sources.RdfBridge
+    val eng = new graft.operators.QueryEngine(spark, RdfBridge.dictionary(spark, sf))
+    eng.registerSplitTablesPersisted(RdfBridge.triples(spark, sf), sf)
+      .registerQuadsPersisted(RdfBridge.quads(spark, sf), sf)
+    // GRAPH :placed { ... }: the quad scan must carry a PARTITION filter on
+    // Graph (PruneFileSourcePartitions), not a data filter over all graphs
+    val df = eng.sparql("SELECT ?c ?o WHERE { GRAPH :placed { ?c ?p ?o } }")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") && physical.contains("Graph"),
+      s"expected Graph partition pruning in:\n$physical")
+    // results identical to the derived (unpartitioned) quad store
+    val derived = new graft.operators.QueryEngine(spark, RdfBridge.dictionary(spark, sf))
+      .registerSplitTablesPersisted(RdfBridge.triples(spark, sf), sf)
+      .registerQuads(RdfBridge.quads(spark, sf))
+      .sparql("SELECT ?c ?o WHERE { GRAPH :placed { ?c ?p ?o } }")
+    assert(df.collect().map(_.toSeq).toSet == derived.collect().map(_.toSeq).toSet)
+  }
 }
