@@ -362,17 +362,21 @@ object Streams {
     // "previously ingested" set are dropped — stateless (no watermark/state
     // store; the static side broadcasts), the streaming twin of
     // dedup_incremental's batch anti-join. Static set here = the lower half
-    // of the user key space. ----
+    // of the user key space (half the MAX user id, so the gate splits
+    // non-trivially at every scale factor). ----
     QueryDef("stream_dedup_static",
       """SELECT CAST(event_id AS BIGINT) AS event_id, ts,
         |  CAST(user_id AS BIGINT) AS user_id, event_type
         |FROM events e
         |WHERE NOT EXISTS (SELECT 1 FROM customer c
-        |                  WHERE c.c_custkey = e.user_id AND c.c_custkey < 75)""".stripMargin) { (s, dir) =>
+        |                  WHERE c.c_custkey = e.user_id
+        |                    AND c.c_custkey < (SELECT MAX(user_id) / 2 FROM events))""".stripMargin) { (s, dir) =>
       val src = stagedEventsDir(s, dir)
       val ckpt = cleanScratch(s, s"stream_dedupst_ckpt_${dir.hashCode & 0x7fffffff}")
+      val half = Tables.load(s, dir, "events")
+        .agg((max(col("user_id")) / 2).as("h")).head().getDouble(0)
       val seen = broadcast(Tables.load(s, dir, "customer")
-        .filter(col("c_custkey") < 75).select(col("c_custkey")))
+        .filter(col("c_custkey") < half).select(col("c_custkey")))
       val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
         .join(seen, col("user_id") === col("c_custkey"), "left_anti")
         .select(col("event_id").cast("long").as("event_id"), col("ts"),
