@@ -70,6 +70,42 @@ object Graph {
     reached
   }
 
+  /** PAIRWISE transitive closure — (root, node) for every node reachable
+    * from `root` in ≥1 step — the provenance-carrying BFS that backs
+    * both-ends-variable property paths (`?s :p+ ?o`). Same semi-naive
+    * fixpoint as [[reachableFrom]] with a two-column frontier: each round
+    * joins only the frontier against the edges and anti-joins out pairs
+    * already reached. State size is the closure itself (bounded by
+    * |V|·avg-reach); the per-round shapes are hash equi-joins on `node`,
+    * nothing driver-side. O(longest path) rounds.
+    */
+  def reachablePairs(triples: DataFrame, maxIters: Int = -1): DataFrame = {
+    val edges = triples
+      .select(col(TripleSchema.subject).as("src"), col(TripleSchema.objekt).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var reached = edges.select(col("src").as("root"), col("dst").as("node"))
+      .distinct().localCheckpoint()
+    var frontier = reached
+    var iter = 0
+    var done = false
+    while (!done && (maxIters < 0 || iter < maxIters)) {
+      val next = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("root"), col("dst").as("node"))
+        .distinct()
+        .join(reached, Seq("root", "node"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        reached = reached.unionAll(next)
+        frontier = next
+        iter += 1
+      }
+    }
+    edges.unpersist()
+    reached
+  }
+
   /** Connected components by iterative min-label propagation — the dedup
     * clustering primitive (near-dup pairs → clusters → one keeper per
     * cluster). Each iteration: every node adopts the minimum label among

@@ -697,6 +697,23 @@ object Rdf {
         .sparql(s"SELECT ?o WHERE { 'cust_$minCust' :placed/(:contains|:supplied_by)+ ?o }")
     },
 
+    // ---- property-path closure with BOTH ends variable (`?s path+ ?o`):
+    // the full pairwise transitive closure via the provenance-carrying BFS
+    // (Graph.reachablePairs) — (customer→order→part chains as (s, o)
+    // pairs). Oracle: WITH RECURSIVE over (root, node) pairs. ----
+    QueryDef("rdf_sparql_path_pairs",
+      RdfBridge.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, edges AS (SELECT Subject, Object FROM triples WHERE Predicate IN (-2, -13)),
+          |reach AS (
+          |  SELECT Subject AS root, Object AS node FROM edges
+          |  UNION
+          |  SELECT r.root, e.Object FROM reach r JOIN edges e ON e.Subject = r.node)
+          |SELECT CAST(root AS INTEGER) AS s, CAST(node AS INTEGER) AS o FROM reach""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?s ?o WHERE { ?s (:placed|:contains)+ ?o }")
+    },
+
     // ---- property-path closure with a bound OBJECT (`?s path+ <o>`): the
     // who-reaches direction — the same BFS fixpoint over REVERSED edges
     // seeded at the object (customers/orders/parts upstream of one

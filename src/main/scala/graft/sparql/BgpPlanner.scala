@@ -675,6 +675,35 @@ object BgpPlanner {
       case SingleTable(df) => df
       case SplitTables(pos, neg) => pos.unionAll(neg)
     }
+    val edges0 = base.filter(col(TripleSchema.predicate).isin(predIds: _*))
+    // BOTH ends variable (`?s :p+ ?o`): the full pairwise closure via the
+    // provenance-carrying BFS (Graph.reachablePairs) — state = the closure
+    // itself, per-round hash equi-joins, no driver involvement. The result
+    // relation joins the rest of the BGP on either/both variables. Same
+    // variable twice (`?x :p+ ?x`) keeps only cycle members.
+    (pat.s, pat.o) match {
+      case (Variable(sv), Variable(ov)) =>
+        val oneOrMore =
+          if (mod == '?')
+            edges0.select(col(TripleSchema.subject).as("root"),
+              col(TripleSchema.objekt).as("node")).distinct()
+          else graft.operators.Graph.reachablePairs(edges0)
+        val withZero =
+          if (!zeroStep) oneOrMore
+          else {
+            // zero step: every node occurring in the path's edge set
+            val nodes = edges0.select(col(TripleSchema.subject).as("n"))
+              .unionAll(edges0.select(col(TripleSchema.objekt)))
+              .distinct()
+            oneOrMore.unionAll(nodes.select(col("n").as("root"), col("n").as("node")))
+              .distinct()
+          }
+        val out =
+          if (sv == ov) withZero.filter(col("root") === col("node")).select(col("root").as(sv))
+          else withZero.select(col("root").as(sv), col("node").as(ov))
+        return out
+      case _ =>
+    }
     // Direction: `<bound> :p+ ?v` closes FORWARD from the subject;
     // `?v :p+ <bound>` closes over REVERSED edges from the object (the set
     // of nodes that REACH it) — same fixpoint, edge projection swapped.
@@ -682,10 +711,8 @@ object BgpPlanner {
       case (Constant(_), Variable(_)) => true
       case (Variable(_), Constant(_)) => false
       case _ => throw new IllegalArgumentException(
-        "property path needs exactly one bound end in the subset " +
-          "(all-pairs closure is not planned)")
+        "property path needs both or one end(s) variable in the subset")
     }
-    val edges0 = base.filter(col(TripleSchema.predicate).isin(predIds: _*))
     val edges =
       if (forward) edges0
       else edges0.select(col(TripleSchema.objekt).as(TripleSchema.subject),

@@ -825,9 +825,27 @@ class SparqlSpec extends SparkTestBase {
     // zero-or-more to a bound end includes the bound node itself
     assert(reg.sparql("SELECT ?x WHERE { ?x :p2* 'c' }")
       .collect().map(_.getInt(0)).toSeq.sorted == Seq(-7, 10))
-    // both ends variable: loud error, not a silent all-pairs attempt
-    intercept[IllegalArgumentException](
-      reg.sparql("SELECT ?x ?y WHERE { ?x :p2+ ?y }").collect())
+  }
+
+  test("path closure with BOTH ends variable: pairwise transitive closure") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // :p2 edges 10→-7, 11→-8: exactly those pairs, no chaining possible
+    val p2 = reg.sparql("SELECT ?x ?y WHERE { ?x :p2+ ?y }")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sortBy(_.toString)
+    assert(p2.toSeq == Seq((10, -7), (11, -8)).sortBy(_.toString))
+    // alternation closure chains p1 then p2: adds the 2-step pairs
+    val both = reg.sparql("SELECT ?x ?y WHERE { ?x (:p1|:p2)+ ?y }")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(both == Set((-5, 10), (-5, -7), (6, 11), (6, -8), (10, -7), (11, -8)))
+    // joins the rest of the BGP on the path variables
+    val joined = reg.sparql(
+      "SELECT ?x ?y WHERE { ?x (:p1|:p2)+ ?y . ?y :p3 ?z }")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(joined == Set((-5, -7), (10, -7))) // only -7 has :p3
+    // same variable both ends: cycle membership (the :loop self-edge)
+    assert(reg.sparql("SELECT ?x WHERE { ?x :loop+ ?x }")
+      .collect().map(_.getInt(0)).toSeq == Seq(-9))
   }
 
   test("unsupported property-path syntax fails loudly, not silently empty") {
