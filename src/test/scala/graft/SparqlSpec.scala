@@ -732,6 +732,20 @@ class SparqlSpec extends SparkTestBase {
       "SELECT ?s WHERE { ?s :p1 ?o . OPTIONAL { ?o :p2 ?x . FILTER(?x = 'g' && ?x != 'c') } }"))
   }
 
+  test("FILTER parsing: quoted operators and parens do not split conditions") {
+    // '||' inside a quoted lexical form must NOT split the disjunction
+    val q = SparqlParser.parse(
+      "SELECT ?x WHERE { ?x :p1 ?y . FILTER(?y = 'a || b' || ?y = 'c') }")
+    assert(q.filterExprs.length == 1)
+    val FilterOr(FilterLeaf(l), FilterLeaf(r)) = q.filterExprs.head: @unchecked
+    assert(l.value == Constant("a || b") && r.value == Constant("c"))
+    // '&&' inside a regex pattern stays part of the pattern
+    val q2 = SparqlParser.parse(
+      "SELECT ?x WHERE { ?x :p1 ?y . FILTER(regex(?y, 'a&&b')) }")
+    assert(q2.filters.head.op == FilterRegex &&
+      q2.filters.head.value == Constant("a&&b"))
+  }
+
   test("FILTER regex matches the DECODED lexical form via dictionary join") {
     val (engine, triples) = fixture
     val reg = engine.registerSplitTables(triples)
