@@ -41,6 +41,17 @@ object TripleIO {
         col(TripleSchema.predicate).isNotNull &&
         col(TripleSchema.objekt).isNotNull)
 
+  /** Reject-path audit for [[readText]]: the raw lines it silently drops
+    * (anything that is not exactly three signed integers). At ingest scale
+    * silent drops are an operational hazard — count/sample these into a
+    * quarantine sink alongside the clean read; both scans are one pass over
+    * the same splits and Catalyst shares nothing between them, so the audit
+    * is strictly opt-in cost.
+    */
+  def corruptLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .filter(!col("value").rlike("^-?\\d+ -?\\d+ -?\\d+$"))
+
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(
       col(TripleSchema.subject).cast("int").as(TripleSchema.subject),

@@ -73,6 +73,10 @@ class CoreSpec extends SparkTestBase {
       Seq((-4, 5, -6), (1, 2, 3)))
     TripleIO.writeText(df, s"$dir/out")
     assert(TripleIO.readText(spark, s"$dir/out").count() == 2)
+    // the reject-path audit surfaces EXACTLY the lines readText dropped
+    val bad = TripleIO.corruptLines(spark, s"$dir/in.txt")
+      .collect().map(_.getString(0)).sorted
+    assert(bad.toSeq == Seq("7 8", "bad line here"))
   }
 
   test("partitioned-by-sign parquet prunes scans via the sign column") {
