@@ -393,6 +393,25 @@ object Rdf {
         .sparql(s"DESCRIBE 'order_$minOrder'")
     },
 
+    // ---- DESCRIBE ?v WHERE { bgp } (the variable form): the WHERE group
+    // selects the resources (one customer's orders); the description is
+    // every triple mentioning any of them — two hash semi-joins against
+    // the distinct binding set, never a collect. ----
+    QueryDef("rdf_sparql_describe_where",
+      RdfBridge.oracleCte +
+        """, ids AS (SELECT Object AS node FROM triples
+          |          WHERE Subject = CAST(-(1000 + (SELECT MIN(o_custkey) FROM orders)) AS INTEGER)
+          |            AND Predicate = -2)
+          |SELECT DISTINCT t.Subject, t.Predicate, t.Object FROM triples t
+          |WHERE t.Subject IN (SELECT node FROM ids)
+          |   OR t.Object IN (SELECT node FROM ids)""".stripMargin) { (s, dir) =>
+      val minCust = graft.sources.Tables.load(s, dir, "orders")
+        .agg(min(col("o_custkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"DESCRIBE ?o WHERE { 'cust_$minCust' :placed ?o }")
+    },
+
     // ---- SPARQL MIN/MAX/COUNT aggregates per group (order range + count
     // of each customer's orders): one hash aggregate, three agg functions
     // over the same grouped scan. ----

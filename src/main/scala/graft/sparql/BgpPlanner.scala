@@ -160,6 +160,24 @@ object BgpPlanner {
         col(TripleSchema.subject), col(TripleSchema.predicate), col(TripleSchema.objekt))
         .distinct()
     }
+    // DESCRIBE ?v WHERE { bgp }: plan the inner query, take the DISTINCT
+    // bindings of the described variable, and semi-join the triple store
+    // against them in both positions (hash semi-joins — the binding set is
+    // usually small and broadcasts; never a collect).
+    query.describeWhere.foreach { inner =>
+      val v = inner.projection.head
+      val bind = plan(inner, store, dict, quads)
+        .select(col(v).as("node")).distinct()
+      val all = store match {
+        case SingleTable(df) => df
+        case SplitTables(pos, neg) => pos.unionAll(neg)
+      }
+      val bySubject = all.join(bind, all(TripleSchema.subject) === bind("node"), "left_semi")
+      val byObject = all.join(bind, all(TripleSchema.objekt) === bind("node"), "left_semi")
+      return bySubject.unionAll(byObject).select(
+        col(TripleSchema.subject), col(TripleSchema.predicate), col(TripleSchema.objekt))
+        .distinct()
+    }
     // Patterns whose predicate is a one-or-more property path plan through
     // the iterative closure operator, not a scan.
     val (pathPatterns, nonPathPatterns) = query.patterns.partition {

@@ -98,7 +98,10 @@ final case class BgpQuery(
     // `GRAPH <term|?var> { bgp }` groups (SPARQL named graphs): the term
     // names the graph (variable form binds it); patterns scope to it.
     // Requires a registered quad store.
-    graphGroups: Seq[(Term, Seq[TriplePattern])] = Nil)
+    graphGroups: Seq[(Term, Seq[TriplePattern])] = Nil,
+    // `DESCRIBE ?v WHERE { bgp }`: the inner query (projecting ?v) selects
+    // the resources; the result is every triple mentioning any of them.
+    describeWhere: Option[BgpQuery] = None)
 
 object SparqlParser {
 
@@ -135,15 +138,29 @@ object SparqlParser {
         return BgpQuery(Nil, patterns, ask = true)
       case _ =>
     }
+    // DESCRIBE ?v WHERE { bgp }: the WHERE group selects the resources to
+    // describe — parsed as an inner SELECT ?v query and planned as a
+    // semi-join of the triple store against its distinct bindings.
+    val descVarRe = "(?is)DESCRIBE\\s+\\?(\\w+)\\s+WHERE\\s*\\{(.*)\\}\\s*".r
+    normalized match {
+      case descVarRe(v, body) =>
+        val patterns = splitPatterns(body, fresh)
+        require(patterns.nonEmpty, "empty BGP")
+        require(patterns.exists(p => Seq(p.s, p.p, p.o).contains(Variable(v))),
+          s"DESCRIBE variable ?$v is not bound by the WHERE group")
+        return BgpQuery(Nil, Nil,
+          describeWhere = Some(BgpQuery(Seq(v), patterns)))
+      case _ =>
+    }
     // DESCRIBE <term>: every triple mentioning the resource (the subset's
-    // concise-bounded-description — subject OR object position; no
-    // variable/WHERE form)
+    // concise-bounded-description — subject OR object position)
     // greedy term capture: quoted lexical forms may contain spaces (the
     // dictionary supports multi-word terms)
     val descRe = "(?i)DESCRIBE\\s+(.+?)\\s*".r
     normalized match {
       case descRe(term) =>
-        require(!term.startsWith("?"), "DESCRIBE ?var is not in the subset")
+        require(!term.startsWith("?"),
+          "DESCRIBE ?var needs a WHERE group in the subset")
         return BgpQuery(Nil, Nil,
           describeTerm = Some(Constant(graft.core.Dictionary.normalizeTerm(term))))
       case _ =>

@@ -92,6 +92,14 @@ class SparqlSpec extends SparkTestBase {
     // unknown term describes nothing (empty, not an error)
     assert(reg.sparql("DESCRIBE 'nosuch'").count() == 0)
     intercept[IllegalArgumentException](SparqlParser.parse("DESCRIBE ?x"))
+    // DESCRIBE ?v WHERE { bgp }: describes every binding of ?v — 'a' :p1
+    // binds y=10, and 10 appears in (-5,1,10) and (10,2,-7)
+    val dw = reg.sparql("DESCRIBE ?y WHERE { 'a' :p1 ?y }")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sorted
+    assert(dw.toSeq == Seq((-5, 1, 10), (10, 2, -7)))
+    // the described variable must be bound by the group
+    intercept[IllegalArgumentException](
+      SparqlParser.parse("DESCRIBE ?z WHERE { 'a' :p1 ?y }"))
   }
 
   test("the reference's own sample queries parse and run verbatim") {
