@@ -339,6 +339,44 @@ object Rdf {
                    |  ('cust_${lo.getLong(0)}' 'nation_$wrongNation') } }""".stripMargin)
     },
 
+    // ---- multi-variable VALUES with UNDEF (per-row wildcard): row 1 pins
+    // (customer, nation); row 2 leaves the customer UNDEF and pins a
+    // different nation — UNDEF-free columns stay plain broadcast hash-join
+    // keys, the UNDEF-bearing column wraps its condition in the
+    // null-tolerant wildcard disjunct. ----
+    QueryDef("rdf_sparql_values_undef",
+      RdfBridge.oracleCte + """
+        |SELECT Subject AS c, Object AS n FROM triples
+        |WHERE Predicate = -31
+        |  AND ((Subject = CAST(-(1000 + (SELECT MIN(c_custkey) FROM customer)) AS INTEGER)
+        |        AND Object = CAST((SELECT c_nationkey FROM customer
+        |                           WHERE c_custkey = (SELECT MIN(c_custkey) FROM customer)) + 2000000000 AS BIGINT))
+        |    OR Object = CAST((SELECT (c_nationkey + 1) % 25 FROM customer
+        |                      WHERE c_custkey = (SELECT MIN(c_custkey) FROM customer)) + 2000000000 AS BIGINT))""".stripMargin) { (s, dir) =>
+      val lo = graft.sources.Tables.load(s, dir, "customer")
+        .orderBy(col("c_custkey").asc).select("c_custkey", "c_nationkey").head()
+      // wildcard row names a DIFFERENT nation than the pinned row, so no
+      // solution matches both rows (the bag join would emit it twice while
+      // the OR-oracle emits it once)
+      val otherNation = (lo.getInt(1) + 1) % 25
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"""SELECT ?c ?n WHERE { ?c :in_nation ?n .
+                   | VALUES (?c ?n) { ('cust_${lo.getLong(0)}' 'nation_${lo.getInt(1)}')
+                   |  (UNDEF 'nation_$otherNation') } }""".stripMargin)
+    },
+
+    // ---- CONSTRUCT WHERE shorthand (template == pattern group): the
+    // :in_nation subgraph extracted as-is, set semantics. ----
+    QueryDef("rdf_sparql_construct_where",
+      RdfBridge.oracleCte +
+        """SELECT DISTINCT Subject, Predicate, Object FROM triples
+          |WHERE Predicate = -31""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("CONSTRUCT WHERE { ?c :in_nation ?n }")
+    },
+
     // ---- SPARQL ASK (boolean query form): existence probed with a
     // LocalLimit(1) per partition — no full scan survives in the plan. ----
     QueryDef("rdf_sparql_ask",

@@ -224,7 +224,7 @@ object BgpPlanner {
       query.minuses.flatten.flatMap(p => Seq(p.s, p.p, p.o)) ++
       query.existsFilters.flatMap(_._1).flatMap(p => Seq(p.s, p.p, p.o)) ++
       query.inlineValues.flatMap(_._2) ++
-      query.inlineValuesMulti.flatMap(_._2.flatten) ++
+      query.inlineValuesMulti.flatMap(_._2.flatten.flatten) ++
       query.graphGroups.flatMap { case (g, pats) =>
         g +: pats.flatMap(p => Seq(p.s, p.p, p.o)) } ++
       query.binds.map(_._1)).collect {
@@ -490,30 +490,45 @@ object BgpPlanner {
       case (acc, (vars, rows)) =>
         vars.foreach(v => require(acc.columns.contains(v),
           s"VALUES variable ?$v not bound by the BGP (bound: ${acc.columns.mkString(", ")})"))
-        val encRows = rows.flatMap { r =>
-          val ids = r.map(c => enc.get(c.lexical))
-          if (ids.exists(_.isEmpty)) None else Some(ids.map(_.get))
+        // per-cell: Some(id) = bound term, None = UNDEF (wildcard for that
+        // variable in that row). A DEFINED term absent from the dictionary
+        // drops its row (it cannot match any bound solution).
+        val encRows: Seq[Seq[Option[Int]]] = rows.flatMap { r =>
+          val ids = r.map(_.map(c => enc.get(c.lexical)))
+          if (ids.exists(o => o.isDefined && o.get.isEmpty)) None
+          else Some(ids.map(_.flatten))
         }
         if (encRows.isEmpty) acc.filter(lit(false))
         else {
           val spark = acc.sparkSession
           val tmpCols = vars.map(v => s"__graft_val_$v")
+          // a column is nullable only if some row leaves it UNDEF — keeps
+          // the no-UNDEF case's tight non-null schema
+          val hasUndef = vars.indices.map(i => encRows.exists(r => r(i).isEmpty))
           val schema = org.apache.spark.sql.types.StructType(
-            tmpCols.map(c => org.apache.spark.sql.types.StructField(
-              c, org.apache.spark.sql.types.IntegerType, nullable = false)))
+            tmpCols.zipWithIndex.map { case (c, i) =>
+              org.apache.spark.sql.types.StructField(
+                c, org.apache.spark.sql.types.IntegerType, nullable = hasUndef(i)) })
           val vdf = spark.createDataFrame(
             java.util.Arrays.asList(encRows.map(r =>
-              org.apache.spark.sql.Row.fromSeq(r)): _*), schema)
+              org.apache.spark.sql.Row.fromSeq(
+                r.map(_.map(x => x: java.lang.Integer).orNull))): _*), schema)
           // required variables are provably non-null: emit the plain
           // equality so Catalyst plans a Broadcast HASH join on the tuple
           // (the null-tolerant OR would force a nested-loop probe — the
           // scan's nullable column type hides the invariant from the
-          // optimizer)
-          val cond = vars.zip(tmpCols).map { case (v, c) =>
-            if (nonNullVars.contains(v)) col(v) === col(c)
-            else col(v).isNull || col(v) === col(c)
+          // optimizer). An UNDEF-bearing column wraps ITS condition in a
+          // null-tolerant disjunct (the wildcard), leaving UNDEF-free
+          // columns as plain hash-join keys.
+          val cond = vars.zip(tmpCols).zipWithIndex.map { case ((v, c), i) =>
+            val base =
+              if (nonNullVars.contains(v)) col(v) === col(c)
+              else col(v).isNull || col(v) === col(c)
+            if (hasUndef(i)) col(c).isNull || base else base
           }.reduce(_ && _)
           val joined = acc.join(broadcast(vdf), cond)
+          // extension: an unbound solution variable takes the tuple's value
+          // (null for UNDEF — no extension)
           vars.zip(tmpCols).foldLeft(joined) { case (df, (v, c)) =>
             df.withColumn(v, coalesce(col(v), col(c)))
           }.drop(tmpCols: _*)

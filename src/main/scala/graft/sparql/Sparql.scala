@@ -86,8 +86,9 @@ final case class BgpQuery(
     constructTemplate: Seq[TriplePattern] = Nil,
     inlineValues: Seq[(String, Seq[Constant])] = Nil,
     // multi-variable ValuesClause rows: (vars, tuples) — each tuple one
-    // binding per var
-    inlineValuesMulti: Seq[(Seq[String], Seq[Seq[Constant]])] = Nil,
+    // binding per var; None = UNDEF (that variable unconstrained and
+    // unextended for that row)
+    inlineValuesMulti: Seq[(Seq[String], Seq[Seq[Option[Constant]]])] = Nil,
     minuses: Seq[Seq[TriplePattern]] = Nil,
     // compound FILTER condition trees (&&/||); single-atom filters stay in
     // `filters`
@@ -165,6 +166,18 @@ object SparqlParser {
           describeTerm = Some(Constant(graft.core.Dictionary.normalizeTerm(term))))
       case _ =>
     }
+    // CONSTRUCT WHERE { bgp }: the SPARQL 1.1 shorthand — template ==
+    // pattern group. Plain triples only per the grammar: parsing WITHOUT a
+    // fresh-variable supply makes any path syntax fail loudly instead of
+    // being rewritten into triples the template could not have contained.
+    val consWhereRe = "(?is)CONSTRUCT\\s+WHERE\\s*\\{(.*)\\}\\s*".r
+    normalized match {
+      case consWhereRe(body) =>
+        val patterns = splitPatterns(body)
+        require(patterns.nonEmpty, "empty BGP")
+        return BgpQuery(Nil, patterns, constructTemplate = patterns)
+      case _ =>
+    }
     // CONSTRUCT: template triples instantiated per solution (set semantics)
     val consRe = "(?is)CONSTRUCT\\s*\\{(.*?)\\}\\s*WHERE\\s*\\{(.*)\\}\\s*".r
     normalized match {
@@ -184,7 +197,7 @@ object SparqlParser {
     val trailingRe = "(?i)VALUES\\s+\\?(\\w+)\\s*\\{([^{}]*)\\}\\s*$".r
     val trailingMultiRe = "(?i)VALUES\\s*\\(([^()]*)\\)\\s*\\{([^{}]*)\\}\\s*$".r
     val trailingValuesMulti =
-      scala.collection.mutable.ListBuffer.empty[(Seq[String], Seq[Seq[Constant]])]
+      scala.collection.mutable.ListBuffer.empty[(Seq[String], Seq[Seq[Option[Constant]]])]
     var more = true
     while (more) {
       (trailingRe.findFirstMatchIn(work), trailingMultiRe.findFirstMatchIn(work)) match {
@@ -431,16 +444,23 @@ object SparqlParser {
     * rows. Variables must be distinct (SPARQL DataBlock grammar); every row
     * carries one constant per variable.
     */
-  private def parseValuesRows(varText: String, rowText: String): (Seq[String], Seq[Seq[Constant]]) = {
+  private def parseValuesRows(varText: String, rowText: String): (Seq[String], Seq[Seq[Option[Constant]]]) = {
     val vars = "\\?(\\w+)".r.findAllMatchIn(varText).map(_.group(1)).toSeq
     require(vars.nonEmpty, s"VALUES needs variables: $varText")
     require(vars.distinct.size == vars.size,
       s"duplicate VALUES variables: ${vars.mkString(", ")}")
     val rows = "\\(([^()]*)\\)".r.findAllMatchIn(rowText).map { r =>
-      val terms = tokenize(r.group(1).trim).toSeq.map(toTerm)
-      require(terms.length == vars.length && terms.forall(_.isInstanceOf[Constant]),
-        s"VALUES row needs ${vars.length} constants: ${r.group(1)}")
-      terms.map(_.asInstanceOf[Constant])
+      val terms = tokenize(r.group(1).trim).toSeq.map {
+        case u if u.equalsIgnoreCase("UNDEF") => None // per-row wildcard
+        case t => toTerm(t) match {
+          case c: Constant => Some(c)
+          case _ => throw new IllegalArgumentException(
+            s"VALUES row terms must be constants or UNDEF: ${r.group(1)}")
+        }
+      }
+      require(terms.length == vars.length,
+        s"VALUES row needs ${vars.length} terms: ${r.group(1)}")
+      terms
     }.toSeq
     require(rows.nonEmpty, s"VALUES needs at least one row: $rowText")
     vars -> rows

@@ -53,6 +53,13 @@ class SparqlSpec extends SparkTestBase {
     val one = reg.sparql("CONSTRUCT { 'a' :p3 'd' } WHERE { ?s :p1 ?o }")
       .collect()
     assert(one.length == 1 && one.head.getInt(0) == -5)
+    // CONSTRUCT WHERE { bgp }: template == pattern group (the 1.1 shorthand)
+    val cw = reg.sparql("CONSTRUCT WHERE { ?s :p1 ?o }")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(cw == Seq((-5, 1, 10), (6, 1, 11)))
+    // paths are not triples — the shorthand rejects them loudly
+    intercept[IllegalArgumentException](
+      SparqlParser.parse("CONSTRUCT WHERE { ?s :p1/:p2 ?o }"))
   }
 
   test("PREFIX declarations expand declared names; REDUCED dedups") {
@@ -453,6 +460,26 @@ class SparqlSpec extends SparkTestBase {
     // rebinding an existing variable is an error
     intercept[IllegalArgumentException](reg.sparql(
       "SELECT ?s WHERE { ?s :p1 ?o . BIND(?s AS ?o) }").collect())
+  }
+
+  test("multi-variable VALUES with UNDEF: per-row wildcard") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // p1 solutions: (a=-5, b=10), (e=6, f=11). Row 1 pins both variables;
+    // row 2 leaves ?s UNDEF and pins ?o='f' — together both solutions pass,
+    // each through exactly one row.
+    val rows = reg.sparql("SELECT ?s ?o WHERE { ?s :p1 ?o . " +
+      "VALUES (?s ?o) { ('a' 'b') (UNDEF 'f') } }")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((-5, 10), (6, 11)))
+    // an all-UNDEF row restricts nothing
+    assert(reg.sparql("SELECT ?s ?o WHERE { ?s :p1 ?o . " +
+      "VALUES (?s ?o) { (UNDEF UNDEF) } }").count() == 2)
+    // UNDEF does NOT extend an OPTIONAL-unbound variable (stays null)
+    val opt = reg.sparql("SELECT ?s ?x WHERE { ?s :p3 ?y . " +
+      "OPTIONAL { ?y :p2 ?x } VALUES (?s ?x) { ('c' UNDEF) } }")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+    assert(opt.toSeq == Seq((-7, None))) // c=-7 has :p3 20; 20 has no :p2
   }
 
   test("multi-variable VALUES restricts solutions to the tuple set") {
