@@ -675,6 +675,26 @@ object Rdf {
                    |   || ?o = 'order_$maxK') }""".stripMargin)
     },
 
+    // ---- SPARQL FILTER [NOT] IN: the ExpressionList becomes ONE encoded
+    // `isin` predicate (pushdown-friendly), not a disjunction of joins;
+    // terms missing from the dictionary drop from the list (they cannot
+    // equal any bound id). Both polarities exercised in one query via ||. ----
+    QueryDef("rdf_sparql_filter_in",
+      RdfBridge.oracleCte + """
+        |SELECT Subject AS c, Object AS n FROM triples
+        |WHERE Predicate = -31
+        |  AND (Object IN (2000000003, 2000000011) OR Object = 2000000019)""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("""SELECT ?c ?n WHERE { ?c :in_nation ?n .
+                  | FILTER(?n IN ('nation_3', 'nation_11', 'nation_nosuch')
+                  |   || ?n NOT IN ('nation_0','nation_1','nation_2','nation_3','nation_4',
+                  |     'nation_5','nation_6','nation_7','nation_8','nation_9','nation_10',
+                  |     'nation_11','nation_12','nation_13','nation_14','nation_15','nation_16',
+                  |     'nation_17','nation_18','nation_20','nation_21','nation_22','nation_23',
+                  |     'nation_24')) }""".stripMargin)
+    },
+
     // ---- SPARQL FILTER regex(): the variable's DECODED lexical form
     // matched against the pattern — planned as a semi-join against the
     // rlike-filtered dictionary (pattern evaluated once per vocabulary

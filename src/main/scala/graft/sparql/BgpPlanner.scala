@@ -220,7 +220,7 @@ object BgpPlanner {
         query.filterExprs.flatMap(filterLeaves))
         // regex patterns are raw regexes, not dictionary terms
         .filterNot(c => c.op == FilterRegex || c.op == FilterNotRegex)
-        .map(_.value) ++
+        .flatMap(c => c.value +: c.values) ++
       query.minuses.flatten.flatMap(p => Seq(p.s, p.p, p.o)) ++
       query.existsFilters.flatMap(_._1).flatMap(p => Seq(p.s, p.p, p.o)) ++
       query.inlineValues.flatMap(_._2) ++
@@ -318,6 +318,22 @@ object BgpPlanner {
         case FilterNotBound => col(f.variable).isNull
         case FilterRegex | FilterNotRegex => throw new IllegalArgumentException(
           "regex() cannot appear inside &&/|| in the subset")
+        // [NOT] IN over constant terms → a single pushdown-friendly `isin`
+        // on the encoded ids. Terms absent from the dictionary (and
+        // non-numeric) can never equal a bound value — dropped from the id
+        // list, which realizes SPARQL's `=`-per-element semantics. A null
+        // (OPTIONAL-unbound) variable is an expression error → the null
+        // isin result drops the row under IN and NOT IN alike.
+        case FilterIn | FilterNotIn =>
+          val ids = f.values.collect {
+            case Constant(l) => enc.get(l).orElse(l.toIntOption)
+          }.flatten
+          if (f.op == FilterIn) {
+            if (ids.isEmpty) lit(false) else col(f.variable).isin(ids: _*)
+          } else {
+            if (ids.isEmpty) col(f.variable).isNotNull
+            else !col(f.variable).isin(ids: _*)
+          }
         case cmp =>
           val rhs: Option[Column] = f.value match {
             case Variable(v) =>

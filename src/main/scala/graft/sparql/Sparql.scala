@@ -33,7 +33,11 @@ case object FilterBound extends FilterOp
 case object FilterNotBound extends FilterOp
 case object FilterRegex extends FilterOp
 case object FilterNotRegex extends FilterOp
-final case class FilterCond(variable: String, op: FilterOp, value: Term)
+// `?var [NOT] IN (term, …)` — `values` carries the list; `value` is unused
+case object FilterIn extends FilterOp
+case object FilterNotIn extends FilterOp
+final case class FilterCond(variable: String, op: FilterOp, value: Term,
+    values: Seq[Term] = Nil)
 
 /** A FILTER condition tree: leaves are [[FilterCond]] atoms combined with
   * `&&` / `||` (SPARQL ConditionalAndExpression / ConditionalOrExpression;
@@ -546,7 +550,19 @@ object SparqlParser {
     // SPARQL regex strings are double-quoted; the subset's lexical forms are
     // single-quoted — accept either
     val regexRe = "(?i)(!)?\\s*REGEX\\s*\\(\\s*\\?(\\w+)\\s*,\\s*['\"]([^'\"]*)['\"]\\s*\\)".r
+    // `?var [NOT] IN (t1, t2, …)` — the ExpressionList terms must be
+    // constants in the subset (SPARQL allows expressions; a variable on the
+    // list would need per-row equality semantics the encoded-id isin can't
+    // carry)
+    val inRe = "(?i)\\?(\\w+)\\s+(NOT\\s+)?IN\\s*\\(([^()]*)\\)".r
     cond.trim match {
+      case inRe(v, neg, listText) =>
+        val terms = listText.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(toTerm)
+        require(terms.nonEmpty, s"IN needs at least one term: $listText")
+        require(terms.forall(_.isInstanceOf[Constant]),
+          s"IN list terms must be constants in the subset: $listText")
+        FilterCond(v, if (neg == null) FilterIn else FilterNotIn,
+          Variable(v), values = terms)
       case boundRe(neg, v) =>
         FilterCond(v, if (neg == null) FilterBound else FilterNotBound, Variable(v))
       case regexRe(neg, v, pattern) =>
@@ -565,7 +581,7 @@ object SparqlParser {
         FilterCond(v, fop, toTerm(rhs.trim))
       case other => throw new IllegalArgumentException(
         "unsupported FILTER condition (subset is ?var =|!=|<|<=|>|>= term, " +
-          s"[!]BOUND(?var), [!]regex(?var, 'pattern')): $other")
+          s"?var [NOT] IN (terms), [!]BOUND(?var), [!]regex(?var, 'pattern')): $other")
     }
   }
 

@@ -734,6 +734,29 @@ class SparqlSpec extends SparkTestBase {
     assert(n == 1)
   }
 
+  test("FILTER IN / NOT IN: one isin over encoded ids; unknown terms drop") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // :p1 solutions (?s,?o): (a=-5, b=10), (e=6, f=11)
+    assert(reg.sparql(
+      "SELECT ?s ?o WHERE { ?s :p1 ?o . FILTER(?o IN ('b', 'nosuch')) }")
+      .collect().map(_.getInt(1)).toSeq == Seq(10))
+    assert(reg.sparql(
+      "SELECT ?s ?o WHERE { ?s :p1 ?o . FILTER(?o NOT IN ('b')) }")
+      .collect().map(_.getInt(1)).toSeq == Seq(11))
+    // an all-unknown NOT IN list restricts nothing
+    assert(reg.sparql(
+      "SELECT ?s WHERE { ?s :p1 ?o . FILTER(?s NOT IN ('nosuch')) }")
+      .count() == 2)
+    // IN composes inside &&/|| trees (it is a plain Column predicate)
+    assert(reg.sparql("SELECT ?s ?o WHERE { ?s :p1 ?o . " +
+      "FILTER(?o IN ('b', 'f') && ?s IN ('e')) }")
+      .collect().map(_.getInt(1)).toSeq == Seq(11))
+    // OPTIONAL-unbound variable: expression error — IN and NOT IN both drop
+    assert(reg.sparql("SELECT ?s ?x WHERE { ?s :p3 ?y . " +
+      "OPTIONAL { ?y :p2 ?x } FILTER(?x NOT IN ('b')) }").count() == 0)
+  }
+
   test("FILTER comparisons: <,<=,>,>= over encoded ids; integer-literal RHS") {
     val (engine, triples) = fixture
     val reg = engine.registerSplitTables(triples)
