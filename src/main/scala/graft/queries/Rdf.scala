@@ -311,6 +311,23 @@ object Rdf {
           "BIND(?o AS ?o2) . BIND('nation_0' AS ?tag) }")
     },
 
+    // ---- SPARQL arithmetic BIND: the alias is a computed integer binding
+    // (`?o - 1` undoes the order-id offset, recovering o_orderkey); a
+    // FILTER over the computed alias restricts on it. Operands widen to
+    // long — projection work above the joins, no shuffle. ----
+    QueryDef("rdf_sparql_bind_expr",
+      RdfBridge.oracleCte + """
+        |SELECT Subject AS c, CAST(Object - 1 AS BIGINT) AS okey FROM triples
+        |WHERE Predicate = -2
+        |  AND Object - 1 <= (SELECT MIN(o_orderkey) + 20 FROM orders)""".stripMargin) { (s, dir) =>
+      val minK = graft.sources.Tables.load(s, dir, "orders")
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"""SELECT ?c ?okey WHERE { ?c :placed ?o .
+                   | BIND(?o - 1 AS ?okey) FILTER(?okey <= ${minK + 20}) }""".stripMargin)
+    },
+
     // ---- SPARQL multi-variable VALUES: row tuples over (customer, nation)
     // joined under the compatibility rule — for required variables the
     // null-tolerant condition simplifies to a broadcast equi-join on the

@@ -154,6 +154,25 @@ object Streams {
   private def await(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     assert(q.awaitTermination(300000), "streaming gate timed out")
 
+  /** Stage the RdfBridge triple set as THREE parquet files (memoized per
+    * session + dataset): with `maxFilesPerTrigger=1` the triple STREAM
+    * arrives in three genuine micro-batches. Slices are a deterministic
+    * hash partition of the rows — batch boundaries carry no semantics for
+    * the stateless stream-static match, so any split verifies the same.
+    */
+  private def stagedTriplesDir(spark: SparkSession, sfDir: String): String =
+    stageCache.computeIfAbsent(seedKey(spark, sfDir, "triples"), { _ =>
+      val dir = cleanScratch(spark,
+        s"triples_stream_${sfDir.hashCode & 0x7fffffff}")
+      val all = graft.sources.RdfBridge.triples(spark, sfDir)
+      val cols = all.columns.map(col)
+      Seq(0, 1, 2).foreach { i =>
+        all.filter(pmod(hash(cols: _*), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      dir
+    })
+
   /** Run `f` with a reduced shuffle-partition count. Streaming STATE is
     * partitioned by `spark.sql.shuffle.partitions` captured at query start;
     * at gate scale (10⁵ rows, local) 32 partitions mean 32–64 state-store
@@ -423,6 +442,42 @@ object Streams {
           col("n_events"),
           col("total_value").cast("decimal(18,2)").cast("double").as("total_value"))
       }
+    },
+
+    // ---- STREAMING RDF: continuous BGP match over an arriving triple
+    // stream. The streamed pattern (`?c :placed ?o`) filters each
+    // micro-batch; the static pattern (`?c :in_nation ?n`) is the indexed
+    // graph side, broadcast once — so every new order triple emits its
+    // (customer, order, nation) solutions incrementally with NO state store
+    // and no shuffle (filter + broadcast hash join per batch, the streaming
+    // twin of the batch BGP chain join). Result set is batch-equivalent by
+    // construction: the match is stateless, so batching carries no
+    // semantics. ----
+    QueryDef("stream_rdf_match",
+      graft.sources.RdfBridge.oracleCte + """
+        |SELECT t1.Subject AS c, t1.Object AS o, t2.Object AS n
+        |FROM triples t1 JOIN triples t2 ON t1.Subject = t2.Subject
+        |WHERE t1.Predicate = -2 AND t2.Predicate = -31""".stripMargin) { (s, dir) =>
+      import graft.core.TripleSchema
+      import graft.sources.RdfBridge
+      val src = stagedTriplesDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_rdf_ckpt_${dir.hashCode & 0x7fffffff}")
+      val static = broadcast(RdfBridge.triples(s, dir)
+        .filter(col(TripleSchema.predicate) === RdfBridge.InNation)
+        .select(col(TripleSchema.subject).as("__c2"),
+          col(TripleSchema.objekt).as("n")))
+      val schema = RdfBridge.triples(s, dir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .filter(col(TripleSchema.predicate) === RdfBridge.Placed)
+        .join(static, col(TripleSchema.subject) === col("__c2"))
+        .select(col(TripleSchema.subject).as("c"),
+          col(TripleSchema.objekt).as("o"), col("n"))
+        .writeStream.format("memory").queryName("g_stream_rdf")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.table("g_stream_rdf")
     },
   )
 }

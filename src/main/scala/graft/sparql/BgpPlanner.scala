@@ -227,7 +227,10 @@ object BgpPlanner {
       query.inlineValuesMulti.flatMap(_._2.flatten.flatten) ++
       query.graphGroups.flatMap { case (g, pats) =>
         g +: pats.flatMap(p => Seq(p.s, p.p, p.o)) } ++
-      query.binds.map(_._1)).collect {
+      query.binds.flatMap(_._1 match {
+        case BindTerm(t) => Seq(t)
+        case BindArith(l, _, r) => Seq(l, r)
+      })).collect {
       case Constant(l) => l
     }.distinct
     val enc: Map[String, Int] = dict.encodeTerms(constants)
@@ -556,16 +559,37 @@ object BgpPlanner {
     // term binds the error value, null — SPARQL expression-error
     // semantics). Evaluated before FILTER so filters can reference them.
     val withBinds = query.binds.foldLeft(withValuesMulti) {
-      case (acc, (term, alias)) =>
+      case (acc, (bexpr, alias)) =>
         require(!acc.columns.contains(alias),
           s"BIND alias ?$alias is already bound")
-        term match {
+        // arithmetic operand: variable → column, term → encoded id, bare
+        // integer → itself, unknown → null (expression error); widened to
+        // long so id-space arithmetic cannot overflow the int domain
+        def operand(t: Term): Column = t match {
           case Variable(v) =>
             require(acc.columns.contains(v), s"BIND source ?$v not bound")
-            acc.withColumn(alias, col(v))
+            col(v).cast("long")
           case Constant(l) =>
+            enc.get(l).map(id => lit(id.toLong))
+              .orElse(l.toLongOption.map(n => lit(n)))
+              .getOrElse(lit(null).cast("long"))
+        }
+        bexpr match {
+          case BindTerm(Variable(v)) =>
+            require(acc.columns.contains(v), s"BIND source ?$v not bound")
+            acc.withColumn(alias, col(v))
+          case BindTerm(Constant(l)) =>
             acc.withColumn(alias,
               enc.get(l).map(id => lit(id)).getOrElse(lit(null).cast("int")))
+          case BindArith(l, op, r) =>
+            val e = op match {
+              case '+' => operand(l) + operand(r)
+              case '-' => operand(l) - operand(r)
+              case '*' => operand(l) * operand(r)
+              case other => throw new IllegalArgumentException(
+                s"unsupported BIND operator '$other'")
+            }
+            acc.withColumn(alias, e)
         }
     }
 

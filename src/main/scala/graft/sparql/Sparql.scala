@@ -49,6 +49,17 @@ final case class FilterLeaf(cond: FilterCond) extends FilterExpr
 final case class FilterAnd(l: FilterExpr, r: FilterExpr) extends FilterExpr
 final case class FilterOr(l: FilterExpr, r: FilterExpr) extends FilterExpr
 
+/** A BIND source: a plain term (variable alias / constant), or one binary
+  * arithmetic step `l op r` (`+ - *`) over the engine's integer value
+  * domain — operands widen to long so id-space arithmetic cannot overflow.
+  * An operand resolves like a FILTER comparison RHS: variable → its column,
+  * dictionary term → its encoded id, bare integer → itself, unknown term →
+  * null (SPARQL expression error → the alias binds null).
+  */
+sealed trait BindExpr
+final case class BindTerm(t: Term) extends BindExpr
+final case class BindArith(l: Term, op: Char, r: Term) extends BindExpr
+
 /** A basic graph pattern plus the query's projection (Nil = `*`), OPTIONAL
   * pattern groups (each left-joined to the required patterns on shared
   * variables, unmatched rows binding their variables to null), FILTER
@@ -82,7 +93,7 @@ final case class BgpQuery(
     countAggs: Seq[CountAgg] = Nil,
     havings: Seq[HavingCond] = Nil,
     optionalFilters: Seq[Seq[FilterCond]] = Nil, // aligned with `optionals`
-    binds: Seq[(Term, String)] = Nil, // BIND(term|?var AS ?alias)
+    binds: Seq[(BindExpr, String)] = Nil, // BIND(term|?var [op term] AS ?alias)
     // FILTER [NOT] EXISTS { bgp } groups: (patterns, negated)
     existsFilters: Seq[(Seq[TriplePattern], Boolean)] = Nil,
     ask: Boolean = false,
@@ -327,9 +338,20 @@ object SparqlParser {
         // BIND clauses: `BIND(term AS ?alias)` / `BIND(?var AS ?alias)` —
         // extracted like FILTER (no dot separator required); the alias
         // becomes a visible binding evaluated after the pattern joins.
-        val bindRe = "(?i)BIND\\s*\\(\\s*('[^']*'|\\S+?)\\s+AS\\s+\\?(\\w+)\\s*\\)".r
+        // an optional single arithmetic step (`?x + 1`, `?a - ?b`, `?x * 3`)
+        // makes the alias a computed integer binding; `/` is rejected (the
+        // xsd:decimal division result has no home in the id domain)
+        val bindRe = ("(?i)BIND\\s*\\(\\s*('[^']*'|\\S+?)" +
+          "(?:\\s*([+*/-])\\s*('[^']*'|\\S+?))?\\s+AS\\s+\\?(\\w+)\\s*\\)").r
         val binds = bindRe.findAllMatchIn(withoutOpt).map { m =>
-          (toTerm(m.group(1)), m.group(2))
+          val expr: BindExpr =
+            if (m.group(2) == null) BindTerm(toTerm(m.group(1)))
+            else {
+              require(m.group(2) != "/",
+                "unsupported BIND operator '/' (subset is + - *)")
+              BindArith(toTerm(m.group(1)), m.group(2).head, toTerm(m.group(3)))
+            }
+          (expr, m.group(4))
         }.toSeq
         val withoutBind = bindRe.replaceAllIn(withoutOpt, " ")
         // FILTER clauses: extract (they need no dot separator in SPARQL),

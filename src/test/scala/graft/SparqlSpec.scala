@@ -734,6 +734,31 @@ class SparqlSpec extends SparkTestBase {
     assert(n == 1)
   }
 
+  test("arithmetic BIND: computed integer bindings over the id domain") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // :p1 solutions (?s,?o): (a=-5, b=10), (e=6, f=11)
+    assert(reg.sparql("SELECT ?o2 WHERE { ?s :p1 ?o . BIND(?o + 1 AS ?o2) }")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(11L, 12L))
+    // two-variable operands
+    assert(reg.sparql("SELECT ?d WHERE { ?s :p1 ?o . BIND(?o - ?s AS ?d) }")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 15L))
+    // a dictionary-term operand resolves to its encoded id ('b' = 10)
+    assert(reg.sparql("SELECT ?m WHERE { ?s :p1 ?o . BIND(?o * 'b' AS ?m) }")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 110L))
+    // FILTER restricts on the computed alias
+    assert(reg.sparql("SELECT ?s ?o2 WHERE { ?s :p1 ?o . " +
+      "BIND(?o + 1 AS ?o2) FILTER(?o2 = 12) }")
+      .collect().map(_.getInt(0)).toSeq == Seq(6))
+    // unknown term operand: expression error — the alias binds null
+    val nulls = reg.sparql(
+      "SELECT ?x WHERE { ?s :p1 ?o . BIND(?o + 'nosuch' AS ?x) }").collect()
+    assert(nulls.length == 2 && nulls.forall(_.isNullAt(0)))
+    // '/' is rejected loudly
+    intercept[IllegalArgumentException](SparqlParser.parse(
+      "SELECT ?x WHERE { ?s :p1 ?o . BIND(?o / 2 AS ?x) }"))
+  }
+
   test("FILTER IN / NOT IN: one isin over encoded ids; unknown terms drop") {
     val (engine, triples) = fixture
     val reg = engine.registerSplitTables(triples)

@@ -247,4 +247,41 @@ class StreamingSpec extends SparkTestBase {
     assert(a.length == b.length && a.sameElements(b),
       s"custom-state(${a.length}) vs declarative(${b.length}); onlyCustom=${onlyA.take(5)}; onlyDecl=${onlyB.take(5)}")
   }
+
+  test("streaming RDF match == batch BGP join (stateless stream-static)") {
+    import graft.core.TripleSchema
+    import graft.sources.RdfBridge
+    val dir = Files.createTempDirectory("triples_stream").toString
+    val all = RdfBridge.triples(spark, sf)
+    val cols = all.columns.map(col)
+    Seq(0, 1, 2).foreach { i =>
+      all.filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(cols: _*),
+          org.apache.spark.sql.functions.lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val static = org.apache.spark.sql.functions.broadcast(
+      all.filter(col(TripleSchema.predicate) === RdfBridge.InNation)
+        .select(col(TripleSchema.subject).as("__c2"),
+          col(TripleSchema.objekt).as("n")))
+    val q = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .filter(col(TripleSchema.predicate) === RdfBridge.Placed)
+      .join(static, col(TripleSchema.subject) === col("__c2"))
+      .select(col(TripleSchema.subject).as("c"),
+        col(TripleSchema.objekt).as("o"), col("n"))
+      .writeStream.format("memory").queryName("t_stream_rdf")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val streamed = spark.table("t_stream_rdf").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sorted
+    val batch = all.filter(col(TripleSchema.predicate) === RdfBridge.Placed).as("t1")
+      .join(all.filter(col(TripleSchema.predicate) === RdfBridge.InNation).as("t2"),
+        col(s"t1.${TripleSchema.subject}") === col(s"t2.${TripleSchema.subject}"))
+      .select(col(s"t1.${TripleSchema.subject}"), col(s"t1.${TripleSchema.objekt}"),
+        col(s"t2.${TripleSchema.objekt}"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sorted
+    assert(streamed.length == batch.length && streamed.sameElements(batch))
+  }
 }
