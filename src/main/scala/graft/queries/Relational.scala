@@ -800,6 +800,36 @@ object Relational {
           |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h
           |FROM events""".stripMargin)
     },
+
+    // ---- BINNED RANGE JOIN (pure temporal band join, NO equi-key): each
+    // purchase counts the events — any user — in its preceding 10 minutes.
+    // Naive planning is a nested-loop cross product (quadratic at scale);
+    // the binned rewrite maps the build side to one 10-minute bin and
+    // explodes each probe row to the ≤2 bins its window can touch, turning
+    // the band predicate into a shuffled EQUI-join on the bin key with the
+    // exact band re-checked post-join. Bin count grows with the time span,
+    // so partitions stay bounded and uniform at 100 TB (time-uniform
+    // arrival ⇒ no skew; a hot bin would salt like q39). ----
+    QueryDef("q46_band_join",
+      """SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_near
+        |FROM events p JOIN events e
+        |  ON e.ts >= p.ts - INTERVAL 10 MINUTE AND e.ts < p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id""".stripMargin) { (s, dir) =>
+      val binUs = 600L * 1000000 // 10 minutes in microseconds
+      val events = Tables.load(s, dir, "events")
+      val build = events.select(col("event_id").as("e_id"),
+          unix_micros(col("ts")).as("e_us"))
+        .withColumn("bin", floor(col("e_us") / binUs))
+      val probe = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("p_us"))
+        .withColumn("bin", explode(array_distinct(array(
+          floor((col("p_us") - binUs) / binUs), floor(col("p_us") / binUs)))))
+      probe.join(build, Seq("bin"))
+        .filter(col("e_us") >= col("p_us") - binUs && col("e_us") < col("p_us"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_near"))
+    },
   )
 
   /** Array-returning form of q21: per nation, the sorted distinct market

@@ -328,8 +328,10 @@ object BgpPlanner {
         // (OPTIONAL-unbound) variable is an expression error → the null
         // isin result drops the row under IN and NOT IN alike.
         case FilterIn | FilterNotIn =>
-          val ids = f.values.collect {
-            case Constant(l) => enc.get(l).orElse(l.toIntOption)
+          val ids: Seq[Any] = f.values.collect {
+            case Constant(l) => enc.get(l).map(_.asInstanceOf[Any])
+              .orElse(l.toLongOption.map(n =>
+                (if (n.isValidInt) n.toInt else n): Any))
           }.flatten
           if (f.op == FilterIn) {
             if (ids.isEmpty) lit(false) else col(f.variable).isin(ids: _*)
@@ -343,7 +345,11 @@ object BgpPlanner {
               require(df.columns.contains(v), s"FILTER variable ?$v not bound")
               Some(col(v))
             case Constant(l) =>
-              enc.get(l).map(id => lit(id)).orElse(l.toIntOption.map(n => lit(n)))
+              // int-width literal stays int (keeps the pushdown literal in
+              // the int store's type); beyond-int promotes to long for the
+              // wide store
+              enc.get(l).map(id => lit(id)).orElse(l.toLongOption.map(n =>
+                if (n.isValidInt) lit(n.toInt) else lit(n)))
           }
           rhs match {
             case None => if (cmp == FilterNeq) lit(true) else lit(false)

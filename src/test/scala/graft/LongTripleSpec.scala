@@ -67,4 +67,32 @@ class LongTripleSpec extends SparkTestBase {
       col(TripleSchema.objekt).cast("bigint").as(TripleSchema.objekt))
     assert(wide.exceptAll(widenedInt).isEmpty && widenedInt.exceptAll(wide).isEmpty)
   }
+
+  test("SPARQL BGP + FILTER run on a long-typed store (nodes beyond Int range)") {
+    import spark.implicits._
+    // Chain a -> (Base+1) -> c -> d: the intermediate node id exceeds Int
+    // range and is reachable only through variables; dictionary TERMS keep
+    // int-width ids (the vocabulary), and int literals PROMOTE against the
+    // long columns, so predicate pushdown stays on the typed scan.
+    val triples = Seq(
+      (-5L, 1L, Base + 1), (Base + 1, 2L, -7L), (-7L, 3L, 20L),
+      (6L, 1L, Base + 50), (Base + 50, 2L, -8L)).toDF(
+      TripleSchema.subject, TripleSchema.predicate, TripleSchema.objekt)
+    val dict = Dictionary.fromPairs(spark, Seq(
+      -5 -> "a", -7 -> "c", 20 -> "d", 6 -> "e", -8 -> "g",
+      1 -> ":p1", 2 -> ":p2", 3 -> ":p3"))
+    val reg = new QueryEngine(spark, dict).registerSplitTables(triples)
+    val rows = reg.sparql(
+      "SELECT ?x ?m ?o WHERE { 'a' :p1 ?x . ?x :p2 ?m . ?m :p3 ?o }")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((Base + 1, -7L, 20L)))
+    // FILTER comparison: the int-domain literal promotes to long
+    assert(reg.sparql(
+      s"SELECT ?s ?x WHERE { ?s :p1 ?x . FILTER(?x > ${Int.MaxValue}) }")
+      .count() == 2)
+    // aggregation over long bindings
+    assert(reg.sparql(
+      "SELECT (COUNT(?x) AS ?n) WHERE { ?s :p1 ?x }")
+      .collect().head.getLong(0) == 2)
+  }
 }

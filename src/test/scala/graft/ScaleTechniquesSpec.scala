@@ -184,4 +184,20 @@ class ScaleTechniquesSpec extends SparkTestBase {
       .sparql("SELECT ?c ?o WHERE { GRAPH :placed { ?c ?p ?o } }")
     assert(df.collect().map(_.toSeq).toSet == derived.collect().map(_.toSeq).toSet)
   }
+
+  test("binned band join equals the naive range-condition join") {
+    import org.apache.spark.sql.functions._
+    val binned = graft.queries.Relational.defs
+      .find(_.name == "q46_band_join").get.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val events = graft.sources.Tables.load(spark, sf, "events")
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts").as("p_ts"))
+    val naive = p.join(events.select(col("ts").as("e_ts")),
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTE") &&
+          col("e_ts") < col("p_ts"))
+      .groupBy("event_id").agg(count(lit(1)).as("n_near"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(binned.length == naive.length && binned.sameElements(naive))
+  }
 }
