@@ -27,6 +27,7 @@ sealed trait Dialect {
   def contains(l: String, e: String): String
   def distinct(l: String): String
   def slice(l: String, from: String, n: String): String
+  def prepend(l: String, e: String): String
   def joinWs(l: String): String
   def splitWs(e: String): String
   def regexpCount(e: String, pat: String): String
@@ -56,6 +57,7 @@ object SparkDialect extends Dialect {
   def contains(l: String, e: String) = s"array_contains($l, $e)"
   def distinct(l: String) = s"array_distinct($l)"
   def slice(l: String, from: String, n: String) = s"slice($l, $from, $n)"
+  def prepend(l: String, e: String) = s"array_prepend($l, $e)"
   def joinWs(l: String) = s"array_join($l, ' ')"
   def splitWs(e: String) = s"split(trim($e), '\\\\s+')"
   def regexpCount(e: String, pat: String) = s"size(regexp_extract_all($e, '$pat', 0))"
@@ -84,6 +86,7 @@ object DuckDialect extends Dialect {
   def contains(l: String, e: String) = s"list_contains($l, $e)"
   def distinct(l: String) = s"list_distinct($l)"
   def slice(l: String, from: String, n: String) = s"list_slice($l, $from, ($from) + ($n) - 1)"
+  def prepend(l: String, e: String) = s"list_prepend($e, $l)"
   def joinWs(l: String) = s"array_to_string($l, ' ')"
   def splitWs(e: String) = s"regexp_split_to_array(trim($e), '\\s+')"
   def regexpCount(e: String, pat: String) = s"len(regexp_extract_all($e, '$pat'))"
@@ -115,6 +118,18 @@ object Formulas {
     d.reduce(
       d.transform(d.seq("1", "32"), "i", s"CAST(ascii(substr(md5($s), i, 1)) AS BIGINT)"),
       "CAST(0 AS BIGINT)", "acc", "x", s"(acc*$base + x) % $P")
+
+  /** Cheap deterministic 31-bit hash: base-31 polynomial over the string's
+    * OWN characters (no md5) — for boundary/bucket decisions where mixing
+    * quality matters less than per-value cost (the md5 fold is ~6× the
+    * work per token). `s` must not reference lambda variables named
+    * `i`/`acc`/`x` (it is embedded inside this fold's lambda body).
+    */
+  def strHashCheap(d: Dialect, s: String): String =
+    d.reduce(
+      d.transform(d.seq("1", s"length($s)"), "i",
+        s"CAST(ascii(substr($s, i, 1)) AS BIGINT)"),
+      "CAST(0 AS BIGINT)", "acc", "x", s"(acc*31 + x) % $P")
 
   /** 62-bit string hash for ID ASSIGNMENT: two independent 31-bit folds
     * (bases 31 and 37) composed as `h1 * 2^31 + h2`. A single 31-bit id

@@ -1311,6 +1311,45 @@ object Pipeline {
     s"""WITH t AS (SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM documents),
        |${chunkStages(d, "t")}""".stripMargin
 
+  /** CONTENT-DEFINED CHUNKING (the FastCDC/rolling-hash family, over
+    * tokens): a chunk boundary opens before token i wherever the
+    * (token[i-1], token[i]) bigram's deterministic hash lands in 1/G of
+    * the hash space — boundaries are a function of LOCAL CONTENT, not
+    * position. Insert one sentence at the head of a document and every
+    * fixed-size chunk (corpus_chunk) shifts — chunk-level dedup misses
+    * all of them; CDC boundaries re-align within ~one chunk, leaving the
+    * downstream chunks byte-identical. Expected chunk length ≈ G tokens.
+    *
+    * Scale shape: the whole operator is per-document projection work —
+    * higher-order functions compute boundary positions over the token
+    * array, slice assembles chunks, one explode emits rows. No window,
+    * no join, no shuffle anywhere: chunking 100 TB is map-only.
+    */
+  private def corpusCdcChunk(d: Dialect): String = {
+    val G = 8
+    // each token hashed ONCE (cheap char-polynomial — the md5 fold per
+    // BIGRAM measured 25× the whole fixed-stride chunker), then the pair
+    // combine is two integer ops. Lambda variable is `bi`, not `i`: the
+    // hash's own fold binds `i` and shadowing would rebind the token index.
+    val tokHashes = d.transform("toks", "w", F.strHashCheap(d, "w"))
+    val pair = s"${d.elem("hs", "bi - 1")} * 31 + ${d.elem("hs", "bi")}"
+    val boundaries = d.filter(
+      d.transform(d.seq("2", d.len("hs")), "bi",
+        s"CASE WHEN ($pair) % $G = 0 THEN bi ELSE NULL END"),
+      "x", "x IS NOT NULL")
+    val start = d.elem("starts", "k")
+    val end = s"CASE WHEN k < ${d.len("starts")} " +
+      s"THEN ${d.elem("starts", "k + 1")} - 1 ELSE ${d.len("toks")} END"
+    s"""WITH t AS (SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM documents),
+       |h AS (SELECT doc_id, toks, $tokHashes AS hs FROM t),
+       |b AS (SELECT doc_id, toks, ${d.prepend(boundaries, "1")} AS starts FROM h),
+       |e AS (${d.explodeSelect("doc_id, toks, starts", "b", d.seq("1", d.len("starts")), "k")})
+       |SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+       |  CAST(($end) - $start + 1 AS BIGINT) AS n_tokens,
+       |  ${d.joinWs(d.slice("toks", start, s"($end) - $start + 1"))} AS chunk
+       |FROM e""".stripMargin
+  }
+
   /** Per-document top-3 terms by tf-idf with RAW inverse document frequency
     * (score = tf/df): the ratio of two exactly-representable counts is ONE
     * correctly-rounded IEEE division, so ranking and the emitted score are
@@ -1641,6 +1680,7 @@ object Pipeline {
 
   // debug handles for stage-level profiling (graft.Probe) and spec access
   def debugCorpusChunkSql: String = corpusChunk(SparkDialect)
+  def debugCdcChunkSql: String = corpusCdcChunk(SparkDialect)
   def debugEmbQuantizeSql: String = embQuantize(SparkDialect)
   def debugTfidfSql: String = tfidfSql(SparkDialect)
   def chunkParams: (Int, Int) = (CHUNK, STRIDE)
@@ -1692,6 +1732,7 @@ object Pipeline {
     embQuery("emb_quantize_int8", embQuantize),
     embQuery("sim_topk_quantized", simTopkQuantized),
     docQuery("corpus_chunk", corpusChunk),
+    docQuery("corpus_cdc_chunk", corpusCdcChunk),
     textTfidfDef,
     textEntropyDef,
     dedupEditDistance,

@@ -220,6 +220,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: CDC chunks cover the text and re-align after a prefix insert") {
+    import spark.implicits._
+    val docGen = for {
+      lens <- Gen.listOfN(12, Gen.choose(20, 80))
+      plen <- Gen.choose(3, 9)
+    } yield (lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"w${(i * 31 + j * 7) % 13}").mkString(" "))
+    }, (0 until plen).map(j => s"w${(j * 5) % 13}").mkString(" "))
+    forSamples(docGen, 2) { case (docs, prefix) =>
+      val pLen = prefix.split(" ").length
+      val both = docs ++ docs.map { case (id, text) =>
+        (id + 1000L, s"$prefix $text")
+      }
+      both.toDF("doc_id", "text").createOrReplaceTempView("documents")
+      val out = spark.sql(graft.queries.Pipeline.debugCdcChunkSql)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .groupBy(_._1).map { case (id, cs) => id -> cs.sortBy(_._2) }
+      docs.foreach { case (id, text) =>
+        val orig = out(id)
+        // 1. coverage: chunks concatenate back to the document
+        assert(orig.map(_._4).mkString(" ") == text, s"doc $id coverage")
+        assert(orig.map(_._3).sum == text.split(" ").length, s"doc $id token count")
+        // 2. shift robustness: chunk STARTS (cumulative) after the junction
+        // agree — prefixed chunks beyond position pLen+1 are byte-identical
+        // to the original's chunks from its first boundary on
+        def starts(cs: Seq[(Long, Long, Long, String)]): Seq[(Long, String)] =
+          cs.scanLeft(1L)((s, c) => s + c._3).zip(cs.map(_._4)).map { case (s, b) => (s, b) }
+        val shifted = out(id + 1000L)
+        val origTail = starts(orig).drop(1) // drop the start-1 chunk
+        val shiftTail = starts(shifted).filter(_._1 > pLen + 1)
+          .map { case (s, b) => (s - pLen, b) }
+        assert(origTail == shiftTail, s"doc $id shift re-alignment")
+      }
+    }
+  }
+
   test("property: int8 quantization error is bounded by half a quantum") {
     import spark.implicits._
     val vecGen = Gen.listOfN(12, Gen.listOfN(64,
