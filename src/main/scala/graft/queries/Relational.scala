@@ -830,6 +830,28 @@ object Relational {
         .groupBy(col("event_id"))
         .agg(count(lit(1)).as("n_near"))
     },
+
+    // ---- the SAME band join written NAIVELY: no bins, just the range
+    // condition. graft's BandJoinRule (optimizer rule, GraftExtensions)
+    // recognizes the equi-key-less band and rewrites the logical join into
+    // the binned equi-join of q46 automatically — ExtensionsSpec pins that
+    // the physical plan carries no nested-loop join. A user gets the
+    // 100 TB-safe plan without knowing the technique. ----
+    QueryDef("q47_auto_band_join",
+      """SELECT p.event_id, CAST(COUNT(*) AS BIGINT) AS n_near
+        |FROM events p JOIN events e
+        |  ON e.ts >= p.ts - INTERVAL 10 MINUTE AND e.ts < p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id""".stripMargin) { (s, dir) =>
+      val events = Tables.load(s, dir, "events")
+      val build = events.select(unix_micros(col("ts")).as("e_us"))
+      val probe = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("p_us"))
+      probe.join(build,
+          col("e_us") >= col("p_us") - 600L * 1000000 && col("e_us") < col("p_us"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_near"))
+    },
   )
 
   /** Array-returning form of q21: per nation, the sorted distinct market

@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Dictionary, TripleSchema}
 import graft.plans.Layouts
-import graft.sparql.{BgpQuery, Constant, SparqlParser, TriplePattern, Variable}
+import graft.sparql.{BgpQuery, BindTerm, Constant, SparqlParser, TriplePattern, Variable}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -90,7 +90,7 @@ class PropertySpec extends AnyFunSuite {
         s"patterns corrupted by clause case $pick")
       pick match {
         case 0 => assert(q.filters.nonEmpty)
-        case 1 => assert(q.binds == Seq((Variable(v2), s"${v2}_alias")))
+        case 1 => assert(q.binds == Seq((BindTerm(Variable(v2)), s"${v2}_alias")))
         case 2 => assert(q.inlineValues.nonEmpty)
         case 3 => assert(q.limit.contains(limit) && q.offset.contains(limit))
         case 4 => assert(q.havings.nonEmpty && q.groupByVars == Seq(v1))
