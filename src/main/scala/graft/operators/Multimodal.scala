@@ -171,4 +171,73 @@ object Multimodal {
       }
       .toDF("doc_id", "frame_idx", "frame_len", "frame_bytes")
   }
+
+  final case class AudioRow(doc_id: Long, wav: Array[Byte])
+
+  /** REAL audio path (no stub), the WAV twin of [[imageTable]]:
+    * deterministic 16-bit mono PCM per document encoded to RIFF/WAVE bytes
+    * by `javax.sound.sampled` (in the JDK — no extra deps). Sample n of doc
+    * `id` is `((id*31 + 17n) mod 2048) - 1024`, length `64 + id mod 128`
+    * samples at 8 kHz — all derivable in plain SQL, so the decode gate's
+    * oracle recomputes the amplitude sum without an audio library. PCM WAV
+    * is lossless: the round-trip is bit-exact. Encoding runs inside
+    * mapPartitions on executors (codec work next to the data, no shuffle).
+    */
+  def audioTable(spark: SparkSession, sfDir: String): Dataset[AudioRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (64 + id % 128).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = (((id * 31 + 17L * i) % 2048) - 1024).toShort
+          pcm(2 * i) = (v & 0xff).toByte        // little-endian int16
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        AudioRow(id, bos.toByteArray)
+      })
+  }
+
+  /** REAL audio decode via `javax.sound.sampled`: the JDK's WAV codec reads
+    * back the format (sample rate, width, channels) and PCM frames; the
+    * features are the sample count and integer absolute-amplitude sum —
+    * executor-side mapPartitions like [[decodeImageFeatures]]. An
+    * undecodable payload yields the (-1, -1, -1) sentinel row instead of
+    * failing the batch (per-record codec errors must never kill a 100 TB
+    * ingest).
+    */
+  def decodeAudioFeatures(audio: Dataset[AudioRow]): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions(_.map { r =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.wav))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian, s"unexpected WAV format: $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var sum = 0L
+        var i = 0
+        while (i < n) {
+          val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+          sum += math.abs(v.toLong)
+          i += 1
+        }
+        (r.doc_id, fmt.getSampleRate.toInt, n.toLong, sum)
+      } catch {
+        case _: Exception => (r.doc_id, -1, -1L, -1L)
+      }
+    }).toDF("doc_id", "sample_rate", "n_samples", "abs_sum")
+  }
 }

@@ -1210,6 +1210,27 @@ object Pipeline {
         graft.operators.Multimodal.imageTable(s, dir))
     }
 
+  /** REAL WAV decode (javax.sound.sampled — the JDK's codec): sample rate,
+    * frame count and integer absolute-amplitude sum read back from
+    * RIFF/WAVE bytes synthesized deterministically per document. The
+    * oracle recomputes the amplitude sum from the generating formula in
+    * plain SQL; PCM is lossless so the round-trip is exact.
+    */
+  private def multimodalDecodeAudio: QueryDef =
+    QueryDef("multimodal_decode_audio",
+      """WITH p AS (SELECT doc_id, 64 + doc_id % 128 AS n FROM documents),
+        |ns AS (SELECT unnest(range(0, 192)) AS i),
+        |samp AS (SELECT p.doc_id, p.n,
+        |    abs(((p.doc_id*31 + 17*ns.i) % 2048) - 1024) AS a
+        |  FROM p JOIN ns ON ns.i < p.n)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples, CAST(SUM(a) AS BIGINT) AS abs_sum
+        |FROM samp GROUP BY doc_id, n""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.decodeAudioFeatures(
+        graft.operators.Multimodal.audioTable(s, dir))
+    }
+
   /** CDC latest-state compaction: each user's single most recent event
     * (ts desc, event_id desc tie-break) — the upsert-materialization shape
     * of change-data capture. Runs on the NATIVE top-k operator with k=1:
@@ -1725,6 +1746,7 @@ object Pipeline {
     multimodalResize,
     multimodalFrameSample,
     multimodalDecodeImage,
+    multimodalDecodeAudio,
     textLmScore,
     eventsLatestState,
     corpusDecontaminate,

@@ -47,4 +47,22 @@ class MultimodalSpec extends SparkTestBase {
     val frameIds = frames.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(frameIds.subsetOf(videoIds) && frameIds.nonEmpty)
   }
+
+  test("WAV round-trip: decode recovers the generating formula; corrupt bytes yield sentinel") {
+    import spark.implicits._
+    val audio = Multimodal.audioTable(spark, sf)
+    val got = Multimodal.decodeAudioFeatures(audio)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    // recompute expectations for 5 docs straight from the formula
+    got.keys.toSeq.sorted.take(5).foreach { id =>
+      val n = (64 + id % 128).toInt
+      val expSum = (0 until n).map(i => math.abs(((id * 31 + 17L * i) % 2048) - 1024)).sum
+      assert(got(id) == ((8000, n.toLong, expSum)), s"doc $id")
+    }
+    // a corrupt payload must not fail the batch — sentinel row instead
+    val bad = Seq(Multimodal.AudioRow(99L, Array[Byte](1, 2, 3))).toDS()
+    val s = Multimodal.decodeAudioFeatures(bad).collect().head
+    assert(s.getLong(0) == 99L && s.getInt(1) == -1 &&
+      s.getLong(2) == -1L && s.getLong(3) == -1L)
+  }
 }
