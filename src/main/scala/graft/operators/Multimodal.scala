@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is real and at-scale correct — binary column +
   * metadata struct in parquet, `mapPartitions` over the typed Dataset (one
-  * JVM pass per partition, no driver involvement, no shuffle). The IMAGE
-  * codec is REAL (`javax.imageio` PNG encode/decode — [[imageTable]] /
-  * [[decodeImageFeatures]]); audio/video codecs remain STUBBED with
-  * deterministic byte-level fakes (those libs are not in this container).
-  * Swapping a stub for a real JNI/ffmpeg call changes no schema,
-  * partitioning, or plan shape — the PNG path demonstrates exactly that
-  * swap.
+  * JVM pass per partition, no driver involvement, no shuffle). All three
+  * modality codecs are REAL JDK codecs: PNG images (`javax.imageio` —
+  * [[imageTable]] / [[decodeImageFeatures]]), 16-bit PCM WAV audio
+  * (`javax.sound.sampled` — [[audioTable]] / [[decodeAudioFeatures]]), and
+  * multi-frame animated GIF video (`javax.imageio` sequence API —
+  * [[videoTable]] / [[decodeVideoFeatures]]). The byte-level fakes below
+  * ([[extractFeatures]] / [[resize]] / [[sampleFrames]]) exercise the
+  * metadata/flatMap plumbing; swapping in an ffmpeg/JNI codec changes no
+  * schema, partitioning, or plan shape — the three JDK codec paths
+  * demonstrate exactly that swap.
   */
 object Multimodal {
 
@@ -170,6 +173,109 @@ object Multimodal {
           }
       }
       .toDF("doc_id", "frame_idx", "frame_len", "frame_bytes")
+  }
+
+  final case class VideoRow(doc_id: Long, gif: Array[Byte])
+
+  /** REAL video path (no stub), the moving-picture twin of [[imageTable]]:
+    * a deterministic multi-frame animated GIF per document, encoded by the
+    * JDK's own GIF writer (`javax.imageio` sequence API — no extra deps).
+    * Doc `id` has `2 + id mod 4` frames of 8×6 indexed-grayscale pixels;
+    * pixel (x, y) of frame f is `(id + 11f + 7x + 13y) mod 251` — all
+    * derivable in plain SQL, so the decode gate's oracle recomputes
+    * frame-count/dimensions/pixel-sum without a video library. An explicit
+    * 256-gray `IndexColorModel` makes the palette write lossless (GIF is
+    * palette-indexed; identity palette ⇒ bit-exact round-trip). Encoding
+    * runs inside mapPartitions on executors — codec work next to the data,
+    * no shuffle, exactly where ffmpeg would sit in a production ingest.
+    */
+  private val VW = 8
+  private val VH = 6
+
+  private def grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate[Byte](256)(i => i.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  def videoTable(spark: SparkSession, sfDir: String): Dataset[VideoRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        it.map { id =>
+          val nFrames = (2 + id % 4).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(VW, VH,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+            val raster = img.getRaster
+            var y = 0
+            while (y < VH) {
+              var x = 0
+              while (x < VW) {
+                raster.setSample(x, y, 0,
+                  ((id + 11L * f + 7L * x + 13L * y) % 251).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          VideoRow(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** REAL video decode via `javax.imageio`: the JDK's GIF reader walks the
+    * frame sequence (`getNumImages` / per-index `read`), and the features
+    * are frame count, dimensions, and the gray pixel sum across ALL frames
+    * — executor-side mapPartitions like [[decodeImageFeatures]]. A corrupt
+    * payload yields the (-1, -1, -1, -1) sentinel row instead of killing
+    * the batch.
+    */
+  def decodeVideoFeatures(videos: Dataset[VideoRow]): DataFrame = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.mapPartitions { it =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      it.map { r =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.gif))
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          require(n > 0, "empty GIF")
+          var sum = 0L
+          var w = 0
+          var h = 0
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            w = img.getWidth
+            h = img.getHeight
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+              y += 1
+            }
+            f += 1
+          }
+          iis.close()
+          (r.doc_id, n, w, h, sum)
+        } catch {
+          case _: Exception => (r.doc_id, -1, -1, -1, -1L)
+        }
+      }
+    }.toDF("doc_id", "n_frames", "width", "height", "pixel_sum")
   }
 
   final case class AudioRow(doc_id: Long, wav: Array[Byte])

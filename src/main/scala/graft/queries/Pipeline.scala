@@ -1231,6 +1231,30 @@ object Pipeline {
         graft.operators.Multimodal.audioTable(s, dir))
     }
 
+  /** REAL multi-frame GIF decode (javax.imageio — the JDK's codec): frame
+    * count, dimensions and gray pixel sum across all frames read back from
+    * animated-GIF bytes synthesized deterministically per document. The
+    * identity gray palette makes the round-trip bit-exact, so the oracle
+    * recomputes the pixel sum from the generating formula in plain SQL.
+    */
+  private def multimodalDecodeVideo: QueryDef =
+    QueryDef("multimodal_decode_video",
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 4 AS f FROM documents),
+        |fs AS (SELECT unnest(range(0, 6)) AS fi),
+        |ys AS (SELECT unnest(range(0, 6)) AS y),
+        |xs AS (SELECT unnest(range(0, 8)) AS x),
+        |px AS (SELECT p.doc_id, p.f,
+        |    (p.doc_id + 11*fs.fi + 7*xs.x + 13*ys.y) % 251 AS v
+        |  FROM p JOIN fs ON fs.fi < p.f CROSS JOIN ys CROSS JOIN xs)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(f AS INTEGER) AS n_frames,
+        |  CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+        |  CAST(SUM(v) AS BIGINT) AS pixel_sum
+        |FROM px GROUP BY doc_id, f""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.decodeVideoFeatures(
+        graft.operators.Multimodal.videoTable(s, dir))
+    }
+
   /** CDC latest-state compaction: each user's single most recent event
     * (ts desc, event_id desc tie-break) — the upsert-materialization shape
     * of change-data capture. Runs on the NATIVE top-k operator with k=1:
@@ -1747,6 +1771,7 @@ object Pipeline {
     multimodalFrameSample,
     multimodalDecodeImage,
     multimodalDecodeAudio,
+    multimodalDecodeVideo,
     textLmScore,
     eventsLatestState,
     corpusDecontaminate,

@@ -48,6 +48,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(frameIds.subsetOf(videoIds) && frameIds.nonEmpty)
   }
 
+  test("GIF round-trip: frame count, dims and pixel sum recover the formula; corrupt bytes yield sentinel") {
+    import spark.implicits._
+    val videos = Multimodal.videoTable(spark, sf)
+    val got = Multimodal.decodeVideoFeatures(videos)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))))
+      .toMap
+    got.keys.toSeq.sorted.take(5).foreach { id =>
+      val f = (2 + id % 4).toInt
+      val expSum = (for { fi <- 0 until f; y <- 0 until 6; x <- 0 until 8 }
+        yield (id + 11L * fi + 7L * x + 13L * y) % 251).sum
+      assert(got(id) == ((f, 8, 6, expSum)), s"doc $id")
+    }
+    val bad = Seq(Multimodal.VideoRow(7L, Array[Byte](71, 73, 70))).toDS()
+    val s = Multimodal.decodeVideoFeatures(bad).collect().head
+    assert(s.getLong(0) == 7L && s.getInt(1) == -1 && s.getLong(4) == -1L)
+  }
+
   test("WAV round-trip: decode recovers the generating formula; corrupt bytes yield sentinel") {
     import spark.implicits._
     val audio = Multimodal.audioTable(spark, sf)
