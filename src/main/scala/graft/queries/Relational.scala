@@ -852,6 +852,46 @@ object Relational {
         .groupBy(col("event_id"))
         .agg(count(lit(1)).as("n_near"))
     },
+
+    // ---- RUNTIME BLOOM-FILTER JOIN PRUNING: a selective dimension filter
+    // makes Spark's InjectRuntimeFilter build a bloom filter over the
+    // surviving join keys and push a `might_contain` probe into the fact
+    // side BEFORE its shuffle — at 100 TB the fact table shuffles only the
+    // rows that can actually join. The gate pins injection with a hard
+    // `require` (a silently-vanished filter would fail the gate, not fade
+    // into an unaudited plain join); the size floors are dropped because
+    // local test tables are below the 10 GiB production default. Confs are
+    // restored after the plan is forced so nothing leaks to other gates.
+    // RuntimeFilterSpec pins the same plan + result equality. ----
+    QueryDef("q48_runtime_bloom_join",
+      """SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY l.l_orderkey""".stripMargin) { (s, dir) =>
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      keys.zip(Seq("true", "0", "100MB", "-1")).foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = Tables.load(s, dir, "lineitem")
+          .join(Tables.load(s, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("n_items"))
+        require(df.queryExecution.optimizedPlan.toString.contains("might_contain"),
+          "runtime bloom filter was not injected")
+        df.queryExecution.executedPlan // pin the physical plan under these confs
+        df
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    },
   )
 
   /** Array-returning form of q21: per nation, the sorted distinct market
