@@ -1479,6 +1479,55 @@ object Pipeline {
       s.sql(tfidfSql(SparkDialect, Some(cachedTf(s, dir))))
     }
 
+  /** BM25 RETRIEVAL SCORING (k1 = 1.2, b = 0.75) — the lexical-retrieval
+    * ranking function behind every search-based data-curation loop: for the
+    * 3 highest-df query terms, the top-10 documents by
+    * `idf · tf(k1+1) / (tf + k1(1−b+b·dl/avgdl))`.
+    *
+    * Cross-engine float discipline (see [[textEntropySql]]): the `ln` in
+    * idf is NOT bit-identical between engines, so it is QUANTIZED to
+    * integer micro-nats once per term (boundary-flip odds ~1e-10); the
+    * saturation factor is pure scalar double arithmetic over integers
+    * (mul/div/add are exactly rounded per IEEE 754 — bit-identical given
+    * the same expression tree), and no double is ever SUMmed.
+    *
+    * Scale shape: tf/df/dl are the same map-side-combinable hash
+    * aggregates tf-idf uses; `stats` is a 1-row broadcast; the query-term
+    * join is a 3-row broadcast; ranking is a per-term window whose input
+    * was pre-filtered to the query terms — no full-corpus sort.
+    */
+  private def bm25Sql(d: Dialect, tfSrc: Option[String] = None): String = {
+    val tf = tfSrc.getOrElse(tfSql(d))
+    val avgdlRatio = "(CAST(dl.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE) / CAST(s.total_len AS DOUBLE))"
+    s"""WITH tf AS ($tf),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+       |df AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tk),
+       |q AS (SELECT tk FROM df ORDER BY df DESC, tk ASC LIMIT 3),
+       |scored AS (SELECT t.tk, t.doc_id, CAST(t.tf AS BIGINT) AS tf, dl.dl,
+       |    CAST(ROUND(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+       |        / (CAST(f.df AS DOUBLE) + 0.5)) * 1000000.0) AS BIGINT) AS idf_micro,
+       |    (CAST(t.tf AS DOUBLE) * 2.2)
+       |      / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * $avgdlRatio)) AS sat
+       |  FROM tf t JOIN q ON t.tk = q.tk JOIN df f ON t.tk = f.tk
+       |  JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN stats s),
+       |r AS (SELECT tk, doc_id, tf, dl,
+       |    CAST(idf_micro AS DOUBLE) * sat / 1000000.0 AS score
+       |  FROM scored),
+       |w AS (SELECT tk, doc_id, tf, dl, score,
+       |    ROW_NUMBER() OVER (PARTITION BY tk ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM r)
+       |SELECT tk AS term, CAST(doc_id AS BIGINT) AS doc_id, tf,
+       |  dl AS doc_len, score
+       |FROM w WHERE rn <= 10""".stripMargin
+  }
+
+  private def textBm25Def: QueryDef =
+    QueryDef("text_bm25", bm25Sql(DuckDialect)) { (s, dir) =>
+      s.sql(bm25Sql(SparkDialect, Some(cachedTf(s, dir))))
+    }
+
   /** ANN EVALUATION — recall@3 of the LSH index against the exact top-3,
     * per query: the quality-measurement operator every ANN deployment runs
     * before trusting an index. Composes the two gate-verified similarity
@@ -1781,6 +1830,7 @@ object Pipeline {
     docQuery("corpus_chunk", corpusChunk),
     docQuery("corpus_cdc_chunk", corpusCdcChunk),
     textTfidfDef,
+    textBm25Def,
     textEntropyDef,
     dedupEditDistance,
     corpusDedupApply,
