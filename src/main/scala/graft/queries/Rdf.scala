@@ -727,6 +727,26 @@ object Rdf {
           "FILTER(regex(?n, '^nation_1[0-2]$')) }")
     },
 
+    // ---- SPARQL string-function FILTERs (STRSTARTS / CONTAINS / STRLEN,
+    // the STR() wrapper accepted): each is a dictionary semi-join — the
+    // string predicate runs once per VOCABULARY entry, never per solution
+    // row. Three filters compose to select exactly nation_12. ----
+    QueryDef("rdf_sparql_strfuncs",
+      RdfBridge.oracleCte +
+        """, named AS (SELECT Subject, Object,
+          |    'nation_' || CAST(Object - 2000000000 AS VARCHAR) AS nm
+          |  FROM triples WHERE Predicate = -31)
+          |SELECT Subject AS c, Object AS n FROM named
+          |WHERE starts_with(nm, 'nation_1')
+          |  AND contains(nm, '2') AND length(nm) = 9""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?c ?n WHERE { ?c :in_nation ?n . " +
+          "FILTER(STRSTARTS(STR(?n), 'nation_1')) " +
+          "FILTER(CONTAINS(STR(?n), '2')) " +
+          "FILTER(STRLEN(STR(?n)) = 9) }")
+    },
+
     // ---- SPARQL 1.1 subquery (SubSelect as a group graph pattern): the
     // inner SELECT aggregates per-customer order counts; the outer BGP
     // joins it on the shared ?c — planned as a derived aggregate relation

@@ -218,8 +218,9 @@ object BgpPlanner {
       negPatterns.flatMap(p => negPreds(p.p.asInstanceOf[Constant].lexical).get.map(Constant(_))) ++
       (query.filters ++ query.optionalFilters.flatten ++
         query.filterExprs.flatMap(filterLeaves))
-        // regex patterns are raw regexes, not dictionary terms
-        .filterNot(c => c.op == FilterRegex || c.op == FilterNotRegex)
+        // regex patterns / string-function args are raw strings, not
+        // dictionary terms
+        .filterNot(c => FilterOp.isLexical(c.op))
         .flatMap(c => c.value +: c.values) ++
       query.minuses.flatten.flatMap(p => Seq(p.s, p.p, p.o)) ++
       query.existsFilters.flatMap(_._1).flatMap(p => Seq(p.s, p.p, p.o)) ++
@@ -319,8 +320,8 @@ object BgpPlanner {
       f.op match {
         case FilterBound => col(f.variable).isNotNull
         case FilterNotBound => col(f.variable).isNull
-        case FilterRegex | FilterNotRegex => throw new IllegalArgumentException(
-          "regex() cannot appear inside &&/|| in the subset")
+        case op if FilterOp.isLexical(op) => throw new IllegalArgumentException(
+          "regex()/string-function filters cannot appear inside &&/|| in the subset")
         // [NOT] IN over constant terms → a single pushdown-friendly `isin`
         // on the encoded ids. Terms absent from the dictionary (and
         // non-numeric) can never equal a bound value — dropped from the id
@@ -366,24 +367,54 @@ object BgpPlanner {
       }
     }
 
-    def applyFilter(df: DataFrame, f: FilterCond): DataFrame = f.op match {
-      // [!]regex(?v, 'pat'): the variable's DECODED lexical form matches the
-      // pattern — planned as a semi-join (anti for the negation) against the
-      // rlike-filtered dictionary, so matching stays distributed and the
-      // pattern is evaluated once per VOCABULARY entry, not per solution
-      // row. No broadcast hint: a broad pattern can match a large id set —
-      // Catalyst/AQE picks the join side from size stats.
-      case FilterRegex | FilterNotRegex =>
-        val pattern = f.value.asInstanceOf[Constant].lexical
-        val ids = dict.entries.toDF("__rx_id", "__rx_term")
-          .filter(col("__rx_term").rlike(pattern)).select(col("__rx_id"))
-        val joinType = if (f.op == FilterRegex) "left_semi" else "left_anti"
-        // SPARQL error semantics: a null (OPTIONAL-unbound) variable is an
-        // expression error — the row drops under regex AND under !regex
-        // (an anti join alone would keep nulls)
-        val base = if (f.op == FilterNotRegex) df.filter(col(f.variable).isNotNull) else df
-        base.join(ids, base(f.variable) === col("__rx_id"), joinType)
-      case _ => df.filter(condColumn(df, f))
+    def applyFilter(df: DataFrame, f: FilterCond): DataFrame = {
+      // [!]regex / [!]STRSTARTS / [!]STRENDS / [!]CONTAINS / STRLEN-cmp:
+      // the variable's DECODED lexical form satisfies the string predicate
+      // — planned as a semi-join (anti for the negated forms) against the
+      // predicate-filtered dictionary, so matching stays distributed and
+      // the predicate is evaluated once per VOCABULARY entry, not per
+      // solution row. No broadcast hint: a broad predicate can match a
+      // large id set — Catalyst/AQE picks the join side from size stats.
+      def lex = f.value.asInstanceOf[Constant].lexical
+      val term = col("__rx_term")
+      // (vocabulary predicate, plan as anti-join?) — STRLEN folds its
+      // comparison (including !=) into the predicate itself, so it always
+      // semi-joins
+      val dictPred: Option[(Column, Boolean)] = f.op match {
+        case FilterRegex => Some((term.rlike(lex), false))
+        case FilterNotRegex => Some((term.rlike(lex), true))
+        case FilterStrStarts => Some((term.startsWith(lex), false))
+        case FilterNotStrStarts => Some((term.startsWith(lex), true))
+        case FilterStrEnds => Some((term.endsWith(lex), false))
+        case FilterNotStrEnds => Some((term.endsWith(lex), true))
+        case FilterStrContains => Some((term.contains(lex), false))
+        case FilterNotStrContains => Some((term.contains(lex), true))
+        case FilterStrLen(cmp) =>
+          val n = lit(lex.toInt)
+          val len = length(term)
+          Some((cmp match {
+            case FilterEq => len === n
+            case FilterNeq => !(len === n)
+            case FilterLt => len < n
+            case FilterLe => len <= n
+            case FilterGt => len > n
+            case FilterGe => len >= n
+            case other => throw new IllegalStateException(s"unreachable: $other")
+          }, false))
+        case _ => None
+      }
+      dictPred match {
+        case Some((pred, negated)) =>
+          val ids = dict.entries.toDF("__rx_id", "__rx_term")
+            .filter(pred).select(col("__rx_id"))
+          val joinType = if (negated) "left_anti" else "left_semi"
+          // SPARQL error semantics: a null (OPTIONAL-unbound) variable is
+          // an expression error — the row drops under the positive AND the
+          // negated form (an anti join alone would keep nulls)
+          val base = if (negated) df.filter(col(f.variable).isNotNull) else df
+          base.join(ids, base(f.variable) === col("__rx_id"), joinType)
+        case None => df.filter(condColumn(df, f))
+      }
     }
 
     def applyFilterExpr(df: DataFrame, e: FilterExpr): DataFrame = {

@@ -36,6 +36,34 @@ case object FilterNotRegex extends FilterOp
 // `?var [NOT] IN (term, …)` — `values` carries the list; `value` is unused
 case object FilterIn extends FilterOp
 case object FilterNotIn extends FilterOp
+// String functions over the variable's DECODED lexical form (the STR()
+// wrapper is accepted and implied): `value` carries the RAW string argument,
+// never a dictionary term — planned like regex as a dictionary semi/anti
+// join, so the string predicate runs once per VOCABULARY entry.
+case object FilterStrStarts extends FilterOp
+case object FilterNotStrStarts extends FilterOp
+case object FilterStrEnds extends FilterOp
+case object FilterNotStrEnds extends FilterOp
+case object FilterStrContains extends FilterOp
+case object FilterNotStrContains extends FilterOp
+// `STRLEN(STR(?v)) cmp n` — cmp is one of the six comparison ops; the
+// (possibly negated) length predicate itself selects the vocabulary ids,
+// so the join is always a semi-join
+final case class FilterStrLen(cmp: FilterOp) extends FilterOp
+
+object FilterOp {
+  /** Ops whose `value` is a raw string/length argument, NOT a dictionary
+    * term — excluded from constant encoding and planned via the dictionary
+    * join path.
+    */
+  def isLexical(op: FilterOp): Boolean = op match {
+    case FilterRegex | FilterNotRegex | FilterStrStarts | FilterNotStrStarts |
+        FilterStrEnds | FilterNotStrEnds | FilterStrContains |
+        FilterNotStrContains | _: FilterStrLen => true
+    case _ => false
+  }
+}
+
 final case class FilterCond(variable: String, op: FilterOp, value: Term,
     values: Seq[Term] = Nil)
 
@@ -314,8 +342,10 @@ object SparqlParser {
         val minuses = minusRe.findAllMatchIn(withoutExists)
           .map(m => splitPatterns(m.group(1), fresh)).toSeq
         val withoutMinus = minusRe.replaceAllIn(withoutExists, " ")
-        // FILTER grammar: one nesting level inside the parens (BOUND calls)
-        val filterRe = "(?i)FILTER\\s*\\(\\s*((?:[^()]|\\([^()]*\\))*?)\\s*\\)".r
+        // FILTER grammar: up to two nesting levels inside the parens —
+        // BOUND(?v) is one, STRSTARTS(STR(?v), 'x') is two
+        val filterRe = ("(?i)FILTER\\s*\\(\\s*" +
+          "((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))*?)\\s*\\)").r
         // OPTIONAL groups next (their braces enclose plain BGPs — no
         // nesting in the subset). A FILTER INSIDE the group scopes to the
         // group: it restricts the optional side BEFORE the left join
@@ -577,7 +607,35 @@ object SparqlParser {
     // list would need per-row equality semantics the encoded-id isin can't
     // carry)
     val inRe = "(?i)\\?(\\w+)\\s+(NOT\\s+)?IN\\s*\\(([^()]*)\\)".r
+    // STRSTARTS/STRENDS/CONTAINS over the decoded lexical form; the STR()
+    // wrapper is optional (and implied — the subset's variables are
+    // dictionary ids, so the lexical form is always what's matched)
+    val strFnRe = ("(?i)(!)?\\s*(STRSTARTS|STRENDS|CONTAINS)\\s*\\(\\s*" +
+      "(?:STR\\s*\\(\\s*)?\\?(\\w+)\\s*\\)?\\s*,\\s*['\"]([^'\"]*)['\"]\\s*\\)").r
+    val strLenRe = ("(?i)STRLEN\\s*\\(\\s*(?:STR\\s*\\(\\s*)?\\?(\\w+)" +
+      "\\s*\\)?\\s*\\)\\s*(!=|<=|>=|=|<|>)\\s*(\\d+)").r
     cond.trim match {
+      case strFnRe(neg, fn, v, arg) =>
+        val op = (fn.toUpperCase, neg == null) match {
+          case ("STRSTARTS", true)  => FilterStrStarts
+          case ("STRSTARTS", false) => FilterNotStrStarts
+          case ("STRENDS", true)    => FilterStrEnds
+          case ("STRENDS", false)   => FilterNotStrEnds
+          case ("CONTAINS", true)   => FilterStrContains
+          case ("CONTAINS", false)  => FilterNotStrContains
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+        FilterCond(v, op, Constant(arg))
+      case strLenRe(v, op, n) =>
+        val cmp = op match {
+          case "=" => FilterEq
+          case "!=" => FilterNeq
+          case "<" => FilterLt
+          case "<=" => FilterLe
+          case ">" => FilterGt
+          case ">=" => FilterGe
+        }
+        FilterCond(v, FilterStrLen(cmp), Constant(n))
       case inRe(v, neg, listText) =>
         val terms = listText.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(toTerm)
         require(terms.nonEmpty, s"IN needs at least one term: $listText")
@@ -603,7 +661,9 @@ object SparqlParser {
         FilterCond(v, fop, toTerm(rhs.trim))
       case other => throw new IllegalArgumentException(
         "unsupported FILTER condition (subset is ?var =|!=|<|<=|>|>= term, " +
-          s"?var [NOT] IN (terms), [!]BOUND(?var), [!]regex(?var, 'pattern')): $other")
+          "?var [NOT] IN (terms), [!]BOUND(?var), [!]regex(?var, 'pattern'), " +
+          "[!]STRSTARTS|STRENDS|CONTAINS(STR(?var), 'arg'), " +
+          s"STRLEN(STR(?var)) cmp n): $other")
     }
   }
 

@@ -846,6 +846,37 @@ class SparqlSpec extends SparkTestBase {
       "OPTIONAL { ?o :p3 ?x } FILTER(!regex(?x, 'z')) }").count() == 0)
   }
 
+  test("FILTER string functions (STRSTARTS/STRENDS/CONTAINS/STRLEN) via dictionary join") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // ?o ∈ {b(10), f(11)}
+    assert(reg.sparql(
+      "SELECT ?s ?o WHERE { ?s :p1 ?o . FILTER(STRSTARTS(STR(?o), 'f')) }")
+      .collect().map(_.getInt(1)).toSeq == Seq(11))
+    // STR() wrapper optional; negation is the dictionary anti-join
+    assert(reg.sparql(
+      "SELECT ?s ?o WHERE { ?s :p1 ?o . FILTER(!CONTAINS(?o, 'f')) }")
+      .collect().map(_.getInt(1)).toSeq == Seq(10))
+    assert(reg.sparql(
+      "SELECT ?s ?o WHERE { ?s :p1 ?o . FILTER(STRENDS(STR(?o), 'b')) }")
+      .collect().map(_.getInt(1)).toSeq == Seq(10))
+    // STRLEN comparison folds into the vocabulary predicate (semi-join):
+    // both 'b' and 'f' have length 1
+    assert(reg.sparql(
+      "SELECT ?s ?o WHERE { ?s :p1 ?o . FILTER(STRLEN(STR(?o)) = 1) }")
+      .count() == 2)
+    assert(reg.sparql(
+      "SELECT ?s ?o WHERE { ?s :p1 ?o . FILTER(STRLEN(?o) > 1) }")
+      .count() == 0)
+    // null (OPTIONAL-unbound) variable is an expression error under the
+    // negated form too — the row drops
+    assert(reg.sparql("SELECT ?s ?x WHERE { ?s :p1 ?o . " +
+      "OPTIONAL { ?o :p3 ?x } FILTER(!STRSTARTS(STR(?x), 'z')) }").count() == 0)
+    // string functions cannot compose inside &&/|| (subset rule, loud)
+    intercept[IllegalArgumentException](reg.sparql(
+      "SELECT ?s WHERE { ?s :p1 ?o . FILTER(STRSTARTS(?o, 'f') || ?o = 'b') }"))
+  }
+
   test("FILTER EXISTS without parens (primary SPARQL 1.1 grammar form)") {
     val (engine, triples) = fixture
     val reg = engine.registerSplitTables(triples)
