@@ -230,6 +230,32 @@ object Streams {
       }
     },
 
+    // ---- BOUNDED-STATE streaming dedup (dropDuplicatesWithinWatermark):
+    // unlike dropDuplicates, state for a key is EVICTED once the watermark
+    // passes its event time + delay — at 100 TB/day this is the only dedup
+    // whose state doesn't grow without bound; the trade is that a duplicate
+    // arriving after eviction re-emits (StreamingSpec pins exactly that).
+    // Here the 30-day delay dwarfs the data span, so every staged duplicate
+    // is within-watermark and the sink holds exactly the distinct events —
+    // keyed on event_id alone (the production dedup-by-id shape). ----
+    QueryDef("stream_dedup_within_wm",
+      "SELECT event_id, ts, user_id, event_type, value FROM events") { (s, dir) =>
+      withStatePartitions(s, 8) {
+      val src = duplicatedEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_dwm_ckpt_${dir.hashCode & 0x7fffffff}")
+      val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 2)
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .writeStream.format("memory").queryName("g_stream_dwm")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.table("g_stream_dwm")
+      }
+    },
+
     // ---- WATERMARK-DRIVEN windowed aggregation in append mode: tumbling
     // 1-hour windows close and emit as the 30-minute watermark passes them
     // across micro-batches; the final sentinel file pushes the watermark

@@ -284,4 +284,30 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sorted
     assert(streamed.length == batch.length && streamed.sameElements(batch))
   }
+
+  test("dropDuplicatesWithinWatermark evicts state: a post-eviction duplicate re-emits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (id, epoch seconds)
+    val df = input.toDF().toDF("id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val ckpt = Files.createTempDirectory("ckpt_dwm").toString
+    val q = df.writeStream.format("memory").queryName("dwm_evict")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val t0 = 1000000L
+    input.addData((1L, t0)); q.processAllAvailable()          // first sight → emit
+    input.addData((1L, t0 + 300)); q.processAllAvailable()    // within delay → dropped
+    input.addData((2L, t0 + 3600)); q.processAllAvailable()   // watermark → t0+3000 > t0+600: id 1 evicted
+    input.addData((1L, t0 + 3900)); q.processAllAvailable()   // post-eviction duplicate → RE-EMITS
+    q.stop()
+    val ids = spark.table("dwm_evict").select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.count(_ == 1L) == 2, s"expected id 1 twice (re-emit after eviction), got $ids")
+    assert(ids.count(_ == 2L) == 1)
+    // the unbounded-state variant would have dropped the late duplicate:
+    // that non-eviction is exactly what makes it unusable at 100 TB/day
+  }
 }
