@@ -747,6 +747,31 @@ object Rdf {
           "FILTER(STRLEN(STR(?n)) = 9) }")
     },
 
+    // ---- SPARQL 1.1 UPDATE as copy-on-write snapshots: INSERT DATA mints
+    // fresh dictionary ids for new vocabulary, DELETE WHERE removes a
+    // pattern's matches via the complementary (pushdown-friendly) filter,
+    // INSERT..WHERE derives new triples through the CONSTRUCT planner.
+    // Three updates chain; the gate decodes the final store's predicates
+    // and counts per predicate — proving vocabulary minting, deletion, and
+    // derivation all landed. ----
+    QueryDef("rdf_sparql_update",
+      """SELECT ':placed' AS pred, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        |UNION ALL SELECT ':contains', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT ':in_nation', CAST(COUNT(*) AS BIGINT) FROM customer
+        |UNION ALL SELECT ':has_nation', CAST(COUNT(*) AS BIGINT) FROM customer
+        |UNION ALL SELECT ':vip', CAST(2 AS BIGINT)""".stripMargin) { (s, dir) =>
+      import graft.sparql.SparqlUpdate
+      val u1 = SparqlUpdate(s, RdfBridge.triples(s, dir), RdfBridge.dictionary(s, dir),
+        "INSERT DATA { 'cust_0' ':vip' 'gold' . 'cust_1' ':vip' 'gold' }")
+      val u2 = SparqlUpdate(s, u1.triples, u1.dict,
+        "DELETE WHERE { ?p ':supplied_by' ?s }")
+      val u3 = SparqlUpdate(s, u2.triples, u2.dict,
+        "INSERT { ?c ':has_nation' ?n } WHERE { ?c :in_nation ?n }")
+      u3.dict.decode(u3.triples, Seq(graft.core.TripleSchema.predicate))
+        .groupBy(col(graft.core.TripleSchema.predicate).as("pred"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ---- SPARQL 1.1 subquery (SubSelect as a group graph pattern): the
     // inner SELECT aggregates per-customer order counts; the outer BGP
     // joins it on the shared ?c — planned as a derived aggregate relation

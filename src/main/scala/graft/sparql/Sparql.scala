@@ -667,7 +667,7 @@ object SparqlParser {
     }
   }
 
-  private def parsePattern(text: String): TriplePattern = {
+  private[sparql] def parsePattern(text: String): TriplePattern = {
     val toks = tokenize(text)
     require(toks.length == 3, s"triple pattern needs 3 terms, got ${toks.length} in: $text")
     TriplePattern(toTerm(toks(0)), toTerm(toks(1)), toTerm(toks(2)))

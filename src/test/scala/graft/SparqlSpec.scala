@@ -148,6 +148,50 @@ class SparqlSpec extends SparkTestBase {
     (new QueryEngine(spark, dict), triples)
   }
 
+  test("SPARQL UPDATE: insert mints ids, deletes filter, derivation constructs") {
+    import graft.sparql.SparqlUpdate
+    val (engine, triples) = fixture
+    val dict = engine.dict
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+
+    // INSERT DATA: known terms reuse ids; new terms get ids past max (20)
+    val ins = SparqlUpdate(spark, triples, dict,
+      "INSERT DATA { 'a' ':p1' 'newnode' . 'a' ':p9' 'b' }")
+    assert(ins.triples.count() == triples.count() + 2)
+    val newIds = ins.dict.encodeTerms(Seq("newnode", ":p9"))
+    assert(newIds.values.forall(_ > 20), s"fresh ids must exceed max: $newIds")
+    assert(ins.dict.encodeTerm("'a'").contains(-5)) // known id unchanged
+
+    // DELETE DATA removes every copy of the listed ground triple
+    val dup = triples.unionAll(triples.limit(1)) // (-5,1,10) twice
+    val del = SparqlUpdate(spark, dup, dict, "DELETE DATA { 'a' ':p1' 'b' }")
+    assert(!rows(del.triples).contains((-5, 1, 10)) &&
+      del.triples.count() == triples.count() - 1)
+
+    // DELETE DATA with an unknown term is a no-op, not an error
+    val noop = SparqlUpdate(spark, triples, dict, "DELETE DATA { 'zz' ':p1' 'b' }")
+    assert(noop.triples.count() == triples.count())
+
+    // DELETE WHERE: pattern matches drop; repeated variable = self-loop only
+    val dw = SparqlUpdate(spark, triples, dict, "DELETE WHERE { ?x ':p2' ?y }")
+    assert(rows(dw.triples).intersect(Set((10, 2, -7), (11, 2, -8))).isEmpty &&
+      dw.triples.count() == triples.count() - 2)
+    val loop = SparqlUpdate(spark, triples, dict, "DELETE WHERE { ?x ?p ?x }")
+    assert(!rows(loop.triples).contains((-9, 9, -9)) &&
+      loop.triples.count() == triples.count() - 1)
+    intercept[IllegalArgumentException](SparqlUpdate(spark, triples, dict,
+      "DELETE WHERE { ?x ':p1' ?y . ?y ':p2' ?z }"))
+
+    // INSERT..WHERE derives through CONSTRUCT with a minted predicate
+    val iw = SparqlUpdate(spark, triples, dict,
+      "INSERT { ?x ':hop2' ?m } WHERE { ?x :p1 ?y . ?y :p2 ?m }")
+    val hop2 = iw.dict.encodeTerm("':hop2'").get
+    assert(rows(iw.triples).contains((-5, hop2, -7)) &&
+      rows(iw.triples).contains((6, hop2, -8)) &&
+      iw.triples.count() == triples.count() + 2)
+  }
+
   test("BGP: 3-hop chain join across sign-split tables") {
     val (engine, triples) = fixture
     val rows = engine.registerSplitTables(triples)
