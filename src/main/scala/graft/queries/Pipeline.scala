@@ -1678,6 +1678,33 @@ object Pipeline {
         Some("SELECT x, y, c FROM graft_pmi_bc")))
     }
 
+  /** TEMPERATURE SAMPLING over sources (α = 0.5) — the mixture-flattening
+    * step every multilingual / multi-source training run uses: each language
+    * is kept at rate `sqrt(n_min / n_s)`, so the smallest language keeps
+    * everything and one 100× larger is downsampled 10× — flattening
+    * the distribution toward uniform exactly like sampling with
+    * probabilities ∝ n^α. Selection is the deterministic content hash
+    * against a per-source threshold (no RNG — reruns and engines agree
+    * bit-for-bit; `sqrt`/`floor` are IEEE-exact, unlike `ln`).
+    *
+    * 100 TB shape: one count aggregate (map-side combinable), a broadcast
+    * of the per-language thresholds, and a stateless hash filter — no
+    * shuffle of the corpus itself.
+    */
+  private def corpusTemperatureSample(d: Dialect): String = {
+    val h = s"(${F.strHash(d, "d.text")} % 1000000)"
+    s"""WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s
+       |  FROM documents GROUP BY lang),
+       |m AS (SELECT CAST(MIN(n_s) AS BIGINT) AS n_min FROM n),
+       |r AS (SELECT n.lang, n.n_s,
+       |    CAST(FLOOR(SQRT(CAST(m.n_min AS DOUBLE) / CAST(n.n_s AS DOUBLE))
+       |      * 1000000.0) AS BIGINT) AS thr
+       |  FROM n CROSS JOIN m)
+       |SELECT d.doc_id, d.lang, r.thr
+       |FROM documents d JOIN r ON d.lang = r.lang
+       |WHERE $h < r.thr""".stripMargin
+  }
+
   /** Source-mixing interleave — the training-data "mixing ratios" step:
     * each source gets a weight (here derived from the source id; any
     * weight table slots in), documents are deterministically shuffled
@@ -1835,6 +1862,7 @@ object Pipeline {
     dedupEditDistance,
     corpusDedupApply,
     docQuery("corpus_interleave", corpusInterleave),
+    docQuery("corpus_temperature_sample", corpusTemperatureSample),
     textPmiDef,
     corpusPreprocessDef,
     embQuery("sim_ann_recall", simAnnRecall),
