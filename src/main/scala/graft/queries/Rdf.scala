@@ -853,6 +853,23 @@ object Rdf {
         .sparql("SELECT ?s ?o WHERE { ?s (:placed|:contains)+ ?o }")
     },
 
+    // ---- property path inside a UNION arm: the group dispatcher routes
+    // the closure through the SAME BFS planner as required patterns (a
+    // composite path token inside a group must never silently encode to
+    // nothing) — one arm is a pairwise closure, the other a plain scan,
+    // bag-unioned with null-free shared columns. ----
+    QueryDef("rdf_sparql_path_in_union",
+      RdfBridge.oracleCte +
+        """SELECT DISTINCT CAST(-(l_partkey + 500000000) AS INTEGER) AS s,
+          |  CAST(l_suppkey + 1000000000 AS INTEGER) AS o FROM lineitem
+          |UNION ALL
+          |SELECT CAST(-(c_custkey + 1000) AS INTEGER),
+          |  CAST(c_nationkey + 2000000000 AS INTEGER) FROM customer""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?s ?o WHERE { { ?s :supplied_by+ ?o } UNION { ?s :in_nation ?o } }")
+    },
+
     // ---- property-path closure with a bound OBJECT (`?s path+ <o>`): the
     // who-reaches direction — the same BFS fixpoint over REVERSED edges
     // seeded at the object (customers/orders/parts upstream of one

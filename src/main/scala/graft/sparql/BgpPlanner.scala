@@ -120,6 +120,19 @@ object BgpPlanner {
     case FilterOr(l, r) => filterLeaves(l) ++ filterLeaves(r)
   }
 
+  /** Base predicate constants referenced by any path-syntax predicate token
+    * in `pats` (closure, negated set, or sequence) — nothing for plain
+    * patterns.
+    */
+  private def pathBasePreds(pats: Seq[TriplePattern]): Seq[Constant] =
+    pats.flatMap(_.p match {
+      case Constant(l) =>
+        (pathPreds(l).map(_._1) orElse negPreds(l) orElse
+          seqPath(l).map(_._1.flatMap(_.preds)))
+          .getOrElse(Nil).map(Constant.apply)
+      case _ => Nil
+    })
+
   /** True when `lexical` uses property-path syntax THIS planner supports in
     * the predicate position (closure, negated set, or sequence-with-closure
     * forms — plain sequences/inverses are the parser's rewrite). The parser
@@ -224,6 +237,12 @@ object BgpPlanner {
         .flatMap(c => c.value +: c.values) ++
       query.minuses.flatten.flatMap(p => Seq(p.s, p.p, p.o)) ++
       query.existsFilters.flatMap(_._1).flatMap(p => Seq(p.s, p.p, p.o)) ++
+      // path syntax inside groups (OPTIONAL/UNION/MINUS/EXISTS/GRAPH):
+      // the base predicates must encode even though the composite token
+      // itself is not a dictionary term
+      pathBasePreds(query.optionals.flatten ++ query.unionArms.flatten ++
+        query.minuses.flatten ++ query.existsFilters.flatMap(_._1) ++
+        query.graphGroups.flatMap(_._2)) ++
       query.inlineValues.flatMap(_._2) ++
       query.inlineValuesMulti.flatMap(_._2.flatten.flatten) ++
       query.graphGroups.flatMap { case (g, pats) =>
@@ -235,6 +254,23 @@ object BgpPlanner {
       case Constant(l) => l
     }.distinct
     val enc: Map[String, Int] = dict.encodeTerms(constants)
+
+    // Group-context pattern dispatcher: patterns inside OPTIONAL / UNION /
+    // MINUS / EXISTS / bound-GRAPH groups route through the SAME path
+    // planners as required patterns (closures via the BFS fixpoint,
+    // sequences, negated sets) instead of silently encoding a composite
+    // path token to nothing.
+    def planGroupPattern(st: Store)(p: TriplePattern, idx: Int): DataFrame =
+      p.p match {
+        case Constant(l) if pathPreds(l).isDefined => planPathPattern(p, st, enc)
+        case Constant(l) if seqPath(l).isDefined => planSeqPathPattern(p, st, enc)
+        case Constant(l) if negPreds(l).isDefined =>
+          val v = s"__gneg$idx"
+          val ids = negPreds(l).get.flatMap(enc.get)
+          val base = planPattern(TriplePattern(p.s, Variable(v), p.o), idx, st, enc)
+          (if (ids.isEmpty) base else base.filter(!col(v).isin(ids: _*))).drop(v)
+        case _ => planPattern(p, idx, st, enc)
+      }
 
     val planned = scanPatterns.zipWithIndex.map { case (pat, i) =>
       planPattern(pat, i, store, enc)
@@ -277,7 +313,7 @@ object BgpPlanner {
             val st = SingleTable(sub.select(col(TripleSchema.subject),
               col(TripleSchema.predicate), col(TripleSchema.objekt)))
             pats.zipWithIndex.map { case (p, i) =>
-              planPattern(p, 300000 * (gi + 1) + i, st, enc) }
+              planGroupPattern(st)(p, 300000 * (gi + 1) + i) }
           case Variable(gv) =>
             pats.zipWithIndex.map { case (p, i) =>
               planQuadPattern(p, gv, 300000 * (gi + 1) + i, q, enc) }
@@ -297,7 +333,7 @@ object BgpPlanner {
       if (query.unionArms.isEmpty) joinGroup(planned ++ graphPlanned ++ subDfs)
       else query.unionArms.zipWithIndex.map { case (arm, a) =>
         joinGroup(arm.zipWithIndex.map { case (p, i) =>
-          planPattern(p, 100000 * (a + 1) + i, store, enc)
+          planGroupPattern(store)(p, 100000 * (a + 1) + i)
         })
       }.reduceLeft(_.unionByName(_, allowMissingColumns = true))
 
@@ -429,7 +465,7 @@ object BgpPlanner {
     val joined = query.optionals.zipWithIndex.foldLeft(required) {
       case (acc, (optPatterns, g)) =>
         val optBase = joinGroup(optPatterns.zipWithIndex.map { case (p, i) =>
-          planPattern(p, 1000 * (g + 1) + i, store, enc)
+          planGroupPattern(store)(p, 1000 * (g + 1) + i)
         })
         // group-scoped FILTERs restrict the optional side BEFORE the left
         // join (their variables are bound inside the group — subset rule),
@@ -448,7 +484,7 @@ object BgpPlanner {
     val afterMinus = query.minuses.zipWithIndex.foldLeft(joined) {
       case (acc, (mPats, g)) =>
         val m = joinGroup(mPats.zipWithIndex.map { case (p, i) =>
-          planPattern(p, 500000 * (g + 1) + i, store, enc)
+          planGroupPattern(store)(p, 500000 * (g + 1) + i)
         })
         val shared = acc.columns.toSet.intersect(m.columns.toSet).toSeq.sorted
         if (shared.isEmpty) acc else acc.join(m, shared, "left_anti")
@@ -486,7 +522,7 @@ object BgpPlanner {
     val afterExists = query.existsFilters.zipWithIndex.foldLeft(afterMinus) {
       case (acc, ((ePats, negated), g)) =>
         val e = joinGroup(ePats.zipWithIndex.map { case (p, i) =>
-          planPattern(p, 700000 * (g + 1) + i, store, enc)
+          planGroupPattern(store)(p, 700000 * (g + 1) + i)
         })
         val shared = acc.columns.toSet.intersect(e.columns.toSet).toSeq.sorted
         val joinType = if (negated) "left_anti" else "left_semi"

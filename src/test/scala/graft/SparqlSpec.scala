@@ -148,6 +148,28 @@ class SparqlSpec extends SparkTestBase {
     (new QueryEngine(spark, dict), triples)
   }
 
+  test("property paths inside OPTIONAL / UNION / MINUS groups") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // OPTIONAL with a closure path: m=-7 reaches 20 via :p3+, m=-8 reaches
+    // nothing -> null pads
+    val opt = reg.sparql("SELECT ?x ?m ?r WHERE { ?x :p2 ?m . " +
+      "OPTIONAL { ?m :p3+ ?r } }")
+      .collect().map(r => (r.getInt(1), if (r.isNullAt(2)) None else Some(r.getInt(2))))
+      .toSet
+    assert(opt == Set((-7, Some(20)), (-8, None)))
+    // UNION arm with a closure path unions with a plain arm
+    val uni = reg.sparql("SELECT ?s ?o WHERE { { ?s :p3+ ?o } UNION { ?s :loop ?o } }")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(uni == Set((-7, 20), (-9, -9)))
+    // MINUS with a sequence path: o=10 has the :p2/:p3 hop (10->-7->20),
+    // o=11 does not (-8 has no :p3) — only the o=11 row survives
+    val min = reg.sparql("SELECT ?s ?o WHERE { ?s :p1 ?o . " +
+      "MINUS { ?o :p2/:p3 ?z } }")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(min == Set((6, 11)))
+  }
+
   test("SPARQL UPDATE: insert mints ids, deletes filter, derivation constructs") {
     import graft.sparql.SparqlUpdate
     val (engine, triples) = fixture
