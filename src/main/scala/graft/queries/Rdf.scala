@@ -328,6 +328,46 @@ object Rdf {
                    | BIND(?o - 1 AS ?okey) FILTER(?okey <= ${minK + 20}) }""".stripMargin)
     },
 
+    // ---- BIND(COALESCE(…)): the OPTIONAL-default idiom — suppliers of one
+    // part when the order contains it, else the order itself. DISTINCT makes
+    // the gate multiplicity-insensitive (a part can sit in several lineitems
+    // of one order). Plan: left join + null-skipping coalesce, no extra
+    // shuffle beyond the OPTIONAL's own. ----
+    QueryDef("rdf_sparql_coalesce",
+      RdfBridge.oracleCte + """
+        |SELECT DISTINCT t1.Subject AS c,
+        |       CAST(COALESCE(sup.s, t1.Object) AS BIGINT) AS v
+        |FROM triples t1
+        |LEFT JOIN (SELECT x.Subject AS ord, y.Object AS s
+        |           FROM triples x, triples y
+        |           WHERE x.Predicate = -13
+        |             AND x.Object = CAST(-((SELECT MIN(l_partkey) FROM lineitem) + 500000000) AS INTEGER)
+        |             AND y.Predicate = -21 AND y.Subject = x.Object) sup
+        |  ON sup.ord = t1.Object
+        |WHERE t1.Predicate = -2""".stripMargin) { (s, dir) =>
+      val minPart = graft.sources.Tables.load(s, dir, "lineitem")
+        .agg(min(col("l_partkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"""SELECT DISTINCT ?c ?v WHERE { ?c :placed ?o .
+                   | OPTIONAL { ?o :contains 'part_$minPart' . 'part_$minPart' :supplied_by ?s }
+                   | BIND(COALESCE(?s, ?o) AS ?v) }""".stripMargin)
+    },
+
+    // ---- BIND(IF(cond, then, else)): numeric conditional over the bound
+    // solution — nation keys are 0..24 at every SF, so the fixed threshold
+    // always yields a mix of both branches with no driver pre-job. ----
+    QueryDef("rdf_sparql_if",
+      RdfBridge.oracleCte + """
+        |SELECT Subject AS c, Object AS n,
+        |       CAST(CASE WHEN Object > 2000000012 THEN 1 ELSE 0 END AS BIGINT) AS flag
+        |FROM triples WHERE Predicate = -31""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("""SELECT ?c ?n ?flag WHERE { ?c :in_nation ?n .
+                  | BIND(IF(?n > 2000000012, 1, 0) AS ?flag) }""".stripMargin)
+    },
+
     // ---- SPARQL multi-variable VALUES: row tuples over (customer, nation)
     // joined under the compatibility rule — for required variables the
     // null-tolerant condition simplifies to a broadcast equi-join on the

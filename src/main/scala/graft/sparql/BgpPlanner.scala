@@ -250,6 +250,8 @@ object BgpPlanner {
       query.binds.flatMap(_._1 match {
         case BindTerm(t) => Seq(t)
         case BindArith(l, _, r) => Seq(l, r)
+        case BindCoalesce(ts) => ts
+        case BindIf(c, t, e) => Seq(c.value, t, e)
       })).collect {
       case Constant(l) => l
     }.distinct
@@ -663,6 +665,20 @@ object BgpPlanner {
                 s"unsupported BIND operator '$other'")
             }
             acc.withColumn(alias, e)
+          // COALESCE: first non-error argument — operand() already maps
+          // unbound variables and unknown terms to null, so Spark's
+          // null-skipping coalesce IS the SPARQL first-non-error fold
+          case BindCoalesce(ts) =>
+            ts.foreach { case Variable(v) =>
+              require(acc.columns.contains(v), s"COALESCE source ?$v not bound")
+            case _ => () }
+            acc.withColumn(alias, coalesce(ts.map(operand): _*))
+          // IF: a null condition (error) nulls the whole expression —
+          // when() without otherwise-on-null gives exactly that
+          case BindIf(c, t, e) =>
+            acc.withColumn(alias,
+              when(condColumn(acc, c), operand(t))
+                .when(!condColumn(acc, c), operand(e)))
         }
     }
 

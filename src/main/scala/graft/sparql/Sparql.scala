@@ -87,6 +87,16 @@ final case class FilterOr(l: FilterExpr, r: FilterExpr) extends FilterExpr
 sealed trait BindExpr
 final case class BindTerm(t: Term) extends BindExpr
 final case class BindArith(l: Term, op: Char, r: Term) extends BindExpr
+/** `COALESCE(t1, t2, …)` — first argument that evaluates without error
+  * (i.e. first non-null: an unbound OPTIONAL variable or unknown term is an
+  * expression error → null). The OPTIONAL-default idiom.
+  */
+final case class BindCoalesce(terms: Seq[Term]) extends BindExpr
+/** `IF(cond, then, else)` — cond is one FILTER atom (comparison or
+  * [!]BOUND); an error (null) condition makes the whole IF an error → the
+  * alias binds null, per SPARQL 1.1 §17.4.1.2.
+  */
+final case class BindIf(cond: FilterCond, thenT: Term, elseT: Term) extends BindExpr
 
 /** A basic graph pattern plus the query's projection (Nil = `*`), OPTIONAL
   * pattern groups (each left-joined to the required patterns on shared
@@ -371,9 +381,34 @@ object SparqlParser {
         // an optional single arithmetic step (`?x + 1`, `?a - ?b`, `?x * 3`)
         // makes the alias a computed integer binding; `/` is rejected (the
         // xsd:decimal division result has no home in the id domain)
+        // BIND(COALESCE(t1, t2, …) AS ?alias) — arguments are plain terms
+        // (quoted lexicals with commas/parens are outside the subset);
+        // extracted before the generic form so `\S+?` never eats a call.
+        val bindCoalesceRe =
+          "(?i)BIND\\s*\\(\\s*COALESCE\\s*\\(([^()]*)\\)\\s+AS\\s+\\?(\\w+)\\s*\\)".r
+        val coalesceBinds = bindCoalesceRe.findAllMatchIn(withoutOpt).map { m =>
+          val terms = m.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(toTerm)
+          require(terms.nonEmpty, "COALESCE needs at least one argument")
+          (BindCoalesce(terms): BindExpr, m.group(2))
+        }.toSeq
+        val withoutCoalesce = bindCoalesceRe.replaceAllIn(withoutOpt, " ")
+        // BIND(IF(cond, then, else) AS ?alias) — cond is one FILTER atom
+        // (one paren level allowed for BOUND(?v)); then/else are terms.
+        val bindIfRe = ("(?i)BIND\\s*\\(\\s*IF\\s*\\(\\s*((?:[^(),]|\\([^()]*\\))+?)\\s*," +
+          "\\s*([^(),]+?)\\s*,\\s*([^(),]+?)\\s*\\)\\s+AS\\s+\\?(\\w+)\\s*\\)").r
+        val ifBinds = bindIfRe.findAllMatchIn(withoutCoalesce).map { m =>
+          val cond = parseFilter(m.group(1).trim)
+          require(!FilterOp.isLexical(cond.op) &&
+              cond.op != FilterIn && cond.op != FilterNotIn,
+            "IF condition subset is ?var cmp term and [!]BOUND(?var)")
+          (BindIf(cond, toTerm(m.group(2)), toTerm(m.group(3))): BindExpr, m.group(4))
+        }.toSeq
+        val withoutIf = bindIfRe.replaceAllIn(withoutCoalesce, " ")
         val bindRe = ("(?i)BIND\\s*\\(\\s*('[^']*'|\\S+?)" +
           "(?:\\s*([+*/-])\\s*('[^']*'|\\S+?))?\\s+AS\\s+\\?(\\w+)\\s*\\)").r
-        val binds = bindRe.findAllMatchIn(withoutOpt).map { m =>
+        // function binds evaluate before plain/arithmetic binds — a later
+        // plain BIND may reference a COALESCE/IF alias, not vice versa
+        val binds = coalesceBinds ++ ifBinds ++ bindRe.findAllMatchIn(withoutIf).map { m =>
           val expr: BindExpr =
             if (m.group(2) == null) BindTerm(toTerm(m.group(1)))
             else {
@@ -383,7 +418,7 @@ object SparqlParser {
             }
           (expr, m.group(4))
         }.toSeq
-        val withoutBind = bindRe.replaceAllIn(withoutOpt, " ")
+        val withoutBind = bindRe.replaceAllIn(withoutIf, " ")
         // FILTER clauses: extract (they need no dot separator in SPARQL),
         // then parse the remaining segments as triple patterns. Single-atom
         // conditions stay plain FilterConds; &&/|| trees go to filterExprs.

@@ -528,6 +528,39 @@ class SparqlSpec extends SparkTestBase {
       "SELECT ?s WHERE { ?s :p1 ?o . BIND(?s AS ?o) }").collect())
   }
 
+  test("BIND(COALESCE/IF): OPTIONAL defaults and conditional bindings") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // COALESCE falls back when the OPTIONAL left ?r unbound:
+    // a: 10 -> -7 -> 20 binds r=20; e: 11 -> -8 -> (no :p3) leaves r null
+    val co = reg.sparql("SELECT ?s ?v WHERE { ?s :p1 ?o . " +
+      "OPTIONAL { ?o :p2 ?m . ?m :p3 ?r } BIND(COALESCE(?r, ?o) AS ?v) }")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(co == Set((-5, 20L), (6, 11L)))
+    // all arguments error (unknown term) -> the alias binds null
+    val nulls = reg.sparql(
+      "SELECT ?s ?x WHERE { ?s :p1 ?o . BIND(COALESCE('nosuch') AS ?x) }")
+      .collect().map(r => (r.getInt(0), r.isNullAt(1)))
+    assert(nulls.length == 2 && nulls.forall(_._2))
+    // IF with a numeric comparison: o=10 -> else, o=11 -> then
+    val iff = reg.sparql(
+      "SELECT ?s ?f WHERE { ?s :p1 ?o . BIND(IF(?o > 10, 1, 0) AS ?f) }")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(iff == Set((-5, 0L), (6, 1L)))
+    // IF with BOUND over an OPTIONAL variable; branches are dictionary terms
+    val bnd = reg.sparql("SELECT ?s ?v WHERE { ?s :p1 ?o . " +
+      "OPTIONAL { ?o :p2 ?m . ?m :p3 ?r } BIND(IF(BOUND(?r), 'd', 'b') AS ?v) }")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(bnd == Set((-5, 20L), (6, 10L)))
+    // SPARQL error semantics: a null (errored) condition nulls the IF —
+    // the comparison with the unbound ?r is an error, not false
+    val err = reg.sparql("SELECT ?s ?f WHERE { ?s :p1 ?o . " +
+      "OPTIONAL { ?o :p2 ?m . ?m :p3 ?r } BIND(IF(?r > 0, 1, 0) AS ?f) }")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    assert(err == Set((-5, Some(1L)), (6, None)))
+  }
+
   test("multi-variable VALUES with UNDEF: per-row wildcard") {
     val (engine, triples) = fixture
     val reg = engine.registerSplitTables(triples)
