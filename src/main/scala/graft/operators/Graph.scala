@@ -70,6 +70,47 @@ object Graph {
     reached
   }
 
+  /** Single-source(-set) shortest HOP distances — (node, dist) for every
+    * node reachable from `seeds`, dist = minimum edge count (seeds at 0).
+    * Same semi-naive fixpoint as [[reachableFrom]]: because BFS explores in
+    * hop order, the anti-join against the already-reached set IS the min —
+    * a node's first appearance is its shortest distance, so no per-round
+    * min-aggregation or re-relaxation is needed (hop-count = unit weights;
+    * weighted SSSP would need the Bellman-Ford relax-join instead).
+    * Per-round cost: one frontier×edges equi-join + distinct + anti-join,
+    * O(diameter) rounds, O(1) plan depth via localCheckpoint.
+    */
+  def shortestDistances(triples: DataFrame, seeds: DataFrame, maxIters: Int = -1): DataFrame = {
+    val edges = triples
+      .select(col(TripleSchema.subject).as("src"), col(TripleSchema.objekt).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val seedDf = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).persist()
+    var reached = seedDf
+    var frontier: DataFrame = seedDf
+    var iter = 0
+    var done = false
+    while (!done && (maxIters < 0 || iter < maxIters)) {
+      val next = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit((iter + 1).toLong))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        reached = reached.unionAll(next)
+        frontier = next
+        iter += 1
+      }
+    }
+    seedDf.unpersist()
+    edges.unpersist()
+    reached
+  }
+
   /** PAIRWISE transitive closure — (root, node) for every node reachable
     * from `root` in ≥1 step — the provenance-carrying BFS that backs
     * both-ends-variable property paths (`?s :p+ ?o`). Same semi-naive

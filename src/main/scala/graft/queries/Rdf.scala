@@ -986,6 +986,30 @@ object Rdf {
         .select(col("node").cast("int").as("node"))
     },
 
+    // ---- Single-source shortest hop distances (BFS levels) from the
+    // min-subject customer over ALL bridge edges: hop order makes the
+    // anti-join the min, so no re-relaxation rounds — vs the same walk in
+    // DuckDB as a depth-bounded recursive CTE with MIN(dist). Exercises
+    // distance-carrying iteration on the persisted bucketed layout. ----
+    QueryDef("rdf_shortest_path",
+      RdfBridge.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, seed AS (SELECT MIN(Subject) AS s FROM triples WHERE Predicate = -2),
+        |walk AS (
+        |  SELECT s AS node, 0 AS dist FROM seed
+        |  UNION ALL
+        |  SELECT t.Object, w.dist + 1 FROM walk w
+        |  JOIN triples t ON t.Subject = w.node WHERE w.dist < 4)
+        |SELECT CAST(node AS INTEGER) AS node, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY node""".stripMargin) { (s, dir) =>
+      val tbl = Layouts.persistedLayout(RdfBridge.triples(s, dir), dir,
+        Layouts.BySubject, signPartitioned = false)
+      val triples = s.table(tbl)
+      val seeds = triples.filter(col("Predicate") === RdfBridge.Placed)
+        .agg(min(col("Subject")).as("node"))
+      graft.operators.Graph.shortestDistances(triples, seeds)
+        .select(col("node").cast("int").as("node"), col("dist"))
+    },
+
     // ---- PageRank (3 iterations) in exact integer micro-units over the
     // full bridge graph: iterative rank joins on Spark vs the same three
     // steps UNROLLED as CTEs in DuckDB — bit-exact because every step is

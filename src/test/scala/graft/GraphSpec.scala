@@ -23,6 +23,17 @@ class GraphSpec extends SparkTestBase {
     assert(r.sameElements(Array(1, 2, 3)))
   }
 
+  test("shortest hop distances: BFS levels, min over alternative paths") {
+    import spark.implicits._
+    // 1->2->3->4 chain plus shortcut 1->3: dist(3) must be 1, not 2;
+    // cycle edge 4->1 must not relax the seed below 0; island 7->8 unreached
+    val t = triples(Seq(1 -> 2, 2 -> 3, 3 -> 4, 1 -> 3, 4 -> 1, 7 -> 8))
+    val seeds = Seq(1).toDF("node")
+    val d = Graph.shortestDistances(t, seeds)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(d == Map(1 -> 0L, 2 -> 1L, 3 -> 1L, 4 -> 2L))
+  }
+
   test("connected components: chain, triangle, singleton") {
     import spark.implicits._
     // chain 1-2-3, triangle 10-11-12, singleton 99
