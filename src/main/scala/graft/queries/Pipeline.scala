@@ -502,6 +502,50 @@ object Pipeline {
        |  ${d.transform(d.seq("1", DIM.toString), "i", lane)} AS qv FROM a)""".stripMargin
   }
 
+  /** Top principal direction by 3 power-method iterations in EXACT int64
+    * arithmetic — the distributed-linear-algebra shape (matvec = join +
+    * groupBy) with cross-engine bit-identical results. The embedding is
+    * int8-quantized (see [[quantCte]]), exploded to (vec_id, i, x) rows, and
+    * each iteration computes dt = X·v (group by vec_id), w = Xᵀ·dt (group by
+    * i), then renormalizes to max |v| = 4096 with TRUNCATING integer
+    * division `(a - a%m) div m` — floor-vs-trunc `div` semantics differ
+    * between engines on negatives, but both `%` are C-style, making this
+    * form portable-exact. Overflow bound: |v|≤2^12 ⇒ |dt|≤2^25, |w|≤n·2^32,
+    * |w·4096|≤n·2^44 — safe in int64 to n = 2^18 rows (≈ sf5); beyond that,
+    * shrink the normalization base. Scale shape: two shuffles per iteration
+    * on (vec_id)/(i); the only scalar is MAX|w| — a broadcastable
+    * aggregate, never driver state. Sign/direction is deterministic from
+    * the all-ones start vector.
+    */
+  private def embPcaPower(d: Dialect): String = {
+    val idiv = if (d == SparkDialect) "div" else "//"
+    val xRows =
+      if (d == SparkDialect)
+        "SELECT vec_id, posexplode(qv) AS (i, x) FROM qz"
+      else
+        "SELECT vec_id, unnest(qv) AS x, unnest(range(len(qv))) AS i FROM qz"
+    val ones =
+      if (d == SparkDialect)
+        "SELECT explode(sequence(0, 63)) AS i, CAST(1 AS BIGINT) AS v"
+      else
+        "SELECT unnest(range(64)) AS i, CAST(1 AS BIGINT) AS v"
+    def iter(k: Int, prev: String): String =
+      s"""d$k AS (SELECT vec_id, CAST(SUM(CAST(x.x AS BIGINT) * v.v) AS BIGINT) AS dt
+         |  FROM x JOIN $prev v USING(i) GROUP BY vec_id),
+         |w$k AS (SELECT i, CAST(SUM(d$k.dt * x.x) AS BIGINT) AS w
+         |  FROM x JOIN d$k USING(vec_id) GROUP BY i),
+         |v$k AS (SELECT i, CASE WHEN mm.m = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE (w*4096 - ((w*4096) % mm.m)) $idiv mm.m END AS v
+         |  FROM w$k, (SELECT MAX(ABS(w)) AS m FROM w$k) mm)""".stripMargin
+    s"""WITH ${quantCte(d)},
+       |x AS ($xRows),
+       |v0 AS ($ones),
+       |${iter(1, "v0")},
+       |${iter(2, "v1")},
+       |${iter(3, "v2")}
+       |SELECT CAST(i AS BIGINT) AS i, v FROM v3""".stripMargin
+  }
+
   private def embQuantize(d: Dialect): String =
     s"""WITH ${quantCte(d)}
        |SELECT vec_id, scale,
@@ -684,6 +728,24 @@ object Pipeline {
        |       ELSE 'test' END AS split,
        |  CAST($bucket AS BIGINT) AS bucket
        |FROM documents""".stripMargin
+  }
+
+  /** Deterministic global shuffle + sharding for training-data export: each
+    * document lands in shard = hash(text) mod N, ordered within its shard by
+    * (hash, doc_id) — a reproducible pseudo-random permutation with no
+    * global sort and no global ROW_NUMBER (the single-partition anti-pattern
+    * corpus_token_dict_encode's spec also pins against). At 100 TB the
+    * window partitions BY SHARD: pick N ≈ a few × cluster parallelism so
+    * each shard is one task's sort; writers then emit one file per shard.
+    */
+  private def shardShuffle(d: Dialect): String = {
+    val h = F.strHash(d, "text")
+    s"""WITH t AS (SELECT doc_id, $h AS h FROM documents)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(h % 8 AS BIGINT) AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+       |       AS BIGINT) AS pos
+       |FROM t""".stripMargin
   }
 
   /** Sequence packing: assign documents to fixed-budget context windows
@@ -1828,6 +1890,7 @@ object Pipeline {
     textFingerprintDef,
     docQuery("text_normalize", textNormalize),
     docQuery("corpus_split_hash", sampleSplit),
+    docQuery("corpus_shard_shuffle", shardShuffle),
     docQuery("corpus_pack_sequences", packSequences),
     tokenDictEncodeDef,
     docQuery("dedup_incremental", dedupIncremental),
@@ -1853,6 +1916,7 @@ object Pipeline {
     corpusDecontaminate,
     embQuery("emb_label_centroids", embCentroids),
     embQuery("emb_quantize_int8", embQuantize),
+    embQuery("emb_pca_power", embPcaPower),
     embQuery("sim_topk_quantized", simTopkQuantized),
     docQuery("corpus_chunk", corpusChunk),
     docQuery("corpus_cdc_chunk", corpusCdcChunk),
