@@ -869,6 +869,49 @@ object Pipeline {
        |    THEN 1 ELSE 0 END AS flag_repetitive
        |FROM agg""".stripMargin
 
+  /** Count-min-sketch heavy hitters over the token stream: a d=4 × w=16
+    * sketch (each row an independent salted hash into w buckets, each cell
+    * the sum of counts landing there), point-queried for every vocabulary
+    * token — estimate = MIN over the 4 rows' cells, always >= the exact
+    * count (CMS overestimates, never under). Cormode & Muthukrishnan,
+    * "An Improved Data Stream Summary: The Count-Min Sketch" (J. Algorithms
+    * 2005). w=16 is deliberately smaller than the fixture's 30-word
+    * vocabulary so bucket collisions actually occur and the min-of-rows
+    * error reduction is exercised, not just compiled.
+    *
+    * Scale shape: the token pre-count shuffles only distinct-token partials
+    * (map-side combine), each distinct token is hashed d times (not each
+    * occurrence — the repo's distinct-vocab hashing discipline), the sketch
+    * itself is d*w = 64 cells (broadcast side of the estimate join), and the
+    * point-query set at 100 TB is a small candidate list, not the full
+    * vocabulary. Textbook occurrence-level CMS would instead shuffle 64
+    * cells directly; both shapes scale, this one hashes ~|vocab| times less.
+    */
+  private def textCmsHeavyHitters(d: Dialect): String = {
+    // salt each sketch row with a leading digit char so the d hashes are
+    // independent; chr(48+rw) = '0'..'3' identically in both engines
+    // (DuckDB's chr only binds INTEGER; its range() yields BIGINT)
+    val rowHash = F.strHashCheap(d, "concat(chr(CAST(48 + rw AS INTEGER)), '#', tok)")
+    s"""WITH tw AS (SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM documents),
+       |te AS (${d.explodeSelect("doc_id", "tw", "toks", "tok")}),
+       |vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM te GROUP BY tok),
+       |vr AS (${d.explodeSelect("tok, c", "vocab", d.seq("0", "3"), "rw")}),
+       |vh AS (SELECT tok, c, rw, ($rowHash) % 16 AS bucket FROM vr),
+       |cells AS (SELECT rw, bucket, CAST(SUM(c) AS BIGINT) AS cell
+       |  FROM vh GROUP BY rw, bucket),
+       |est AS (SELECT vh.tok, MIN(cells.cell) AS cms_c, MIN(vh.c) AS exact_c
+       |  FROM vh JOIN cells ON vh.rw = cells.rw AND vh.bucket = cells.bucket
+       |  GROUP BY vh.tok),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab)
+       |SELECT est.tok AS token,
+       |  CAST(est.cms_c AS BIGINT) AS cms_count,
+       |  CAST(est.exact_c AS BIGINT) AS exact_count,
+       |  CAST(est.cms_c - est.exact_c AS BIGINT) AS overcount,
+       |  CAST(CASE WHEN est.cms_c * 20 >= tot.total THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_heavy
+       |FROM est CROSS JOIN tot""".stripMargin
+  }
+
   /** Conversion funnel over the events stream table: per user, the earliest
     * view → first click after that view → first purchase after that click,
     * and the stage reached. One shuffle on user_id; each stage is a
@@ -1895,6 +1938,7 @@ object Pipeline {
     tokenDictEncodeDef,
     docQuery("dedup_incremental", dedupIncremental),
     docQuery("text_repetition", textRepetition),
+    docQuery("text_cms_heavy_hitters", textCmsHeavyHitters),
     eventsQuery("events_funnel", eventsFunnel),
     docQuery("corpus_sample_stratified", corpusSampleStratified),
     dedupContainmentDef,

@@ -151,6 +151,72 @@ object Streams {
     })
   }
 
+  /** TWO sentinel files (+240 h and +480 h, each its own final micro-batch),
+    * each holding one 'purchase' and one 'click' row with NEGATIVE user ids.
+    * Stream-stream joins need both properties:
+    *
+    *  - REAL event types (not the 'sentinel' type): the join pre-filters
+    *    each side on event_type, and Catalyst pushes that predicate below
+    *    the EventTimeWatermark node into the parquet scan — a
+    *    'sentinel'-typed row is pruned by row-group stats at the SCAN, never
+    *    reaches the watermark operator, and the clock never advances
+    *    (measured: numInputRows=0 for the sentinel batches while a
+    *    filter-free probe stream read them fine). Negative user ids keep the
+    *    sentinels out of the join result instead (real keys are >= 0;
+    *    gates filter `user_id >= 0` on the sink).
+    *  - a SECOND sentinel: batch k's state eviction uses the watermark
+    *    computed at the END of batch k-1, so a single sentinel leaves the
+    *    last ~delay of unmatched rows buffered when AvailableNow terminates
+    *    (measured: the final 2 h of null-padded purchases never emitted).
+    *    The +480 h batch evicts with the +240 h sentinel's watermark
+    *    (+238 h), flushing every real row's result deterministically.
+    */
+  private def joinSentinelEventsDir(spark: SparkSession, sfDir: String): String = {
+    val src = stagedEventsDir(spark, sfDir) // resolve OUTSIDE computeIfAbsent
+    stageCache.computeIfAbsent(seedKey(spark, sfDir, "sentinel2"), { _ =>
+      val dir = cleanScratch(spark,
+        s"events_stream_wm2_${sfDir.hashCode & 0x7fffffff}")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dstPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dstPath.getFileSystem(conf)
+      fs.mkdirs(dstPath)
+      val srcPath = new org.apache.hadoop.fs.Path(src)
+      val base = System.currentTimeMillis()
+      val copied = srcPath.getFileSystem(conf).listStatus(srcPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getModificationTime).zipWithIndex.map { case (st, i) =>
+          val dst = new org.apache.hadoop.fs.Path(dstPath, st.getPath.getName)
+          org.apache.hadoop.fs.FileUtil.copy(
+            st.getPath.getFileSystem(conf), st.getPath, fs, dst, false, conf)
+          fs.setTimes(dst, base + i * 1000L, -1)
+          dst.getName
+        }.toSet
+      val all = Tables.load(spark, sfDir, "events")
+      val schema = all.schema
+      Seq(240, 480).zipWithIndex.foreach { case (hours, si) =>
+        val before = fs.listStatus(dstPath)
+          .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath.getName).toSet
+        all.agg(max(col("ts")).as("m"))
+          .select(col("m"),
+            explode(array(lit("purchase"), lit("click"))).as("st"))
+          .select(schema.fields.map { f =>
+            (f.name match {
+              case "ts" => expr(s"date_trunc('hour', m) + INTERVAL $hours HOURS 1 SECOND")
+              case "event_id" | "user_id" => lit(-1L - si)
+              case "event_type" => col("st")
+              case other => lit(null).cast(schema(other).dataType)
+            }).cast(f.dataType).as(f.name)
+          }: _*)
+          .coalesce(1).write.mode("append").parquet(dir)
+        fs.listStatus(dstPath)
+          .filter(st => st.getPath.getName.endsWith(".parquet") &&
+            !before.contains(st.getPath.getName))
+          .foreach(st => fs.setTimes(st.getPath, base + (si + 1) * 100 * 1000L, -1))
+      }
+      dir
+    })
+  }
+
   private def await(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     assert(q.awaitTermination(300000), "streaming gate timed out")
 
@@ -315,6 +381,52 @@ object Streams {
         .trigger(Trigger.AvailableNow()).start()
       await(q)
       s.table("g_stream_ssj")
+      }
+    },
+
+    // ---- stream-stream LEFT OUTER interval join: like the inner interval
+    // join, but purchases with NO click in the preceding hour are ALSO
+    // emitted (null click id) — and that emission is watermark-driven:
+    // Spark holds an unmatched left row in state until the watermark
+    // passes its join-interval upper bound, then evicts it and emits the
+    // null-padded row. Deterministic ONLY because the DOUBLE-sentinel
+    // staging pushes the final watermark past every real purchase's
+    // interval AND forces one more batch to apply it (eviction uses the
+    // previous batch's watermark — see joinSentinelEventsDir, including
+    // why the sentinels carry REAL event types and negative user ids),
+    // so every unmatched row is flushed before the AvailableNow run
+    // terminates. Without the sentinels, the last ~2 h of unmatched
+    // purchases would stay buffered and the sink would depend on where
+    // the data happens to end. The sink filter `user_id >= 0` removes
+    // the sentinels' own join rows. ----
+    QueryDef("stream_outer_join",
+      """SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin) { (s, dir) =>
+      withStatePartitions(s, 8) {
+      val src = joinSentinelEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_soj_ckpt_${dir.hashCode & 0x7fffffff}")
+      val stream = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+      val purchases = stream.withWatermark("ts", "2 hours")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      val clicks = stream.withWatermark("ts", "2 hours")
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      val q = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+          "left_outer")
+        .select("user_id", "p_id", "c_id")
+        .writeStream.format("memory").queryName("g_stream_soj")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.table("g_stream_soj").filter(col("user_id") >= 0)
       }
     },
 
