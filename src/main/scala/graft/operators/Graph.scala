@@ -4,8 +4,11 @@ import graft.core.TripleSchema
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Iterative graph operators over the triple table — the capability layer
-  * Spark SQL lacks declaratively (no recursive CTEs).
+/** Iterative graph operators over the triple table. Spark 4's recursive
+  * CTE (`WITH RECURSIVE`, exercised by gate q49) covers simple monotone
+  * recursion, but these fixpoints need semi-naive frontiers, per-round
+  * lineage truncation, and distance/provenance carrying — still the
+  * driver-loop-of-joins layer.
   *
   * Reachability = semi-naive BFS fixpoint: each iteration joins only the
   * FRONTIER (not the whole reached set) against the edge table, anti-joins
@@ -251,5 +254,49 @@ object Graph {
     e.unpersist()
     edgeDeg.unpersist()
     r.select(col("node"), col("r").as("rank_micro"))
+  }
+
+  /** Per-node triangle counts by degree-ordered edge orientation (the
+    * compact-forward / Latapy scheme): orient each undirected edge {u,v}
+    * from the (degree, id)-smaller endpoint to the larger, so every
+    * triangle {a,b,c} survives as EXACTLY one directed path a→b→c plus the
+    * closing edge a→c — counted once, no 3!-fold duplication and no
+    * post-hoc dedup shuffle.
+    *
+    * Scale shape: orientation bounds every out-neighborhood by O(√m)
+    * (a node keeps only edges toward HIGHER-degree peers), so the wedge
+    * join e1.t = e2.s — the only superlinear step — materializes
+    * Σ in(b)·out(b) ≤ m·√m rows instead of the Σ deg² of a naive
+    * wedge enumeration, which a single hot hub (degree h) would blow up
+    * to h². Both joins are plain shuffled equi-joins on derived keys;
+    * the closing-edge join probes with (s, t) — hash-partition friendly,
+    * no broadcast of anything unbounded.
+    *
+    * `edges`: columns `u`, `v` (undirected; dups/self-loops tolerated).
+    * Returns (node, n_tri) for nodes in ≥1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      .select(when(lower, col("u")).otherwise(col("v")).as("s"),
+        when(lower, col("v")).otherwise(col("u")).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.select(col("s").as("a"), col("t").as("b"))
+      .join(oriented.select(col("s").as("b"), col("t").as("c")), "b")
+    val tris = wedges.join(oriented.select(col("s").as("a"), col("t").as("c")),
+      Seq("a", "c"))
+    val counts = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint() // materialize before unpersisting the edge cache
+    oriented.unpersist()
+    counts
   }
 }

@@ -892,7 +892,116 @@ object Relational {
         case (k, None)    => s.conf.unset(k)
       }
     },
+
+    // ---- RECURSIVE CTE (Spark 4's WITH RECURSIVE, planned as UnionLoop):
+    // generate the complete month spine from MIN to MAX order date — 80
+    // levels of anchor+step recursion — then LEFT JOIN order totals onto
+    // it, so months with zero orders surface as explicit 0-rows (the
+    // gap-filling report shape a plain GROUP BY cannot produce). The
+    // recursion is driver-cheap (one 1-row level per month); the heavy
+    // side stays one distributed agg-join. The SAME SQL text runs on both
+    // engines — only the recursion-limit conf is Spark-side. ----
+    QueryDef("q49_recursive_cte",
+      recursiveMonthsSql) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      val key = "spark.sql.cteRecursionLevelLimit"
+      val saved = s.conf.getOption(key)
+      s.conf.set(key, "2000") // month spines beyond the default 100 levels
+      try {
+        val df = s.sql(recursiveMonthsSql)
+        df.queryExecution.executedPlan // pin the plan under the raised limit
+        df
+      } finally saved match {
+        case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key)
+      }
+    },
+
+    // ---- TRIANGLE COUNTING over the co-purchase graph (parts sharing an
+    // order): the classic superlinear graph kernel, made 100 TB-shaped by
+    // degree-ordered orientation — see Graph.triangleCounts for why the
+    // wedge join is bounded by m^1.5 and skew-immune to hot hubs. The
+    // oracle replays the identical orientation in SQL, so counts are
+    // exact-equal, not just cardinality-equal. ----
+    QueryDef("q50_triangle_count",
+      """WITH edges AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, COUNT(*) AS d FROM (
+        |    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) q
+        |  GROUP BY node),
+        |de AS (SELECT
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
+        |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t
+        |  FROM edges JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+        |tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM de e1 JOIN de e2 ON e2.s = e1.t
+        |  JOIN de e3 ON e3.s = e1.s AND e3.t = e2.t),
+        |pernode AS (SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM pernode GROUP BY node""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), "l_orderkey")
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v"))
+      graft.operators.Graph.triangleCounts(pairs)
+        .select(col("node").cast("long").as("node"), col("n_tri"))
+    },
+
+    // ---- HIGHER-ORDER ARRAY FUNCTIONS (lambda expressions INSIDE
+    // whole-stage codegen — transform/filter/aggregate/element_at over a
+    // collected array, zero UDFs): per customer, the sorted array of
+    // order totals in exact integer cents, its length, how many clear
+    // 100k, their sum folded by an aggregate() lambda, and the smallest.
+    // The groupBy shuffles ~1 row per order (map-side partial
+    // collect_list); all lambda work is post-shuffle per-group
+    // compute — the 100 TB shape for per-entity array analytics. Cents
+    // (not DECIMAL) because the lambda fold stays a primitive LongType
+    // loop in codegen. ----
+    QueryDef("q51_higher_order",
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey,
+        |  CAST(len(a) AS INTEGER) AS n_orders,
+        |  CAST(len(list_filter(a, x -> x > 10000000)) AS INTEGER) AS n_big,
+        |  CAST(list_aggregate(a, 'sum') AS BIGINT) AS total_cents,
+        |  CAST(a[1] AS BIGINT) AS min_cents
+        |FROM (SELECT o_custkey,
+        |    list_sort(list(CAST(round(o_totalprice * 100) AS BIGINT))) AS a
+        |  FROM orders GROUP BY o_custkey) q""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(
+          round(col("o_totalprice") * 100).cast("long"))).as("a"))
+        .select(col("o_custkey").cast("long").as("custkey"),
+          size(col("a")).as("n_orders"),
+          size(filter(col("a"), x => x > 10000000L)).as("n_big"),
+          aggregate(col("a"), lit(0L), (acc, x) => acc + x).as("total_cents"),
+          element_at(col("a"), 1).as("min_cents"))
+    },
   )
+
+  /** One SQL text for q49 on BOTH engines: Spark 4 and DuckDB agree on
+    * `WITH RECURSIVE`, `date_trunc`, and DATE + year-month INTERVAL.
+    * The MAX month rides along in the recursion (`mx`) so the stop
+    * condition needs no correlated subquery inside the recursive step.
+    */
+  private val recursiveMonthsSql: String =
+    """WITH RECURSIVE months AS (
+      |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS m,
+      |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mx
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE), mx FROM months WHERE m < mx
+      |)
+      |SELECT ms.m AS month,
+      |  CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))),
+      |    CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM months ms LEFT JOIN orders o
+      |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = ms.m
+      |GROUP BY ms.m""".stripMargin
 
   /** Array-returning form of q21: per nation, the sorted distinct market
     * segments as an `array<string>` column (deterministic order).

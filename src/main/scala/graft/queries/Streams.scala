@@ -347,6 +347,36 @@ object Streams {
       }
     },
 
+    // ---- COMPLETE output mode: unwindowed running totals per event type —
+    // the live-dashboard shape. No watermark and no eviction: the state is
+    // one row per event type (bounded by the KEY domain, not the stream
+    // length — the only situation where complete mode scales), and every
+    // micro-batch re-emits the whole table; the memory sink's final
+    // snapshot after AvailableNow therefore equals the batch aggregate
+    // over all files regardless of how the stream was batched — no
+    // sentinels needed, determinism by construction. ----
+    QueryDef("stream_complete_agg",
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      withStatePartitions(s, 8) {
+      val src = stagedEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_cagg_ckpt_${dir.hashCode & 0x7fffffff}")
+      val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").cast("double").as("total_value"),
+          max(col("ts")).as("last_ts"))
+        .writeStream.format("memory").queryName("g_stream_cagg")
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.table("g_stream_cagg")
+      }
+    },
+
     // ---- stream-stream INTERVAL JOIN: purchases ⋈ same-user clicks in the
     // preceding hour, watermarks on BOTH sides bounding the buffered state.
     // Deterministic because staging is globally time-ordered and the

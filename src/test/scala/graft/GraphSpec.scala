@@ -82,4 +82,31 @@ class GraphSpec extends SparkTestBase {
     val total = ranks(3).values.sum
     assert(total > 0 && total <= 3000000L)
   }
+
+  test("triangleCounts: K4, pendant edge, duplicate/reversed input edges") {
+    import spark.implicits._
+    // K4 on 1-4 (every node in C(3,2)=3 triangles), pendant 4-5 (no
+    // triangle), plus duplicate and reversed copies that must not double
+    // count, and a self-loop that must be ignored
+    val edges = (for {
+      a <- 1 to 4; b <- 1 to 4 if a < b
+    } yield (a.toLong, b.toLong)) ++
+      Seq((4L, 5L), (2L, 1L), (1L, 2L), (3L, 3L))
+    val tc = Graph.triangleCounts(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: hub star has none; two triangles sharing an edge") {
+    import spark.implicits._
+    // star center 0 with leaves 1..6: wedges everywhere, zero triangles —
+    // the degree-orientation must not fabricate closure
+    val star = (1 to 6).map(i => (0L, i.toLong))
+    assert(Graph.triangleCounts(star.toDF("u", "v")).count() == 0)
+    // bowtie: triangles {1,2,3} and {2,3,4} share edge 2-3
+    val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val tc = Graph.triangleCounts(bowtie.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tc == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
 }
