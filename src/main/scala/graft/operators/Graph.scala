@@ -276,27 +276,44 @@ object Graph {
     * Returns (node, n_tri) for nodes in ≥1 triangle.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
+    val oriented = orientEdges(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = enumerateTriangles(oriented)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint() // materialize before unpersisting the edge cache
+    oriented.unpersist()
+    counts
+  }
+
+  /** Degree-ordered orientation: dedup/canonicalize the undirected input,
+    * then point each edge from its (degree, id)-smaller endpoint to the
+    * larger (`s` → `t`). The degree table is |V|-sized — broadcast-sized
+    * relative to the edge set at any scale.
+    */
+  def orientEdges(edges: DataFrame): DataFrame = {
     val und = edges.filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
     val deg = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
     val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = und
+    und
       .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
       .select(when(lower, col("u")).otherwise(col("v")).as("s"),
         when(lower, col("v")).otherwise(col("u")).as("t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Each triangle once, as (a, b, c) with a→b→c, a→c oriented edges:
+    * the wedge equi-join on the middle node, closed by an equi-join on
+    * (a, c) — both plain hash-partitioned joins, no broadcast of anything
+    * edge-sized, no nested loop (plan shape pinned by GraphSpec).
+    */
+  def enumerateTriangles(oriented: DataFrame): DataFrame = {
     val wedges = oriented.select(col("s").as("a"), col("t").as("b"))
       .join(oriented.select(col("s").as("b"), col("t").as("c")), "b")
-    val tris = wedges.join(oriented.select(col("s").as("a"), col("t").as("c")),
+    wedges.join(oriented.select(col("s").as("a"), col("t").as("c")),
       Seq("a", "c"))
-    val counts = tris
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
-      .localCheckpoint() // materialize before unpersisting the edge cache
-    oriented.unpersist()
-    counts
   }
 }

@@ -97,6 +97,16 @@ class GraphSpec extends SparkTestBase {
     assert(tc == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("triangle enumeration plans as equi-joins only (no nested loop)") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    val plan = Graph.enumerateTriangles(Graph.orientEdges(edges))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"triangle join degenerated to a non-equi plan:\n$plan")
+  }
+
   test("triangleCounts: hub star has none; two triangles sharing an edge") {
     import spark.implicits._
     // star center 0 with leaves 1..6: wedges everywhere, zero triangles —
