@@ -912,6 +912,78 @@ object Pipeline {
        |FROM est CROSS JOIN tot""".stripMargin
   }
 
+  /** Zipf rank-frequency slope per language: OLS fit of ln(freq) against
+    * ln(rank) over each language's token frequency table — the standard
+    * corpus-health statistic (natural text ≈ −1; templated/spammy shards
+    * drift toward 0). Cross-engine float discipline: each ln is quantized
+    * ONCE per distinct (rank|freq) value to integer KILO-nats (not the
+    * usual micro — the OLS moment Σx·y must stay in BIGINT for a 10⁷-term
+    * vocabulary: (4·10⁴)² · 10⁷ ≈ 2·10¹⁶ ✓), the four moments are exact
+    * BIGINT sums, and the final n·Sxy − Sx·Sy combination runs per-lang in
+    * DECIMAL(18,0)→(38,0) arithmetic (exact integers; identical nearest-
+    * double conversion in both engines). The only division is one IEEE
+    * double divide of two exactly-determined values.
+    *
+    * Scale shape: tokenize+count is the tf map-side-combine shape; the
+    * rank window partitions by lang over the |vocab|-sized aggregate (not
+    * the corpus); moments are one more combinable agg. Nothing touches a
+    * document twice.
+    */
+  private def textZipfSlope(d: Dialect): String =
+    s"""WITH tw AS (SELECT lang, ${F.tokens(d, "text")} AS toks FROM documents),
+       |te AS (${d.explodeSelect("lang", "tw", "toks", "tok")}),
+       |freq AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM te GROUP BY lang, tok),
+       |rk AS (SELECT lang, c,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok)
+       |      AS BIGINT) AS r FROM freq),
+       |xy AS (SELECT lang,
+       |    CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+       |    CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000.0) AS BIGINT) AS y
+       |  FROM rk),
+       |m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM xy GROUP BY lang),
+       |fin AS (SELECT lang, n,
+       |    CAST(CAST(n AS DECIMAL(18,0)) * CAST(sxy AS DECIMAL(18,0))
+       |      - CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)) AS DECIMAL(38,0)) AS num,
+       |    CAST(CAST(n AS DECIMAL(18,0)) * CAST(sxx AS DECIMAL(18,0))
+       |      - CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0)) AS DECIMAL(38,0)) AS den
+       |  FROM m)
+       |SELECT lang, n AS n_vocab,
+       |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS zipf_slope
+       |FROM fin""".stripMargin
+
+  /** Batch MERGE / upsert (the Delta-style `MERGE INTO` semantics on plain
+    * parquet): an updates batch — re-crawled src0 docs (text uppercased,
+    * n_chars bumped) plus genuinely new rows in a shifted id space —
+    * merges into the corpus as ONE full-outer join with per-column
+    * COALESCE: matched keys take the update, unmatched updates insert,
+    * untouched rows pass through. The join shuffles both sides on doc_id
+    * once; at 100 TB the target side would be bucketed on doc_id so only
+    * the (small) updates batch moves — same plan the streaming
+    * foreachBatch upsert sink (stream_upsert_sink) applies per
+    * micro-batch, here as the batch-compaction form.
+    */
+  private def corpusMergeUpsert(d: Dialect): String =
+    s"""WITH u AS (
+       |  SELECT doc_id, upper(text) AS text, lang, source,
+       |    n_chars + 1000000 AS n_chars
+       |  FROM documents WHERE source = 'src0'
+       |  UNION ALL
+       |  SELECT doc_id + 100000000, text, lang, 'src_new', n_chars
+       |  FROM documents WHERE source = 'src1'),
+       |merged AS (
+       |  SELECT COALESCE(u.doc_id, t.doc_id) AS doc_id,
+       |    COALESCE(u.text, t.text) AS text,
+       |    COALESCE(u.lang, t.lang) AS lang,
+       |    COALESCE(u.source, t.source) AS source,
+       |    COALESCE(u.n_chars, t.n_chars) AS n_chars
+       |  FROM documents t FULL OUTER JOIN u ON t.doc_id = u.doc_id)
+       |SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+       |FROM merged""".stripMargin
+
   /** Conversion funnel over the events stream table: per user, the earliest
     * view → first click after that view → first purchase after that click,
     * and the stage reached. One shuffle on user_id; each stage is a
@@ -1939,6 +2011,8 @@ object Pipeline {
     docQuery("dedup_incremental", dedupIncremental),
     docQuery("text_repetition", textRepetition),
     docQuery("text_cms_heavy_hitters", textCmsHeavyHitters),
+    docQuery("text_zipf_slope", textZipfSlope),
+    docQuery("corpus_merge_upsert", corpusMergeUpsert),
     eventsQuery("events_funnel", eventsFunnel),
     docQuery("corpus_sample_stratified", corpusSampleStratified),
     dedupContainmentDef,

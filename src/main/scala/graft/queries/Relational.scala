@@ -951,6 +951,75 @@ object Relational {
         .select(col("node").cast("long").as("node"), col("n_tri"))
     },
 
+    // ---- RANKING-FUNCTION FAMILY + IGNORE NULLS: rank vs dense_rank on a
+    // COARSE key (price buckets — real ties, so the gap/no-gap distinction
+    // carries data), percent_rank/cume_dist as exact small-integer ratios
+    // (single IEEE division — bit-identical cross-engine), and a running
+    // first_value(...) IGNORE NULLS that scans past the NULLs of
+    // non-'F'-status orders (written with the DSL's first(col, true);
+    // DuckDB spells it `first_value(x IGNORE NULLS)` — same semantics,
+    // different grammar slot). One shuffle on o_custkey serves all five
+    // windows. ----
+    QueryDef("q52_rank_family",
+      """SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |  CAST(o_custkey AS BIGINT) AS custkey,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(percent_rank() OVER w AS DOUBLE) AS prnk,
+        |  CAST(cume_dist() OVER w AS DOUBLE) AS cd,
+        |  CAST(first_value(CASE WHEN o_orderstatus = 'F'
+        |      THEN CAST(round(o_totalprice * 100) AS BIGINT) END IGNORE NULLS)
+        |    OVER w2 AS BIGINT) AS first_f_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) // 5000000),
+        |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(expr("CAST(round(o_totalprice * 100) AS BIGINT) div 5000000"))
+      val w2 = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        col("o_custkey").cast("long").as("custkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cd"),
+        first(when(col("o_orderstatus") === "F",
+            round(col("o_totalprice") * 100).cast("long")),
+          ignoreNulls = true).over(w2).as("first_f_cents"))
+    },
+
+    // ---- NESTED STRUCT ROUND-TRIP: pack each order into a named struct,
+    // collect per customer into a SORTED array-of-structs (structs compare
+    // field-by-field in declaration order — okey first ⇒ deterministic),
+    // then posexplode back out and read the fields by dot access. The
+    // oracle is the FLAT projection + ROW_NUMBER the round-trip must
+    // reproduce — any loss or reorder inside the nested form breaks the
+    // hash. Struct columns shuffle as Tungsten UnsafeRows (no
+    // serialization cliff at 100 TB); the only shuffle is the groupBy. ----
+    QueryDef("q53_nested_structs",
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |    AS INTEGER) AS idx,
+        |  CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS INTEGER) AS n_orders,
+        |  CAST(o_orderkey AS BIGINT) AS okey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(struct(
+          col("o_orderkey").as("okey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")))).as("a"))
+        .select(col("o_custkey").cast("long").as("custkey"),
+          size(col("a")).as("n_orders"),
+          posexplode(col("a")).as(Seq("pos", "u")))
+        .select(col("custkey"), (col("pos") + 1).cast("int").as("idx"),
+          col("n_orders"), col("u.okey").cast("long").as("okey"),
+          col("u.cents").as("cents"))
+    },
+
     // ---- HIGHER-ORDER ARRAY FUNCTIONS (lambda expressions INSIDE
     // whole-stage codegen — transform/filter/aggregate/element_at over a
     // collected array, zero UDFs): per customer, the sorted array of

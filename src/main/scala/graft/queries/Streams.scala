@@ -612,6 +612,58 @@ object Streams {
       }
     },
 
+    // ---- transformWithState (Spark 4's arbitrary-stateful-processing
+    // API, RocksDB-backed): per-user running (count, cents) ValueState,
+    // one cumulative row emitted per (user, batch-with-input) in update
+    // mode. Deterministic because the staging fixes the file→batch
+    // mapping (global (ts, event_id) order split in thirds) and the fold
+    // is order-insensitive within a batch; the oracle reconstructs the
+    // same batches with a ROW_NUMBER over the identical order and the
+    // identical integer thresholds (Scala's `(i+1)*n/3` = floor = `//`),
+    // then prefix-sums per user. The RocksDB provider conf is scoped to
+    // this gate and restored (transformWithState refuses the default
+    // HDFS-backed store). ----
+    QueryDef("stream_tws_running",
+      """WITH r AS (SELECT user_id, value,
+        |    ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER () AS n FROM events),
+        |bt AS (SELECT user_id, value,
+        |    CASE WHEN rn <= n // 3 THEN 0
+        |         WHEN rn <= (2 * n) // 3 THEN 1 ELSE 2 END AS bi FROM r),
+        |c AS (SELECT user_id, bi, CAST(COUNT(*) AS BIGINT) AS bn,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS bc
+        |  FROM bt GROUP BY user_id, bi)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(SUM(bn) OVER (PARTITION BY user_id ORDER BY bi) AS BIGINT) AS n_events,
+        |  CAST(SUM(bc) OVER (PARTITION BY user_id ORDER BY bi) AS BIGINT) AS sum_cents
+        |FROM c""".stripMargin) { (s, dir) =>
+      withStatePartitions(s, 8) {
+      import s.implicits._
+      val src = stagedEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_tws_ckpt_${dir.hashCode & 0x7fffffff}")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val saved = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+          .as[EventStreams.Event]
+          .groupByKey(_.user_id)
+          .transformWithState(new EventStreams.RunningStatsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF()
+          .writeStream.format("memory").queryName("g_stream_tws")
+          .outputMode("update").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        await(q)
+      } finally saved match {
+        case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key)
+      }
+      s.table("g_stream_tws")
+      }
+    },
+
     // ---- STREAMING RDF: continuous BGP match over an arriving triple
     // stream. The streamed pattern (`?c :placed ?o`) filters each
     // micro-batch; the static pattern (`?c :in_nation ?n`) is the indexed

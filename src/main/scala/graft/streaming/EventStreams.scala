@@ -121,6 +121,43 @@ object EventStreams {
       }
   }
 
+  /** Per-user running totals state (public for the state encoder). */
+  final case class RunningStats(n: Long, cents: Long)
+
+  /** One emitted row per (user, micro-batch with input). */
+  final case class UserRunning(user_id: Long, n_events: Long, sum_cents: Long)
+
+  /** Spark 4 `transformWithState` processor (the arbitrary-stateful-
+    * processing API that replaces flatMapGroupsWithState; requires the
+    * RocksDB state store): a `ValueState` holding one small record per
+    * user, folded with ORDER-INSENSITIVE ops (count, integer-cents sum) so
+    * the per-batch iterator's nondeterministic order cannot change the
+    * emission — each batch with input for a user emits that user's
+    * cumulative totals. Value in integer cents, same rounding as the SQL
+    * oracle's `round(value*100)` (both half-up for the positive domain).
+    */
+  final class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserRunning] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[RunningStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunningStats]("agg",
+        org.apache.spark.sql.Encoders.product[RunningStats], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserRunning] = {
+      var n = 0L
+      var cents = 0L
+      rows.foreach { e => n += 1; cents += math.round(e.value * 100) }
+      val prev = if (state.exists()) state.get() else RunningStats(0L, 0L)
+      val now = RunningStats(prev.n + n, prev.cents + cents)
+      state.update(now)
+      Iterator.single(UserRunning(key, now.n, now.cents))
+    }
+  }
+
   /** Batch-mode sessionization with the built-in session_window — the
     * declarative equivalent (works in streaming with a watermark too).
     */
