@@ -435,7 +435,7 @@ object Streams {
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON c.user_id = p.user_id
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin) { (s, dir) =>
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
       val src = joinSentinelEventsDir(s, dir)
       val ckpt = cleanScratch(s, s"stream_soj_ckpt_${dir.hashCode & 0x7fffffff}")
       val stream = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
