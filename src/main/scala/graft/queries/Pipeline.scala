@@ -955,6 +955,40 @@ object Pipeline {
        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS zipf_slope
        |FROM fin""".stripMargin
 
+  /** Descriptive statistics from EXACT integer moments — the float
+    * discipline applied to variance/stddev/correlation: the built-in
+    * stddev/corr aggregates merge partial doubles in partition order
+    * (hash-nondeterministic low bits ⇒ cross-engine hash mismatch), so
+    * instead the five moments are summed exactly — counts in BIGINT,
+    * squared-cents in DECIMAL(38,0) (3·10¹⁶ at sf1; survives 10¹² rows) —
+    * and every double appears only in the FINAL scalar step: decimal→
+    * nearest-double conversion, one division, one correctly-rounded
+    * IEEE sqrt. corr(value, hour-of-day) per event type; var/stddev of
+    * cents. One map-side-combinable aggregate, no second pass.
+    */
+  private def eventsStatsMoments(d: Dialect): String =
+    s"""WITH b AS (SELECT event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS x,
+       |    CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS y
+       |  FROM events),
+       |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+       |    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+       |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
+       |  FROM b GROUP BY event_type)
+       |SELECT event_type, n,
+       |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+       |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_cents,
+       |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS stddev_cents,
+       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |    AS corr_value_hour
+       |FROM m""".stripMargin
+
   /** Batch MERGE / upsert (the Delta-style `MERGE INTO` semantics on plain
     * parquet): an updates batch — re-crawled src0 docs (text uppercased,
     * n_chars bumped) plus genuinely new rows in a shifted id space —
@@ -2014,6 +2048,7 @@ object Pipeline {
     docQuery("text_zipf_slope", textZipfSlope),
     docQuery("corpus_merge_upsert", corpusMergeUpsert),
     eventsQuery("events_funnel", eventsFunnel),
+    eventsQuery("events_stats_moments", eventsStatsMoments),
     docQuery("corpus_sample_stratified", corpusSampleStratified),
     dedupContainmentDef,
     corpusTopPerSourceDef,

@@ -521,6 +521,21 @@ object Rdf {
           "(COUNT(?o) AS ?n) WHERE { ?c :placed ?o } GROUP BY ?c")
     },
 
+    // ---- SPARQL SAMPLE aggregate: the spec says "an arbitrary value from
+    // the group" — this engine picks MIN for determinism (documented
+    // deviation: any fixed choice function is a conforming SAMPLE; a
+    // nondeterministic one could never gate). Oracle = MIN. ----
+    QueryDef("rdf_sparql_sample",
+      RdfBridge.oracleCte +
+        """SELECT Subject AS c, MIN(Object) AS some_order,
+          |  CAST(COUNT(*) AS BIGINT) AS n
+          |FROM triples WHERE Predicate = -2 GROUP BY Subject""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?c (SAMPLE(?o) AS ?some_order) (COUNT(*) AS ?n) " +
+          "WHERE { ?c :placed ?o } GROUP BY ?c")
+    },
+
     // ---- SPARQL !BOUND over an OPTIONAL (negation-as-failure): customers
     // with NO order — the LeftJoin's null-extension filtered on null-ness.
     // Catalyst evaluates the IsNull filter streaming above the join probe;

@@ -951,6 +951,61 @@ object Relational {
         .select(col("node").cast("long").as("node"), col("n_tri"))
     },
 
+    // ---- JOIN STRATEGY HINTS: the physical-strategy escape hatch when
+    // Catalyst's cost pick is wrong at scale (a SHUFFLE_HASH build side
+    // that fits executor memory skips BOTH sort passes of the default
+    // sort-merge; MERGE forces the sort-based plan for spill-safety on
+    // oversized builds). Broadcast is disabled so the hints — not the
+    // size estimate — decide; both plans are require-pinned, the
+    // shuffle-hash result is returned, and the conf is restored. ----
+    QueryDef("q56_join_hints",
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val saved = s.conf.getOption(key)
+      s.conf.set(key, "-1")
+      try {
+        val orders = Tables.load(s, dir, "orders")
+        val cust = Tables.load(s, dir, "customer")
+        def agg(hint: String) = orders
+          .join(cust.hint(hint), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        val sh = agg("SHUFFLE_HASH")
+        val sm = agg("MERGE")
+        require(sh.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+          "SHUFFLE_HASH hint was not honored")
+        require(sm.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+          "MERGE hint was not honored")
+        sh
+      } finally saved match {
+        case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key)
+      }
+    },
+
+    // ---- BAG (ALL) SET OPERATIONS: INTERSECT ALL / EXCEPT ALL keep
+    // multiplicities — min(m, n) copies and max(m − n, 0) copies
+    // respectively — which the q28 DISTINCT forms erase. Both plan as one
+    // shuffle on the value with per-key counting (no row-pair join); the
+    // multiplicity arithmetic is what a dedup-diff between two corpus
+    // snapshots actually needs. ----
+    QueryDef("q55_setops_all",
+      """SELECT 'inter' AS tag, k FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') a
+        |UNION ALL
+        |SELECT 'exc', k FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') b""".stripMargin) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val big = o.filter(col("o_totalprice") > 150000).select(col("o_custkey").as("k"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
+      big.intersectAll(urgent).select(lit("inter").as("tag"), col("k"))
+        .unionAll(big.exceptAll(urgent).select(lit("exc").as("tag"), col("k")))
+    },
+
     // ---- RANKING-FUNCTION FAMILY + IGNORE NULLS: rank vs dense_rank on a
     // COARSE key (price buckets — real ties, so the gap/no-gap distinction
     // carries data), percent_rank/cume_dist as exact small-integer ratios

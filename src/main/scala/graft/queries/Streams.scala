@@ -664,6 +664,58 @@ object Streams {
       }
     },
 
+    // ---- transformWithState with MAP state (keyed sub-state): per user,
+    // event_type → count entries updated individually; each batch with
+    // input emits the user's DISTINCT-types-so-far (map size — order-
+    // insensitive, so within-batch row order cannot change the output).
+    // Oracle: first-batch-of-each-type ≤ current batch, counted per
+    // (user, batch-with-input), using the same deterministic thirds
+    // split as stream_tws_running. Rows are (user, n_types) WITHOUT the
+    // batch id (the processor does not know batch numbers); duplicate
+    // rows across no-new-type batches are part of the expected multiset.
+    // ----
+    QueryDef("stream_tws_distinct",
+      """WITH r AS (SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER () AS n FROM events),
+        |bt AS (SELECT user_id, event_type,
+        |    CASE WHEN rn <= n // 3 THEN 0
+        |         WHEN rn <= (2 * n) // 3 THEN 1 ELSE 2 END AS bi FROM r),
+        |firsts AS (SELECT user_id, event_type, MIN(bi) AS fb
+        |  FROM bt GROUP BY user_id, event_type),
+        |batches AS (SELECT DISTINCT user_id, bi FROM bt)
+        |SELECT CAST(b.user_id AS BIGINT) AS user_id,
+        |  CAST(COUNT(*) AS INTEGER) AS n_types
+        |FROM batches b JOIN firsts f
+        |  ON f.user_id = b.user_id AND f.fb <= b.bi
+        |GROUP BY b.user_id, b.bi""".stripMargin) { (s, dir) =>
+      withStatePartitions(s, 8) {
+      import s.implicits._
+      val src = stagedEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_twsd_ckpt_${dir.hashCode & 0x7fffffff}")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val saved = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+          .as[EventStreams.Event]
+          .groupByKey(_.user_id)
+          .transformWithState(new EventStreams.DistinctTypesProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF()
+          .writeStream.format("memory").queryName("g_stream_twsd")
+          .outputMode("update").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        await(q)
+      } finally saved match {
+        case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key)
+      }
+      s.table("g_stream_twsd")
+      }
+    },
+
     // ---- STREAMING RDF: continuous BGP match over an arriving triple
     // stream. The streamed pattern (`?c :placed ?o`) filters each
     // micro-batch; the static pattern (`?c :in_nation ?n`) is the indexed

@@ -158,6 +158,38 @@ object EventStreams {
     }
   }
 
+  /** One emitted row per (user, micro-batch with input): how many DISTINCT
+    * event types the user has produced so far. */
+  final case class UserTypes(user_id: Long, n_types: Int)
+
+  /** transformWithState with MAP state: event_type → count per user. The
+    * per-batch emission reads only the map's SIZE (order-insensitive —
+    * RocksDB iteration order never matters), so output is deterministic
+    * under any within-batch row order. Demonstrates the keyed sub-state
+    * shape ValueState can't: per-(user, type) entries individually
+    * updatable without rewriting the whole record.
+    */
+  final class DistinctTypesProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserTypes] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getMapState[String, Long]("types",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTypes] = {
+      rows.foreach { e =>
+        val prev = if (state.containsKey(e.event_type)) state.getValue(e.event_type) else 0L
+        state.updateValue(e.event_type, prev + 1L)
+      }
+      Iterator.single(UserTypes(key, state.keys().size))
+    }
+  }
+
   /** Batch-mode sessionization with the built-in session_window — the
     * declarative equivalent (works in streaming with a watermark too).
     */
