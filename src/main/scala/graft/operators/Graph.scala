@@ -276,25 +276,41 @@ object Graph {
     * Returns (node, n_tri) for nodes in ≥1 triangle.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val oriented = orientEdges(edges)
+    // The canonical edge set feeds THREE scans (two degree branches + the
+    // orientation join); without a persist each scan replays the caller's
+    // full upstream lineage (for q50 that is a lineitem self-join +
+    // distinct — the dominant cost, not the wedge join).
+    val und = canonicalEdges(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oriented = orientCanonical(und)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = enumerateTriangles(oriented)
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-      .localCheckpoint() // materialize before unpersisting the edge cache
+      .localCheckpoint() // materialize before unpersisting the edge caches
     oriented.unpersist()
+    und.unpersist()
     counts
   }
+
+  /** Dedup/canonicalize an undirected edge list: drop self-loops, order
+    * endpoints `u < v`, distinct. One shuffle on the edge pair. */
+  def canonicalEdges(edges: DataFrame): DataFrame =
+    edges.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
 
   /** Degree-ordered orientation: dedup/canonicalize the undirected input,
     * then point each edge from its (degree, id)-smaller endpoint to the
     * larger (`s` → `t`). The degree table is |V|-sized — broadcast-sized
     * relative to the edge set at any scale.
     */
-  def orientEdges(edges: DataFrame): DataFrame = {
-    val und = edges.filter(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .distinct()
+  def orientEdges(edges: DataFrame): DataFrame =
+    orientCanonical(canonicalEdges(edges))
+
+  /** Orientation given an already-canonical edge set (callers that reuse
+    * `und` across scans persist it first — see triangleCounts). */
+  def orientCanonical(und: DataFrame): DataFrame = {
     val deg = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
     val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))

@@ -416,16 +416,24 @@ object Relational {
 
     // ---- JSON source/sink round-trip: events written as JSON lines and
     // read back (schema re-applied); timestamps survive at microsecond
-    // precision via an explicit ISO format with micros ----
+    // precision via explicit ISO formats with micros. The parquet ts column
+    // is `timestamp[us]` WITHOUT a zone, which Spark 4 reads as
+    // TIMESTAMP_NTZ — the text writers format that type via the separate
+    // `timestampNTZFormat` option (default millis-only), so BOTH options
+    // must carry the 6-digit fraction or the round-trip silently truncates
+    // micros to millis. NTZ has no offset, so its pattern omits XXX. ----
     QueryDef("q26_json_io",
       "SELECT event_id, ts, user_id, event_type, value, props FROM events") { (s, dir) =>
       val events = Tables.load(s, dir, "events")
       val tmp = Tables.scratchDir("json_io")
       val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+      val ntzFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
       events.write.mode("overwrite")
-        .option("timestampFormat", fmt).json(tmp)
+        .option("timestampFormat", fmt).option("timestampNTZFormat", ntzFmt)
+        .json(tmp)
       s.read.schema(events.schema)
-        .option("timestampFormat", fmt).json(tmp)
+        .option("timestampFormat", fmt).option("timestampNTZFormat", ntzFmt)
+        .json(tmp)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     },
 
@@ -538,16 +546,23 @@ object Relational {
     },
 
     // ---- CSV source/sink round-trip (quoting protects the JSON props
-    // column; timestamps carry micros via an explicit format) ----
+    // column; timestamps carry micros via explicit formats — both the
+    // zoned `timestampFormat` and `timestampNTZFormat`, since the parquet
+    // ts column surfaces as TIMESTAMP_NTZ; see q26_json_io) ----
     QueryDef("q33_csv_io",
       "SELECT event_id, ts, user_id, event_type, value, props FROM events") { (s, dir) =>
       val events = Tables.load(s, dir, "events")
       val tmp = Tables.scratchDir("csv_io")
       val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+      val ntzFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
       events.write.mode("overwrite")
-        .option("header", "true").option("timestampFormat", fmt).csv(tmp)
+        .option("header", "true")
+        .option("timestampFormat", fmt).option("timestampNTZFormat", ntzFmt)
+        .csv(tmp)
       s.read.schema(events.schema)
-        .option("header", "true").option("timestampFormat", fmt).csv(tmp)
+        .option("header", "true")
+        .option("timestampFormat", fmt).option("timestampNTZFormat", ntzFmt)
+        .csv(tmp)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     },
 

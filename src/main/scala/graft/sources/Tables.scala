@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-generated TPC-H-ish parquet tables (TESTDATA.md). */
 object Tables {
@@ -15,16 +15,28 @@ object Tables {
     if (name == "events") normalizeEventTs(df) else df
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (as nanos-since-epoch
-    * LongType). Truncate to microseconds — exactly what DuckDB's TIMESTAMP
-    * does with TIMESTAMP_NS, so oracle comparisons agree. Integer `div`
-    * (not `/`): a double division would lose precision past 2^53 ns.
+  /** Normalize events.ts to zoned TimestampType (micros, UTC session)
+    * whatever physical type the generated parquet carries:
+    *
+    *  - TIMESTAMP(NANOS): Spark only reads it with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (nanos-since-epoch
+    *    LongType). Truncate to micros — exactly what DuckDB's TIMESTAMP
+    *    does with TIMESTAMP_NS, so oracle comparisons agree. Integer `div`
+    *    (not `/`): double division loses precision past 2^53 ns.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 surfaces it as
+    *    TIMESTAMP_NTZ. Watermarks, `unix_micros`, and interval arithmetic
+    *    expect the zoned type, so cast — with the session zone pinned to
+    *    UTC the wall-clock reading equals the instant DuckDB computes from
+    *    the same naive value. Without this, every events gate that uses a
+    *    watermark or epoch arithmetic fails analysis (r04 silently lost 7
+    *    gates this way when the generated data switched NANOS→MICROS).
     */
   def normalizeEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** Fixed per-purpose scratch directory for IO round-trip gates. Reused
     * across invocations (sinks write `mode=overwrite`), so repeated
