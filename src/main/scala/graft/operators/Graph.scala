@@ -321,15 +321,37 @@ object Graph {
         when(lower, col("v")).otherwise(col("u")).as("t"))
   }
 
-  /** Each triangle once, as (a, b, c) with a→b→c, a→c oriented edges:
-    * the wedge equi-join on the middle node, closed by an equi-join on
-    * (a, c) — both plain hash-partitioned joins, no broadcast of anything
-    * edge-sized, no nested loop (plan shape pinned by GraphSpec).
+  /** Each triangle once, as (a, b, c) with a→b→c, a→c oriented edges —
+    * by ADJACENCY-LIST INTERSECTION, not a wedge join: per edge (a, b),
+    * every common out-neighbor c of a and b closes a triangle, so the
+    * plan is (edge list) ⋈ adj(a) ⋈ adj(b) followed by
+    * `explode(array_intersect(na, nb))`.
+    *
+    * Why not the wedge join (e1.t = e2.s, then close on (a, c))? It
+    * materializes and SHUFFLES one row per wedge — Σ in(b)·out(b), which
+    * on a dense co-occurrence graph is orders of magnitude above the
+    * triangle count (q50's sf0.1 graph: 49M wedges → 1.9M triangles;
+    * the wedge exchange dominated the whole query). The adjacency form
+    * moves the same comparison work into a codegen'd sorted-array
+    * intersect per edge and emits exactly one row per TRIANGLE.
+    *
+    * Scale shape: the adjacency table is |V| rows with out-lists bounded
+    * by O(√m) (the orientation invariant), so each of the two joins is a
+    * plain hash equi-join against a node-sized side — broadcastable for
+    * most graphs, hash-partitioned otherwise — and the shuffled payload
+    * is the edge list with two bounded arrays, never the wedge set. No
+    * nested loop anywhere (plan shape pinned by GraphSpec).
     */
   def enumerateTriangles(oriented: DataFrame): DataFrame = {
-    val wedges = oriented.select(col("s").as("a"), col("t").as("b"))
-      .join(oriented.select(col("s").as("b"), col("t").as("c")), "b")
-    wedges.join(oriented.select(col("s").as("a"), col("t").as("c")),
-      Seq("a", "c"))
+    // sort_array: collect_list order is partition-dependent; sorting makes
+    // the arrays deterministic (array_intersect itself walks the left list
+    // in order, so output c's are deterministic per (a, b) after sorting)
+    val adj = oriented.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    oriented.select(col("s").as("a"), col("t").as("b"))
+      .join(adj.select(col("s").as("a"), col("nbrs").as("na")), "a")
+      .join(adj.select(col("s").as("b"), col("nbrs").as("nb")), "b")
+      .select(col("a"), col("b"),
+        explode(array_intersect(col("na"), col("nb"))).as("c"))
   }
 }

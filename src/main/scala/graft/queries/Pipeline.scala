@@ -1077,6 +1077,54 @@ object Pipeline {
           col("user_id").cast("long").as("user_id"), col("ts"), col("asof_click"))
     }
 
+  /** Time-series GAP FILL + resample — the feature-pipeline operator that
+    * turns an irregular event stream into a dense fixed-grid series: per
+    * user, an HOURLY spine from their first to last observed hour, each
+    * hour carrying that hour's event count and value sum, with missing
+    * hours filled by carrying the last observation forward (LOCF via
+    * `last_value IGNORE NULLS` over a running ROWS frame).
+    *
+    * Scale shape: the spine is `explode(sequence(h0, h1))` off a per-user
+    * bounds aggregate — generated distributed, never a driver loop; the
+    * spine⋈hourly-agg join and the LOCF window both hash-partition on
+    * user_id, so the whole operator is ONE shuffle of spine-sized data.
+    * Spine cardinality is users × span-hours — bounded and predictable,
+    * the reason resampling pipelines pick a grid granularity.
+    */
+  private def eventsGapFill: QueryDef =
+    QueryDef("events_gap_fill",
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, value FROM events),
+        |a AS (SELECT user_id, h, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+        |  FROM e GROUP BY user_id, h),
+        |b AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM a GROUP BY user_id),
+        |spine AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM b)
+        |SELECT CAST(s.user_id AS BIGINT) AS user_id, CAST(s.h AS BIGINT) AS hour_id,
+        |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+        |  last_value(a.v_sum IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+        |FROM spine s LEFT JOIN a ON a.user_id = s.user_id AND a.h = s.h""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val hourly = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("unix_timestamp(ts) div 3600").as("h"), col("value"))
+        .groupBy(col("user_id"), col("h"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("v_sum"))
+      val spine = hourly.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id").cast("long").as("user_id"),
+          col("h").cast("long").as("hour_id"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_events"),
+          last(col("v_sum"), ignoreNulls = true).over(w).as("v_locf"))
+    }
+
   /** Small-files compaction — the table-maintenance operator every large
     * lake needs: a directory fragmented into many tiny parquet files (here:
     * deliberately written as 64 splits) is rewritten into few balanced
@@ -2057,6 +2105,7 @@ object Pipeline {
     dedupClusters,
     custQuery("text_pii_scrub", textPiiScrub),
     eventsAsofJoin,
+    eventsGapFill,
     corpusCompact,
     docQuery("corpus_profile", corpusProfile),
     multimodalResize,

@@ -724,6 +724,29 @@ object Rdf {
         .sparql(s"SELECT ?o WHERE { 'cust_$minCust' :placed? ?o }")
     },
 
+    // ---- closure over a NEGATED property set (`(!(:p|:q))+`): walk every
+    // edge whose predicate is NOT in the set, any number of hops — the
+    // last property-path form (SPARQL 1.1 §9.1) the planner lacked. From
+    // an order, excluding :placed and :in_nation leaves :contains and
+    // :supplied_by edges: the closure reaches the order's parts, then
+    // their suppliers. Same BFS fixpoint as positive closures; the edge
+    // set is the complement filter (NOT-IN pushes to the scan). ----
+    QueryDef("rdf_sparql_path_neg_closure",
+      RdfBridge.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, seed AS (SELECT CAST((SELECT MIN(o_orderkey) FROM orders) + 1 AS INTEGER) AS node),
+          |edges AS (SELECT Subject, Object FROM triples WHERE Predicate NOT IN (-2, -31)),
+          |reach AS (
+          |  SELECT e.Object AS node FROM edges e JOIN seed s ON e.Subject = s.node
+          |  UNION
+          |  SELECT e.Object FROM reach r JOIN edges e ON e.Subject = r.node)
+          |SELECT CAST(node AS INTEGER) AS o FROM reach""".stripMargin) { (s, dir) =>
+      val minOrd = graft.sources.Tables.load(s, dir, "orders")
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"SELECT ?o WHERE { 'order_$minOrd' (!(:placed|:in_nation))+ ?o }")
+    },
+
     // ---- SPARQL FILTER comparisons + &&/|| (ConditionalAnd/Or): an id
     // range on the order variable OR'd with a point disjunct — `&&` binds
     // tighter than `||` per the SPARQL grammar. Encoded order ids are

@@ -966,6 +966,64 @@ object Relational {
         .select(col("node").cast("long").as("node"), col("n_tri"))
     },
 
+    // ---- APPROXIMATE QUANTILE SKETCH (the constant-space companion to
+    // q20's exact percentiles, as q25's HLL is to exact COUNT DISTINCT):
+    // approx_percentile keeps a bounded sketch per group — at 100 TB the
+    // exact percentile's per-group value buffer is the scaling hazard, the
+    // sketch is not. The sketch value itself is engine-specific, so the
+    // gate emits the exact percentiles plus a RANK-ERROR check: the
+    // approximate p50 must lie between the exact 48th and 52nd
+    // percentiles (guaranteed rank error 1/accuracy = 1e-4 ≪ 0.02).
+    // Oracle emits the same exact percentiles and a literal 1. ----
+    QueryDef("q57_approx_quantile",
+      """SELECT l_returnflag,
+        |  CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS p50,
+        |  CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90,
+        |  CAST(1 AS INTEGER) AS approx_rank_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("ap90"),
+          expr("CAST(percentile(l_extendedprice, 0.5) AS DOUBLE)").as("p50"),
+          expr("CAST(percentile(l_extendedprice, 0.9) AS DOUBLE)").as("p90"),
+          expr("CAST(percentile(l_extendedprice, 0.48) AS DOUBLE)").as("lo50"),
+          expr("CAST(percentile(l_extendedprice, 0.52) AS DOUBLE)").as("hi50"),
+          expr("CAST(percentile(l_extendedprice, 0.88) AS DOUBLE)").as("lo90"),
+          expr("CAST(percentile(l_extendedprice, 0.92) AS DOUBLE)").as("hi90"))
+        .select(col("l_returnflag"), col("p50"), col("p90"),
+          when(col("ap50").between(col("lo50"), col("hi50")) &&
+            col("ap90").between(col("lo90"), col("hi90")), 1).otherwise(0)
+            .cast("int").as("approx_rank_ok"))
+    },
+
+    // ---- IGNORE NULLS navigation functions: lag/lead skip over null
+    // observations (previous/next MEASURED value, not previous row) and
+    // first_value IGNORE NULLS gives the first observation in the running
+    // frame — the sparse-sensor navigation family that plain lag/lead
+    // (q30) cannot express. Nulls are synthesized from 'error' events so
+    // the skip behavior is actually exercised. Same one-shuffle window
+    // shape as the rest of the window family. ----
+    QueryDef("q54_ignore_nulls",
+      """SELECT event_id, user_id,
+        |  lag(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_pv,
+        |  lead(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_pv,
+        |  first_value(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_pv
+        |FROM (SELECT event_id, user_id, ts,
+        |        CASE WHEN event_type <> 'error' THEN value END AS pv
+        |      FROM events) t""".stripMargin) { (s, dir) =>
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .withColumn("pv", when(col("event_type") =!= "error", col("value")))
+        .select(col("event_id"), col("user_id"),
+          lag(col("pv"), 1, null, ignoreNulls = true).over(wOrd).as("prev_pv"),
+          lead(col("pv"), 1, null, ignoreNulls = true).over(wOrd).as("next_pv"),
+          first(col("pv"), ignoreNulls = true).over(wRun).as("first_pv"))
+    },
+
     // ---- JOIN STRATEGY HINTS: the physical-strategy escape hatch when
     // Catalyst's cost pick is wrong at scale (a SHUFFLE_HASH build side
     // that fits executor memory skips BOTH sort passes of the default

@@ -151,6 +151,65 @@ object Streams {
     })
   }
 
+  /** The sentinel staging with a SECOND 'sentinel'-typed file at +480 h,
+    * its own final micro-batch. Chained stateful operators need it: batch
+    * k's state eviction uses the watermark computed at the END of batch
+    * k-1, and with TWO stateful operators the LAST real windows emitted by
+    * the upstream aggregate enter the downstream aggregate's state only in
+    * the first sentinel's batch — a single sentinel would leave them
+    * buffered when AvailableNow terminates. The +480 h batch evicts with
+    * the +240 h sentinel's already-advanced watermark, flushing the
+    * downstream windows deterministically. Both sentinels keep the
+    * 'sentinel' event type (no event-type pre-filter exists in the agg
+    * pipelines, so they reach the watermark operator) and are dropped by
+    * type at the sink.
+    */
+  private def dualSentinelEventsDir(spark: SparkSession, sfDir: String): String = {
+    val src = sentinelEventsDir(spark, sfDir) // resolve OUTSIDE computeIfAbsent
+    // NB: key/dir must not collide with joinSentinelEventsDir's "sentinel2"
+    // / events_stream_wm2_ — a collision hands the join gates THIS staging,
+    // whose 'sentinel'-typed rows their event-type pushed filters prune at
+    // the scan, silently freezing their watermark (debugged round 5)
+    stageCache.computeIfAbsent(seedKey(spark, sfDir, "sentinel_chain"), { _ =>
+      val dir = cleanScratch(spark,
+        s"events_stream_wmc_${sfDir.hashCode & 0x7fffffff}")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dstPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dstPath.getFileSystem(conf)
+      fs.mkdirs(dstPath)
+      val srcPath = new org.apache.hadoop.fs.Path(src)
+      // copy the single-sentinel staging preserving its batch order
+      // (re-stamped with fresh strictly-increasing times, ties broken)
+      val base = System.currentTimeMillis()
+      val copied = srcPath.getFileSystem(conf).listStatus(srcPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getModificationTime).zipWithIndex.map { case (st, i) =>
+          val dst = new org.apache.hadoop.fs.Path(dstPath, st.getPath.getName)
+          org.apache.hadoop.fs.FileUtil.copy(
+            st.getPath.getFileSystem(conf), st.getPath, fs, dst, false, conf)
+          fs.setTimes(dst, base + i * 1000L, -1)
+          dst.getName
+        }.toSet
+      val all = Tables.load(spark, sfDir, "events")
+      val schema = all.schema
+      all.agg(max(col("ts")).as("m"))
+        .select(schema.fields.map { f =>
+          (f.name match {
+            case "ts" => expr("date_trunc('hour', m) + INTERVAL 480 HOURS 1 SECOND")
+            case "event_id" | "user_id" => lit(-2L)
+            case "event_type" => lit("sentinel")
+            case other => lit(null).cast(schema(other).dataType)
+          }).cast(f.dataType).as(f.name)
+        }: _*)
+        .coalesce(1).write.mode("append").parquet(dir)
+      fs.listStatus(dstPath)
+        .filter(st => st.getPath.getName.endsWith(".parquet") &&
+          !copied.contains(st.getPath.getName))
+        .foreach(st => fs.setTimes(st.getPath, base + 200 * 1000L, -1))
+      dir
+    })
+  }
+
   /** TWO sentinel files (+240 h and +480 h, each its own final micro-batch),
     * each holding one 'purchase' and one 'click' row with NEGATIVE user ids.
     * Stream-stream joins need both properties:
@@ -217,8 +276,16 @@ object Streams {
     })
   }
 
-  private def await(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+  private def await(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     assert(q.awaitTermination(300000), "streaming gate timed out")
+    // batch-level trace for debugging watermark/eviction timing issues
+    // (opt-in: SPARK_GRAFT_STREAM_DEBUG=1)
+    if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+      q.recentProgress.foreach { p =>
+        System.err.println(s"[stream-debug] ${q.name} batch=${p.batchId} " +
+          s"rows=${p.numInputRows} wm=${p.eventTime.get("watermark")}")
+      }
+  }
 
   /** Stage the RdfBridge triple set as THREE parquet files (memoized per
     * session + dataset): with `maxFilesPerTrigger=1` the triple STREAM
@@ -344,6 +411,42 @@ object Streams {
         .trigger(Trigger.AvailableNow()).start()
       await(q)
       s.table("g_stream_wm").filter(col("event_type") =!= "sentinel")
+      }
+    },
+
+    // ---- CHAINED STATEFUL OPERATORS (Spark 3.4+/4 multi-stateful append
+    // pipelines): a 10-minute windowed pre-aggregate feeds a SECOND
+    // stateful aggregate that re-windows the window column to 1 hour —
+    // the streaming rollup shape (fine-grain near-real-time tier, coarse
+    // tier derived IN the same query, not by a second job re-reading the
+    // sink). Counts/sums compose exactly (sum of 10-min counts = hourly
+    // count), so the oracle is the plain hourly batch GROUP BY. Needs the
+    // dual sentinel: the downstream aggregate's state evicts with the
+    // PREVIOUS batch's watermark, so the first sentinel flushes level 1
+    // and the second flushes level 2 (see dualSentinelEventsDir). ----
+    QueryDef("stream_chained_agg",
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY window_start, event_type""".stripMargin) { (s, dir) =>
+      withStatePartitions(s, 8) {
+      val src = dualSentinelEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_chain_ckpt_${dir.hashCode & 0x7fffffff}")
+      val lvl1 = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("v"))
+      val q = lvl1
+        .groupBy(window(col("window"), "1 hour"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("v")).cast("double").as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .writeStream.format("memory").queryName("g_stream_chain")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.table("g_stream_chain").filter(col("event_type") =!= "sentinel")
       }
     },
 

@@ -66,6 +66,19 @@ object BgpPlanner {
     }
   }
 
+  /** `(!:p)+` / `(!(:p|:q))*` — closure over a NEGATED property set: walk
+    * edges whose predicate is NOT in the alternation, any number of steps.
+    * Same closure machinery as [[pathPreds]] paths, edge set complemented.
+    */
+  private def negClosurePreds(lexical: String): Option[(Seq[String], Char)] = {
+    val re = "^\\(!\\(?((?::?\\w+)(?:\\|:?\\w+)*)\\)?\\)([+*?])$".r
+    lexical match {
+      case re(inner, mod) =>
+        Some((inner.split("\\|").toSeq.map(Dictionary.normalizeTerm), mod.head))
+      case _ => None
+    }
+  }
+
   /** One step of a sequence property path: the alternation's predicate
     * lexical forms, inverse (`^`) flag, and an optional closure modifier
     * (`+` / `*` / `?`) applying to THIS step.
@@ -141,7 +154,7 @@ object BgpPlanner {
     */
   private[sparql] def supportedPathSyntax(lexical: String): Boolean =
     pathPreds(lexical).isDefined || negPreds(lexical).isDefined ||
-      seqPath(lexical).isDefined
+      negClosurePreds(lexical).isDefined || seqPath(lexical).isDefined
 
   /** `quads`: optional 4-column (Subject, Predicate, Object, Graph) store
     * backing `GRAPH` groups — absent, a GRAPH query fails loudly.
@@ -195,7 +208,7 @@ object BgpPlanner {
     // the iterative closure operator, not a scan.
     val (pathPatterns, nonPathPatterns) = query.patterns.partition {
       p => p.p match {
-        case Constant(l) => pathPreds(l).isDefined
+        case Constant(l) => pathPreds(l).isDefined || negClosurePreds(l).isDefined
         case _ => false
       }
     }
@@ -224,7 +237,10 @@ object BgpPlanner {
       query.constructTemplate)
       .flatMap(p => Seq(p.s, p.p, p.o)) ++
       pathPatterns.flatMap(p => Seq(p.s, p.o)) ++
-      pathPatterns.flatMap(p => pathPreds(p.p.asInstanceOf[Constant].lexical).get._1.map(Constant(_))) ++
+      pathPatterns.flatMap { p =>
+        val l = p.p.asInstanceOf[Constant].lexical
+        (pathPreds(l) orElse negClosurePreds(l)).get._1.map(Constant(_))
+      } ++
       seqPatterns.flatMap(p => Seq(p.s, p.o)) ++
       seqPatterns.flatMap(p => seqPath(p.p.asInstanceOf[Constant].lexical).get._1
         .flatMap(_.preds).map(Constant(_))) ++
@@ -264,7 +280,8 @@ object BgpPlanner {
     // path token to nothing.
     def planGroupPattern(st: Store)(p: TriplePattern, idx: Int): DataFrame =
       p.p match {
-        case Constant(l) if pathPreds(l).isDefined => planPathPattern(p, st, enc)
+        case Constant(l) if pathPreds(l).isDefined ||
+          negClosurePreds(l).isDefined => planPathPattern(p, st, enc)
         case Constant(l) if seqPath(l).isDefined => planSeqPathPattern(p, st, enc)
         case Constant(l) if negPreds(l).isDefined =>
           val v = s"__gneg$idx"
@@ -830,14 +847,24 @@ object BgpPlanner {
     */
   private def planPathPattern(
       pat: TriplePattern, store: Store, enc: Map[String, Int]): DataFrame = {
-    val (preds, mod) = pathPreds(pat.p.asInstanceOf[Constant].lexical).get
+    val lex = pat.p.asInstanceOf[Constant].lexical
+    // positive closure `(:p|:q)+` or negated-set closure `(!(:p|:q))+` —
+    // identical fixpoint machinery, edge set complemented for the latter
+    // (an un-encodable negated term excludes nothing, per SPARQL: it
+    // cannot occur in the data, so every predicate survives the NOT-IN)
+    val (preds, mod, negated) =
+      pathPreds(lex).map { case (p, m) => (p, m, false) }
+        .orElse(negClosurePreds(lex).map { case (p, m) => (p, m, true) }).get
     val zeroStep = mod == '*' || mod == '?'
     val predIds = preds.flatMap(enc.get)
     val base = store match {
       case SingleTable(df) => df
       case SplitTables(pos, neg) => pos.unionAll(neg)
     }
-    val edges0 = base.filter(col(TripleSchema.predicate).isin(predIds: _*))
+    val edges0 =
+      if (!negated) base.filter(col(TripleSchema.predicate).isin(predIds: _*))
+      else if (predIds.isEmpty) base
+      else base.filter(!col(TripleSchema.predicate).isin(predIds: _*))
     // BOTH ends variable (`?s :p+ ?o`): the full pairwise closure via the
     // provenance-carrying BFS (Graph.reachablePairs) — state = the closure
     // itself, per-round hash equi-joins, no driver involvement. The result

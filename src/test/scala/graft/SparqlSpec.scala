@@ -496,6 +496,35 @@ class SparqlSpec extends SparkTestBase {
     assert(reg.sparql("SELECT ?o WHERE { 'nosuch' :p1? ?o }").count() == 0)
   }
 
+  test("property path: closure over a NEGATED property set") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // edges NOT :p1 from 'a': only 10-:p2->-7, -7-:p3->20 are non-p1, but
+    // 'a'(-5) has no non-p1 out-edge, so the closure is empty
+    assert(reg.sparql("SELECT ?o WHERE { 'a' (!:p1)+ ?o }").count() == 0)
+    // negating :p2|:p3 leaves :p1 and :loop edges: from 'a' one hop to 10,
+    // where the walk stops (10's only out-edge is :p2 — excluded)
+    val noTail = reg.sparql(
+      "SELECT ?o WHERE { 'a' (!(:p2|:p3))+ ?o }").collect().map(_.getInt(0))
+    assert(noTail.toSeq == Seq(10))
+    // negating only :p3 walks :p1/:p2 edges two hops: a -> 10 -> -7
+    val twoHop = reg.sparql(
+      "SELECT ?o WHERE { 'a' (!:p3)+ ?o }").collect().map(_.getInt(0))
+    assert(twoHop.sorted.toSeq == Seq(-7, 10))
+    // `*` adds the zero-step binding (the subject itself)
+    val star = reg.sparql(
+      "SELECT ?o WHERE { 'a' (!:p3)* ?o }").collect().map(_.getInt(0))
+    assert(star.sorted.toSeq == Seq(-7, -5, 10))
+    // an un-encodable negated term excludes nothing: same as any-predicate
+    val unknown = reg.sparql(
+      "SELECT ?o WHERE { 'a' (!:nosuch)+ ?o }").collect().map(_.getInt(0))
+    assert(unknown.sorted.toSeq == Seq(-7, 10, 20))
+    // self-loop stays reachable through the complement set
+    val loop = reg.sparql(
+      "SELECT ?o WHERE { 'h' (!:p1)+ ?o }").collect().map(_.getInt(0))
+    assert(loop.toSeq == Seq(-9))
+  }
+
   test("sparqlDecoded decodes id columns only; aggregates pass through") {
     val (engine, triples) = fixture
     val reg = engine.registerSplitTables(triples)
