@@ -747,6 +747,32 @@ object Rdf {
         .sparql(s"SELECT ?o WHERE { 'order_$minOrd' (!(:placed|:in_nation))+ ?o }")
     },
 
+    // ---- closure over an alternation with an INVERSE member
+    // (`(^:contains|:supplied_by)+`): ^-members contribute their edges
+    // REVERSED, the union closes through the same BFS fixpoint. From a
+    // part, ^:contains walks part→order (reverse of order-:contains-part)
+    // and :supplied_by walks part→supplier — the closure reaches every
+    // order containing the part plus its suppliers, then stops (neither
+    // target has out-edges in the set). ----
+    QueryDef("rdf_sparql_path_inv_closure",
+      RdfBridge.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, seed AS (SELECT CAST(-((SELECT MIN(l_partkey) FROM lineitem) + 500000000) AS INTEGER) AS node),
+          |edges AS (
+          |  SELECT Object AS Subject, Subject AS Object FROM triples WHERE Predicate = -13
+          |  UNION ALL
+          |  SELECT Subject, Object FROM triples WHERE Predicate = -21),
+          |reach AS (
+          |  SELECT e.Object AS node FROM edges e JOIN seed s ON e.Subject = s.node
+          |  UNION
+          |  SELECT e.Object FROM reach r JOIN edges e ON e.Subject = r.node)
+          |SELECT CAST(node AS INTEGER) AS o FROM reach""".stripMargin) { (s, dir) =>
+      val minPart = graft.sources.Tables.load(s, dir, "lineitem")
+        .agg(min(col("l_partkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"SELECT ?o WHERE { 'part_$minPart' (^:contains|:supplied_by)+ ?o }")
+    },
+
     // ---- SPARQL FILTER comparisons + &&/|| (ConditionalAnd/Or): an id
     // range on the order variable OR'd with a point disjunct — `&&` binds
     // tighter than `||` per the SPARQL grammar. Encoded order ids are

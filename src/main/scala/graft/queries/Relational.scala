@@ -981,21 +981,22 @@ object Relational {
         |  CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90,
         |  CAST(1 AS INTEGER) AS approx_rank_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      // ONE sketch aggregate + ONE exact-percentile buffer aggregate (the
+      // array forms): six separate percentile() calls each kept their own
+      // per-group value buffer and sorted it — measured 6.5s vs ~1s
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
-          expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("ap90"),
-          expr("CAST(percentile(l_extendedprice, 0.5) AS DOUBLE)").as("p50"),
-          expr("CAST(percentile(l_extendedprice, 0.9) AS DOUBLE)").as("p90"),
-          expr("CAST(percentile(l_extendedprice, 0.48) AS DOUBLE)").as("lo50"),
-          expr("CAST(percentile(l_extendedprice, 0.52) AS DOUBLE)").as("hi50"),
-          expr("CAST(percentile(l_extendedprice, 0.88) AS DOUBLE)").as("lo90"),
-          expr("CAST(percentile(l_extendedprice, 0.92) AS DOUBLE)").as("hi90"))
-        .select(col("l_returnflag"), col("p50"), col("p90"),
-          when(col("ap50").between(col("lo50"), col("hi50")) &&
-            col("ap90").between(col("lo90"), col("hi90")), 1).otherwise(0)
-            .cast("int").as("approx_rank_ok"))
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("ap"),
+          expr("CAST(percentile(l_extendedprice, array(0.48, 0.5, 0.52, 0.88, 0.9, 0.92)) AS ARRAY<DOUBLE>)")
+            .as("ex"))
+        .select(col("l_returnflag"),
+          element_at(col("ex"), 2).as("p50"), element_at(col("ex"), 5).as("p90"),
+          when(element_at(col("ap"), 1)
+              .between(element_at(col("ex"), 1), element_at(col("ex"), 3)) &&
+            element_at(col("ap"), 2)
+              .between(element_at(col("ex"), 4), element_at(col("ex"), 6)), 1)
+            .otherwise(0).cast("int").as("approx_rank_ok"))
     },
 
     // ---- IGNORE NULLS navigation functions: lag/lead skip over null

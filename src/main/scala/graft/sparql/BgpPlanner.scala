@@ -79,6 +79,34 @@ object BgpPlanner {
     }
   }
 
+  /** `(^:p)+` / `(:p|^:q)*` — closure over an alternation with INVERSE
+    * members: each `^`-marked member contributes its edges reversed, the
+    * union is closed over. Only matched when at least one `^` appears —
+    * pure-forward alternations stay with [[pathPreds]].
+    */
+  private def invClosurePreds(lexical: String): Option[(Seq[(String, Boolean)], Char)] = {
+    val re = "^\\(?((?:\\^?:?\\w+)(?:\\|\\^?:?\\w+)*)\\)?([+*?])$".r
+    lexical match {
+      case re(inner, mod) if inner.contains("^") =>
+        Some((inner.split("\\|").toSeq.map { t =>
+          if (t.startsWith("^")) (Dictionary.normalizeTerm(t.substring(1)), true)
+          else (Dictionary.normalizeTerm(t), false)
+        }, mod.head))
+      case _ => None
+    }
+  }
+
+  /** Base predicate lexical forms of any closure-path syntax (positive,
+    * inverse-bearing, or negated) — for dictionary encoding. */
+  private def closureBasePreds(lexical: String): Seq[String] =
+    (pathPreds(lexical).map(_._1) orElse
+      invClosurePreds(lexical).map(_._1.map(_._1)) orElse
+      negClosurePreds(lexical).map(_._1)).getOrElse(Nil)
+
+  private def isClosurePath(lexical: String): Boolean =
+    pathPreds(lexical).isDefined || invClosurePreds(lexical).isDefined ||
+      negClosurePreds(lexical).isDefined
+
   /** One step of a sequence property path: the alternation's predicate
     * lexical forms, inverse (`^`) flag, and an optional closure modifier
     * (`+` / `*` / `?`) applying to THIS step.
@@ -140,7 +168,7 @@ object BgpPlanner {
   private def pathBasePreds(pats: Seq[TriplePattern]): Seq[Constant] =
     pats.flatMap(_.p match {
       case Constant(l) =>
-        (pathPreds(l).map(_._1) orElse negPreds(l) orElse
+        (Some(closureBasePreds(l)).filter(_.nonEmpty) orElse negPreds(l) orElse
           seqPath(l).map(_._1.flatMap(_.preds)))
           .getOrElse(Nil).map(Constant.apply)
       case _ => Nil
@@ -153,8 +181,8 @@ object BgpPlanner {
     * it fall through as a constant term that encodes to nothing.
     */
   private[sparql] def supportedPathSyntax(lexical: String): Boolean =
-    pathPreds(lexical).isDefined || negPreds(lexical).isDefined ||
-      negClosurePreds(lexical).isDefined || seqPath(lexical).isDefined
+    isClosurePath(lexical) || negPreds(lexical).isDefined ||
+      seqPath(lexical).isDefined
 
   /** `quads`: optional 4-column (Subject, Predicate, Object, Graph) store
     * backing `GRAPH` groups — absent, a GRAPH query fails loudly.
@@ -208,7 +236,7 @@ object BgpPlanner {
     // the iterative closure operator, not a scan.
     val (pathPatterns, nonPathPatterns) = query.patterns.partition {
       p => p.p match {
-        case Constant(l) => pathPreds(l).isDefined || negClosurePreds(l).isDefined
+        case Constant(l) => isClosurePath(l)
         case _ => false
       }
     }
@@ -237,10 +265,8 @@ object BgpPlanner {
       query.constructTemplate)
       .flatMap(p => Seq(p.s, p.p, p.o)) ++
       pathPatterns.flatMap(p => Seq(p.s, p.o)) ++
-      pathPatterns.flatMap { p =>
-        val l = p.p.asInstanceOf[Constant].lexical
-        (pathPreds(l) orElse negClosurePreds(l)).get._1.map(Constant(_))
-      } ++
+      pathPatterns.flatMap(p =>
+        closureBasePreds(p.p.asInstanceOf[Constant].lexical).map(Constant(_))) ++
       seqPatterns.flatMap(p => Seq(p.s, p.o)) ++
       seqPatterns.flatMap(p => seqPath(p.p.asInstanceOf[Constant].lexical).get._1
         .flatMap(_.preds).map(Constant(_))) ++
@@ -280,8 +306,7 @@ object BgpPlanner {
     // path token to nothing.
     def planGroupPattern(st: Store)(p: TriplePattern, idx: Int): DataFrame =
       p.p match {
-        case Constant(l) if pathPreds(l).isDefined ||
-          negClosurePreds(l).isDefined => planPathPattern(p, st, enc)
+        case Constant(l) if isClosurePath(l) => planPathPattern(p, st, enc)
         case Constant(l) if seqPath(l).isDefined => planSeqPathPattern(p, st, enc)
         case Constant(l) if negPreds(l).isDefined =>
           val v = s"__gneg$idx"
@@ -848,23 +873,38 @@ object BgpPlanner {
   private def planPathPattern(
       pat: TriplePattern, store: Store, enc: Map[String, Int]): DataFrame = {
     val lex = pat.p.asInstanceOf[Constant].lexical
-    // positive closure `(:p|:q)+` or negated-set closure `(!(:p|:q))+` —
-    // identical fixpoint machinery, edge set complemented for the latter
-    // (an un-encodable negated term excludes nothing, per SPARQL: it
-    // cannot occur in the data, so every predicate survives the NOT-IN)
-    val (preds, mod, negated) =
-      pathPreds(lex).map { case (p, m) => (p, m, false) }
-        .orElse(negClosurePreds(lex).map { case (p, m) => (p, m, true) }).get
+    // Three closure families share one fixpoint: positive `(:p|:q)+`,
+    // inverse-bearing `(^:p|:q)+` (each ^-member contributes reversed
+    // edges), and negated-set `(!(:p|:q))+` (the complement edge set; an
+    // un-encodable negated term excludes nothing, per SPARQL: it cannot
+    // occur in the data, so every predicate survives the NOT-IN).
+    val (members, mod, negated) =
+      pathPreds(lex).map { case (p, m) => (p.map((_, false)), m, false) }
+        .orElse(invClosurePreds(lex).map { case (p, m) => (p, m, false) })
+        .orElse(negClosurePreds(lex).map { case (p, m) => (p.map((_, false)), m, true) })
+        .get
     val zeroStep = mod == '*' || mod == '?'
-    val predIds = preds.flatMap(enc.get)
     val base = store match {
       case SingleTable(df) => df
       case SplitTables(pos, neg) => pos.unionAll(neg)
     }
+    val fwdIds = members.collect { case (p, false) => p }.flatMap(enc.get)
+    val invIds = members.collect { case (p, true) => p }.flatMap(enc.get)
     val edges0 =
-      if (!negated) base.filter(col(TripleSchema.predicate).isin(predIds: _*))
-      else if (predIds.isEmpty) base
-      else base.filter(!col(TripleSchema.predicate).isin(predIds: _*))
+      if (negated) {
+        val ids = fwdIds
+        if (ids.isEmpty) base
+        else base.filter(!col(TripleSchema.predicate).isin(ids: _*))
+      } else if (invIds.isEmpty)
+        base.filter(col(TripleSchema.predicate).isin(fwdIds: _*))
+      else {
+        val fwd = base.filter(col(TripleSchema.predicate).isin(fwdIds: _*))
+          .select(col(TripleSchema.subject), col(TripleSchema.objekt))
+        val inv = base.filter(col(TripleSchema.predicate).isin(invIds: _*))
+          .select(col(TripleSchema.objekt).as(TripleSchema.subject),
+            col(TripleSchema.subject).as(TripleSchema.objekt))
+        if (fwdIds.isEmpty) inv else fwd.unionAll(inv)
+      }
     // BOTH ends variable (`?s :p+ ?o`): the full pairwise closure via the
     // provenance-carrying BFS (Graph.reachablePairs) — state = the closure
     // itself, per-round hash equi-joins, no driver involvement. The result

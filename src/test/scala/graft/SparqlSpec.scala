@@ -525,6 +525,25 @@ class SparqlSpec extends SparkTestBase {
     assert(loop.toSeq == Seq(-9))
   }
 
+  test("property path: closure with INVERSE members") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // chain -5 -p1-> 10 -p2-> -7 -p3-> 20; from 'c'(-7): ^p2 reverses to
+    // 10, :p3 forwards to 20; neither target continues in the set
+    val mixed = reg.sparql(
+      "SELECT ?o WHERE { 'c' (^:p2|:p3)+ ?o }").collect().map(_.getInt(0))
+    assert(mixed.sorted.toSeq == Seq(10, 20))
+    // pure inverse closure walks the chain backwards: from 'd'(20),
+    // ^p3 -> -7, then ^p2 -> 10, then ^p1 -> -5
+    val back = reg.sparql(
+      "SELECT ?o WHERE { 'd' (^:p1|^:p2|^:p3)+ ?o }").collect().map(_.getInt(0))
+    assert(back.sorted.toSeq == Seq(-7, -5, 10))
+    // `*` adds the zero-step binding
+    val star = reg.sparql(
+      "SELECT ?o WHERE { 'd' (^:p3)* ?o }").collect().map(_.getInt(0))
+    assert(star.sorted.toSeq == Seq(-7, 20))
+  }
+
   test("sparqlDecoded decodes id columns only; aggregates pass through") {
     val (engine, triples) = fixture
     val reg = engine.registerSplitTables(triples)
