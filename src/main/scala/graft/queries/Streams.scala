@@ -563,6 +563,48 @@ object Streams {
       }
     },
 
+    // ---- stream-stream FULL OUTER interval join: both unmatched sides
+    // emit on eviction — purchases with no click in the preceding hour
+    // (null c_id) AND clicks followed by no purchase within the hour
+    // (null p_id). Same dual-sentinel determinism argument as the left
+    // outer join, applied symmetrically: each side's state evicts when
+    // the watermark passes its interval bound, and the second sentinel
+    // batch applies the first's watermark. COALESCE recovers the shared
+    // key from whichever side is present; sentinels (negative user ids)
+    // filter out at the sink. ----
+    QueryDef("stream_full_outer_join",
+      """SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+        |  p.event_id AS p_id, c.event_id AS c_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin) { (s, dir) =>
+      withStatePartitions(s, 4) {
+      val src = joinSentinelEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_foj_ckpt_${dir.hashCode & 0x7fffffff}")
+      val stream = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+      val purchases = stream.withWatermark("ts", "2 hours")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      val clicks = stream.withWatermark("ts", "2 hours")
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+      val q = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"),
+          "full_outer")
+        .select(coalesce(col("user_id"), col("c_user")).as("user_id"),
+          col("p_id"), col("c_id"))
+        .writeStream.format("memory").queryName("g_stream_foj")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.table("g_stream_foj").filter(col("user_id") >= 0)
+      }
+    },
+
     // ---- STREAM-STATIC broadcast join (stateless enrichment — the most
     // common production streaming shape): each micro-batch of purchases
     // joins the static customer dimension; no watermark and NO STATE at
