@@ -2058,7 +2058,8 @@ object Pipeline {
           col("n_chars").cast("long").as("n_chars"))
     }
 
-  // debug handles for stage-level profiling (graft.Probe) and spec access
+  // debug handles for spec access (PropertySpec runs these templates
+  // against generated inputs)
   def debugCorpusChunkSql: String = corpusChunk(SparkDialect)
   def debugCdcChunkSql: String = corpusCdcChunk(SparkDialect)
   def debugEmbQuantizeSql: String = embQuantize(SparkDialect)
