@@ -1222,6 +1222,60 @@ object Pipeline {
       s.sql(dedupContainment(SparkDialect, "ngram_sets_cont"))
     }
 
+  /** Dedup QUALITY EVALUATION — precision/recall of the MinHash+LSH
+    * candidate pairs against exact n-gram-Jaccard ground truth, the
+    * measurement step every production dedup pipeline needs before
+    * trusting a sketch configuration (sim_ann_recall is the same idea for
+    * ANN). Ground truth = the exact-recall AllPairs join at J >= 0.5;
+    * prediction = LSH candidates with estimated similarity >= 0.5. A FULL
+    * JOIN on the pair key classifies TP/FP/FN; precision/recall are
+    * emitted in exact integer micro-units (one integer division — no
+    * float accumulation to diverge cross-engine).
+    *
+    * Corpus restricted to doc_id < 1000: the evaluation's point is the
+    * composition, and the restricted run keeps the board's bench honest —
+    * at full corpus it would simply re-run the two pair joins it audits.
+    * Scale shape: both inputs are the equi-join pipelines audited
+    * elsewhere; the eval itself is one full outer join on (a, b) + one
+    * map-side-combinable aggregate.
+    */
+  private def dedupMinhashEval: QueryDef = {
+    def evalSelect(d: Dialect, setsTable: String, sigsTable: String): String = {
+      val idiv = if (d == SparkDialect) "div" else "//"
+      s"""WITH exact AS (${ngramPairsSql(d, setsTable)}),
+         |pred AS (${minhashPairsSql(d, sigsTable)}),
+         |j AS (SELECT
+         |    CASE WHEN e.a IS NOT NULL THEN 1 ELSE 0 END AS is_true,
+         |    CASE WHEN p.a IS NOT NULL THEN 1 ELSE 0 END AS is_pred
+         |  FROM exact e FULL JOIN pred p ON e.a = p.a AND e.b = p.b)
+         |SELECT CAST(SUM(is_true * is_pred) AS BIGINT) AS tp,
+         |  CAST(SUM((1 - is_true) * is_pred) AS BIGINT) AS fp,
+         |  CAST(SUM(is_true * (1 - is_pred)) AS BIGINT) AS fn,
+         |  CAST((1000000 * SUM(is_true * is_pred))
+         |    $idiv GREATEST(SUM(is_pred), 1) AS BIGINT) AS precision_micro,
+         |  CAST((1000000 * SUM(is_true * is_pred))
+         |    $idiv GREATEST(SUM(is_true), 1) AS BIGINT) AS recall_micro
+         |FROM j""".stripMargin
+    }
+    val d = DuckDialect
+    QueryDef("dedup_minhash_eval",
+      s"""WITH sh0 AS (SELECT * FROM (${shingleExplode(d)}) q0 WHERE doc_id < 1000),
+         |sets AS (${ngramSetSql(d, Some("SELECT doc_id, s FROM sh0"))}),
+         |sigs AS (${minhashSigSql(d, Some("SELECT doc_id, s FROM sh0"))}),
+         |result AS (${evalSelect(d, "sets", "sigs")})
+         |SELECT * FROM result""".stripMargin) { (s, dir) =>
+      views(s, dir, "documents")
+      s.sql(s"SELECT * FROM (${shingleExplode(SparkDialect)}) q0 WHERE doc_id < 1000")
+        .persist().createOrReplaceTempView("graft_sh_eval")
+      val src = "SELECT doc_id, s FROM graft_sh_eval"
+      s.sql(ngramSetSql(SparkDialect, Some(src)))
+        .persist().createOrReplaceTempView("ngram_sets_eval")
+      s.sql(minhashSigSql(SparkDialect, Some(src)))
+        .persist().createOrReplaceTempView("minhash_sigs_eval")
+      s.sql(evalSelect(SparkDialect, "ngram_sets_eval", "minhash_sigs_eval"))
+    }
+  }
+
   /** Near-dup CLUSTERING + keeper selection — the step after pair
     * generation in a dedup pipeline: connected components over the
     * MinHash/LSH pair graph (min-label propagation,
@@ -2100,6 +2154,7 @@ object Pipeline {
     eventsQuery("events_stats_moments", eventsStatsMoments),
     docQuery("corpus_sample_stratified", corpusSampleStratified),
     dedupContainmentDef,
+    dedupMinhashEval,
     corpusTopPerSourceDef,
     multimodalFeatures,
     eventsSessionWindow,
