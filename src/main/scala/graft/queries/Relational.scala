@@ -999,6 +999,28 @@ object Relational {
             .otherwise(0).cast("int").as("approx_rank_ok"))
     },
 
+    // ---- VARIANT type (Spark 4's semi-structured flagship): props parses
+    // ONCE into a binary variant value, then typed paths extract without
+    // re-tokenizing JSON text — at 100 TB the parse-once/extract-many
+    // pattern (and variant's columnar shredding in parquet) is the
+    // semi-structured scaling story. Oracle extracts the same paths with
+    // DuckDB's JSON functions; results are plain typed columns either
+    // way. ----
+    QueryDef("q58_variant",
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max,
+        |  CAST(COUNT(CAST(json_extract_string(props, '$.missing') AS INTEGER)) AS BIGINT) AS n_missing
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("v", expr("parse_json(props)"))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(expr("variant_get(v, '$.k', 'int')")).cast("long").as("k_sum"),
+          max(expr("variant_get(v, '$.k', 'int')")).cast("int").as("k_max"),
+          count(expr("variant_get(v, '$.missing', 'int')")).as("n_missing"))
+    },
+
     // ---- IGNORE NULLS navigation functions: lag/lead skip over null
     // observations (previous/next MEASURED value, not previous row) and
     // first_value IGNORE NULLS gives the first observation in the running

@@ -57,6 +57,24 @@ class QueriesSpec extends SparkTestBase {
     assert(joined.except(gate).count() == 0 && gate.except(joined).count() == 0)
   }
 
+  test("events_gap_fill: dense per-user hourly spine, LOCF never null") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("events_gap_fill")(spark, sf).persist()
+    // spine density: per user exactly (max-min+1) distinct consecutive hours
+    val agg = out.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      (max(col("hour_id")) - min(col("hour_id")) + 1).as("span"),
+      countDistinct(col("hour_id")).as("nd"))
+    assert(agg.filter(col("n") =!= col("span") || col("nd") =!= col("n"))
+      .count() == 0, "spine must be dense and duplicate-free per user")
+    // the first spine hour is an observed hour, so carry-forward never nulls
+    assert(out.filter(col("v_locf").isNull).count() == 0)
+    // event conservation: filled counts re-aggregate to the raw table's
+    val total = out.agg(sum(col("n_events"))).head().getLong(0)
+    assert(total == graft.sources.Tables.load(spark, sf, "events").count())
+    out.unpersist()
+  }
+
   test("text_normalize collapses multi-space runs (punctuation-strip output)") {
     import spark.implicits._
     // the a-z corpus never produces multi-space runs; punctuation does —
