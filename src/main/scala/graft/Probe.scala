@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: stage-level timing of the n-gram Jaccard pipeline (the
+  * board's heaviest gate) — times each materialization boundary
+  * separately so a regression can be localized without the Spark UI.
+  * Usage: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Probe"`.
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    graft.sources.Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("documents")
+
+    // stage 1: shingle explode (materialized count)
+    val sh = spark.sql(graft.queries.Pipeline.debugShingleExplodeSql).persist()
+    timed("shingle explode")(println(s"         rows=${sh.count()}"))
+    sh.createOrReplaceTempView("graft_sh")
+
+    // stage 2: per-doc sorted distinct hash sets
+    val sets = spark.sql(graft.queries.Pipeline.debugNgramSetFromView).persist()
+    timed("sets (vocab hash + collect)")(println(s"         rows=${sets.count()}"))
+    sets.createOrReplaceTempView("ngram_sets")
+
+    // stage 3: full prefix join (df + window + candidates + verify)
+    val pairs = spark.sql(graft.queries.Pipeline.debugNgramPairsSql)
+    timed("prefix join end-to-end")(println(s"         rows=${pairs.count()}"))
+
+    // stage 3a: candidate generation only (no verify) — explode + df +
+    // window + self-join + pair dedup
+    val cand = spark.sql(graft.queries.Pipeline.debugNgramCandidatesSql)
+    timed("candidates only")(println(s"         rows=${cand.count()}"))
+
+    sets.unpersist(); sh.unpersist()
+    spark.stop()
+  }
+}

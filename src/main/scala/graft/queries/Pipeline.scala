@@ -2123,6 +2123,27 @@ object Pipeline {
   def debugNgramSetSql: String = ngramSetSql(SparkDialect)
   def debugNgramPairsSql: String = ngramPairsSql(SparkDialect, "ngram_sets")
   def debugMinhashSigSql: String = minhashSigSql(SparkDialect)
+  // graft.Probe stage handles (n-gram pipeline profiling)
+  def debugShingleExplodeSql: String = shingleExplode(SparkDialect)
+  def debugNgramSetFromView: String =
+    ngramSetSql(SparkDialect, Some("SELECT doc_id, s FROM graft_sh"))
+  /** Candidate generation WITHOUT the verify join: the prefix machinery
+    * (explode + global df + rank window + prefix self-join + pair dedup).
+    */
+  def debugNgramCandidatesSql: String = {
+    val idiv = "div"
+    s"""WITH tp AS (SELECT doc_id, sh, size(sh) AS n FROM ngram_sets),
+       |e AS (SELECT doc_id, size(sh) AS n, explode(sh) AS h FROM ngram_sets),
+       |df AS (SELECT h, COUNT(*) AS df FROM e GROUP BY h),
+       |r AS (SELECT e.doc_id, e.h, e.n,
+       |    ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY df.df, e.h) AS rn
+       |  FROM e JOIN df ON e.h = df.h),
+       |c AS (SELECT doc_id, h, n, rn FROM r WHERE rn <= n $idiv 2 + 1)
+       |SELECT x.doc_id AS a, y.doc_id AS b
+       |FROM c x JOIN c y ON x.h = y.h
+       |  AND x.doc_id < y.doc_id AND x.n <= 2*y.n AND y.n <= 2*x.n
+       |GROUP BY x.doc_id, y.doc_id""".stripMargin
+  }
   def debugMinhashPairsSql(t: String): String = minhashPairsSql(SparkDialect, t)
 
   def defs: Seq[QueryDef] = Seq(
