@@ -999,6 +999,54 @@ object Relational {
             .otherwise(0).cast("int").as("approx_rank_ok"))
     },
 
+    // ---- GROUP BY ALL / ORDER BY ALL (the modern analyst idiom, same
+    // SQL text verbatim on BOTH engines): every non-aggregate select item
+    // becomes a grouping key, the full select list becomes the sort key —
+    // resilient to select-list edits, and the planner-derived keys produce
+    // the identical aggregate plan the explicit form does. ----
+    QueryDef("q59_group_order_all", {
+      val sql =
+        """SELECT o_orderpriority, o_orderstatus,
+          |  CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders
+          |GROUP BY ALL
+          |ORDER BY ALL""".stripMargin
+      sql
+    }) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+          |  CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders
+          |GROUP BY ALL
+          |ORDER BY ALL""".stripMargin)
+    },
+
+    // ---- error-safe (TRY) functions: malformed casts and zero divisions
+    // yield NULL instead of failing the job — at 100 TB one malformed row
+    // must not kill a 6-hour pipeline, and TRY semantics beat
+    // permissive-mode silent coercion because the nulls are countable.
+    // DuckDB has TRY_CAST but no try_divide; the oracle expresses the
+    // same algebra with a zero guard. ----
+    QueryDef("q60_try_funcs",
+      """SELECT event_type,
+        |  CAST(COUNT(TRY_CAST(event_type AS INTEGER)) AS BIGINT) AS n_numeric_type,
+        |  CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_k,
+        |  CAST(SUM(CASE WHEN CAST(value AS DECIMAL(18,2)) = 0 THEN NULL
+        |    ELSE CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) / CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) END) AS BIGINT) AS n_nonzero
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(
+        """SELECT event_type,
+          |  CAST(COUNT(TRY_CAST(event_type AS INTEGER)) AS BIGINT) AS n_numeric_type,
+          |  CAST(COUNT(TRY_CAST(get_json_object(props, '$.k') AS INTEGER)) AS BIGINT) AS n_k,
+          |  CAST(SUM(try_divide(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE),
+          |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE))) AS BIGINT) AS n_nonzero
+          |FROM events GROUP BY event_type""".stripMargin)
+    },
+
     // ---- VARIANT type (Spark 4's semi-structured flagship): props parses
     // ONCE into a binary variant value, then typed paths extract without
     // re-tokenizing JSON text — at 100 TB the parse-once/extract-many
