@@ -1125,6 +1125,39 @@ object Pipeline {
           last(col("v_sum"), ignoreNulls = true).over(w).as("v_locf"))
     }
 
+  /** Equi-width feature BINNING + per-group histogram — the feature-
+    * engineering pass that turns a continuous column into bounded
+    * categorical buckets (and the profile histogram that validates a
+    * distribution before training). One scan, one map-side-combinable
+    * aggregate, one window over the (event_type × bucket) aggregate — the
+    * window input is bucket-count-sized, not row-sized. Shares are exact
+    * integer micro-units (single division), so cross-engine bit-equal.
+    */
+  private def eventsHistogram: QueryDef =
+    QueryDef("events_histogram",
+      """WITH b AS (SELECT event_type,
+        |    CAST(floor(value / 25.0) AS BIGINT) AS bucket FROM events),
+        |a AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM b GROUP BY event_type, bucket)
+        |SELECT event_type, bucket,
+        |  CAST(bucket * 25.0 AS DOUBLE) AS lo,
+        |  CAST((bucket + 1) * 25.0 AS DOUBLE) AS hi, n,
+        |  CAST((1000000 * n) // SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_micro
+        |FROM a""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy(col("event_type"))
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), floor(col("value") / 25.0).cast("long").as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("bucket"),
+          (col("bucket") * 25.0).cast("double").as("lo"),
+          ((col("bucket") + 1) * 25.0).cast("double").as("hi"), col("n"),
+          expr("(1000000 * n) div sum(n) OVER (PARTITION BY event_type)")
+            .cast("long").as("share_micro"))
+    }
+
   /** Small-files compaction — the table-maintenance operator every large
     * lake needs: a directory fragmented into many tiny parquet files (here:
     * deliberately written as 64 splits) is rewritten into few balanced
@@ -2183,6 +2216,7 @@ object Pipeline {
     custQuery("text_pii_scrub", textPiiScrub),
     eventsAsofJoin,
     eventsGapFill,
+    eventsHistogram,
     corpusCompact,
     docQuery("corpus_profile", corpusProfile),
     multimodalResize,
