@@ -282,14 +282,26 @@ object Graph {
     // distinct — the dominant cost, not the wedge join).
     val und = canonicalEdges(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = triangleCountsCanonical(und)
+    und.unpersist()
+    counts
+  }
+
+  /** Triangle counts over an ALREADY-CANONICAL edge set (u < v, distinct,
+    * no self-loops) — skips the canonicalization distinct, whose shuffle is
+    * pure waste when the edge list comes from a deduplicated on-disk table
+    * (the common production shape: graph engines store canonical edges).
+    * The input is scanned three times (two degree branches + orientation
+    * join); callers with expensive lineage should persist first —
+    * a parquet-backed input re-scans cheaply and needs no persist. */
+  def triangleCountsCanonical(und: DataFrame): DataFrame = {
     val oriented = orientCanonical(und)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = enumerateTriangles(oriented)
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-      .localCheckpoint() // materialize before unpersisting the edge caches
+      .localCheckpoint() // materialize before unpersisting the edge cache
     oriented.unpersist()
-    und.unpersist()
     counts
   }
 
