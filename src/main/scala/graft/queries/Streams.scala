@@ -321,6 +321,26 @@ object Streams {
     try f finally s.conf.set(key, prev)
   }
 
+  /** Scope the RocksDB state-store provider (transformWithState refuses the
+    * default HDFS-backed store) with changelog checkpointing: each commit
+    * appends a delta instead of uploading a full RocksDB snapshot — the
+    * right production setting for frequent small commits, and locally it
+    * removes a per-partition-per-batch snapshot copy. Both confs restored
+    * on exit. */
+  private def withRocksDb[T](s: SparkSession)(f: => T): T = {
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- stream source → filter → parquet STREAMING SINK → read back:
@@ -768,6 +788,14 @@ object Streams {
     // then prefix-sums per user. The RocksDB provider conf is scoped to
     // this gate and restored (transformWithState refuses the default
     // HDFS-backed store). ----
+    // State partitioning: 2 (not the shared 8) — the keyed state is
+    // per-user and tiny, and every extra partition is a whole RocksDB
+    // instance opened + committed PER MICRO-BATCH; at 4 batches the
+    // store-lifecycle cost dominates the fold itself (measured: 8→2
+    // partitions cut the gate ~35% with identical output; the outer-join
+    // audit found the same shape). Changelog checkpointing replaces the
+    // per-commit full-snapshot upload with an append-only delta — the
+    // production-correct setting for frequent small commits.
     QueryDef("stream_tws_running",
       """WITH r AS (SELECT user_id, value,
         |    ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
@@ -782,15 +810,11 @@ object Streams {
         |  CAST(SUM(bn) OVER (PARTITION BY user_id ORDER BY bi) AS BIGINT) AS n_events,
         |  CAST(SUM(bc) OVER (PARTITION BY user_id ORDER BY bi) AS BIGINT) AS sum_cents
         |FROM c""".stripMargin) { (s, dir) =>
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 2) {
       import s.implicits._
       val src = stagedEventsDir(s, dir)
       val ckpt = cleanScratch(s, s"stream_tws_ckpt_${dir.hashCode & 0x7fffffff}")
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val saved = s.conf.getOption(key)
-      s.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDb(s) {
         val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
           .as[EventStreams.Event]
           .groupByKey(_.user_id)
@@ -802,8 +826,6 @@ object Streams {
           .outputMode("update").option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
         await(q)
-      } finally saved match {
-        case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key)
       }
       s.table("g_stream_tws")
       }
@@ -834,15 +856,11 @@ object Streams {
         |FROM batches b JOIN firsts f
         |  ON f.user_id = b.user_id AND f.fb <= b.bi
         |GROUP BY b.user_id, b.bi""".stripMargin) { (s, dir) =>
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 2) {
       import s.implicits._
       val src = stagedEventsDir(s, dir)
       val ckpt = cleanScratch(s, s"stream_twsd_ckpt_${dir.hashCode & 0x7fffffff}")
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val saved = s.conf.getOption(key)
-      s.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDb(s) {
         val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
           .as[EventStreams.Event]
           .groupByKey(_.user_id)
@@ -854,8 +872,6 @@ object Streams {
           .outputMode("update").option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
         await(q)
-      } finally saved match {
-        case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key)
       }
       s.table("g_stream_twsd")
       }
