@@ -51,7 +51,15 @@ object Probe {
     val cand = spark.sql(graft.queries.Pipeline.debugNgramCandidatesSql)
     timed("candidates only")(println(s"         rows=${cand.count()}"))
 
-    sets.unpersist(); sh.unpersist()
+    // minhash branch (dedup_minhash_lsh stages, from the same shingle view)
+    val sigs = spark.sql(graft.queries.Pipeline.debugMinhashSigFromView).persist()
+    timed("minhash signatures")(println(s"         rows=${sigs.count()}"))
+    sigs.createOrReplaceTempView("minhash_sigs_probe")
+    val mpairs = spark.sql(
+      graft.queries.Pipeline.debugMinhashPairsSql("minhash_sigs_probe"))
+    timed("band join + estimate")(println(s"         rows=${mpairs.count()}"))
+
+    sigs.unpersist(); sets.unpersist(); sh.unpersist()
     spark.stop()
   }
 }

@@ -112,6 +112,18 @@ object Pipeline {
     * reference — measured 2× the explode cost on every shingle pipeline.
     * The DuckDB oracle keeps the inline CTE (its arithmetic is identical
     * either way). Released by the harness's per-query clearCache().
+    *
+    * MATERIALIZATION RULE (round-6 audit): `.persist()` + temp view only
+    * dedups downstream references when the cached plan MATCHES at lookup —
+    * and a plan whose SQL contains a WITH clause keeps `WithCTE`/
+    * `CTERelationRef` nodes in its analyzed form, whose per-query ids
+    * defeat CacheManager's canonical comparison. Result: every reference
+    * silently re-ran the whole signature/set pipeline (dedup_minhash_lsh's
+    * plan carried THREE inlined copies of the sig aggregate; measured 2.6s
+    * → 1.2s isolated when fixed). So: CTE-free plans (this explode, the
+    * token explodes, tf) persist + view; CTE-bearing plans (minhash sigs,
+    * ngram sets, simhash) must `localCheckpoint()` — lineage truncation
+    * makes every reference scan the materialized RDD unconditionally.
     */
   private def cachedShingles(s: SparkSession, dir: String): String = {
     views(s, dir, "documents")
@@ -173,7 +185,8 @@ object Pipeline {
       s"""WITH sigs AS (${minhashSigSql(DuckDialect)})
          |, result AS (${minhashPairsSql(DuckDialect, "sigs")})
          |SELECT * FROM result""".stripMargin) { (s, dir) =>
-      val sigs = s.sql(minhashSigSql(SparkDialect, Some(cachedShingles(s, dir)))).persist()
+      val sigs = s.sql(minhashSigSql(SparkDialect, Some(cachedShingles(s, dir))))
+        .localCheckpoint()
       sigs.createOrReplaceTempView("minhash_sigs")
       s.sql(minhashPairsSql(SparkDialect, "minhash_sigs"))
     }
@@ -217,10 +230,13 @@ object Pipeline {
     * dropping rows whose bound misses the threshold's minimum overlap
     * keeps recall exact while shrinking the verify join's pair set.
     */
-  private def prefixJoinSql(d: Dialect, setTable: String, prefixLen: String,
-      ySide: String, pairPredicate: String, verifyName: String,
-      verifyExpr: String, verifyWhere: String): String =
-    s"""WITH tp AS (SELECT doc_id, sh, ${d.len("sh")} AS n FROM $setTable),
+  /** The candidate-generation CTE chain of [[prefixJoinSql]] (everything up
+    * to and including the deduped `pairs` set), factored out so the Probe
+    * profiler measures EXACTLY the gate's candidate plan rather than a
+    * hand-copied approximation that could drift. */
+  private def prefixCandidateCtes(d: Dialect, setTable: String,
+      prefixLen: String, ySide: String, pairPredicate: String): String =
+    s"""tp AS (SELECT doc_id, sh, ${d.len("sh")} AS n FROM $setTable),
        |e AS (${d.explodeSelect(s"doc_id, ${d.len("sh")} AS n", setTable, "sh", "h")}),
        |df AS (SELECT h, COUNT(*) AS df FROM e GROUP BY h),
        |r AS (SELECT e.doc_id, e.h, e.n,
@@ -230,7 +246,12 @@ object Pipeline {
        |pairs AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b
        |  FROM c x JOIN $ySide y ON x.h = y.h AND $pairPredicate
-       |  GROUP BY x.doc_id, y.doc_id)
+       |  GROUP BY x.doc_id, y.doc_id)""".stripMargin
+
+  private def prefixJoinSql(d: Dialect, setTable: String, prefixLen: String,
+      ySide: String, pairPredicate: String, verifyName: String,
+      verifyExpr: String, verifyWhere: String): String =
+    s"""WITH ${prefixCandidateCtes(d, setTable, prefixLen, ySide, pairPredicate)}
        |SELECT * FROM (
        |  SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
        |    $verifyExpr AS $verifyName
@@ -239,20 +260,27 @@ object Pipeline {
        |  JOIN tp tb ON p.b = tb.doc_id) s
        |WHERE $verifyWhere""".stripMargin
 
+  /** The Jaccard join's candidate parameters, shared by [[ngramPairsSql]]
+    * and the Probe's candidates-only handle. Length-ratio prune only: the
+    * PPJoin positional filter (see prefixJoinSql doc; applied in the
+    * containment join) was measured here and REVERTED — on this corpus the
+    * verify set after prefix + length pruning is already tiny, so
+    * per-match-row positional arithmetic on the dense candidate join costs
+    * more than the verify rows it saves (6.5s vs 4.5s at sf0.1). It pays
+    * when the verify join dominates — the asymmetric containment shape. */
+  private def jaccardPrefixLen(d: Dialect): String = {
+    val idiv = if (d == SparkDialect) "div" else "//"
+    s"n $idiv 2 + 1"
+  }
+  private val jaccardPairPredicate =
+    "x.doc_id < y.doc_id AND x.n <= 2*y.n AND y.n <= 2*x.n"
+
   private def ngramPairsSql(d: Dialect, setTable: String): String = {
     val inter = d.interSize("ta.sh", "tb.sh")
-    val idiv = if (d == SparkDialect) "div" else "//"
     prefixJoinSql(d, setTable,
-      prefixLen = s"n $idiv 2 + 1",
+      prefixLen = jaccardPrefixLen(d),
       ySide = "c",
-      // Length-ratio prune only. The PPJoin positional filter (see
-      // prefixJoinSql doc; applied in the containment join) was measured
-      // here and REVERTED: on this corpus the verify set after prefix +
-      // length pruning is already tiny, so per-match-row positional
-      // arithmetic on the dense candidate join costs more than the verify
-      // rows it saves (6.5s vs 4.5s at sf0.1). It pays when the verify
-      // join dominates — the asymmetric containment shape below.
-      pairPredicate = "x.doc_id < y.doc_id AND x.n <= 2*y.n AND y.n <= 2*x.n",
+      pairPredicate = jaccardPairPredicate,
       verifyName = "sim",
       verifyExpr = s"CAST($inter AS DOUBLE) / (${d.len("ta.sh")} + ${d.len("tb.sh")} - $inter)",
       verifyWhere = "sim >= 0.5")
@@ -266,7 +294,8 @@ object Pipeline {
       s"""WITH sets AS (${ngramSetSql(DuckDialect)})
          |, result AS (${ngramPairsSql(DuckDialect, "sets")})
          |SELECT * FROM result""".stripMargin) { (s, dir) =>
-      val sets = s.sql(ngramSetSql(SparkDialect, Some(cachedShingles(s, dir)))).persist()
+      val sets = s.sql(ngramSetSql(SparkDialect, Some(cachedShingles(s, dir))))
+        .localCheckpoint()
       sets.createOrReplaceTempView("ngram_sets")
       s.sql(ngramPairsSql(SparkDialect, "ngram_sets"))
     }
@@ -360,7 +389,8 @@ object Pipeline {
       s"""WITH sims AS (${simhashSql(DuckDialect)})
          |, result AS (${simhashPairsSql(DuckDialect, "sims")})
          |SELECT * FROM result""".stripMargin) { (s, dir) =>
-      val sims = s.sql(simhashSql(SparkDialect, Some(cachedTokens(s, dir)))).persist()
+      val sims = s.sql(simhashSql(SparkDialect, Some(cachedTokens(s, dir))))
+        .localCheckpoint()
       sims.createOrReplaceTempView("simhash_vals")
       s.sql(simhashPairsSql(SparkDialect, "simhash_vals"))
     }
@@ -1250,7 +1280,8 @@ object Pipeline {
       s"""WITH sets AS (${ngramSetSql(DuckDialect)})
          |, result AS (${dedupContainment(DuckDialect, "sets")})
          |SELECT * FROM result""".stripMargin) { (s, dir) =>
-      val sets = s.sql(ngramSetSql(SparkDialect, Some(cachedShingles(s, dir)))).persist()
+      val sets = s.sql(ngramSetSql(SparkDialect, Some(cachedShingles(s, dir))))
+        .localCheckpoint()
       sets.createOrReplaceTempView("ngram_sets_cont")
       s.sql(dedupContainment(SparkDialect, "ngram_sets_cont"))
     }
@@ -1298,14 +1329,24 @@ object Pipeline {
          |result AS (${evalSelect(d, "sets", "sigs")})
          |SELECT * FROM result""".stripMargin) { (s, dir) =>
       views(s, dir, "documents")
-      s.sql(s"SELECT * FROM (${shingleExplode(SparkDialect)}) q0 WHERE doc_id < 1000")
-        .persist().createOrReplaceTempView("graft_sh_eval")
+      val sh = s.sql(
+        s"SELECT * FROM (${shingleExplode(SparkDialect)}) q0 WHERE doc_id < 1000")
+        .persist()
+      sh.createOrReplaceTempView("graft_sh_eval")
       val src = "SELECT doc_id, s FROM graft_sh_eval"
-      s.sql(ngramSetSql(SparkDialect, Some(src)))
-        .persist().createOrReplaceTempView("ngram_sets_eval")
-      s.sql(minhashSigSql(SparkDialect, Some(src)))
-        .persist().createOrReplaceTempView("minhash_sigs_eval")
-      s.sql(evalSelect(SparkDialect, "ngram_sets_eval", "minhash_sigs_eval"))
+      val sets = s.sql(ngramSetSql(SparkDialect, Some(src))).localCheckpoint()
+      sets.createOrReplaceTempView("ngram_sets_eval")
+      val sigs = s.sql(minhashSigSql(SparkDialect, Some(src))).localCheckpoint()
+      sigs.createOrReplaceTempView("minhash_sigs_eval")
+      // Materialize the (1-row) eval result, then RELEASE the cached
+      // shingle explode — without this its blocks squat in executor storage
+      // for the rest of a 205-gate board run. The checkpointed sets/sigs
+      // RDDs release via ContextCleaner once the gate's references drop
+      // (the result itself is checkpointed, so it holds no lineage on them).
+      val out = s.sql(evalSelect(SparkDialect, "ngram_sets_eval", "minhash_sigs_eval"))
+        .localCheckpoint()
+      sh.unpersist()
+      out
     }
   }
 
@@ -1331,7 +1372,8 @@ object Pipeline {
          |  CAST(CASE WHEN MIN(comp) = node THEN 1 ELSE 0 END AS INTEGER) AS keep
          |FROM reach GROUP BY node""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.functions.{col, when}
-      val sigs = s.sql(minhashSigSql(SparkDialect, Some(cachedShingles(s, dir)))).persist()
+      val sigs = s.sql(minhashSigSql(SparkDialect, Some(cachedShingles(s, dir))))
+        .localCheckpoint()
       sigs.createOrReplaceTempView("minhash_sigs_cc")
       val pairs = s.sql(minhashPairsSql(SparkDialect, "minhash_sigs_cc"))
       val edges = pairs.select(col("a").as("u"), col("b").as("v"))
@@ -2104,7 +2146,8 @@ object Pipeline {
          |q AS (${editDistSql(DuckDialect, "sigs")})
          |SELECT * FROM q""".stripMargin
     QueryDef("dedup_edit_distance", oracle) { (s, dir) =>
-      val sigs = s.sql(minhashSigSql(SparkDialect, Some(cachedShingles(s, dir)))).persist()
+      val sigs = s.sql(minhashSigSql(SparkDialect, Some(cachedShingles(s, dir))))
+        .localCheckpoint()
       sigs.createOrReplaceTempView("minhash_sigs_ed")
       s.sql(editDistSql(SparkDialect, "minhash_sigs_ed"))
     }
@@ -2130,7 +2173,8 @@ object Pipeline {
          |  CAST(d.n_chars AS BIGINT) AS n_chars
          |FROM documents d JOIN keepers k ON CAST(d.doc_id AS BIGINT) = k.node""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.functions.col
-      val sigs = s.sql(minhashSigSql(SparkDialect, Some(cachedShingles(s, dir)))).persist()
+      val sigs = s.sql(minhashSigSql(SparkDialect, Some(cachedShingles(s, dir))))
+        .localCheckpoint()
       sigs.createOrReplaceTempView("minhash_sigs_apply")
       val pairs = s.sql(minhashPairsSql(SparkDialect, "minhash_sigs_apply"))
       val edges = pairs.select(col("a").as("u"), col("b").as("v"))
@@ -2160,23 +2204,17 @@ object Pipeline {
   def debugShingleExplodeSql: String = shingleExplode(SparkDialect)
   def debugNgramSetFromView: String =
     ngramSetSql(SparkDialect, Some("SELECT doc_id, s FROM graft_sh"))
+  def debugMinhashSigFromView: String =
+    minhashSigSql(SparkDialect, Some("SELECT doc_id, s FROM graft_sh"))
   /** Candidate generation WITHOUT the verify join: the prefix machinery
-    * (explode + global df + rank window + prefix self-join + pair dedup).
+    * (explode + global df + rank window + prefix self-join + pair dedup) —
+    * the gate's own candidate CTEs verbatim, so the profiler cannot drift
+    * from the plan it claims to measure.
     */
-  def debugNgramCandidatesSql: String = {
-    val idiv = "div"
-    s"""WITH tp AS (SELECT doc_id, sh, size(sh) AS n FROM ngram_sets),
-       |e AS (SELECT doc_id, size(sh) AS n, explode(sh) AS h FROM ngram_sets),
-       |df AS (SELECT h, COUNT(*) AS df FROM e GROUP BY h),
-       |r AS (SELECT e.doc_id, e.h, e.n,
-       |    ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY df.df, e.h) AS rn
-       |  FROM e JOIN df ON e.h = df.h),
-       |c AS (SELECT doc_id, h, n, rn FROM r WHERE rn <= n $idiv 2 + 1)
-       |SELECT x.doc_id AS a, y.doc_id AS b
-       |FROM c x JOIN c y ON x.h = y.h
-       |  AND x.doc_id < y.doc_id AND x.n <= 2*y.n AND y.n <= 2*x.n
-       |GROUP BY x.doc_id, y.doc_id""".stripMargin
-  }
+  def debugNgramCandidatesSql: String =
+    s"""WITH ${prefixCandidateCtes(SparkDialect, "ngram_sets",
+          jaccardPrefixLen(SparkDialect), "c", jaccardPairPredicate)}
+       |SELECT a, b FROM pairs""".stripMargin
   def debugMinhashPairsSql(t: String): String = minhashPairsSql(SparkDialect, t)
 
   def defs: Seq[QueryDef] = Seq(
