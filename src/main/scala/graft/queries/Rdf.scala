@@ -796,6 +796,36 @@ object Rdf {
                    |   || ?o = 'order_$maxK') }""".stripMargin)
     },
 
+    // ---- SPARQL DECODED-VALUE FILTER (round-6): a NUMERIC literal against
+    // an id-valued variable compares the variable's DECODED lexical form as
+    // a number — NOT its encoded id. Planned exactly like the regex
+    // filters: the numeric predicate (try_cast + compare) runs once per
+    // VOCABULARY entry, the matching id set semi-joins into the solutions.
+    // The fixture makes id order the REVERSE of value order (value id =
+    // -(nationkey + 900000000), term = the bare numeral), so an id-domain
+    // comparison would return the complementary set — the gate pins
+    // value-domain semantics specifically. ----
+    QueryDef("rdf_sparql_filter_value",
+      """SELECT CAST(-(c_custkey + 1000) AS INTEGER) AS c,
+        |       CAST(-(c_nationkey + 900000000) AS INTEGER) AS v
+        |FROM customer WHERE c_nationkey > 10""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val customer = graft.sources.Tables.load(s, dir, "customer")
+      val valTriples = customer.select(
+        (-(col("c_custkey") + 1000)).cast("int").as(graft.core.TripleSchema.subject),
+        lit(-47).as(graft.core.TripleSchema.predicate),
+        (-(col("c_nationkey") + 900000000)).cast("int").as(graft.core.TripleSchema.objekt))
+      val numTerms = customer.select(
+          (-(col("c_nationkey") + 900000000)).cast("int").as("id"),
+          col("c_nationkey").cast("string").as("term")).distinct()
+        .unionAll(Seq((-47, ":val")).toDF("id", "term"))
+      val dict = graft.core.Dictionary.fromDF(
+        RdfBridge.dictionaryDf(s, dir).unionAll(numTerms))
+      new QueryEngine(s, dict)
+        .registerSplitTables(RdfBridge.triples(s, dir).unionAll(valTriples))
+        .sparql("SELECT ?c ?v WHERE { ?c :val ?v . FILTER(?v > 10) }")
+    },
+
     // ---- SPARQL FILTER [NOT] IN: the ExpressionList becomes ONE encoded
     // `isin` predicate (pushdown-friendly), not a disjunction of joins;
     // terms missing from the dictionary drop from the list (they cannot

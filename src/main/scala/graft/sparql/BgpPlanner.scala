@@ -386,13 +386,24 @@ object BgpPlanner {
     // without a match keep the optional variables null. Using-column join
     // keeps the left side's binding for shared variables, which is exactly
     // the compatible-mapping semantics.
-    // One FILTER atom as a Column predicate (everything except regex, whose
-    // dictionary join cannot compose inside an &&/|| Column tree).
-    // Comparison RHS resolution: dictionary term → its encoded id; bare
-    // integer literal → compared AS an encoded id (the engine's value
-    // domain, like the reference's — its data is dictionary-encoded ints);
-    // unknown non-numeric term → SPARQL expression error: `!=` keeps the
-    // row (true), every other op drops it (false).
+    // Variables whose value is a NUMBER (BIND arithmetic results), not a
+    // dictionary id: comparisons against numeric literals apply to them
+    // directly. Every other variable holds an encoded id, and a numeric
+    // literal comparison goes through the dictionary VALUE join below.
+    val arithVars: Set[String] =
+      query.binds.collect { case (BindArith(_, _, _), alias) => alias }.toSet
+
+    // One FILTER atom as a Column predicate (everything except regex and
+    // numeric VALUE comparisons, whose dictionary joins cannot compose
+    // inside an &&/|| Column tree).
+    // Comparison RHS resolution: dictionary term → its encoded id (term
+    // ordering = id ordering is the documented layout contract for ordered
+    // term comparisons, matching the reference's id domain); bare numeric
+    // literal on an id-valued variable → DECODED-VALUE comparison via the
+    // dictionary semi-join (see applyFilter); bare numeric literal on a
+    // BIND-arithmetic variable → plain numeric comparison; unknown
+    // non-numeric term → SPARQL expression error: `!=` keeps the row
+    // (true), every other op drops it (false).
     def condColumn(df: DataFrame, f: FilterCond): Column = {
       require(df.columns.contains(f.variable),
         s"FILTER variable ?${f.variable} not bound " +
@@ -426,11 +437,20 @@ object BgpPlanner {
               require(df.columns.contains(v), s"FILTER variable ?$v not bound")
               Some(col(v))
             case Constant(l) =>
-              // int-width literal stays int (keeps the pushdown literal in
-              // the int store's type); beyond-int promotes to long for the
-              // wide store
-              enc.get(l).map(id => lit(id)).orElse(l.toLongOption.map(n =>
-                if (n.isValidInt) lit(n.toInt) else lit(n)))
+              l.toLongOption match {
+                case Some(_) if !arithVars.contains(f.variable) =>
+                  // value comparison on an id variable is a dictionary
+                  // JOIN (applyFilter handles the single-atom form) — it
+                  // cannot live in a Column tree
+                  throw new IllegalArgumentException(
+                    "numeric value comparisons cannot appear inside &&/|| in the subset")
+                case Some(n) =>
+                  // int-width literal stays int (keeps the pushdown
+                  // literal in the int store's type); beyond-int promotes
+                  // to long for the wide store
+                  Some(if (n.isValidInt) lit(n.toInt) else lit(n))
+                case None => enc.get(l).map(id => lit(id))
+              }
           }
           rhs match {
             case None => if (cmp == FilterNeq) lit(true) else lit(false)
@@ -481,6 +501,35 @@ object BgpPlanner {
             case FilterGe => len >= n
             case other => throw new IllegalStateException(s"unreachable: $other")
           }, false))
+        // DECODED-VALUE comparison: a NUMERIC literal against an id-valued
+        // variable compares the variable's decoded lexical form AS A
+        // NUMBER (SPARQL operand semantics), not its encoded id — planned
+        // like the string filters: the numeric predicate runs once per
+        // VOCABULARY entry, non-numeric terms are a SPARQL type error
+        // (null cast → excluded), and the matching id set semi-joins in.
+        // `!=` folds into the vocabulary predicate (a non-numeric term is
+        // an error and DROPS the row, so an anti join would be wrong).
+        // BIND-arithmetic variables hold numbers already and take the
+        // plain-Column path below instead.
+        case FilterEq | FilterNeq | FilterLt | FilterLe | FilterGt | FilterGe
+            if f.value.isInstanceOf[Constant] &&
+              f.value.asInstanceOf[Constant].lexical.toLongOption.isDefined &&
+              !arithVars.contains(f.variable) =>
+          val n = lit(lex.toLong.toDouble)
+          // try_cast (not cast): non-numeric terms must yield null — the
+          // SPARQL type error — not an ANSI cast exception. Double compare:
+          // exact for integral terms within 2^53 — beyond that, swap for a
+          // decimal cast.
+          val num = expr("try_cast(__rx_term AS DOUBLE)")
+          Some((num.isNotNull && (f.op match {
+            case FilterEq => num === n
+            case FilterNeq => !(num === n)
+            case FilterLt => num < n
+            case FilterLe => num <= n
+            case FilterGt => num > n
+            case FilterGe => num >= n
+            case other => throw new IllegalStateException(s"unreachable: $other")
+          }), false))
         case _ => None
       }
       dictPred match {

@@ -590,20 +590,27 @@ class SparqlSpec extends SparkTestBase {
       "SELECT ?s ?x WHERE { ?s :p1 ?o . BIND(COALESCE('nosuch') AS ?x) }")
       .collect().map(r => (r.getInt(0), r.isNullAt(1)))
     assert(nulls.length == 2 && nulls.forall(_._2))
-    // IF with a numeric comparison: o=10 -> else, o=11 -> then
+    // IF with a TERM comparison (term ordering = id ordering, the layout
+    // contract): o='b' -> else, o='f' -> then
     val iff = reg.sparql(
-      "SELECT ?s ?f WHERE { ?s :p1 ?o . BIND(IF(?o > 10, 1, 0) AS ?f) }")
+      "SELECT ?s ?f WHERE { ?s :p1 ?o . BIND(IF(?o > 'b', 1, 0) AS ?f) }")
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
     assert(iff == Set((-5, 0L), (6, 1L)))
+    // ...a NUMERIC literal against an ID variable is a decoded-value
+    // comparison — a dictionary join, which cannot live inside IF's Column
+    // tree: loud subset error (single-atom FILTER is the supported form)
+    assertThrows[IllegalArgumentException](reg.sparql(
+      "SELECT ?s ?f WHERE { ?s :p1 ?o . BIND(IF(?o > 10, 1, 0) AS ?f) }")
+      .collect())
     // IF with BOUND over an OPTIONAL variable; branches are dictionary terms
     val bnd = reg.sparql("SELECT ?s ?v WHERE { ?s :p1 ?o . " +
       "OPTIONAL { ?o :p2 ?m . ?m :p3 ?r } BIND(IF(BOUND(?r), 'd', 'b') AS ?v) }")
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
     assert(bnd == Set((-5, 20L), (6, 10L)))
     // SPARQL error semantics: a null (errored) condition nulls the IF —
-    // the comparison with the unbound ?r is an error, not false
+    // the term comparison with the unbound ?r is an error, not false
     val err = reg.sparql("SELECT ?s ?f WHERE { ?s :p1 ?o . " +
-      "OPTIONAL { ?o :p2 ?m . ?m :p3 ?r } BIND(IF(?r > 0, 1, 0) AS ?f) }")
+      "OPTIONAL { ?o :p2 ?m . ?m :p3 ?r } BIND(IF(?r > 'a', 1, 0) AS ?f) }")
       .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
       .toSet
     assert(err == Set((-5, Some(1L)), (6, None)))
@@ -937,12 +944,47 @@ class SparqlSpec extends SparkTestBase {
       .collect().map(_.getInt(1)).toSeq == Seq(11))
     assert(reg.sparql("SELECT ?s ?o WHERE { ?s :p1 ?o . FILTER(?o <= 'b') }")
       .collect().map(_.getInt(1)).toSeq == Seq(10))
-    // a bare integer literal compares AS an encoded id
+    // a bare integer literal compares the DECODED VALUE: every term of
+    // this vocabulary is non-numeric, so the comparison is a SPARQL type
+    // error on every row — empty, NOT an id comparison
     assert(reg.sparql("SELECT ?s ?o WHERE { ?s :p1 ?o . FILTER(?o >= 11) }")
-      .collect().map(_.getInt(1)).toSeq == Seq(11))
+      .count() == 0)
     // unknown non-numeric term: expression error — comparison drops the row
     assert(reg.sparql(
       "SELECT ?s WHERE { ?s :p1 ?o . FILTER(?o < 'nosuch') }").count() == 0)
+  }
+
+  test("FILTER numeric literals compare decoded VALUES, not ids") {
+    import spark.implicits._
+    // numeric-lexical vocabulary with id order REVERSED from value order:
+    // id -100-n ↔ term "n" — an id-domain comparison would return the
+    // complementary set, so this pins value-domain semantics specifically
+    val triples = Seq(
+      (1, 7, -105), (2, 7, -110), (3, 7, -120), (4, 7, -103)).toDF(
+      TripleSchema.subject, TripleSchema.predicate, TripleSchema.objekt)
+    val dict = Dictionary.fromPairs(spark, Seq(
+      -105 -> "5", -110 -> "10", -120 -> "20", -103 -> "3", 7 -> ":v",
+      1 -> "s1", 2 -> "s2", 3 -> "s3", 4 -> "s4"))
+    val reg = new QueryEngine(spark, dict).registerSplitTables(triples)
+    def q(f: String): Set[Int] =
+      reg.sparql(s"SELECT ?s ?x WHERE { ?s :v ?x . FILTER($f) }")
+        .collect().map(_.getInt(0)).toSet
+    assert(q("?x > 5") == Set(2, 3))      // values 10, 20
+    assert(q("?x >= 5") == Set(1, 2, 3))
+    assert(q("?x < 5") == Set(4))         // value 3
+    assert(q("?x = 10") == Set(2))
+    assert(q("?x != 10") == Set(1, 3, 4)) // numeric terms only, value ≠ 10
+    // BIND-arithmetic variables hold NUMBERS — a numeric literal compares
+    // the computed value directly (not through the dictionary)
+    val b = reg.sparql("SELECT ?s ?y WHERE { ?s :v ?x . " +
+      "BIND(?s + 100 AS ?y) FILTER(?y > 102) }")
+      .collect().map(_.getInt(0)).toSet
+    assert(b == Set(3, 4))
+    // value comparisons are joins — composing one inside &&/|| is a loud
+    // subset error, like regex
+    assertThrows[IllegalArgumentException](
+      reg.sparql("SELECT ?s WHERE { ?s :v ?x . FILTER(?x > 5 && ?x < 20) }")
+        .collect())
   }
 
   test("FILTER &&/||: && binds tighter than || (SPARQL ConditionalOr/And)") {
