@@ -649,6 +649,32 @@ object Rdf {
         .sparql(s"SELECT ?o WHERE { 'cust_$minCust' (:placed|:contains|:supplied_by)+ ?o }")
     },
 
+    // ---- SPARQL BOUNDED PATH REPETITION `{n,m}` (round-6; the SPARQL 1.1
+    // draft quantifier): depth-WINDOWED composition — level k is the
+    // relational composition of level k-1 with the edge set (exact path
+    // length, not shortest-visit depth), answer = union of levels n..m.
+    // Oracle: WITH RECURSIVE carrying the depth column, filtered to the
+    // window. From the seed customer: depth 2 = the order's parts, depth 3
+    // = their suppliers — the 1-step orders are excluded, which an
+    // unwindowed closure (or a shortest-depth BFS) would get wrong. ----
+    QueryDef("rdf_sparql_path_quant",
+      RdfBridge.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, seed AS (SELECT CAST(-(1000 + (SELECT MIN(o_custkey) FROM orders)) AS INTEGER) AS node),
+          |edges AS (SELECT Subject, Object FROM triples WHERE Predicate IN (-2, -13, -21)),
+          |reach AS (
+          |  SELECT e.Object AS node, 1 AS d FROM edges e JOIN seed s ON e.Subject = s.node
+          |  UNION
+          |  SELECT e.Object, r.d + 1 FROM reach r JOIN edges e ON e.Subject = r.node
+          |  WHERE r.d < 3)
+          |SELECT DISTINCT CAST(node AS INTEGER) AS o FROM reach
+          |WHERE d BETWEEN 2 AND 3""".stripMargin) { (s, dir) =>
+      val minCust = graft.sources.Tables.load(s, dir, "orders")
+        .agg(min(col("o_custkey"))).head().getLong(0)
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql(s"SELECT ?o WHERE { 'cust_$minCust' (:placed|:contains|:supplied_by){2,3} ?o }")
+    },
+
     // ---- SPARQL sequence property path (`:placed/:contains`): parsed into
     // chained plain patterns through a hidden fresh variable, so the whole
     // path is ONE Catalyst join plan (point predicate pushed into the first

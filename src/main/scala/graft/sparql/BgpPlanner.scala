@@ -96,16 +96,41 @@ object BgpPlanner {
     }
   }
 
+  /** `:p{n,m}` / `(:p|:q){n}` / `:p{n,}` — bounded path repetition (the
+    * SPARQL 1.1 draft quantifier forms; the final spec dropped them, every
+    * practical engine kept them). Returns (base predicate lexical forms,
+    * min repetitions, max repetitions — None for the unbounded `{n,}`).
+    */
+  private def quantPreds(lexical: String): Option[(Seq[String], Int, Option[Int])] = {
+    val re = "^\\(?((?::?\\w+)(?:\\|:?\\w+)*)\\)?\\{(\\d+)(?:(,)(\\d*))?\\}$".r
+    lexical match {
+      case re(inner, lo, comma, hi) =>
+        val n = lo.toInt
+        val m =
+          if (comma == null) Some(n) // {n} = exactly n
+          else if (hi.isEmpty) None  // {n,} = n or more
+          else Some(hi.toInt)        // {n,m}
+        require(m.forall(_ >= n), s"path quantifier needs n <= m: $lexical")
+        // the bounded composition is one join per level — cap the plan
+        // depth the syntax can demand
+        require(n <= 20 && m.forall(_ <= 20),
+          s"path quantifier bound beyond the subset's 20-level cap: $lexical")
+        Some((inner.split("\\|").toSeq.map(Dictionary.normalizeTerm), n, m))
+      case _ => None
+    }
+  }
+
   /** Base predicate lexical forms of any closure-path syntax (positive,
-    * inverse-bearing, or negated) — for dictionary encoding. */
+    * inverse-bearing, negated, or quantified) — for dictionary encoding. */
   private def closureBasePreds(lexical: String): Seq[String] =
     (pathPreds(lexical).map(_._1) orElse
       invClosurePreds(lexical).map(_._1.map(_._1)) orElse
-      negClosurePreds(lexical).map(_._1)).getOrElse(Nil)
+      negClosurePreds(lexical).map(_._1) orElse
+      quantPreds(lexical).map(_._1)).getOrElse(Nil)
 
   private def isClosurePath(lexical: String): Boolean =
     pathPreds(lexical).isDefined || invClosurePreds(lexical).isDefined ||
-      negClosurePreds(lexical).isDefined
+      negClosurePreds(lexical).isDefined || quantPreds(lexical).isDefined
 
   /** One step of a sequence property path: the alternation's predicate
     * lexical forms, inverse (`^`) flag, and an optional closure modifier
@@ -922,6 +947,9 @@ object BgpPlanner {
   private def planPathPattern(
       pat: TriplePattern, store: Store, enc: Map[String, Int]): DataFrame = {
     val lex = pat.p.asInstanceOf[Constant].lexical
+    quantPreds(lex).foreach { case (preds, lo, hi) =>
+      return planQuantPath(pat, store, enc, preds, lo, hi)
+    }
     // Three closure families share one fixpoint: positive `(:p|:q)+`,
     // inverse-bearing `(^:p|:q)+` (each ^-member contributes reversed
     // edges), and negated-set `(!(:p|:q))+` (the complement edge set; an
@@ -1025,6 +1053,121 @@ object BgpPlanner {
         case None => closure
       }
     withZero.select(col("node").as(oVar))
+  }
+
+  /** Bounded path repetition `:p{n,m}` — the depth-WINDOWED composition:
+    * level set F_k = nodes reachable by a path of length EXACTLY k (a
+    * plain relational composition F_k = F_{k-1} ⋈ edges, distinct; NOT a
+    * visited-set BFS, which keeps only the SHORTEST depth per node and
+    * would miss a node whose only in-window path is longer than its
+    * shortest one). Answer = ∪ F_k for k in [n, m], plus the zero step
+    * (the seed / node identity) when n = 0; `{n,}` composes the exact-n
+    * level with the unbounded closure fixpoint. Each level is one hash
+    * equi-join; m is syntax-capped at 20 and lineage is truncated every
+    * few levels, so the plan stays bounded at any data scale.
+    */
+  private def planQuantPath(pat: TriplePattern, store: Store,
+      enc: Map[String, Int], preds: Seq[String], lo: Int,
+      hi: Option[Int]): DataFrame = {
+    val base = store match {
+      case SingleTable(df) => df
+      case SplitTables(pos, neg) => pos.unionAll(neg)
+    }
+    val ids = preds.flatMap(enc.get)
+    val edges0 =
+      (if (ids.isEmpty) base.limit(0)
+       else base.filter(col(TripleSchema.predicate).isin(ids: _*)))
+        .select(col(TripleSchema.subject), col(TripleSchema.objekt))
+
+    // BOTH ends variable: depth-windowed PAIR composition.
+    (pat.s, pat.o) match {
+      case (Variable(sv), Variable(ov)) =>
+        val p1 = edges0.select(col(TripleSchema.subject).as("root"),
+          col(TripleSchema.objekt).as("node")).distinct().localCheckpoint()
+        var level = p1 // exact-k pair set
+        var acc: DataFrame = null
+        def keep(k: Int): Boolean = k >= math.max(lo, 1) && hi.forall(_ >= k)
+        if (keep(1)) acc = level
+        var k = 2
+        while (hi.forall(k <= _) && (hi.isDefined || k <= lo)) {
+          level = level.join(
+              edges0.select(col(TripleSchema.subject).as("node"),
+                col(TripleSchema.objekt).as("__next")), "node")
+            .select(col("root"), col("__next").as("node")).distinct()
+          if (k % 4 == 0) level = level.localCheckpoint()
+          if (keep(k)) acc = if (acc == null) level else acc.unionAll(level)
+          k += 1
+        }
+        // {n,}: exact-n pairs composed with the closure (zero-or-more steps
+        // beyond) — P_n ∪ (P_n ⋈ reachablePairs)
+        if (hi.isEmpty) {
+          val pn = (if (lo <= 1) p1 else level).localCheckpoint()
+          val beyond = pn.join(
+              graft.operators.Graph.reachablePairs(edges0)
+                .select(col("root").as("node"), col("node").as("__far")), "node")
+            .select(col("root"), col("__far").as("node"))
+          acc = pn.unionAll(beyond)
+        }
+        val withZero =
+          if (lo > 0) acc
+          else {
+            val nodes = edges0.select(col(TripleSchema.subject).as("n"))
+              .unionAll(edges0.select(col(TripleSchema.objekt))).distinct()
+            val idPairs = nodes.select(col("n").as("root"), col("n").as("node"))
+            if (acc == null) idPairs else acc.unionAll(idPairs)
+          }
+        val dedup = withZero.distinct()
+        return (
+          if (sv == ov) dedup.filter(col("root") === col("node")).select(col("root").as(sv))
+          else dedup.select(col("root").as(sv), col("node").as(ov)))
+      case _ =>
+    }
+
+    // One end bound: depth-windowed frontier from the seed (reversed edges
+    // when the OBJECT is the bound end — same windowed walk).
+    val forward = (pat.s, pat.o) match {
+      case (Constant(_), Variable(_)) => true
+      case (Variable(_), Constant(_)) => false
+      case _ => throw new IllegalArgumentException(
+        "property path needs both or one end(s) variable in the subset")
+    }
+    val edges =
+      if (forward) edges0
+      else edges0.select(col(TripleSchema.objekt).as(TripleSchema.subject),
+        col(TripleSchema.subject).as(TripleSchema.objekt))
+    val oVar = (if (forward) pat.o else pat.s).asInstanceOf[Variable].name
+    val seedId = (if (forward) pat.s else pat.o) match {
+      case Constant(l) => enc.get(l)
+      case _ => throw new IllegalStateException("unreachable")
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val seedDf = seedId.toSeq.toDF("node")
+    var frontier = edges
+      .filter(col(TripleSchema.subject) === lit(seedId.getOrElse(Int.MinValue)))
+      .select(col(TripleSchema.objekt).as("node")).distinct().localCheckpoint()
+    var acc: DataFrame = if (math.max(lo, 1) <= 1 && hi.forall(_ >= 1)) frontier else null
+    var k = 2
+    while (hi.forall(k <= _) && (hi.isDefined || k <= lo)) {
+      frontier = frontier.join(
+          edges.select(col(TripleSchema.subject).as("node"),
+            col(TripleSchema.objekt).as("__next")), "node")
+        .select(col("__next").as("node")).distinct()
+      if (k % 4 == 0) frontier = frontier.localCheckpoint()
+      if (k >= lo) acc = if (acc == null) frontier else acc.unionAll(frontier)
+      k += 1
+    }
+    if (hi.isEmpty) {
+      // {n,}: close over the exact-n frontier (reachableFrom includes its
+      // seeds — exactly "n or more"; the loop above left `frontier` at the
+      // exact-max(n,1) level)
+      acc = graft.operators.Graph.reachableFrom(edges, frontier)
+    }
+    val withZero =
+      if (lo > 0) (if (acc == null) seedDf.limit(0) else acc)
+      else if (acc == null) seedDf
+      else acc.unionAll(seedDf)
+    withZero.distinct().select(col("node").as(oVar))
   }
 
   /** A sequence property path with closure steps — `<bound subject>

@@ -577,7 +577,7 @@ object SparqlParser {
       // silently return an empty result instead of an error. Quoted
       // literals and raw URIs are lexical forms, never path syntax.
       if (!p.startsWith("?") && !p.startsWith("'") && !p.startsWith("<") &&
-          p.exists(c => "/|+*?^!()".contains(c)) &&
+          p.exists(c => "/|+*?^!(){}".contains(c)) &&
           !BgpPlanner.supportedPathSyntax(p))
         throw new IllegalArgumentException(s"unsupported property path: $p")
       Seq(parsePattern(text))

@@ -496,6 +496,40 @@ class SparqlSpec extends SparkTestBase {
     assert(reg.sparql("SELECT ?o WHERE { 'nosuch' :p1? ?o }").count() == 0)
   }
 
+  test("property path: bounded repetition {n,m} / {n} / {n,}") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // chain a -p1-> b -p2-> c -p3-> d (ids -5 -> 10 -> -7 -> 20)
+    def q(path: String): Seq[Int] =
+      reg.sparql(s"SELECT ?o WHERE { 'a' $path ?o }")
+        .collect().map(_.getInt(0)).sorted.toSeq
+    assert(q("(:p1|:p2|:p3){2,3}") == Seq(-7, 20)) // depths 2 and 3 only
+    assert(q("(:p1|:p2|:p3){2}") == Seq(-7))       // exactly 2
+    assert(q("(:p1|:p2|:p3){2,}") == Seq(-7, 20))  // 2 or more
+    assert(q("(:p1|:p2|:p3){0,1}") == Seq(-5, 10)) // like `?`
+    assert(q("(:p1|:p2|:p3){0,0}") == Seq(-5))     // zero step only
+    // exact-depth is PATH length, not shortest-visit depth: the 9-loop
+    // (h -loop-> h) reaches h at EVERY depth
+    assert(reg.sparql("SELECT ?o WHERE { 'h' :loop{3} ?o }")
+      .collect().map(_.getInt(0)).toSeq == Seq(-9))
+    // variable-variable windowed pairs: depth-2 pairs of BOTH chains
+    // (a->b->c and e->f->g)
+    val pairs = reg.sparql(
+      "SELECT ?s ?o WHERE { ?s (:p1|:p2|:p3){2,2} ?o }")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(pairs == Set((-5, -7), (6, -8), (10, 20)))
+    // bound object: who reaches 'd' in exactly 2 steps
+    assert(reg.sparql("SELECT ?s WHERE { ?s (:p1|:p2|:p3){2} 'd' }")
+      .collect().map(_.getInt(0)).toSeq == Seq(10))
+    // unknown subject: empty under every window, including {0,…}
+    assert(reg.sparql("SELECT ?o WHERE { 'nosuch' :p1{0,2} ?o }").count() == 0)
+    // out-of-subset bounds fail loudly
+    assertThrows[IllegalArgumentException](
+      reg.sparql("SELECT ?o WHERE { 'a' :p1{3,2} ?o }").collect())
+    assertThrows[IllegalArgumentException](
+      reg.sparql("SELECT ?o WHERE { 'a' :p1{1,99} ?o }").collect())
+  }
+
   test("property path: closure over a NEGATED property set") {
     val (engine, triples) = fixture
     val reg = engine.registerSplitTables(triples)
