@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * [[imageTable]] / [[decodeImageFeatures]]), 16-bit PCM WAV audio
   * (`javax.sound.sampled` — [[audioTable]] / [[decodeAudioFeatures]]), and
   * multi-frame animated GIF video (`javax.imageio` sequence API —
-  * [[videoTable]] / [[decodeVideoFeatures]]). The byte-level fakes below
-  * ([[extractFeatures]] / [[resize]] / [[sampleFrames]]) exercise the
-  * metadata/flatMap plumbing; swapping in an ffmpeg/JNI codec changes no
-  * schema, partitioning, or plan shape — the three JDK codec paths
-  * demonstrate exactly that swap.
+  * [[videoTable]] / [[decodeVideoFeatures]]), plus REAL transform passes
+  * over them: nearest-neighbor PNG resize with re-encode
+  * ([[resizeImages]]) and strided GIF frame extraction
+  * ([[sampleVideoFrames]]). [[extractFeatures]] keeps a codec-free
+  * byte-level pass (checksum/head/tail over the raw payload — itself a
+  * real binary-column operation) demonstrating the metadata plumbing;
+  * swapping any codec for ffmpeg/JNI changes no schema, partitioning, or
+  * plan shape.
   */
 object Multimodal {
 
@@ -66,33 +69,6 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map(featuresOf))
-  }
-
-  /** Resize + feature summary in one executor pass (the gate surface for
-    * the resize stub: new width, downsampled payload length/checksum).
-    */
-  def resizeFeatures(media: Dataset[MediaRow], targetWidth: Int): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    resize(media, targetWidth).mapPartitions(_.map { m =>
-      val f = featuresOf(m)
-      (m.doc_id, m.meta.width, f.byte_len, f.checksum, f.head_byte, f.tail_byte)
-    }).toDF("doc_id", "new_width", "byte_len", "checksum", "head_byte", "tail_byte")
-  }
-
-  /** "Resize" stub: metadata transform + deterministic payload downsample
-    * (every k-th byte — the plumbing a real resampler needs: new payload,
-    * new meta, same row identity).
-    */
-  def resize(media: Dataset[MediaRow], targetWidth: Int): Dataset[MediaRow] = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.map { m =>
-      val k = math.max(1, if (m.meta.width > 0) m.meta.width / math.max(targetWidth, 1) else 1)
-      val ds = m.payload.indices.collect { case i if i % k == 0 => m.payload(i) }.toArray
-      m.copy(payload = ds,
-        meta = m.meta.copy(width = math.min(m.meta.width, targetWidth)))
-    }
   }
 
   final case class ImageRow(doc_id: Long, png: Array[Byte])
@@ -156,23 +132,6 @@ object Multimodal {
         case _: Exception => (r.doc_id, -1, -1, -1L)
       }
     }).toDF("doc_id", "width", "height", "pixel_sum")
-  }
-
-  /** "Frame sample" stub for video rows: split payload into fixed-size
-    * frames, keep every `stride`-th — flatMap (1 row → n frames), the shape
-    * of real frame extraction.
-    */
-  def sampleFrames(media: Dataset[MediaRow], frameSize: Int, stride: Int): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.filter(_.modality == "video")
-      .flatMap { m =>
-        m.payload.grouped(frameSize).zipWithIndex
-          .collect { case (frame, idx) if idx % stride == 0 =>
-            (m.doc_id, idx, frame.length, frame)
-          }
-      }
-      .toDF("doc_id", "frame_idx", "frame_len", "frame_bytes")
   }
 
   final case class VideoRow(doc_id: Long, gif: Array[Byte])
@@ -276,6 +235,84 @@ object Multimodal {
         }
       }
     }.toDF("doc_id", "n_frames", "width", "height", "pixel_sum")
+  }
+
+  /** REAL image resize (round-6, replaces the byte-downsample stub for the
+    * resize gate): decode the PNG, NEAREST-NEIGHBOR resample to
+    * `tw × th` (src pixel = `(floor(x'·w/tw), floor(y'·h/th))` — the one
+    * resampling kernel whose output pixels are exactly derivable in plain
+    * SQL from the generator formula, keeping the oracle library-free), and
+    * RE-ENCODE to PNG — a full decode→transform→encode round trip per
+    * record, inside mapPartitions on executors, no shuffle: precisely
+    * where an ffmpeg/libvips resampler sits in a production ingest. A
+    * corrupt payload maps to an empty-payload row (per-record codec errors
+    * must never kill a 100 TB ingest); downstream decode then yields its
+    * own sentinel.
+    */
+  def resizeImages(images: Dataset[ImageRow], tw: Int, th: Int): Dataset[ImageRow] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions(_.map { r =>
+      try {
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+        val dst = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < th) {
+          val sy = (y.toLong * src.getHeight / th).toInt
+          var x = 0
+          while (x < tw) {
+            val sx = (x.toLong * src.getWidth / tw).toInt
+            dst.setRGB(x, y, src.getRGB(sx, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        ImageRow(r.doc_id, bos.toByteArray)
+      } catch {
+        case _: Exception => ImageRow(r.doc_id, Array.emptyByteArray)
+      }
+    })
+  }
+
+  /** REAL video frame sampling (round-6, replaces the byte-split stub for
+    * the frame-sample gate): the JDK GIF sequence reader walks the frames,
+    * every `stride`-th frame is kept and summarised (dimensions + gray
+    * pixel sum) — a flatMap (1 video → n frame rows) on executors, the
+    * exact shape of production frame extraction. A corrupt payload yields
+    * one (-1, -1, -1, -1) sentinel row.
+    */
+  def sampleVideoFrames(videos: Dataset[VideoRow], stride: Int): DataFrame = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.mapPartitions { it =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      it.flatMap { r =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.gif))
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          val rows = (0 until n).collect { case f if f % stride == 0 =>
+            val img = reader.read(f)
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+              y += 1
+            }
+            (r.doc_id, f.toLong, img.getWidth, img.getHeight, sum)
+          }
+          iis.close()
+          rows
+        } catch {
+          case _: Exception => Seq((r.doc_id, -1L, -1, -1, -1L))
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "width", "height", "pixel_sum")
   }
 
   final case class AudioRow(doc_id: Long, wav: Array[Byte])

@@ -1531,56 +1531,50 @@ object Pipeline {
     }
   }
 
-  /** Resize stub through the gate: typed executor pass (payload downsample
-    * every k-th byte + metadata transform), summarized as width/len/
-    * checksum scalars; oracle recomputes the identical byte selection from
-    * the source text (ASCII ⇒ chars == bytes).
+  /** REAL image resize through the gate (round-6, replacing the
+    * byte-downsample stub): decode the PNG corpus, nearest-neighbor
+    * resample to 16x12, RE-ENCODE to PNG, decode again for features — a
+    * full codec round trip per record on executors. Nearest-neighbor is
+    * the one kernel whose output pixels are exactly derivable in SQL from
+    * the generator formula (src pixel = (floor(x*w/16), floor(y*h/12)),
+    * value = (id + 7*sx + 13*sy) mod 251), so the oracle recomputes the
+    * resized pixel sums with two range cross joins and zero image
+    * libraries — bit-exact because PNG is lossless.
     */
-  private def multimodalResize: QueryDef = {
-    val ck = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "list_transform(range(0, ds_len), i -> CAST(ascii(substr(text, CAST(i*k + 1 AS INT), 1)) AS BIGINT))), " +
-      "(acc, x) -> (acc*31 + x) % 2147483647)"
+  private def multimodalResize: QueryDef =
     QueryDef("multimodal_resize",
-      s"""WITH d AS (SELECT doc_id, text, length(text) AS n, n_chars % 640 AS w FROM documents),
-         |p AS (SELECT doc_id, text, n, w,
-         |    GREATEST(CASE WHEN w > 0 THEN w // 64 ELSE 1 END, 1) AS k FROM d),
-         |q AS (SELECT doc_id, text, n, w, k, (n + k - 1) // k AS ds_len FROM p)
-         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         |  CAST(LEAST(w, 64) AS INTEGER) AS new_width,
-         |  CAST(ds_len AS BIGINT) AS byte_len,
-         |  $ck AS checksum,
-         |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS head_byte,
-         |  CAST(ascii(substr(text, CAST(((n - 1) // k)*k + 1 AS INT), 1)) AS INTEGER) AS tail_byte
-         |FROM q""".stripMargin) { (s, dir) =>
-      graft.operators.Multimodal.resizeFeatures(
-        graft.operators.Multimodal.mediaTable(s, dir), targetWidth = 64)
+      """WITH d AS (SELECT doc_id, (1 + doc_id % 64) AS w, (1 + doc_id % 48) AS h FROM documents),
+        |px AS (SELECT d.doc_id, d.w, d.h, tx.x, ty.y
+        |  FROM d CROSS JOIN range(0, 16) tx(x) CROSS JOIN range(0, 12) ty(y))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+        |  CAST(SUM((doc_id + 7*((x*w)//16) + 13*((y*h)//12)) % 251) AS BIGINT) AS pixel_sum
+        |FROM px GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.decodeImageFeatures(
+        graft.operators.Multimodal.resizeImages(
+          graft.operators.Multimodal.imageTable(s, dir), 16, 12))
     }
-  }
 
-  /** Frame-sampling stub through the gate: 1 video row → n fixed-size
-    * frames (flatMap on executors), every 2nd frame kept; oracle rebuilds
-    * each frame as a text substring.
+  /** REAL video frame sampling through the gate (round-6, replacing the
+    * byte-split stub): the JDK GIF sequence reader walks each document's
+    * animated GIF, every 2nd frame is kept and summarised (dimensions +
+    * gray pixel sum) — a flatMap on executors, 1 video row -> n frame
+    * rows. Oracle rebuilds the kept frames' pixel sums from the generator
+    * formula ((id + 11f + 7x + 13y) mod 251 over the 8x6 grid).
     */
   private def multimodalFrameSample: QueryDef =
     QueryDef("multimodal_frame_sample",
-      """WITH v AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 3 = 2),
-        |f AS (SELECT doc_id, text, n, unnest(range(0, (n + 63) // 64)) AS frame_idx FROM v),
-        |g AS (SELECT doc_id, frame_idx, substr(text, CAST(frame_idx*64 + 1 AS INT), 64) AS frame
-        |  FROM f WHERE frame_idx % 2 = 0)
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-        |  CAST(length(frame) AS BIGINT) AS frame_len,
-        |  CAST(ascii(substr(frame, 1, 1)) AS INTEGER) AS head_byte,
-        |  CAST(ascii(substr(frame, length(frame), 1)) AS INTEGER) AS tail_byte
-        |FROM g""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.functions._
-      graft.operators.Multimodal.sampleFrames(
-          graft.operators.Multimodal.mediaTable(s, dir), frameSize = 64, stride = 2)
-        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-          col("frame_len").cast("long").as("frame_len"),
-          ascii(substring(decode(col("frame_bytes"), "UTF-8"), 1, 1))
-            .cast("int").as("head_byte"),
-          expr("CAST(ascii(substring(decode(frame_bytes, 'UTF-8'), frame_len, 1)) AS INT)")
-            .as("tail_byte"))
+      """WITH v AS (SELECT doc_id, (2 + doc_id % 4) AS nf FROM documents),
+        |f AS (SELECT doc_id, unnest(range(0, nf)) AS fi FROM v),
+        |k AS (SELECT doc_id, fi FROM f WHERE fi % 2 = 0),
+        |px AS (SELECT k.doc_id, k.fi, tx.x, ty.y
+        |  FROM k CROSS JOIN range(0, 8) tx(x) CROSS JOIN range(0, 6) ty(y))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+        |  CAST(SUM((doc_id + 11*fi + 7*x + 13*y) % 251) AS BIGINT) AS pixel_sum
+        |FROM px GROUP BY doc_id, fi""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.sampleVideoFrames(
+        graft.operators.Multimodal.videoTable(s, dir), stride = 2)
     }
 
   /** CCNet-style LM quality filter in EXACT integer micro-units: each

@@ -28,24 +28,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(one.byte_len == text.length)
   }
 
-  test("resize downsamples payload and clamps metadata width") {
-    val resized = Multimodal.resize(media, targetWidth = 64)
-    val both = media.toDF().select(col("doc_id"), length(col("payload")).as("orig"))
-      .join(resized.toDF().select(col("doc_id"), length(col("payload")).as("small"),
-        col("meta.width").as("w")), "doc_id")
-    assert(both.filter(col("small") > col("orig")).count() == 0)
-    assert(both.filter(col("w") > 64).count() == 0)
+  test("resizeImages: real nearest-neighbor PNG round trip matches the formula") {
+    val images = Multimodal.imageTable(spark, sf)
+    val got = Multimodal.decodeImageFeatures(Multimodal.resizeImages(images, 16, 12))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    got.keys.toSeq.sorted.take(5).foreach { id =>
+      val (w, h) = ((1 + id % 64).toInt, (1 + id % 48).toInt)
+      val expSum = (for { y <- 0 until 12; x <- 0 until 16 } yield {
+        val (sx, sy) = ((x.toLong * w / 16).toInt, (y.toLong * h / 12).toInt)
+        (id + 7L * sx + 13L * sy) % 251
+      }).sum
+      assert(got(id) == ((16, 12, expSum)), s"doc $id")
+    }
+    // corrupt payload: empty-payload row, downstream decode yields sentinel
+    import spark.implicits._
+    val bad = Seq(Multimodal.ImageRow(3L, Array[Byte](1, 2, 3))).toDS()
+    val s = Multimodal.decodeImageFeatures(Multimodal.resizeImages(bad, 16, 12))
+      .collect().head
+    assert(s.getLong(0) == 3L && s.getInt(1) == -1)
   }
 
-  test("sampleFrames explodes video rows into strided fixed-size frames") {
-    val frames = Multimodal.sampleFrames(media, frameSize = 32, stride = 2)
+  test("sampleVideoFrames: real GIF frame walk keeps strided frames with exact sums") {
+    val frames = Multimodal.sampleVideoFrames(Multimodal.videoTable(spark, sf), 2)
     assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
-    assert(frames.filter(col("frame_len") > 32).count() == 0)
-    // only video rows contribute
-    val videoIds = media.filter(_.modality == "video").toDF()
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    val frameIds = frames.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
-    assert(frameIds.subsetOf(videoIds) && frameIds.nonEmpty)
+    val got = frames.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    got.keys.toSeq.sorted.take(5).foreach { case (id, fi) =>
+      val expSum = (for { y <- 0 until 6; x <- 0 until 8 }
+        yield (id + 11L * fi + 7L * x + 13L * y) % 251).sum
+      assert(got((id, fi)) == ((8, 6, expSum)), s"doc $id frame $fi")
+    }
+    // every doc contributes ceil(nFrames/2) kept frames
+    val perDoc = frames.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perDoc.keys.toSeq.sorted.take(5).foreach { id =>
+      assert(perDoc(id) == (2 + id % 4 + 1) / 2, s"doc $id")
+    }
   }
 
   test("GIF round-trip: frame count, dims and pixel sum recover the formula; corrupt bytes yield sentinel") {
