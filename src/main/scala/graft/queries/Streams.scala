@@ -205,7 +205,10 @@ object Streams {
       fs.listStatus(dstPath)
         .filter(st => st.getPath.getName.endsWith(".parquet") &&
           !copied.contains(st.getPath.getName))
-        .foreach(st => fs.setTimes(st.getPath, base + 200 * 1000L, -1))
+        // stamp strictly AFTER the copied files whatever their count —
+        // a fixed offset would silently break ordering if the source
+        // staging ever grew past it
+        .foreach(st => fs.setTimes(st.getPath, base + (copied.size + 1) * 1000L, -1))
       dir
     })
   }
@@ -423,8 +426,12 @@ object Streams {
       withStatePartitions(s, 8) {
       val src = sentinelEventsDir(s, dir)
       val ckpt = cleanScratch(s, s"stream_wm_ckpt_${dir.hashCode & 0x7fffffff}")
+      // data in one batch, sentinel its own (mtime-later) batch: the
+      // append-mode window SET closed by the final watermark is identical,
+      // at half the state commits — the sentinel batch still demonstrates
+      // cross-batch watermark progression
       val q = EventStreams.windowedCounts(
-          EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1),
+          EventStreams.readEventStream(s, src, maxFilesPerTrigger = 3),
           "1 hour", "30 minutes")
         .writeStream.format("memory").queryName("g_stream_wm")
         .outputMode("append").option("checkpointLocation", ckpt)
@@ -452,7 +459,10 @@ object Streams {
       withStatePartitions(s, 8) {
       val src = dualSentinelEventsDir(s, dir)
       val ckpt = cleanScratch(s, s"stream_chain_ckpt_${dir.hashCode & 0x7fffffff}")
-      val lvl1 = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+      // all data in one batch; the two sentinels stay their own batches
+      // (each level's flush rides one sentinel's watermark) — emitted set
+      // identical, two stateful levels commit 3 batches instead of 6
+      val lvl1 = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 3)
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -516,7 +526,11 @@ object Streams {
       withStatePartitions(s, 8) {
       val src = stagedEventsDir(s, dir)
       val ckpt = cleanScratch(s, s"stream_ssj_ckpt_${dir.hashCode & 0x7fffffff}")
-      val stream = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+      // one micro-batch for ALL data files (the join's emitted SET is
+      // batch-insensitive; fewer batches = fewer state commits, the
+      // dominant cost at this scale — the staging's mtime order still
+      // sequences any sentinel batches after the data)
+      val stream = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 3)
       val purchases = stream.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
         .withWatermark("p_ts", "2 hours")
@@ -561,7 +575,10 @@ object Streams {
       withStatePartitions(s, 4) {
       val src = joinSentinelEventsDir(s, dir)
       val ckpt = cleanScratch(s, s"stream_soj_ckpt_${dir.hashCode & 0x7fffffff}")
-      val stream = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+      // all 3 data files in ONE batch; the two sentinel files (stamped
+      // later) stay their own watermark-advancing batches — the emitted
+      // set is identical, at half the state commits
+      val stream = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 3)
       val purchases = stream.withWatermark("ts", "2 hours")
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
@@ -602,7 +619,8 @@ object Streams {
       withStatePartitions(s, 4) {
       val src = joinSentinelEventsDir(s, dir)
       val ckpt = cleanScratch(s, s"stream_foj_ckpt_${dir.hashCode & 0x7fffffff}")
-      val stream = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+      // all 3 data files in ONE batch (see the left outer join note)
+      val stream = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 3)
       val purchases = stream.withWatermark("ts", "2 hours")
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
