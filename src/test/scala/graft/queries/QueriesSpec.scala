@@ -67,8 +67,15 @@ class QueriesSpec extends SparkTestBase {
       countDistinct(col("hour_id")).as("nd"))
     assert(agg.filter(col("n") =!= col("span") || col("nd") =!= col("n"))
       .count() == 0, "spine must be dense and duplicate-free per user")
-    // the first spine hour is an observed hour, so carry-forward never nulls
-    assert(out.filter(col("v_locf").isNull).count() == 0)
+    // LOCF is defined (non-null) from each user's first hour WITH an
+    // observed value onward — before that there is nothing to carry, and
+    // a user whose first observed hour held only NULL values would make a
+    // blanket never-null assertion wrong, not the operator
+    val firstVal = out.filter(col("v_sum").isNotNull)
+      .groupBy("user_id").agg(min(col("hour_id")).as("h0"))
+    assert(out.join(firstVal, "user_id")
+      .filter(col("hour_id") >= col("h0") && col("v_locf").isNull)
+      .count() == 0)
     // event conservation: filled counts re-aggregate to the raw table's
     val total = out.agg(sum(col("n_events"))).head().getLong(0)
     assert(total == graft.sources.Tables.load(spark, sf, "events").count())
