@@ -356,16 +356,22 @@ object Rdf {
 
     // ---- BIND(IF(cond, then, else)): numeric conditional over the bound
     // solution — nation keys are 0..24 at every SF, so the fixed threshold
-    // always yields a mix of both branches with no driver pre-job. ----
+    // always yields a mix of both branches with no driver pre-job. The
+    // condition tests a BIND-ARITHMETIC variable (?k = ?n - offset): arith
+    // results are numbers, so the comparison is plain numeric — a numeric
+    // test against the id variable ?n itself would be a decoded-VALUE
+    // comparison (rdf_sparql_filter_value), a type error on the
+    // non-numeric 'nation_N' lexicals. ----
     QueryDef("rdf_sparql_if",
       RdfBridge.oracleCte + """
         |SELECT Subject AS c, Object AS n,
-        |       CAST(CASE WHEN Object > 2000000012 THEN 1 ELSE 0 END AS BIGINT) AS flag
+        |       CAST(CASE WHEN Object - 2000000000 > 12 THEN 1 ELSE 0 END AS BIGINT) AS flag
         |FROM triples WHERE Predicate = -31""".stripMargin) { (s, dir) =>
       engine(s, dir)
         .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
         .sparql("""SELECT ?c ?n ?flag WHERE { ?c :in_nation ?n .
-                  | BIND(IF(?n > 2000000012, 1, 0) AS ?flag) }""".stripMargin)
+                  | BIND(?n - 2000000000 AS ?k)
+                  | BIND(IF(?k > 12, 1, 0) AS ?flag) }""".stripMargin)
     },
 
     // ---- SPARQL multi-variable VALUES: row tuples over (customer, nation)

@@ -418,14 +418,53 @@ object BgpPlanner {
     val arithVars: Set[String] =
       query.binds.collect { case (BindArith(_, _, _), alias) => alias }.toSet
 
-    // One FILTER atom as a Column predicate (everything except regex and
-    // numeric VALUE comparisons, whose dictionary joins cannot compose
-    // inside an &&/|| Column tree).
+    // DECODED-VALUE comparisons: a NUMERIC literal against an id-valued
+    // variable compares the variable's decoded lexical form AS A NUMBER
+    // (SPARQL operand semantics), not its encoded id. Planned as ONE left
+    // join per distinct variable against the dictionary projected to
+    // `try_cast(term AS DOUBLE)` (the cast runs once per VOCABULARY entry,
+    // never per solution row); the resulting `__val_<var>` column then
+    // composes freely inside &&/||/IF Column trees. Semantics per row:
+    //   mapped, numeric lexical  -> compare the decoded number
+    //   mapped, non-numeric      -> SPARQL type error (null -> excluded,
+    //                               under every operator including !=)
+    //   UNMAPPED id              -> the id IS the value: in this engine an
+    //     id absent from the dictionary denotes the integer literal itself
+    //     (the reference's data model — opaque ints ARE the values,
+    //     MyOpVisitorBase.java:69-78), so it compares as its own number.
+    //   null (OPTIONAL-unbound)  -> expression error (excluded)
+    // Double compare: exact for integral terms within 2^53.
+    def needsValueCmp(f: FilterCond): Boolean = f.op match {
+      case FilterEq | FilterNeq | FilterLt | FilterLe | FilterGt | FilterGe =>
+        (f.value match {
+          case Constant(l) => l.toLongOption.isDefined
+          case _ => false
+        }) && !arithVars.contains(f.variable)
+      case _ => false
+    }
+    def valCol(v: String): String = s"__val_$v"
+    def withDecodedVals(df: DataFrame, vars: Seq[String]): DataFrame =
+      vars.distinct.filterNot(v => df.columns.contains(valCol(v)))
+        .foldLeft(df) { (acc, v) =>
+          val idC = s"__vid_$v"
+          val numC = s"__vnum_$v"
+          val vocab = dict.entries.toDF(idC, "__vterm")
+            .select(col(idC), expr("try_cast(__vterm AS DOUBLE)").as(numC))
+          acc.join(vocab, acc(v) === col(idC), "left")
+            .withColumn(valCol(v),
+              when(col(idC).isNull, col(v).cast("double")).otherwise(col(numC)))
+            .drop(idC, numC)
+        }
+
+    // One FILTER atom as a Column predicate (everything except regex —
+    // string-function dictionary joins cannot compose inside an &&/||
+    // Column tree; numeric VALUE comparisons CAN, via the pre-joined
+    // `__val_<var>` column above).
     // Comparison RHS resolution: dictionary term → its encoded id (term
     // ordering = id ordering is the documented layout contract for ordered
     // term comparisons, matching the reference's id domain); bare numeric
-    // literal on an id-valued variable → DECODED-VALUE comparison via the
-    // dictionary semi-join (see applyFilter); bare numeric literal on a
+    // literal on an id-valued variable → DECODED-VALUE comparison (the
+    // caller pre-joins `__val_<var>`); bare numeric literal on a
     // BIND-arithmetic variable → plain numeric comparison; unknown
     // non-numeric term → SPARQL expression error: `!=` keeps the row
     // (true), every other op drops it (false).
@@ -457,35 +496,40 @@ object BgpPlanner {
             else !col(f.variable).isin(ids: _*)
           }
         case cmp =>
-          val rhs: Option[Column] = f.value match {
+          val sides: Option[(Column, Column)] = f.value match {
             case Variable(v) =>
               require(df.columns.contains(v), s"FILTER variable ?$v not bound")
-              Some(col(v))
+              Some((col(f.variable), col(v)))
             case Constant(l) =>
               l.toLongOption match {
-                case Some(_) if !arithVars.contains(f.variable) =>
-                  // value comparison on an id variable is a dictionary
-                  // JOIN (applyFilter handles the single-atom form) — it
-                  // cannot live in a Column tree
-                  throw new IllegalArgumentException(
-                    "numeric value comparisons cannot appear inside &&/|| in the subset")
+                case Some(n) if !arithVars.contains(f.variable) =>
+                  // decoded-value comparison over the pre-joined column
+                  // (see withDecodedVals) — a null value (non-numeric term
+                  // or unbound variable) is a type error: the comparison
+                  // yields null and the row drops under every operator
+                  require(df.columns.contains(valCol(f.variable)),
+                    s"internal: decoded-value column for ?${f.variable} " +
+                      "not pre-joined (withDecodedVals)")
+                  Some((col(valCol(f.variable)), lit(n.toDouble)))
                 case Some(n) =>
-                  // int-width literal stays int (keeps the pushdown
-                  // literal in the int store's type); beyond-int promotes
-                  // to long for the wide store
-                  Some(if (n.isValidInt) lit(n.toInt) else lit(n))
-                case None => enc.get(l).map(id => lit(id))
+                  // BIND-arithmetic variable: already a number; int-width
+                  // literal stays int (keeps the pushdown literal in the
+                  // int store's type), beyond-int promotes to long
+                  Some((col(f.variable),
+                    if (n.isValidInt) lit(n.toInt) else lit(n)))
+                case None =>
+                  enc.get(l).map(id => (col(f.variable), lit(id)))
               }
           }
-          rhs match {
+          sides match {
             case None => if (cmp == FilterNeq) lit(true) else lit(false)
-            case Some(r) => cmp match {
-              case FilterEq => col(f.variable) === r
-              case FilterNeq => !(col(f.variable) === r)
-              case FilterLt => col(f.variable) < r
-              case FilterLe => col(f.variable) <= r
-              case FilterGt => col(f.variable) > r
-              case FilterGe => col(f.variable) >= r
+            case Some((x, r)) => cmp match {
+              case FilterEq => x === r
+              case FilterNeq => !(x === r)
+              case FilterLt => x < r
+              case FilterLe => x <= r
+              case FilterGt => x > r
+              case FilterGe => x >= r
               case other => throw new IllegalStateException(s"unreachable: $other")
             }
           }
@@ -526,35 +570,6 @@ object BgpPlanner {
             case FilterGe => len >= n
             case other => throw new IllegalStateException(s"unreachable: $other")
           }, false))
-        // DECODED-VALUE comparison: a NUMERIC literal against an id-valued
-        // variable compares the variable's decoded lexical form AS A
-        // NUMBER (SPARQL operand semantics), not its encoded id — planned
-        // like the string filters: the numeric predicate runs once per
-        // VOCABULARY entry, non-numeric terms are a SPARQL type error
-        // (null cast → excluded), and the matching id set semi-joins in.
-        // `!=` folds into the vocabulary predicate (a non-numeric term is
-        // an error and DROPS the row, so an anti join would be wrong).
-        // BIND-arithmetic variables hold numbers already and take the
-        // plain-Column path below instead.
-        case FilterEq | FilterNeq | FilterLt | FilterLe | FilterGt | FilterGe
-            if f.value.isInstanceOf[Constant] &&
-              f.value.asInstanceOf[Constant].lexical.toLongOption.isDefined &&
-              !arithVars.contains(f.variable) =>
-          val n = lit(lex.toLong.toDouble)
-          // try_cast (not cast): non-numeric terms must yield null — the
-          // SPARQL type error — not an ANSI cast exception. Double compare:
-          // exact for integral terms within 2^53 — beyond that, swap for a
-          // decimal cast.
-          val num = expr("try_cast(__rx_term AS DOUBLE)")
-          Some((num.isNotNull && (f.op match {
-            case FilterEq => num === n
-            case FilterNeq => !(num === n)
-            case FilterLt => num < n
-            case FilterLe => num <= n
-            case FilterGt => num > n
-            case FilterGe => num >= n
-            case other => throw new IllegalStateException(s"unreachable: $other")
-          }), false))
         case _ => None
       }
       dictPred match {
@@ -567,17 +582,32 @@ object BgpPlanner {
           // negated form (an anti join alone would keep nulls)
           val base = if (negated) df.filter(col(f.variable).isNotNull) else df
           base.join(ids, base(f.variable) === col("__rx_id"), joinType)
+        case None if needsValueCmp(f) =>
+          // decoded-value numeric comparison (see withDecodedVals): one
+          // left join against the numeric-cast vocabulary, predicate on
+          // the decoded column, helper column dropped after
+          val pre = withDecodedVals(df, Seq(f.variable))
+          pre.filter(condColumn(pre, f)).drop(valCol(f.variable))
         case None => df.filter(condColumn(df, f))
       }
     }
 
     def applyFilterExpr(df: DataFrame, e: FilterExpr): DataFrame = {
+      // pre-join decoded-value columns for every numeric-literal
+      // comparison leaf, so value comparisons compose inside &&/||
+      def leaves(x: FilterExpr): Seq[FilterCond] = x match {
+        case FilterLeaf(c) => Seq(c)
+        case FilterAnd(l, r) => leaves(l) ++ leaves(r)
+        case FilterOr(l, r) => leaves(l) ++ leaves(r)
+      }
+      val valVars = leaves(e).filter(needsValueCmp).map(_.variable).distinct
+      val pre = withDecodedVals(df, valVars)
       def toCol(x: FilterExpr): Column = x match {
-        case FilterLeaf(c) => condColumn(df, c)
+        case FilterLeaf(c) => condColumn(pre, c)
         case FilterAnd(l, r) => toCol(l) && toCol(r)
         case FilterOr(l, r) => toCol(l) || toCol(r)
       }
-      df.filter(toCol(e))
+      pre.filter(toCol(e)).drop(valVars.map(valCol): _*)
     }
 
     val joined = query.optionals.zipWithIndex.foldLeft(required) {
@@ -790,11 +820,18 @@ object BgpPlanner {
             case _ => () }
             acc.withColumn(alias, coalesce(ts.map(operand): _*))
           // IF: a null condition (error) nulls the whole expression —
-          // when() without otherwise-on-null gives exactly that
+          // when() without otherwise-on-null gives exactly that. A
+          // numeric-literal condition on an id variable pre-joins its
+          // decoded value (withDecodedVals) so value semantics hold
+          // inside IF exactly as in FILTER.
           case BindIf(c, t, e) =>
-            acc.withColumn(alias,
-              when(condColumn(acc, c), operand(t))
-                .when(!condColumn(acc, c), operand(e)))
+            val pre =
+              if (needsValueCmp(c)) withDecodedVals(acc, Seq(c.variable))
+              else acc
+            pre.withColumn(alias,
+                when(condColumn(pre, c), operand(t))
+                  .when(!condColumn(pre, c), operand(e)))
+              .drop(valCol(c.variable))
         }
     }
 

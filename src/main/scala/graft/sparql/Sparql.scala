@@ -406,9 +406,7 @@ object SparqlParser {
         val withoutIf = bindIfRe.replaceAllIn(withoutCoalesce, " ")
         val bindRe = ("(?i)BIND\\s*\\(\\s*('[^']*'|\\S+?)" +
           "(?:\\s*([+*/-])\\s*('[^']*'|\\S+?))?\\s+AS\\s+\\?(\\w+)\\s*\\)").r
-        // function binds evaluate before plain/arithmetic binds — a later
-        // plain BIND may reference a COALESCE/IF alias, not vice versa
-        val binds = coalesceBinds ++ ifBinds ++ bindRe.findAllMatchIn(withoutIf).map { m =>
+        val plainBinds = bindRe.findAllMatchIn(withoutIf).map { m =>
           val expr: BindExpr =
             if (m.group(2) == null) BindTerm(toTerm(m.group(1)))
             else {
@@ -418,6 +416,17 @@ object SparqlParser {
             }
           (expr, m.group(4))
         }.toSeq
+        // SPARQL evaluates BIND in pattern order: a later BIND may
+        // reference any earlier alias (arithmetic feeding IF as much as
+        // IF feeding arithmetic). The three extraction passes ran over
+        // progressively stripped text, so restore SOURCE order by each
+        // alias's `AS ?alias` position (aliases are unique — the planner
+        // rejects rebinding).
+        val binds = (coalesceBinds ++ ifBinds ++ plainBinds).sortBy {
+          case (_, alias) =>
+            ("(?i)AS\\s+\\?" + java.util.regex.Pattern.quote(alias) + "\\b").r
+              .findFirstMatchIn(withoutOpt).map(_.start).getOrElse(Int.MaxValue)
+        }
         val withoutBind = bindRe.replaceAllIn(withoutIf, " ")
         // FILTER clauses: extract (they need no dot separator in SPARQL),
         // then parse the remaining segments as triple patterns. Single-atom

@@ -630,12 +630,22 @@ class SparqlSpec extends SparkTestBase {
       "SELECT ?s ?f WHERE { ?s :p1 ?o . BIND(IF(?o > 'b', 1, 0) AS ?f) }")
       .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
     assert(iff == Set((-5, 0L), (6, 1L)))
-    // ...a NUMERIC literal against an ID variable is a decoded-value
-    // comparison — a dictionary join, which cannot live inside IF's Column
-    // tree: loud subset error (single-atom FILTER is the supported form)
-    assertThrows[IllegalArgumentException](reg.sparql(
+    // ...a NUMERIC literal against an ID variable is a decoded-VALUE
+    // comparison inside IF too (pre-joined `__val_` column): every term of
+    // this vocabulary is non-numeric, so the condition is a SPARQL type
+    // error on every row — the IF nulls, it does NOT compare ids
+    val ifNum = reg.sparql(
       "SELECT ?s ?f WHERE { ?s :p1 ?o . BIND(IF(?o > 10, 1, 0) AS ?f) }")
-      .collect())
+      .collect().map(r => (r.getInt(0), r.isNullAt(1))).toSet
+    assert(ifNum == Set((-5, true), (6, true)))
+    // BINDs evaluate in SOURCE order (SPARQL pattern order): an earlier
+    // arithmetic alias feeds a later IF — ?k is a NUMBER, so the numeric
+    // comparison applies to it directly (o=10 -> k=11 -> else; o=11 ->
+    // k=12 -> then)
+    val chain = reg.sparql("SELECT ?s ?f WHERE { ?s :p1 ?o . " +
+      "BIND(?o + 1 AS ?k) BIND(IF(?k > 11, 1, 0) AS ?f) }")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(chain == Set((-5, 0L), (6, 1L)))
     // IF with BOUND over an OPTIONAL variable; branches are dictionary terms
     val bnd = reg.sparql("SELECT ?s ?v WHERE { ?s :p1 ?o . " +
       "OPTIONAL { ?o :p2 ?m . ?m :p3 ?r } BIND(IF(BOUND(?r), 'd', 'b') AS ?v) }")
@@ -1014,11 +1024,20 @@ class SparqlSpec extends SparkTestBase {
       "BIND(?s + 100 AS ?y) FILTER(?y > 102) }")
       .collect().map(_.getInt(0)).toSet
     assert(b == Set(3, 4))
-    // value comparisons are joins — composing one inside &&/|| is a loud
-    // subset error, like regex
-    assertThrows[IllegalArgumentException](
-      reg.sparql("SELECT ?s WHERE { ?s :v ?x . FILTER(?x > 5 && ?x < 20) }")
-        .collect())
+    // value comparisons compose inside &&/|| (the decoded value is ONE
+    // pre-joined column per variable, reused by every leaf): range keeps
+    // only value 10
+    assert(reg.sparql("SELECT ?s WHERE { ?s :v ?x . FILTER(?x > 5 && ?x < 20) }")
+      .collect().map(_.getInt(0)).toSet == Set(2))
+    // ...and an UNMAPPED id (no dictionary entry) IS its own numeric
+    // value — the engine's native literal domain (ids absent from the
+    // vocabulary denote the integer itself), so it participates in value
+    // comparisons as that number instead of dropping
+    val reg2 = new QueryEngine(spark, dict).registerSplitTables(
+      triples.unionAll(Seq((9, 7, 15)).toDF(
+        TripleSchema.subject, TripleSchema.predicate, TripleSchema.objekt)))
+    assert(reg2.sparql("SELECT ?s ?x WHERE { ?s :v ?x . FILTER(?x > 5) }")
+      .collect().map(_.getInt(0)).toSet == Set(2, 3, 9)) // 10, 20, raw 15
   }
 
   test("FILTER &&/||: && binds tighter than || (SPARQL ConditionalOr/And)") {
