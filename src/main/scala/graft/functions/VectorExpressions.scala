@@ -170,7 +170,12 @@ case class CentroidArgminExpr(child: Expression,
 object VectorExpressions {
 
   /** Register `graft_dot` in the session's function registry so it is
-    * callable from SQL text (and thus usable by the shared query templates).
+    * callable from SQL text (and thus usable by the shared query templates),
+    * plus SQL names for Spark's internal bloom-filter expressions
+    * (`BloomFilterAggregate` / `BloomFilterMightContain` — the machinery
+    * behind InjectRuntimeFilter, not exposed in the public FunctionRegistry)
+    * so explicit bloom-prefilter plans (corpus_bloom_decontaminate) can be
+    * written in SQL text.
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -179,6 +184,28 @@ object VectorExpressions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "graft_dot takes exactly 2 arguments")
         DotProductExpr(exprs.head, exprs(1))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "graft_bloom_agg takes (xxhash64 value, estimatedNumItems, numBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs.head, exprs(1), exprs(2))
+      })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_might_contain takes (bloom binary, xxhash64 value)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))
       })
   }
 }

@@ -328,6 +328,55 @@ object Pipeline {
       s.sql(decontaminateSql(SparkDialect, Some(cachedShingles(s, dir))))
     }
 
+  /** Bloom-prefiltered decontamination — same CONTRACT and oracle as
+    * [[corpusDecontaminate]], different physical plan: the eval split's
+    * distinct shingles fold into a bloom filter (Spark's internal
+    * `BloomFilterAggregate`, registered as `graft_bloom_agg` — the same
+    * sketch InjectRuntimeFilter builds), the training side drops
+    * non-member shingles MAP-SIDE via `graft_might_contain`
+    * before any shuffle, and the exact join runs only on survivors. Bloom
+    * filters have no false negatives, so the exact join still sees every
+    * true hit, and its equi-condition removes the bloom's false positives
+    * — output bit-identical to the exact gate, which IS the correctness
+    * claim.
+    *
+    * 100 TB shape: the eval set is benchmark-sized (bounded model state,
+    * the IVF-centroid precedent); its bloom is a few hundred KB broadcast
+    * once per executor via an uncorrelated scalar subquery, and the
+    * dominant cost — shuffling the full training corpus's shingles into
+    * the decontamination join — shrinks to the bloom pass rate
+    * (|true hits| + fpp × |training shingles|). This is the standard
+    * production decontamination shape; the exact gate documents the
+    * semantics, this gate the scan-reduction plan.
+    */
+  private def corpusBloomDecontaminate: QueryDef =
+    QueryDef("corpus_bloom_decontaminate",
+      decontaminateSql(DuckDialect)) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val shSrc = cachedShingles(s, dir)
+      // fold the eval split's distinct shingles into one bloom (1-row
+      // binary); 20k expected items / 400k bits → fpp ≈ 1e-4 at sf0.1
+      s.sql(
+        s"""SELECT graft_bloom_agg(xxhash64(s),
+           |    CAST(20000 AS BIGINT), CAST(400000 AS BIGINT)) AS bf
+           |FROM (SELECT DISTINCT s FROM ($shSrc) e WHERE doc_id % 20 = 0) ev"""
+          .stripMargin)
+        .createOrReplaceTempView("graft_decont_bloom")
+      s.sql(
+        s"""WITH sh AS ($shSrc),
+           |eval AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+           |cand AS (SELECT doc_id, s FROM sh
+           |  WHERE doc_id % 20 <> 0
+           |    AND graft_might_contain((SELECT bf FROM graft_decont_bloom),
+           |          xxhash64(s))),
+           |hits AS (SELECT cand.doc_id, COUNT(DISTINCT cand.s) AS n_hits
+           |  FROM cand JOIN eval ON cand.s = eval.s
+           |  GROUP BY cand.doc_id)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(n_hits AS BIGINT) AS n_eval_ngrams
+           |FROM hits""".stripMargin)
+    }
+
   /** 60-bit SimHash per document (60 rather than 64 keeps `1 << i` clear of
     * the BIGINT sign bit in both engines). Same 100 TB shape as MinHash:
     * explode tokens → hash only the DISTINCT-token vocabulary → 60 codegen'd
@@ -675,6 +724,89 @@ object Pipeline {
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
        |  FROM scored) s
        |WHERE rnk <= 5""".stripMargin
+  }
+
+  /** Lloyd k-means (K=4 centroids, 2 unrolled iterations) over the
+    * int8-quantized embeddings in EXACT int64 arithmetic — the clustering
+    * step of a semantic-dedup / corpus-organization pipeline (cluster,
+    * then dedup or sample within clusters), cross-engine bit-identical.
+    *
+    * Arithmetic: lanes live in milli-units (x*1000 ∈ [-127000, 127000]);
+    * centroid lanes are the truncating integer mean `(s*1000 - (s*1000 %
+    * n)) div n` (trunc-vs-floor `div` differs between engines on
+    * negatives, but both `%` are C-style, making this form
+    * portable-exact — the [[embPcaPower]] precedent). Squared-L2 bound:
+    * diff ≤ 254000 → diff² ≤ 6.5e10 → ×64 lanes ≤ 4.2e12, int64-safe.
+    * Seeds = the K lowest vec_ids (deterministic); argmin tie-break is
+    * (dist, cid); a cluster that empties vanishes from the next round's
+    * centroid set (remaining clusters absorb its points) — deterministic
+    * either way.
+    *
+    * Scale shape: the centroid relation is K×DIM rows (model state) — the
+    * assignment join broadcasts it, the per-(vec,cid) lane sum is a
+    * map-side-partial aggregate, and each iteration adds one (cid, i)
+    * shuffle bounded by K×DIM groups. The production assignment pass at
+    * 100 TB is the codegen'd broadcast argmin
+    * ([[graft.functions.CentroidArgminExpr]], the IVF path); this SQL form
+    * is the oracle-exact training recurrence — same join shape Spark
+    * plans as a broadcast hash join here.
+    */
+  private val KM = 4
+
+  /** The k-means CTE chain over an existing exploded (vec_id, i, x)
+    * relation `xRef` (x = int8 lane). Shared verbatim by the DuckDB oracle
+    * and the Spark gate (which materializes `x` once first — Catalyst
+    * inlines multi-reference CTEs, and `x` is referenced by every assign
+    * and recompute stage).
+    */
+  private def kmeansBodySql(d: Dialect, xRef: String): String = {
+    val idiv = if (d == SparkDialect) "div" else "//"
+    def assign(k: Int, c: String): String =
+      s"""d$k AS (SELECT x.vec_id, c.cid,
+         |    CAST(SUM((x.x*1000 - c.c)*(x.x*1000 - c.c)) AS BIGINT) AS dist
+         |  FROM $xRef x JOIN $c c ON x.i = c.i GROUP BY x.vec_id, c.cid),
+         |a$k AS (SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d$k) r WHERE rn = 1)""".stripMargin
+    def recompute(k: Int): String =
+      s"""c${k} AS (SELECT a.cid, x.i,
+         |    (CAST(SUM(x.x) AS BIGINT)*1000
+         |      - ((CAST(SUM(x.x) AS BIGINT)*1000) % COUNT(*))) $idiv COUNT(*) AS c
+         |  FROM $xRef x JOIN a${k - 1} a ON x.vec_id = a.vec_id
+         |  GROUP BY a.cid, x.i)""".stripMargin
+    s"""c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, i,
+       |    CAST(x*1000 AS BIGINT) AS c
+       |  FROM $xRef WHERE vec_id < $KM),
+       |${assign(1, "c0")},
+       |${recompute(2)},
+       |${assign(2, "c2")}
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cluster,
+       |  dist AS dist2
+       |FROM a2""".stripMargin
+  }
+
+  private def embKmeansLloyd: QueryDef = {
+    val dd = DuckDialect
+    val duckX =
+      "SELECT vec_id, unnest(qv) AS x, unnest(range(len(qv))) AS i FROM qz"
+    QueryDef("emb_kmeans_lloyd",
+      s"""WITH ${quantCte(dd)},
+         |x AS ($duckX),
+         |${kmeansBodySql(dd, "x")}""".stripMargin) { (s, dir) =>
+      views(s, dir, "embeddings")
+      val d = SparkDialect
+      // materialize qz before exploding (CollapseProject would inline the
+      // absmax fold into every lane — the embPcaPowerSpark lesson), then
+      // the exploded lane matrix once (referenced by all 4 stages)
+      val qz = s.sql(s"WITH ${quantCte(d)} SELECT vec_id, qv FROM qz")
+        .localCheckpoint()
+      qz.createOrReplaceTempView("graft_km_qz")
+      val x = s.sql("SELECT vec_id, posexplode(qv) AS (i, x) FROM graft_km_qz")
+        .localCheckpoint()
+      x.createOrReplaceTempView("graft_km_x")
+      s.sql(s"WITH ${kmeansBodySql(d, "graft_km_x")}")
+    }
   }
 
   private def simIvfExhaustive: QueryDef = {
@@ -2289,6 +2421,8 @@ object Pipeline {
     embQuery("sim_ann_lsh", simAnnLsh),
     embQuery("dedup_embedding_cosine", dedupEmbeddingCosine),
     simIvfExhaustive,
+    embKmeansLloyd,
+    corpusBloomDecontaminate,
     docQuery("text_token_stats", textTokenStats),
     docQuery("text_quality", textQuality),
     docQuery("text_langid", textLangid),

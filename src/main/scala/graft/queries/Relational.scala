@@ -1061,6 +1061,26 @@ object Relational {
           |FROM events GROUP BY event_type""".stripMargin)
     },
 
+    // ---- Positional explode + regexp_extract_all: every numeric token in
+    // the JSON props, one row per (event, position) — the flatten-with-
+    // ordinal shape (posexplode / DuckDB dual-unnest) that array pipelines
+    // need whenever downstream logic is order-sensitive. Map-only: no
+    // shuffle at any scale; the regex runs once per row (materialized
+    // before the explode on the Spark side via the lateral-view alias). ----
+    QueryDef("q61_regexp_explode",
+      """SELECT event_id, CAST(t.i AS BIGINT) AS pos, CAST(t.x AS BIGINT) AS num
+        |FROM (SELECT event_id,
+        |        unnest(regexp_extract_all(props, '\d+')) AS x,
+        |        unnest(range(len(regexp_extract_all(props, '\d+')))) AS i
+        |      FROM events) t""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(
+        """SELECT event_id, CAST(pos AS BIGINT) AS pos, CAST(num AS BIGINT) AS num
+          |FROM (SELECT event_id,
+          |        posexplode(regexp_extract_all(props, '\\d+', 0)) AS (pos, num)
+          |      FROM events) t""".stripMargin)
+    },
+
     // ---- VARIANT type (Spark 4's semi-structured flagship): props parses
     // ONCE into a binary variant value, then typed paths extract without
     // re-tokenizing JSON text — at 100 TB the parse-once/extract-many

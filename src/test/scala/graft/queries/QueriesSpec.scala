@@ -101,4 +101,27 @@ class QueriesSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"global window in plan:\n$plan")
   }
+
+  test("emb_kmeans_lloyd: total assignment, K-bounded clusters, non-trivial split") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("emb_kmeans_lloyd")(spark, sf).persist()
+    val n = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    // every vector assigned exactly once
+    assert(out.count() == n)
+    assert(out.select(countDistinct(col("vec_id"))).head().getLong(0) == n)
+    // cluster ids come from the K seed ids (0..3); more than one survives
+    assert(out.filter(col("cluster") < 0 || col("cluster") > 3).count() == 0)
+    assert(out.select(countDistinct(col("cluster"))).head().getLong(0) > 1)
+    // distances are exact squared-L2 in milli-units: non-negative
+    assert(out.filter(col("dist2") < 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("corpus_bloom_decontaminate output is bit-identical to the exact gate") {
+    // bloom prefilter must not change results: no false negatives, and the
+    // exact-verify join removes every false positive — THE contract
+    val bloom = SparkEntry.queries("corpus_bloom_decontaminate")(spark, sf)
+    val exact = SparkEntry.queries("corpus_decontaminate")(spark, sf)
+    assert(bloom.except(exact).count() == 0 && exact.except(bloom).count() == 0)
+  }
 }
