@@ -20,9 +20,17 @@ object Bench {
       // bench run, so debris from 142 gates × 4 runs accumulated until heap
       // pressure taxed whichever gates ran late in the alphabet (r03:
       // rdf_sparql_describe 5.7s full-board vs 0.7s isolated — same query,
-      // same data). A short interval keeps cleanup continuous instead of
-      // letting it land as one stall inside somebody's timed region.
-      .config("spark.cleaner.periodicGC.interval", "15s")
+      // same data). But TOO short an interval is its own tax: at 15s every
+      // timed run of a 3s+ gate caught a full-heap System.gc() stall
+      // (round-6: q50 9.99s full-board vs 3.5s in a 22-gate board, same
+      // plan), while disabling it (1h) resurfaces the r03 disease on
+      // iterative gates (rdf_pagerank 3.7→5.8). 45s measured best of the
+      // three on the full 210-gate board — long enough that median-of-3
+      // discards the at-most-one run a GC lands in, short enough to keep
+      // debris bounded: total 202→159s, q50 3.05s, pagerank 2.90s, every
+      // family ≤ both alternatives.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "45s"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Stable measurement order: sorted by name, so any downstream truncation
@@ -94,7 +102,12 @@ object Bench {
     // map overflows — BENCH_r02's `parsed: null` — and an extra stderr line
     // could interleave after the parseable stdout line).
     val fullLine = envelope(mapJson(results), "")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    // prefix-filtered runs must not clobber the committed full-board
+    // report: they default to a scratch path unless explicitly redirected
+    val defaultOut =
+      if (prefixes.isEmpty) "/root/repo/BENCH_FULL.json"
+      else "/tmp/graft_bench_partial.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
