@@ -333,6 +333,45 @@ object Graph {
         when(lower, col("v")).otherwise(col("u")).as("t"))
   }
 
+  /** K-CORE of an undirected canonical edge set (`u`, `v`; u < v, distinct):
+    * the maximal subgraph where every node has degree >= k, computed by
+    * iterative peeling — each round drops nodes with degree < k and the
+    * edges touching them, until no node is dropped. Returns (node, core_deg)
+    * with core_deg = the node's degree WITHIN the core (>= k by the
+    * fixpoint); empty when the graph has no k-core.
+    *
+    * Scale shape: each round is one node-sized degree aggregate plus two
+    * hash-partitioned LEFT SEMI joins of the edge list against the
+    * surviving-node set — the same per-round cost as one BFS step, never
+    * anything superlinear. The edge set only shrinks, so round cost is
+    * monotone non-increasing; `localCheckpoint` keeps the plan O(1) in the
+    * round count (the count() that materializes it is also the convergence
+    * test, so no extra job). Peel count is bounded by the graph's
+    * degeneracy ordering depth — for real corpus graphs tens of rounds, each
+    * a cheap shrinking join.
+    */
+  def kCore(und: DataFrame, k: Int): DataFrame = {
+    var edges = und.select(col("u"), col("v")).localCheckpoint()
+    var n = edges.count()
+    var done = n == 0
+    while (!done) {
+      val deg = edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("node"))
+      val next = edges
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+      val m = next.count()
+      if (m == n) done = true
+      else { edges = next; n = m; done = n == 0 }
+    }
+    edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Each triangle once, as (a, b, c) with a→b→c, a→c oriented edges —
     * by ADJACENCY-LIST INTERSECTION, not a wedge join: per edge (a, b),
     * every common out-neighbor c of a and b closes a triangle, so the

@@ -373,6 +373,55 @@ object Multimodal {
       }
   }
 
+  /** REAL audio ANALYSIS via `javax.sound.sampled` (round-6): the signal
+    * features a filtering pipeline computes after decode — zero-crossing
+    * count (the classic voiced/unvoiced + noisiness heuristic: how often
+    * the waveform changes sign between consecutive samples) and integer
+    * energy (sum of squared amplitudes; int16 squares over <=191 samples
+    * stay far inside a Long). Executor-side mapPartitions like
+    * [[decodeAudioFeatures]], per-record error sentinel, and every feature
+    * is exactly derivable from the generator formula in plain SQL — the
+    * oracle replays the synth and a lag() window, zero audio libraries.
+    */
+  def analyzeAudio(audio: Dataset[AudioRow]): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions { it =>
+      val readers = wavReaders.sortBy(r => !r.getClass.getName.contains("Wave"))
+      def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
+        readers.view.flatMap { rd =>
+          try Some(rd.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+        }.headOption.getOrElse(
+          throw new javax.sound.sampled.UnsupportedAudioFileException("no reader"))
+      it.map { r =>
+        try {
+          val ais = open(r.wav)
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"unexpected WAV format: $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var energy = 0L
+          var crossings = 0L
+          var prevNeg = false
+          var i = 0
+          while (i < n) {
+            val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+            energy += v.toLong * v.toLong
+            val neg = v < 0
+            if (i > 0 && neg != prevNeg) crossings += 1
+            prevNeg = neg
+            i += 1
+          }
+          (r.doc_id, n.toLong, crossings, energy)
+        } catch {
+          case _: Exception => (r.doc_id, -1L, -1L, -1L)
+        }
+      }
+    }.toDF("doc_id", "n_samples", "zero_crossings", "energy_sum")
+  }
+
   /** REAL audio decode via `javax.sound.sampled`: the JDK's WAV codec reads
     * back the format (sample rate, width, channels) and PCM frames; the
     * features are the sample count and integer absolute-amplitude sum —

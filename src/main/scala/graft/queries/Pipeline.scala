@@ -500,6 +500,37 @@ object Pipeline {
        |WHERE rnk <= 3""".stripMargin
   }
 
+  /** MUTUAL k-NN GRAPH (round-6): the edge list graph-based clustering and
+    * diversity filtering build over an embedding corpus — (u, v) connected
+    * iff each is in the other's top-3 cosine neighbors. Candidates come
+    * from a 6-plane LSH bucket equi-join (64 buckets — the scale path: the
+    * pair space is bucket-bounded, never all-pairs), top-3 per node via one
+    * rank window, mutuality via a self equi-join on the reversed pair.
+    * Bucketed-kNN recall semantics are part of the operator contract (the
+    * oracle replicates the bucketing). Scale shape: equi-join on bucket id,
+    * window partitioned by node, pair-keyed self-join — all
+    * hash-partitionable; the rank window is per-node top-k
+    * (WindowGroupLimit caps it map-side).
+    */
+  private def simKnnGraph(d: Dialect): String = {
+    val cos = s"CASE WHEN an * bn > 0 THEN (${F.dot(d, "av", "bv", DIM)}) / (an * bn) ELSE 0.0 END"
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    ${F.norm(d, "embedding", DIM)} AS nrm,
+       |    ${F.lshBucket(d, "embedding", DIM, 6)} AS bkt FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid, $cos AS score
+       |  FROM (SELECT vec_id, embedding AS av, nrm AS an, bkt FROM e) a
+       |  JOIN (SELECT vec_id, embedding AS bv, nrm AS bn, bkt FROM e) b
+       |    ON a.bkt = b.bkt AND b.vec_id <> a.vec_id),
+       |knn AS (SELECT qid, nid, score FROM (
+       |    SELECT qid, nid, score,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+       |    FROM scored) r WHERE rnk <= 3)
+       |SELECT CAST(x.qid AS BIGINT) AS u, CAST(x.nid AS BIGINT) AS v, x.score
+       |FROM knn x JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
+       |WHERE x.qid < x.nid""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs with metadata BLOCKING and a hot-block
     * GUARD: candidate pairs only within the same `label` block (at 100 TB,
     * blocking keys — source, shard, cluster id — bound the pair space), and
@@ -1809,6 +1840,32 @@ object Pipeline {
         graft.operators.Multimodal.audioTable(s, dir))
     }
 
+  /** REAL audio ANALYSIS through the gate (round-6): zero-crossing count +
+    * integer energy over the decoded PCM — the signal statistics an audio
+    * quality filter computes after decode (Multimodal.analyzeAudio, JDK WAV
+    * codec on executors). The oracle replays the sample synth formula
+    * `((id*31 + 17i) mod 2048) - 1024` and a lag() window for the sign
+    * changes — zero audio libraries, exact because PCM is lossless.
+    */
+  private def multimodalAudioFeatures: QueryDef =
+    QueryDef("multimodal_audio_features",
+      """WITH p AS (SELECT doc_id, 64 + doc_id % 128 AS n FROM documents),
+        |ns AS (SELECT unnest(range(0, 192)) AS i),
+        |samp AS (SELECT p.doc_id, p.n, ns.i,
+        |    ((p.doc_id*31 + 17*ns.i) % 2048) - 1024 AS v
+        |  FROM p JOIN ns ON ns.i < p.n),
+        |x AS (SELECT doc_id, n, v,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM samp)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(SUM(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(SUM(v*v) AS BIGINT) AS energy_sum
+        |FROM x GROUP BY doc_id, n""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.analyzeAudio(
+        graft.operators.Multimodal.audioTable(s, dir))
+    }
+
   /** REAL multi-frame GIF decode (javax.imageio — the JDK's codec): frame
     * count, dimensions and gray pixel sum across all frames read back from
     * animated-GIF bytes synthesized deterministically per document. The
@@ -2419,6 +2476,7 @@ object Pipeline {
     dedupSimhashPairs,
     embQuery("sim_topk_cosine", simTopkCosine),
     embQuery("sim_ann_lsh", simAnnLsh),
+    embQuery("sim_knn_graph", simKnnGraph),
     embQuery("dedup_embedding_cosine", dedupEmbeddingCosine),
     simIvfExhaustive,
     embKmeansLloyd,
@@ -2456,6 +2514,7 @@ object Pipeline {
     multimodalFrameSample,
     multimodalDecodeImage,
     multimodalDecodeAudio,
+    multimodalAudioFeatures,
     multimodalDecodeVideo,
     textLmScore,
     eventsLatestState,

@@ -980,6 +980,34 @@ object Relational {
         .select(col("node").cast("long").as("node"), col("n_tri"))
     },
 
+    // ---- K-CORE DECOMPOSITION (k=2) over the SUPPORT-2 co-purchase graph
+    // (part pairs sharing >= 2 orders — the thresholded association graph;
+    // the unthresholded q50 graph is near-regular with min degree ~40, so
+    // its k-core is all-or-nothing and peels nothing). Iterative peeling:
+    // drop degree-<k nodes and their edges until fixpoint
+    // (Graph.kCore — per round one node-sized degree aggregate + two
+    // left-semi joins on a shrinking edge list). The oracle exploits peel
+    // IDEMPOTENCE: a fixed unroll of 16 rounds equals the fixpoint as long
+    // as the cascade converges within 16 (measured: 4 rounds at sf0.01,
+    // 7 at sf0.1; extra rounds are exact no-ops). The support-2 edge set is
+    // staged to parquet as the gate's input fixture, q50-style: the kernel
+    // under test is the peel loop, not the fact-table self-join. ----
+    QueryDef("q62_kcore", kcoreOracleSql(k = 2, depth = 16)) { (s, dir) =>
+      val edgeDir = Tables.staged(s, dir, "copurchase_s2_edges") { out =>
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        li.select(col("l_orderkey"), col("l_partkey").as("u"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), "l_orderkey")
+          .filter(col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("supp"))
+          .filter(col("supp") >= 2)
+          .select(col("u"), col("v"))
+          .write.mode("overwrite").parquet(out)
+      }
+      graft.operators.Graph.kCore(s.read.parquet(edgeDir), k = 2)
+        .select(col("node").cast("long").as("node"), col("core_deg"))
+    },
+
     // ---- APPROXIMATE QUANTILE SKETCH (the constant-space companion to
     // q20's exact percentiles, as q25's HLL is to exact COUNT DISTINCT):
     // approx_percentile keeps a bounded sketch per group — at 100 TB the
@@ -1304,6 +1332,41 @@ object Relational {
       |FROM months ms LEFT JOIN orders o
       |  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = ms.m
       |GROUP BY ms.m""".stripMargin
+
+  /** q62's oracle: k-core peeling unrolled to a fixed CTE chain. Peeling is
+    * IDEMPOTENT past its fixpoint (once every degree is >= k, the keep
+    * filter keeps everything and e_i = e_{i-1}), so `depth` rounds compute
+    * the exact core for any cascade that converges within `depth` — no
+    * convergence test needed in SQL. Base edge set = the same support-2
+    * co-purchase derivation the Spark gate stages to parquet.
+    */
+  private def kcoreOracleSql(k: Int, depth: Int): String = {
+    // AS MATERIALIZED is load-bearing: each level references its
+    // predecessor 3× (two degree scans + the edge filter), so an inlining
+    // planner would expand the chain 3^depth-fold — DuckDB's inliner did
+    // exactly that (ran out of file handles re-opening the parquet).
+    val sb = new StringBuilder(
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin)
+    for (i <- 1 to depth) {
+      sb.append(
+        s""",
+           |n$i AS MATERIALIZED (SELECT node FROM (
+           |    SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) q
+           |  GROUP BY node HAVING COUNT(*) >= $k),
+           |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+           |  WHERE u IN (SELECT node FROM n$i) AND v IN (SELECT node FROM n$i))""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM (SELECT u AS node FROM e$depth UNION ALL SELECT v FROM e$depth) q
+         |GROUP BY node""".stripMargin)
+    sb.toString
+  }
 
   /** Array-returning form of q21: per nation, the sorted distinct market
     * segments as an `array<string>` column (deterministic order).

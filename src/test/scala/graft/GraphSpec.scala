@@ -119,4 +119,25 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tc == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("kCore: cascade peeling — removing one leaf unravels a whole chain") {
+    import spark.implicits._
+    // triangle {1,2,3} (the 2-core) with a pendant chain 3-4-5-6: node 6
+    // has degree 1, peeling it drops 5 to degree 1, then 4 — three rounds
+    // of cascade before the fixpoint. Pins that the loop iterates to the
+    // true fixpoint rather than applying the degree filter once.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val core = Graph.kCore(g.toDF("u", "v"), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: k above the densest subgraph yields an empty core") {
+    import spark.implicits._
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    assert(Graph.kCore(g, k = 3).count() == 0)
+    // and k=1 keeps everything (no node peels below degree 1 in a graph
+    // with no isolated nodes — edge-list inputs cannot express them)
+    assert(Graph.kCore(g, k = 1).count() == 3)
+  }
 }

@@ -103,4 +103,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(s.getLong(0) == 99L && s.getInt(1) == -1 &&
       s.getLong(2) == -1L && s.getLong(3) == -1L)
   }
+
+  test("WAV analysis: zero crossings and energy match the formula; sentinel on corrupt") {
+    import spark.implicits._
+    val got = Multimodal.analyzeAudio(Multimodal.audioTable(spark, sf))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    got.keys.toSeq.sorted.take(5).foreach { id =>
+      val n = (64 + id % 128).toInt
+      val v = (0 until n).map(i => ((id * 31 + 17L * i) % 2048) - 1024)
+      val crossings = (1 until n).count(i => (v(i) < 0) != (v(i - 1) < 0)).toLong
+      val energy = v.map(x => x * x).sum
+      assert(got(id) == ((n.toLong, crossings, energy)), s"doc $id")
+    }
+    val bad = Seq(Multimodal.AudioRow(99L, Array[Byte](82, 73, 70))).toDS()
+    val s = Multimodal.analyzeAudio(bad).collect().head
+    assert(s.getLong(0) == 99L && s.getLong(1) == -1L &&
+      s.getLong(2) == -1L && s.getLong(3) == -1L)
+  }
 }
