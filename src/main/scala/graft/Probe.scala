@@ -29,6 +29,45 @@ object Probe {
       r
     }
 
+    // `sbt "runMain graft.Probe tri"` → triangle-kernel stage profile
+    // (q50 runs over the staged co-purchase edge parquet; this times each
+    // materialization boundary of Graph.triangleCountsCanonical)
+    if (args.headOption.contains("tri")) {
+      val edgeDir = graft.sources.Tables.staged(spark, dir, "copurchase_edges") { out =>
+        val li = graft.sources.Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        li.select(col("l_orderkey"), col("l_partkey").as("u"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), "l_orderkey")
+          .filter(col("u") < col("v"))
+          .select(col("u"), col("v")).distinct()
+          .write.mode("overwrite").parquet(out)
+      }
+      (1 to 2).foreach { round =>
+        val und = spark.read.parquet(edgeDir)
+        timed(s"[$round] edge scan")(println(s"         rows=${und.count()}"))
+        val oriented = graft.operators.Graph
+          .orientCanonical(und, broadcastDeg = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        timed(s"[$round] orient bc (+persist)")(println(s"         rows=${oriented.count()}"))
+        val tri = graft.operators.Graph.enumerateTriangles(oriented, broadcastAdj = true)
+        timed(s"[$round] enumerate+agg bc") {
+          val c = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+            .groupBy("node").agg(count(lit(1)).as("n_tri"))
+          println(s"         rows=${c.count()}")
+        }
+        oriented.unpersist()
+        spark.catalog.clearCache()
+      }
+      (1 to 6).foreach { round =>
+        timed(s"[$round] full gate (noop write)") {
+          graft.queries.Relational.defs.find(_.name == "q50_triangle_count").get
+            .run(spark, dir).write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
+
     graft.sources.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("documents")
 

@@ -294,10 +294,27 @@ object Graph {
     * The input is scanned three times (two degree branches + orientation
     * join); callers with expensive lineage should persist first —
     * a parquet-backed input re-scans cheaply and needs no persist. */
+  /** Edge-count ceiling for broadcasting the node-sized side tables
+    * (degree, adjacency) of the triangle kernel: the adjacency payload is
+    * ~one Int per EDGE (each edge appears in exactly one out-list), so m
+    * edges ≈ 4m bytes broadcast — 20M edges ≈ 80 MB, the sane upper end.
+    */
+  val TriangleBroadcastEdgeLimit: Long = 20000000L
+
   def triangleCountsCanonical(und: DataFrame): DataFrame = {
-    val oriented = orientCanonical(und)
+    // Size-adaptive join strategy: the degree and adjacency tables are
+    // |V|-row / m-entry sized. Left as plain joins, Catalyst plans them as
+    // shuffle joins (agg outputs carry no size stats), which SHUFFLES THE
+    // EDGE LIST WITH BOTH NEIGHBOR ARRAYS ATTACHED — ~m·2·avg_deg ints of
+    // exchange (measured ~600 MB and the dominant, GC-noisy cost of q50 at
+    // sf0.1). Under the limit, broadcasting both replaces that with
+    // map-side hash lookups and the kernel's only shuffles are the two
+    // aggregates. Past the limit (cluster-scale graphs) the shuffle join
+    // is the correct plan and the one-count() probe is noise.
+    val bc = und.count() <= TriangleBroadcastEdgeLimit
+    val oriented = orientCanonical(und, broadcastDeg = bc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = enumerateTriangles(oriented)
+    val counts = enumerateTriangles(oriented, broadcastAdj = bc)
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
       .localCheckpoint() // materialize before unpersisting the edge cache
@@ -321,10 +338,13 @@ object Graph {
     orientCanonical(canonicalEdges(edges))
 
   /** Orientation given an already-canonical edge set (callers that reuse
-    * `und` across scans persist it first — see triangleCounts). */
-  def orientCanonical(und: DataFrame): DataFrame = {
-    val deg = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
+    * `und` across scans persist it first — see triangleCounts).
+    * `broadcastDeg` broadcasts the |V|-row degree table so the edge list
+    * never shuffles for the orientation (see triangleCountsCanonical). */
+  def orientCanonical(und: DataFrame, broadcastDeg: Boolean = false): DataFrame = {
+    val deg0 = und.select(col("u").as("node")).unionAll(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
+    val deg = if (broadcastDeg) broadcast(deg0) else deg0
     val lower = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
     und
       .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
@@ -393,12 +413,16 @@ object Graph {
     * is the edge list with two bounded arrays, never the wedge set. No
     * nested loop anywhere (plan shape pinned by GraphSpec).
     */
-  def enumerateTriangles(oriented: DataFrame): DataFrame = {
+  def enumerateTriangles(oriented: DataFrame, broadcastAdj: Boolean = false): DataFrame = {
     // sort_array: collect_list order is partition-dependent; sorting makes
     // the arrays deterministic (array_intersect itself walks the left list
     // in order, so output c's are deterministic per (a, b) after sorting)
-    val adj = oriented.groupBy(col("s"))
+    val adj0 = oriented.groupBy(col("s"))
       .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    // broadcastAdj: the adjacency payload totals one entry per edge; under
+    // the caller's edge limit, broadcasting it keeps the edge list in
+    // place (no exchange with two neighbor arrays glued to every row)
+    val adj = if (broadcastAdj) broadcast(adj0) else adj0
     oriented.select(col("s").as("a"), col("t").as("b"))
       .join(adj.select(col("s").as("a"), col("nbrs").as("na")), "a")
       .join(adj.select(col("s").as("b"), col("nbrs").as("nb")), "b")
