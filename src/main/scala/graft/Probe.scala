@@ -33,15 +33,9 @@ object Probe {
     // (q50 runs over the staged co-purchase edge parquet; this times each
     // materialization boundary of Graph.triangleCountsCanonical)
     if (args.headOption.contains("tri")) {
-      val edgeDir = graft.sources.Tables.staged(spark, dir, "copurchase_edges") { out =>
-        val li = graft.sources.Tables.load(spark, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey"))
-        li.select(col("l_orderkey"), col("l_partkey").as("u"))
-          .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), "l_orderkey")
-          .filter(col("u") < col("v"))
-          .select(col("u"), col("v")).distinct()
-          .write.mode("overwrite").parquet(out)
-      }
+      // the gate's OWN fixture staging — shared so the profiler cannot
+      // drift from the plan it claims to measure
+      val edgeDir = graft.queries.Relational.copurchaseEdgesDir(spark, dir)
       (1 to 2).foreach { round =>
         val und = spark.read.parquet(edgeDir)
         timed(s"[$round] edge scan")(println(s"         rows=${und.count()}"))
@@ -64,6 +58,38 @@ object Probe {
             .run(spark, dir).write.format("noop").mode("overwrite").save()
         }
         spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
+
+    // `sbt "runMain graft.Probe bfs"` → one semi-naive BFS round, plan +
+    // timing: is the frontier⋈edges join shuffling the edge list every
+    // round (SMJ both sides) or reusing the bucketed layout / broadcasting
+    // the frontier? Plus repeated full-gate timings of the iterative family.
+    if (args.headOption.contains("bfs")) {
+      val tbl = graft.plans.Layouts.persistedLayout(
+        graft.sources.RdfBridge.triples(spark, dir), dir,
+        graft.plans.Layouts.BySubject, signPartitioned = false)
+      val triples = spark.table(tbl)
+      val edges = triples.select(
+          col(graft.core.TripleSchema.subject).as("src"),
+          col(graft.core.TripleSchema.objekt).as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[probe] edges rows=${edges.count()}")
+      val seeds = triples.filter(col("Predicate") === graft.sources.RdfBridge.Placed)
+        .agg(min(col("Subject")).as("node")).localCheckpoint()
+      val round1 = seeds.join(edges, seeds("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+      println("[probe] round-1 frontier-join executed plan:")
+      round1.write.format("noop").mode("overwrite").save()
+      println(round1.queryExecution.executedPlan.toString.take(4000))
+      Seq("rdf_reachability", "rdf_shortest_path", "rdf_pagerank").foreach { g =>
+        val d = graft.queries.Rdf.defs.find(_.name == g).get
+        (1 to 3).foreach { i =>
+          timed(s"[$i] $g")(
+            d.run(spark, dir).write.format("noop").mode("overwrite").save())
+          spark.catalog.clearCache()
+        }
       }
       spark.stop(); return
     }

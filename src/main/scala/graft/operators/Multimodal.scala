@@ -134,6 +134,36 @@ object Multimodal {
     }).toDF("doc_id", "width", "height", "pixel_sum")
   }
 
+  /** REAL image HISTOGRAM (round-6): per-image 8-bin grayscale histogram
+    * (bin = pixel div 32) computed during decode — the channel-statistics
+    * shape a vision ingest runs after decode (exposure/contrast screens).
+    * flatMap: one image row → 8 (doc_id, bin, n_px) rows, executor-side,
+    * no shuffle; a corrupt payload yields one (-1, -1) sentinel row.
+    * The generator formula makes every bin count SQL-derivable.
+    */
+  def imageHistogram(images: Dataset[ImageRow]): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions(_.flatMap { r =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+        val bins = new Array[Long](8)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            bins((img.getRGB(x, y) & 0xff) / 32) += 1
+            x += 1
+          }
+          y += 1
+        }
+        (0 until 8).map(b => (r.doc_id, b, bins(b)))
+      } catch {
+        case _: Exception => Seq((r.doc_id, -1, -1L))
+      }
+    }).toDF("doc_id", "bin", "n_px")
+  }
+
   final case class VideoRow(doc_id: Long, gif: Array[Byte])
 
   /** REAL video path (no stub), the moving-picture twin of [[imageTable]]:

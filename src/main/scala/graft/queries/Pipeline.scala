@@ -1819,6 +1819,31 @@ object Pipeline {
         graft.operators.Multimodal.imageTable(s, dir))
     }
 
+  /** REAL image histogram through the gate (round-6): 8-bin grayscale
+    * histogram per PNG, computed during decode on executors
+    * (Multimodal.imageHistogram) — all 8 bins emitted per image, zeros
+    * included, so downstream contrast screens never special-case missing
+    * bins. Oracle rebuilds every bin count from the generator formula with
+    * a LEFT JOIN against the full doc × bin grid.
+    */
+  private def multimodalImageHistogram: QueryDef =
+    QueryDef("multimodal_image_histogram",
+      """WITH dims AS (SELECT doc_id, 1 + doc_id % 64 AS w, 1 + doc_id % 48 AS h FROM documents),
+        |bins AS (SELECT unnest(range(0, 8)) AS bin),
+        |xs AS (SELECT unnest(range(0, 64)) AS x),
+        |ys AS (SELECT unnest(range(0, 48)) AS y),
+        |px AS (SELECT d.doc_id, ((d.doc_id + 7*xs.x + 13*ys.y) % 251) // 32 AS b
+        |  FROM dims d JOIN xs ON xs.x < d.w JOIN ys ON ys.y < d.h),
+        |cnt AS (SELECT doc_id, b, COUNT(*) AS n FROM px GROUP BY doc_id, b)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  CAST(bins.bin AS INTEGER) AS bin,
+        |  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_px
+        |FROM (SELECT doc_id FROM documents) d CROSS JOIN bins
+        |LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.b = bins.bin""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.imageHistogram(
+        graft.operators.Multimodal.imageTable(s, dir))
+    }
+
   /** REAL WAV decode (javax.sound.sampled — the JDK's codec): sample rate,
     * frame count and integer absolute-amplitude sum read back from
     * RIFF/WAVE bytes synthesized deterministically per document. The
@@ -1914,6 +1939,25 @@ object Pipeline {
           col("event_id").cast("long").as("event_id"),
           col("event_type"), col("value"))
     }
+
+  /** SCD TYPE-2 materialization of the events changelog (round-6): each
+    * event becomes a VERSION ROW with a validity interval — valid_from =
+    * its ts, valid_to = the user's next event ts (NULL while current),
+    * is_current flagging the open version. The full-history companion to
+    * events_latest_state (which keeps only the newest row): the shape a
+    * warehouse dimension table takes under change-data capture. One window
+    * shuffle on user_id at any scale; ties broken by event_id so the
+    * version chain is deterministic.
+    */
+  private def eventsScd2(d: Dialect): String =
+    """SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  CAST(event_id AS BIGINT) AS event_id,
+      |  event_type, value,
+      |  ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+      |FROM events""".stripMargin
 
   /** Session windows over the events stream table (30-minute inactivity
     * gap) — Spark's session_window vs a gaps-and-islands oracle. At scale:
@@ -2496,6 +2540,7 @@ object Pipeline {
     docQuery("text_zipf_slope", textZipfSlope),
     docQuery("corpus_merge_upsert", corpusMergeUpsert),
     eventsQuery("events_funnel", eventsFunnel),
+    eventsQuery("events_scd2", eventsScd2),
     eventsQuery("events_stats_moments", eventsStatsMoments),
     docQuery("corpus_sample_stratified", corpusSampleStratified),
     dedupContainmentDef,
@@ -2515,6 +2560,7 @@ object Pipeline {
     multimodalDecodeImage,
     multimodalDecodeAudio,
     multimodalAudioFeatures,
+    multimodalImageHistogram,
     multimodalDecodeVideo,
     textLmScore,
     eventsLatestState,

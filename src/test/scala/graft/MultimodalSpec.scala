@@ -104,6 +104,26 @@ class MultimodalSpec extends SparkTestBase {
       s.getLong(2) == -1L && s.getLong(3) == -1L)
   }
 
+  test("image histogram: 8 bins per image incl. zeros; counts match the formula") {
+    import spark.implicits._
+    val got = Multimodal.imageHistogram(Multimodal.imageTable(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val ids = got.keys.map(_._1).toSeq.distinct.sorted.take(3)
+    ids.foreach { id =>
+      val (w, h) = ((1 + id % 64).toInt, (1 + id % 48).toInt)
+      val exp = new Array[Long](8)
+      for (y <- 0 until h; x <- 0 until w)
+        exp(((id + 7L * x + 13L * y) % 251).toInt / 32) += 1
+      (0 until 8).foreach { b =>
+        assert(got((id, b)) == exp(b), s"doc $id bin $b")
+      }
+      assert(exp.sum == w.toLong * h)
+    }
+    val bad = Seq(Multimodal.ImageRow(42L, Array[Byte](1, 2))).toDS()
+    val s = Multimodal.imageHistogram(bad).collect()
+    assert(s.length == 1 && s.head.getLong(0) == 42L && s.head.getInt(1) == -1)
+  }
+
   test("WAV analysis: zero crossings and energy match the formula; sentinel on corrupt") {
     import spark.implicits._
     val got = Multimodal.analyzeAudio(Multimodal.audioTable(spark, sf))
