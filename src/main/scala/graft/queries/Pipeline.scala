@@ -2312,6 +2312,31 @@ object Pipeline {
     * explicit all-DOUBLE cast tree, identical on both engines. Splits are
     * the SAME content-hash buckets as corpus_split_hash.
     */
+  /** DATA-MIXTURE WEIGHTS (round-6): per-source token counts, each
+    * source's natural share of the corpus in micro-units, and the
+    * repetition factor (epochs_micro) that upsampling to a UNIFORM target
+    * mixture would require — the numbers a training-data pipeline computes
+    * before interleaving sources (cf. corpus_interleave's weighted
+    * round-robin, which consumes exactly such weights). All integer
+    * micro-unit arithmetic, so cross-engine bit-identical. Scale shape:
+    * one map-side-combinable aggregate over documents (token count is a
+    * per-row scalar), a broadcast-sized totals row, zero extra shuffles.
+    */
+  private def corpusMixtureWeights(d: Dialect): String = {
+    val idiv = if (d == SparkDialect) "div" else "//"
+    s"""WITH per AS (SELECT source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(${d.len(F.tokens(d, "text"))}) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+       |    CAST(COUNT(*) AS BIGINT) AS k FROM per)
+       |SELECT per.source, per.n_docs, per.n_tokens,
+       |  CAST((per.n_tokens * 1000000) $idiv tot.t AS BIGINT) AS share_micro,
+       |  CAST((tot.t * 1000000) $idiv (tot.k * per.n_tokens) AS BIGINT)
+       |    AS epochs_micro
+       |FROM per CROSS JOIN tot""".stripMargin
+  }
+
   private def corpusKlSql(d: Dialect): String = {
     val bucket = s"(${F.strHash(d, "text")} % 100)"
     val p = "((CAST(c.p_c AS DOUBLE) + 1.0) / (CAST(t.p_n AS DOUBLE) + CAST(t.v AS DOUBLE)))"
@@ -2555,6 +2580,7 @@ object Pipeline {
     eventsHistogram,
     corpusCompact,
     docQuery("corpus_profile", corpusProfile),
+    docQuery("corpus_mixture_weights", corpusMixtureWeights),
     multimodalResize,
     multimodalFrameSample,
     multimodalDecodeImage,
