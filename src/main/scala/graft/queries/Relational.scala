@@ -939,6 +939,35 @@ object Relational {
     // exact-equal, not just cardinality-equal. ----
     q50TriangleCount,
 
+    // ---- NULL-SAFE EQUALITY JOIN (`<=>` / IS NOT DISTINCT FROM): NULL is
+    // a real join key, not a dropped row — the dimension-lookup shape where
+    // "unknown" is itself a category (here: error events carry no key).
+    // Catalyst plans EqualNullSafe as an ordinary hash/SMJ equi-join (the
+    // null bucket hashes like any value), so the scale story is identical
+    // to q4's. The join runs against per-key aggregates, never row-pairs:
+    // joining raw NULL rows to raw NULL rows would square the null
+    // group. ----
+    QueryDef("q63_null_safe_join",
+      """WITH k AS (SELECT CASE WHEN event_type = 'error' THEN NULL
+        |    ELSE CAST(user_id % 10 AS INTEGER) END AS k_val, value FROM events),
+        |d AS (SELECT DISTINCT k_val FROM k),
+        |agg AS (SELECT k_val, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+        |  FROM k GROUP BY k_val)
+        |SELECT d.k_val, agg.n_events, agg.v_sum
+        |FROM d JOIN agg ON d.k_val IS NOT DISTINCT FROM agg.k_val""".stripMargin) { (s, dir) =>
+      val k = Tables.load(s, dir, "events").select(
+        when(col("event_type") === "error", lit(null))
+          .otherwise((col("user_id") % 10).cast("int")).as("k_val"),
+        col("value"))
+      val d = k.select(col("k_val")).distinct()
+      val agg = k.groupBy(col("k_val"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("v_sum"))
+        .withColumnRenamed("k_val", "k_agg")
+      d.join(agg, d("k_val") <=> agg("k_agg"))
+        .select(col("k_val"), col("n_events"), col("v_sum"))
+    },
+
     // ---- K-CORE DECOMPOSITION (k=2) over the SUPPORT-2 co-purchase graph
     // (part pairs sharing >= 2 orders — the thresholded association graph;
     // the unthresholded q50 graph is near-regular with min degree ~40, so
