@@ -249,6 +249,21 @@ object Rdf {
         .sparql("SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c :in_nation ?n } GROUP BY ?n")
     },
 
+    // ---- SPARQL COUNT(DISTINCT ?x): the bridge's :supplied_by triples
+    // are a MULTISET (one per lineitem row, duplicates retained), so
+    // per-supplier distinct-part counts do real dedup work — COUNT(?p)
+    // would overcount. Plans as Catalyst's two-phase distinct aggregate
+    // (partial distinct before the exchange); the only gate exercising the
+    // parser's DISTINCT-aggregate arm end-to-end. ----
+    QueryDef("rdf_sparql_agg_distinct",
+      RdfBridge.oracleCte +
+        """SELECT Object AS s, CAST(COUNT(DISTINCT Subject) AS BIGINT) AS nparts
+          |FROM triples WHERE Predicate = -21 GROUP BY Object""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?s (COUNT(DISTINCT ?p) AS ?nparts) WHERE { ?p :supplied_by ?s } GROUP BY ?s")
+    },
+
     // ---- SPARQL MINUS (negation): orders NOT containing a specific part
     // — the anti-join shape reached from the SPARQL surface (same physical
     // plan as SQL NOT EXISTS / q6_anti_join); non-empty at every scale
