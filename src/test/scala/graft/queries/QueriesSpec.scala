@@ -117,6 +117,25 @@ class QueriesSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("events_scd2: version chains are gapless and exactly one current row per user") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val out = SparkEntry.queries("events_scd2")(spark, sf).persist()
+    // exactly one open version (valid_to IS NULL <=> is_current = 1) per user
+    assert(out.filter((col("valid_to").isNull) =!= (col("is_current") === 1)).count() == 0)
+    val cur = out.filter(col("is_current") === 1)
+      .groupBy("user_id").count().filter(col("count") =!= 1)
+    assert(cur.count() == 0, "each user must have exactly one current version")
+    // gapless chain: valid_to equals the user's next valid_from, every row
+    val w = Window.partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+    val chained = out.withColumn("nxt", lead(col("valid_from"), 1).over(w))
+    assert(chained.filter(!(col("valid_to") <=> col("nxt"))).count() == 0,
+      "valid_to must chain to the next version's valid_from")
+    // intervals never invert
+    assert(out.filter(col("valid_to") < col("valid_from")).count() == 0)
+    out.unpersist()
+  }
+
   test("corpus_bloom_decontaminate output is bit-identical to the exact gate") {
     // bloom prefilter must not change results: no false negatives, and the
     // exact-verify join removes every false positive — THE contract
