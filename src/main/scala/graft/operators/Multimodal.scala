@@ -16,59 +16,133 @@ import org.apache.spark.sql.functions._
   * [[videoTable]] / [[decodeVideoFeatures]]), plus REAL transform passes
   * over them: nearest-neighbor PNG resize with re-encode
   * ([[resizeImages]]) and strided GIF frame extraction
-  * ([[sampleVideoFrames]]). [[extractFeatures]] keeps a codec-free
-  * byte-level pass (checksum/head/tail over the raw payload — itself a
-  * real binary-column operation) demonstrating the metadata plumbing;
-  * swapping any codec for ffmpeg/JNI changes no schema, partitioning, or
-  * plan shape.
+  * ([[sampleVideoFrames]]). [[extractFeatures]] routes a MIXED-modality
+  * table through all three codecs in one partition pass (round-7 — the
+  * former byte-checksum stub is gone); swapping any codec for ffmpeg/JNI
+  * changes no schema, partitioning, or plan shape.
   */
 object Multimodal {
 
   final case class MediaMeta(width: Int, height: Int, sampleRate: Int)
   final case class MediaRow(doc_id: Long, modality: String,
       payload: Array[Byte], meta: MediaMeta)
+  /** Unified decoded-feature row: `n_units` is the modality's decoded atom
+    * count (pixels / PCM samples / frames) and `value_sum` its content sum
+    * (gray pixel sum / absolute amplitude sum / gray sum across frames) —
+    * the two numbers every modality-agnostic quality screen starts from.
+    * (-1, -1) is the per-record codec-failure sentinel.
+    */
   final case class MediaFeatures(doc_id: Long, modality: String,
-      byte_len: Long, checksum: Long, head_byte: Int, tail_byte: Int)
+      n_units: Long, value_sum: Long)
 
-  val P: Long = 2147483647L
-
-  /** Build a media table from the documents table: payload = UTF-8 bytes of
-    * the text (a deterministic stand-in for real image/audio bytes),
-    * modality round-robin, metadata derived from doc stats.
+  /** Mixed-modality media table with REAL payloads: each document carries
+    * actual PNG / RIFF-WAVE / animated-GIF bytes (round-robin by
+    * `doc_id % 3`) from the same deterministic generators the per-modality
+    * tables use — so every decoded feature stays SQL-derivable while the
+    * payloads exercise the real JDK codecs end to end. Encoding runs inside
+    * mapPartitions on executors; the codec writer handles are hoisted to
+    * one lookup per partition.
     */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(
-        col("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
-        encode(col("text"), "UTF-8").as("payload"),
-        struct(
-          (col("n_chars") % 640).cast("int").as("width"),
-          (col("n_chars") % 480).cast("int").as("height"),
-          lit(16000).as("sampleRate")).as("meta"))
-      .as[MediaRow]
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        lazy val gifWriter =
+          javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        lazy val wavW = wavWriter
+        it.map { id =>
+          (id % 3) match {
+            case 0 => MediaRow(id, "image", pngBytes(id),
+              MediaMeta((1 + id % 64).toInt, (1 + id % 48).toInt, 0))
+            case 1 => MediaRow(id, "audio", wavBytes(id, wavW),
+              MediaMeta(0, 0, 8000))
+            case _ => MediaRow(id, "video", gifBytes(id, gifWriter),
+              MediaMeta(VW, VH, 0))
+          }
+        }
+      }
   }
 
-  /** "Decode" stub: polynomial checksum + head/tail bytes. Deterministic,
-    * byte-level, runs where a real codec would — inside mapPartitions on
-    * executors, one batch of rows per partition.
+  /** REAL modality-dispatched decode (round-7, replacing the byte-checksum
+    * stub): each row routes by its `modality` tag to the matching JDK codec
+    * — `javax.imageio` for PNG pixels, `javax.sound.sampled` for PCM
+    * samples, the imageio GIF sequence reader for frames — inside ONE
+    * mapPartitions pass (no per-modality split/union: a 100 TB media table
+    * is modality-mixed on disk and a 3-way split would triple the scan).
+    * Codec reader handles resolve once per partition; a corrupt payload
+    * yields the (-1, -1) sentinel row, never a batch failure.
     */
-  private def featuresOf(m: MediaRow): MediaFeatures = {
-    val bytes = m.payload
-    var h = 0L
-    var i = 0
-    while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xff)) % P; i += 1 }
-    MediaFeatures(m.doc_id, m.modality, bytes.length.toLong, h,
-      if (bytes.nonEmpty) bytes(0) & 0xff else -1,
-      if (bytes.nonEmpty) bytes(bytes.length - 1) & 0xff else -1)
-  }
-
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map(featuresOf))
+    media.mapPartitions { it =>
+      lazy val gifReader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      lazy val readers = wavReaders.sortBy(r => !r.getClass.getName.contains("Wave"))
+      def openWav(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
+        readers.view.flatMap { rd =>
+          try Some(rd.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+        }.headOption.getOrElse(
+          throw new javax.sound.sampled.UnsupportedAudioFileException("no reader"))
+      it.map { m =>
+        try {
+          m.modality match {
+            case "image" =>
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(m.payload))
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+                y += 1
+              }
+              MediaFeatures(m.doc_id, m.modality,
+                img.getWidth.toLong * img.getHeight, sum)
+            case "audio" =>
+              val ais = openWav(m.payload)
+              val fmt = ais.getFormat
+              require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+                !fmt.isBigEndian, s"unexpected WAV format: $fmt")
+              val bytes = ais.readAllBytes()
+              val n = bytes.length / 2
+              var sum = 0L
+              var i = 0
+              while (i < n) {
+                val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+                sum += math.abs(v.toLong)
+                i += 1
+              }
+              MediaFeatures(m.doc_id, m.modality, n.toLong, sum)
+            case "video" =>
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(m.payload))
+              gifReader.setInput(iis, false, true)
+              val n = gifReader.getNumImages(true)
+              require(n > 0, "empty GIF")
+              var sum = 0L
+              var f = 0
+              while (f < n) {
+                val img = gifReader.read(f)
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+                  y += 1
+                }
+                f += 1
+              }
+              iis.close()
+              MediaFeatures(m.doc_id, m.modality, n.toLong, sum)
+            case other => throw new IllegalArgumentException(s"modality $other")
+          }
+        } catch {
+          case _: Exception => MediaFeatures(m.doc_id, m.modality, -1L, -1L)
+        }
+      }
+    }
   }
 
   final case class ImageRow(doc_id: Long, png: Array[Byte])
@@ -82,29 +156,35 @@ object Multimodal {
     * Encoding runs inside mapPartitions on executors (the codec shape a
     * real ingest has — CPU-bound work next to the data, no shuffle).
     */
+  /** The deterministic PNG for doc `id` — pixel (x, y) is the grayscale
+    * byte `(id + 7x + 13y) mod 251`, dimensions
+    * `(1 + id mod 64) × (1 + id mod 48)`. Shared by [[imageTable]] and the
+    * mixed-modality [[mediaTable]]. */
+  private def pngBytes(id: Long): Array[Byte] = {
+    val w = (1 + id % 64).toInt
+    val h = (1 + id % 48).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((id + 7L * x + 13L * y) % 251).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   def imageTable(spark: SparkSession, sfDir: String): Dataset[ImageRow] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id")).as[Long]
-      .mapPartitions(_.map { id =>
-        val w = (1 + id % 64).toInt
-        val h = (1 + id % 48).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val v = ((id + 7L * x + 13L * y) % 251).toInt
-            img.setRGB(x, y, (v << 16) | (v << 8) | v)
-            x += 1
-          }
-          y += 1
-        }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        ImageRow(id, bos.toByteArray)
-      })
+      .mapPartitions(_.map(id => ImageRow(id, pngBytes(id))))
   }
 
   /** REAL image decode via `javax.imageio`: pixel dimensions and the
@@ -186,40 +266,46 @@ object Multimodal {
     new java.awt.image.IndexColorModel(8, 256, g, g, g)
   }
 
+  /** The deterministic animated GIF for doc `id` — `2 + id mod 4` frames
+    * of 8×6 indexed-grayscale pixels, pixel (x, y) of frame f =
+    * `(id + 11f + 7x + 13y) mod 251`. The caller passes the partition's
+    * hoisted GIF writer. Shared by [[videoTable]] and [[mediaTable]]. */
+  private def gifBytes(id: Long, writer: javax.imageio.ImageWriter): Array[Byte] = {
+    val nFrames = (2 + id % 4).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(VW, VH,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+      val raster = img.getRaster
+      var y = 0
+      while (y < VH) {
+        var x = 0
+        while (x < VW) {
+          raster.setSample(x, y, 0,
+            ((id + 11L * f + 7L * x + 13L * y) % 251).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
   def videoTable(spark: SparkSession, sfDir: String): Dataset[VideoRow] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-        it.map { id =>
-          val nFrames = (2 + id % 4).toInt
-          val bos = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-          writer.setOutput(ios)
-          writer.prepareWriteSequence(null)
-          var f = 0
-          while (f < nFrames) {
-            val img = new java.awt.image.BufferedImage(VW, VH,
-              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
-            val raster = img.getRaster
-            var y = 0
-            while (y < VH) {
-              var x = 0
-              while (x < VW) {
-                raster.setSample(x, y, 0,
-                  ((id + 11L * f + 7L * x + 13L * y) % 251).toInt)
-                x += 1
-              }
-              y += 1
-            }
-            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-            f += 1
-          }
-          writer.endWriteSequence()
-          ios.close()
-          VideoRow(id, bos.toByteArray)
-        }
+        it.map(id => VideoRow(id, gifBytes(id, writer)))
       }
   }
 
@@ -377,29 +463,37 @@ object Multimodal {
       .iterator.asScala.toSeq
   }
 
+  /** The deterministic WAV for doc `id` — sample n is
+    * `((id*31 + 17n) mod 2048) - 1024`, length `64 + id mod 128` samples of
+    * 16-bit mono PCM at 8 kHz. The caller passes the partition's hoisted
+    * writer (see [[wavWriter]]). Shared by [[audioTable]] and
+    * [[mediaTable]]. */
+  private def wavBytes(id: Long,
+      writer: javax.sound.sampled.spi.AudioFileWriter): Array[Byte] = {
+    val n = (64 + id % 128).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((id * 31 + 17L * i) % 2048) - 1024).toShort
+      pcm(2 * i) = (v & 0xff).toByte        // little-endian int16
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   def audioTable(spark: SparkSession, sfDir: String): Dataset[AudioRow] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         val writer = wavWriter
-        it.map { id =>
-          val n = (64 + id % 128).toInt
-          val pcm = new Array[Byte](n * 2)
-          var i = 0
-          while (i < n) {
-            val v = (((id * 31 + 17L * i) % 2048) - 1024).toShort
-            pcm(2 * i) = (v & 0xff).toByte        // little-endian int16
-            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
-            i += 1
-          }
-          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-          val bos = new java.io.ByteArrayOutputStream()
-          writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-          AudioRow(id, bos.toByteArray)
-        }
+        it.map(id => AudioRow(id, wavBytes(id, writer)))
       }
   }
 

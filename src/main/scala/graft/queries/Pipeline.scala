@@ -1670,29 +1670,52 @@ object Pipeline {
 
   // ------------------------------------------------- multimodal / sessions
 
-  /** Typed binary-payload feature extraction (graft.operators.Multimodal):
-    * the Spark side runs the REAL plumbing — binary column, metadata struct,
-    * mapPartitions on executors — with a deterministic byte-level stub where
-    * a codec would sit. The oracle recomputes the same bytes from the source
-    * text (ASCII ⇒ chars == bytes).
+  /** REAL mixed-modality feature extraction (round-7, replacing the
+    * byte-checksum stub): the media table carries actual PNG / WAV / GIF
+    * payloads (round-robin by doc_id % 3) and ONE mapPartitions pass
+    * dispatches each row to the matching JDK codec — no per-modality
+    * split/union, the shape a modality-mixed 100 TB media table demands.
+    * Features unify as (decoded atom count, content sum): pixels+gray-sum
+    * for images, samples+abs-amplitude-sum for audio, frames+gray-sum for
+    * video. All three generators are SQL-derivable, so the oracle rebuilds
+    * every decoded value with three per-modality subqueries and zero media
+    * libraries; PNG/PCM/identity-palette-GIF are lossless, so the
+    * round-trip is exact.
     */
-  private def multimodalFeatures: QueryDef = {
-    val d = DuckDialect
-    val byteFold = d.reduce(
-      d.transform(d.seq("1", "length(text)"), "i", "CAST(ascii(substr(text, i, 1)) AS BIGINT)"),
-      "CAST(0 AS BIGINT)", "acc", "x", "(acc*31 + x) % 2147483647")
+  private def multimodalFeatures: QueryDef =
     QueryDef("multimodal_features",
-      s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
-         |  CAST(length(text) AS BIGINT) AS byte_len,
-         |  $byteFold AS checksum,
-         |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS head_byte,
-         |  CAST(ascii(substr(text, length(text), 1)) AS INTEGER) AS tail_byte
-         |FROM documents""".stripMargin) { (s, dir) =>
+      """WITH img AS (SELECT doc_id, 1 + doc_id % 64 AS w, 1 + doc_id % 48 AS h
+        |    FROM documents WHERE doc_id % 3 = 0),
+        |ipx AS (SELECT i.doc_id, i.w * i.h AS n_units,
+        |    CAST((i.doc_id + 7*xs.x + 13*ys.y) % 251 AS BIGINT) AS v
+        |  FROM img i
+        |  JOIN (SELECT unnest(range(0, 64)) AS x) xs ON xs.x < i.w
+        |  JOIN (SELECT unnest(range(0, 48)) AS y) ys ON ys.y < i.h),
+        |ifeat AS (SELECT doc_id, 'image' AS modality, n_units, SUM(v) AS value_sum
+        |  FROM ipx GROUP BY doc_id, n_units),
+        |aud AS (SELECT doc_id, 64 + doc_id % 128 AS n
+        |    FROM documents WHERE doc_id % 3 = 1),
+        |apx AS (SELECT a.doc_id, a.n,
+        |    CAST(abs(((a.doc_id*31 + 17*ns.i) % 2048) - 1024) AS BIGINT) AS v
+        |  FROM aud a JOIN (SELECT unnest(range(0, 192)) AS i) ns ON ns.i < a.n),
+        |afeat AS (SELECT doc_id, 'audio' AS modality, n AS n_units, SUM(v) AS value_sum
+        |  FROM apx GROUP BY doc_id, n),
+        |vid AS (SELECT doc_id, 2 + doc_id % 4 AS f
+        |    FROM documents WHERE doc_id % 3 = 2),
+        |vpx AS (SELECT v.doc_id, v.f,
+        |    CAST((v.doc_id + 11*fs.fi + 7*xs.x + 13*ys.y) % 251 AS BIGINT) AS pv
+        |  FROM vid v JOIN (SELECT unnest(range(0, 6)) AS fi) fs ON fs.fi < v.f
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(range(0, 6)) AS y) ys),
+        |vfeat AS (SELECT doc_id, 'video' AS modality, f AS n_units, SUM(pv) AS value_sum
+        |  FROM vpx GROUP BY doc_id, f)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, modality,
+        |  CAST(n_units AS BIGINT) AS n_units, CAST(value_sum AS BIGINT) AS value_sum
+        |FROM (SELECT * FROM ifeat UNION ALL SELECT * FROM afeat
+        |      UNION ALL SELECT * FROM vfeat) u""".stripMargin) { (s, dir) =>
       graft.operators.Multimodal.extractFeatures(
         graft.operators.Multimodal.mediaTable(s, dir)).toDF()
     }
-  }
 
   /** REAL image resize through the gate (round-6, replacing the
     * byte-downsample stub): decode the PNG corpus, nearest-neighbor

@@ -3,29 +3,53 @@ package graft
 import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing specs: schema, distribution shape, and the
-  * deterministic byte-level stubs standing in for real codecs.
+/** Multimodal plumbing specs: schema, distribution shape, and the real
+  * JDK codecs behind every decode/transform operator.
   */
 class MultimodalSpec extends SparkTestBase {
 
   private lazy val media = Multimodal.mediaTable(spark, sf)
 
-  test("media table: binary payload + typed metadata struct") {
+  test("media table: binary payload + typed metadata struct, real codec bytes") {
     val schema = media.toDF().schema
     assert(schema("payload").dataType.typeName == "binary")
     assert(schema("meta").dataType.typeName == "struct")
     assert(media.count() == 500)
+    // payloads carry real container magics per modality
+    val byMod = media.collect().groupBy(_.modality)
+    assert(byMod("image").forall(r => (r.payload(0) & 0xff) == 0x89 &&
+      r.payload(1) == 'P'))                       // PNG signature
+    assert(byMod("audio").forall(r => new String(r.payload.take(4)) == "RIFF"))
+    assert(byMod("video").forall(r => new String(r.payload.take(3)) == "GIF"))
   }
 
-  test("extractFeatures computes checksum over payload bytes on executors") {
+  test("extractFeatures dispatches each modality to its real codec") {
     val feats = Multimodal.extractFeatures(media)
-    val one = feats.filter(_.doc_id == 0).head()
-    val text = spark.read.parquet(s"$sf/documents.parquet")
-      .filter(col("doc_id") === 0).head().getAs[String]("text")
-    var h = 0L
-    text.getBytes("UTF-8").foreach(b => h = (h * 31 + (b & 0xff)) % Multimodal.P)
-    assert(one.checksum == h)
-    assert(one.byte_len == text.length)
+      .collect().map(f => f.doc_id -> f).toMap
+    // doc 0: image — n_units = w*h pixels, value_sum = gray sum
+    val (w, h) = (1, 1) // 1 + 0 % 64, 1 + 0 % 48
+    assert(feats(0L).modality == "image")
+    assert(feats(0L).n_units == w.toLong * h)
+    assert(feats(0L).value_sum == (for { y <- 0 until h; x <- 0 until w }
+      yield (7L * x + 13L * y) % 251).sum)
+    // doc 1: audio — n_units = sample count, value_sum = abs amplitude sum
+    val n = 64 + 1 % 128
+    assert(feats(1L).modality == "audio")
+    assert(feats(1L).n_units == n.toLong)
+    assert(feats(1L).value_sum ==
+      (0 until n).map(i => math.abs(((31L + 17L * i) % 2048) - 1024)).sum)
+    // doc 2: video — n_units = frame count, value_sum = gray sum over frames
+    val nf = 2 + 2 % 4
+    assert(feats(2L).modality == "video")
+    assert(feats(2L).n_units == nf.toLong)
+    assert(feats(2L).value_sum == (for { f <- 0 until nf; y <- 0 until 6; x <- 0 until 8 }
+      yield (2L + 11L * f + 7L * x + 13L * y) % 251).sum)
+    // corrupt payload → (-1, -1) sentinel, batch survives
+    import spark.implicits._
+    val bad = Seq(Multimodal.MediaRow(9L, "image", Array[Byte](1, 2, 3),
+      Multimodal.MediaMeta(0, 0, 0))).toDS()
+    val s = Multimodal.extractFeatures(bad).collect().head
+    assert(s.n_units == -1L && s.value_sum == -1L)
   }
 
   test("resizeImages: real nearest-neighbor PNG round trip matches the formula") {
