@@ -212,14 +212,51 @@ object Rdf {
     // ---- SPARQL ORDER BY + OFFSET + LIMIT (solution modifiers): ordering
     // on ALL projected variables makes the slice a deterministic multiset
     // even across duplicate rows; with the LIMIT present Catalyst plans a
-    // top-k (TakeOrderedAndProject), not a total sort. ----
+    // top-k (TakeOrderedAndProject), not a total sort. Ordering is by the
+    // DECODED terms (round-7): 'order_N' / 'part_N' are non-numeric, so
+    // they sort lexically — the oracle reconstructs the lexical forms from
+    // the entity-id arithmetic ('order_10' < 'order_9' codepoint-wise,
+    // which id ordering would get wrong). ----
     QueryDef("rdf_sparql_order",
       RdfBridge.oracleCte +
         """SELECT Subject AS o, Object AS p FROM triples WHERE Predicate = -13
-          |ORDER BY o DESC, p ASC LIMIT 200 OFFSET 100""".stripMargin) { (s, dir) =>
+          |ORDER BY 'order_' || CAST(Subject - 1 AS VARCHAR) DESC,
+          |  'part_' || CAST((-Object) - 500000000 AS VARCHAR) ASC
+          |LIMIT 200 OFFSET 100""".stripMargin) { (s, dir) =>
       engine(s, dir)
         .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
         .sparql("SELECT ?o ?p WHERE { ?o :contains ?p } ORDER BY DESC(?o) ?p LIMIT 200 OFFSET 100")
+    },
+
+    // ---- SPARQL DECODED-VALUE ORDER BY (round-7, the ORDER BY twin of
+    // rdf_sparql_filter_value): `ORDER BY ?v` sorts by the variable's
+    // DECODED numeric value. The fixture makes id order the REVERSE of
+    // value order (value id = -(nationkey + 900000000), term = the bare
+    // numeral), so with the LIMIT the id-domain sort would return the
+    // complementary slice — the gate pins value-domain ordering
+    // specifically. Secondary sort on ?c ('cust_N', lexical) makes the
+    // slice deterministic across tie groups. ----
+    QueryDef("rdf_sparql_order_value",
+      """SELECT CAST(-(c_custkey + 1000) AS INTEGER) AS c,
+        |       CAST(-(c_nationkey + 900000000) AS INTEGER) AS v
+        |FROM customer
+        |ORDER BY c_nationkey ASC, 'cust_' || CAST(c_custkey AS VARCHAR) ASC
+        |LIMIT 1000""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val customer = graft.sources.Tables.load(s, dir, "customer")
+      val valTriples = customer.select(
+        (-(col("c_custkey") + 1000)).cast("int").as(graft.core.TripleSchema.subject),
+        lit(-47).as(graft.core.TripleSchema.predicate),
+        (-(col("c_nationkey") + 900000000)).cast("int").as(graft.core.TripleSchema.objekt))
+      val numTerms = customer.select(
+          (-(col("c_nationkey") + 900000000)).cast("int").as("id"),
+          col("c_nationkey").cast("string").as("term")).distinct()
+        .unionAll(Seq((-47, ":val")).toDF("id", "term"))
+      val dict = graft.core.Dictionary.fromDF(
+        RdfBridge.dictionaryDf(s, dir).unionAll(numTerms))
+      new QueryEngine(s, dict)
+        .registerSplitTables(RdfBridge.triples(s, dir).unionAll(valTriples))
+        .sparql("SELECT ?c ?v WHERE { ?c :val ?v } ORDER BY ?v ?c LIMIT 1000")
     },
 
     // ---- SPARQL OPTIONAL (LeftJoin): every customer bound via :in_nation,

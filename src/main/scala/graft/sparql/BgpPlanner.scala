@@ -962,11 +962,56 @@ object BgpPlanner {
     // ORDER BY → OFFSET → LIMIT (SPARQL solution-modifier order). With a
     // LIMIT, Catalyst turns the sort into a TakeOrderedAndProject (top-k,
     // no total sort-exchange); OFFSET composes as skip-then-take.
+    //
+    // DECODED-VALUE ordering (round-7, closing the last id-order leak):
+    // `ORDER BY ?x` sorts solutions by the variable's DECODED term, not its
+    // encoded id — numeric terms by numeric value, non-numeric terms by
+    // lexical form, with the SPARQL total-order classes composed as one
+    // rank column: unbound < numeric < other terms (ascending; DESC
+    // reverses the whole order, so unbound lands last). An id ABSENT from
+    // the dictionary denotes the integer literal itself (the engine's data
+    // model, as in FILTER), so it sorts among the numerics by its own
+    // value; BIND-arithmetic variables are already plain numbers and sort
+    // directly. Each ordering variable costs ONE left join against the
+    // vocabulary (broadcast-sized) before the sort — the same shape as
+    // withDecodedVals — and the helper columns drop right after, so with a
+    // LIMIT the plan is still join → TakeOrderedAndProject.
+    def lexCol(v: String): String = s"__olex_$v"
+    def withDecodedSortKeys(df: DataFrame, vars: Seq[String]): DataFrame =
+      vars.distinct.filterNot(arithVars.contains)
+        .filterNot(v => df.columns.contains(valCol(v)))
+        .foldLeft(df) { (acc, v) =>
+          val idC = s"__oid_$v"
+          val vocab = dict.entries.toDF(idC, lexCol(v))
+            .withColumn(s"__onum_$v", expr(s"try_cast(${lexCol(v)} AS DOUBLE)"))
+          acc.join(vocab, acc(v) === col(idC), "left")
+            .withColumn(valCol(v),
+              when(col(idC).isNull, col(v).cast("double"))
+                .otherwise(col(s"__onum_$v")))
+            // a numeric term sorts by value, never lexically ("9" < "10")
+            .withColumn(lexCol(v),
+              when(col(valCol(v)).isNotNull, lit(null).cast("string"))
+                .otherwise(col(lexCol(v))))
+            .drop(idC, s"__onum_$v")
+        }
     val ordered =
       if (query.orderBy.isEmpty) modified
-      else modified.orderBy(query.orderBy.map {
-        case (v, asc) => if (asc) col(v).asc else col(v).desc
-      }: _*)
+      else {
+        val sortVars = query.orderBy.map(_._1)
+        val pre = withDecodedSortKeys(modified, sortVars)
+        val keys = query.orderBy.flatMap { case (v, asc) =>
+          val ks: Seq[Column] =
+            if (arithVars.contains(v)) Seq(col(v))
+            else Seq(
+              when(col(v).isNull, 0)
+                .when(col(valCol(v)).isNotNull, 1).otherwise(2),
+              col(valCol(v)), col(lexCol(v)))
+          ks.map(k => if (asc) k.asc else k.desc)
+        }
+        val helperCols = sortVars.distinct.filterNot(arithVars.contains)
+          .flatMap(v => Seq(valCol(v), lexCol(v)))
+        pre.orderBy(keys: _*).drop(helperCols: _*)
+      }
     val offsetted = query.offset.fold(ordered)(ordered.offset)
     query.limit.fold(offsetted)(offsetted.limit)
   }

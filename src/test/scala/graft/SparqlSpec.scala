@@ -418,14 +418,51 @@ class SparqlSpec extends SparkTestBase {
   test("ORDER BY + OFFSET + LIMIT slice the ordered solution sequence") {
     val (engine, triples) = fixture
     val reg = engine.registerSingleTable(triples)
-    // all 6 triples ordered by subject desc: 11, 10, 6, -5, -7, -9
+    // DECODED ordering: subjects sort by their lexical terms (a..h), not
+    // their encoded ids — desc by term: h(-9) f(11) e(6) c(-7) b(10) a(-5)
     val all = reg.sparql(
       "SELECT ?s ?p ?o WHERE { ?s ?p ?o } ORDER BY DESC(?s)").collect()
-    assert(all.map(_.getInt(0)).toSeq == Seq(11, 10, 6, -5, -7, -9))
+    assert(all.map(_.getInt(0)).toSeq == Seq(-9, 11, 6, -7, 10, -5))
     val sliced = reg.sparql(
       "SELECT ?s ?p ?o WHERE { ?s ?p ?o } ORDER BY DESC(?s) LIMIT 2 OFFSET 1")
       .collect()
-    assert(sliced.map(_.getInt(0)).toSeq == Seq(10, 6))
+    assert(sliced.map(_.getInt(0)).toSeq == Seq(11, 6))
+  }
+
+  test("ORDER BY sorts NUMERIC terms by value, with id order reversed") {
+    import spark.implicits._
+    // value ids DESCEND as values ascend: id -104 ⇒ "2", -103 ⇒ "9",
+    // -102 ⇒ "10", -101 ⇒ "30" — id order would yield 30, 10, 9, 2
+    val triples = Seq(
+      (1, 7, -104), (2, 7, -103), (3, 7, -102), (4, 7, -101)).toDF(
+      TripleSchema.subject, TripleSchema.predicate, TripleSchema.objekt)
+    val dict = Dictionary.fromPairs(spark, Seq(
+      7 -> ":val", -104 -> "2", -103 -> "9", -102 -> "10", -101 -> "30"))
+    val reg = new QueryEngine(spark, dict).registerSingleTable(triples)
+    val got = reg.sparql(
+      "SELECT ?s ?v WHERE { ?s :val ?v } ORDER BY ?v").collect()
+    // numeric value order, NOT lexical ("10" < "2" lexically) and NOT id
+    assert(got.map(_.getInt(1)).toSeq == Seq(-104, -103, -102, -101))
+    // ties on ?v break deterministically by the secondary variable
+    val tied = Seq((5, 7, -104), (1, 7, -104), (3, 7, -103)).toDF(
+      TripleSchema.subject, TripleSchema.predicate, TripleSchema.objekt)
+    val reg2 = new QueryEngine(spark, dict).registerSingleTable(tied)
+    val t = reg2.sparql(
+      "SELECT ?s ?v WHERE { ?s :val ?v } ORDER BY ?v ?s").collect()
+    assert(t.map(r => (r.getInt(1), r.getInt(0))).toSeq ==
+      Seq((-104, 1), (-104, 5), (-103, 3)))
+  }
+
+  test("ORDER BY: OPTIONAL-unbound sorts first ascending, last descending") {
+    val (engine, triples) = fixture
+    val reg = engine.registerSplitTables(triples)
+    // ?m ∈ {-7, -8}; only -7 has a :p3 edge — ?r is null for -8
+    val asc = reg.sparql("SELECT ?m ?r WHERE { ?x :p2 ?m . " +
+      "OPTIONAL { ?m :p3 ?r } } ORDER BY ?r").collect()
+    assert(asc.head.isNullAt(1) && !asc.last.isNullAt(1))
+    val desc = reg.sparql("SELECT ?m ?r WHERE { ?x :p2 ?m . " +
+      "OPTIONAL { ?m :p3 ?r } } ORDER BY DESC(?r)").collect()
+    assert(!desc.head.isNullAt(1) && desc.last.isNullAt(1))
   }
 
   test("parser: COUNT aggregates and GROUP BY extracted") {
