@@ -114,6 +114,57 @@ object Graph {
     reached
   }
 
+  /** WEIGHTED single-source(-set) shortest distances — the Bellman-Ford
+    * RELAX-JOIN fixpoint that [[shortestDistances]]'s scaladoc points to:
+    * hop-count BFS cannot carry weights (a node's first visit is not its
+    * cheapest), so each round RELAXES the improved frontier through the
+    * edge list — `cand(dst) = min(dist(src) + w)` — and keeps only strict
+    * improvements over the settled table. Per round: one frontier⋈edges
+    * equi-join, one map-side-combinable MIN by dst, one left join against
+    * the settled distances; the new frontier is exactly the improved set
+    * (semi-naive — settled nodes never re-relax unless genuinely improved).
+    * Converges in O(longest shortest-path edge count) rounds for
+    * non-negative weights; `localCheckpoint` keeps the plan O(1) in rounds.
+    * All state is distributed — the driver holds the loop counter and the
+    * emptiness probe.
+    *
+    * `edges`: columns `src`, `dst`, `w` (non-negative integral weight);
+    * `seeds`: one column `node`. Returns (node, dist) for every node
+    * reachable from a seed, seeds at distance 0. Exact integer arithmetic —
+    * bit-identical on any engine or partitioning.
+    */
+  def weightedDistances(edges: DataFrame, seeds: DataFrame,
+      maxIters: Int = -1): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var iter = 0
+    var done = false
+    while (!done && (maxIters < 0 || iter < maxIters)) {
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("d2"))
+        .groupBy("node").agg(min("d2").as("d2"))
+      val improved = cand.join(dist, Seq("node"), "left")
+        .filter(col("dist").isNull || col("d2") < col("dist"))
+        .select(col("node"), col("d2").as("dist"))
+        .localCheckpoint()
+      if (improved.isEmpty) done = true
+      else {
+        // settled table = min over (old, improved): re-aggregate so a node
+        // improved twice keeps exactly one row
+        dist = dist.unionAll(improved)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint()
+        frontier = improved
+        iter += 1
+      }
+    }
+    e.unpersist()
+    dist
+  }
+
   /** PAIRWISE transitive closure — (root, node) for every node reachable
     * from `root` in ≥1 step — the provenance-carrying BFS that backs
     * both-ends-variable property paths (`?s :p+ ?o`). Same semi-naive

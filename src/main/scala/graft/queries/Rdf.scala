@@ -1188,6 +1188,40 @@ object Rdf {
         .select(col("node").cast("int").as("node"), col("dist"))
     },
 
+    // ---- WEIGHTED shortest distances (round-7): the Bellman-Ford
+    // relax-join over the bridge DAG with an arithmetic edge weight
+    // `1 + abs(Subject + Object) % 7` — per round one frontier⋈edges
+    // equi-join + MIN by dst + improvement join against the settled table
+    // (Graph.weightedDistances; hop-count BFS cannot carry weights — its
+    // first-visit anti-join is only the min under unit weights). Exact
+    // integer distances vs DuckDB's recursive path enumeration with
+    // MIN(dist) — the bridge graph is a layered DAG, so the CTE
+    // terminates. ----
+    QueryDef("rdf_weighted_path",
+      RdfBridge.oracleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, edges AS (SELECT DISTINCT Subject AS src, Object AS dst,
+        |    1 + abs(CAST(Subject AS BIGINT) + Object) % 7 AS w
+        |  FROM triples WHERE Predicate IN (-2, -13, -21)),
+        |seed AS (SELECT MIN(Subject) AS s FROM triples WHERE Predicate = -2),
+        |walk AS (
+        |  SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM seed
+        |  UNION ALL
+        |  SELECT e.dst, k.dist + e.w FROM walk k JOIN edges e ON e.src = k.node)
+        |SELECT CAST(node AS INTEGER) AS node, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY node""".stripMargin) { (s, dir) =>
+      val tbl = Layouts.persistedLayout(RdfBridge.triples(s, dir), dir,
+        Layouts.BySubject, signPartitioned = false)
+      val t = s.table(tbl)
+      val edges = t.filter(col("Predicate").isin(-2, -13, -21))
+        .select(col("Subject").as("src"), col("Object").as("dst"),
+          (lit(1L) + abs(col("Subject").cast("long") + col("Object")) % 7).as("w"))
+        .distinct()
+      val seeds = t.filter(col("Predicate") === RdfBridge.Placed)
+        .agg(min(col("Subject")).as("node"))
+      graft.operators.Graph.weightedDistances(edges, seeds)
+        .select(col("node").cast("int").as("node"), col("dist"))
+    },
+
     // ---- PageRank (3 iterations) in exact integer micro-units over the
     // full bridge graph: iterative rank joins on Spark vs the same three
     // steps UNROLLED as CTEs in DuckDB — bit-exact because every step is

@@ -132,6 +132,30 @@ class GraphSpec extends SparkTestBase {
     assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("weightedDistances: relax-join beats the BFS first-visit distance") {
+    import spark.implicits._
+    // node 2 is FIRST reached in one hop at cost 10, then improved in a
+    // later round via the 3-hop path 1→3→4→2 at cost 3 — exactly the
+    // re-relaxation a hop-ordered BFS (first visit = final) gets wrong
+    val edges = Seq(
+      (1L, 2L, 10L), (1L, 3L, 1L), (3L, 4L, 1L), (4L, 2L, 1L),
+      (2L, 5L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.weightedDistances(edges, seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 5 hangs off 2: its distance must track 2's IMPROVED value
+    assert(got == Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 2L, 5L -> 4L))
+    // equal-cost alternatives and zero-weight edges are handled exactly
+    val g2 = Seq((1L, 2L, 0L), (2L, 3L, 5L), (1L, 3L, 5L)).toDF("src", "dst", "w")
+    val got2 = Graph.weightedDistances(g2, Seq(1L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 0L, 2L -> 0L, 3L -> 5L))
+    // unreachable nodes are absent; multi-seed takes the min over seeds
+    val got3 = Graph.weightedDistances(edges, Seq(3L, 4L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3 == Map(3L -> 0L, 4L -> 0L, 2L -> 1L, 5L -> 2L))
+  }
+
   test("kCore: k above the densest subgraph yields an empty core") {
     import spark.implicits._
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
