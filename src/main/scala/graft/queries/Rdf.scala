@@ -78,6 +78,38 @@ object Rdf {
         .sql(q1Sql.replace("%TBL%", "`table`"))
     },
 
+    // ---- Q1 at LONG id width (round-7, SURVEY §1.2): the same chain SQL
+    // over the 64-bit bridge with every entity id shifted BEYOND Int range
+    // (|id| + 6·10⁹ — the vocabulary size the int store overflows at,
+    // sf ≈ 300). Schema width is a layout parameter: the identical
+    // registerSingleTablePersisted + SQL path runs both widths, pinning
+    // that nothing in the layout/engine narrows to 32 bits. Sign-preserving
+    // shift keeps the split-layout routing semantics intact. ----
+    QueryDef("rdf_q1_chain_long",
+      """WITH triples AS (
+        |  SELECT -(o_custkey + 1000) - 6000000000 AS Subject, -2 AS Predicate,
+        |         o_orderkey + 1 + 6000000000 AS Object FROM orders
+        |  UNION ALL
+        |  SELECT l_orderkey + 1 + 6000000000, -13,
+        |         -(l_partkey + 500000000) - 6000000000 FROM lineitem
+        |  UNION ALL
+        |  SELECT -(l_partkey + 500000000) - 6000000000, -21,
+        |         l_suppkey + 1000000000 + 6000000000 FROM lineitem
+        |  UNION ALL
+        |  SELECT -(c_custkey + 1000) - 6000000000, -31,
+        |         c_nationkey + 2000000000 + 6000000000 FROM customer)
+        |""".stripMargin + q1Sql.replace("%TBL%", "triples")) { (s, dir) =>
+      val shift = (c: org.apache.spark.sql.Column) =>
+        c + when(c >= 0, 6000000000L).otherwise(-6000000000L)
+      val wide = RdfBridge.triplesLong(s, dir).select(
+        shift(col(graft.core.TripleSchema.subject)).as(graft.core.TripleSchema.subject),
+        col(graft.core.TripleSchema.predicate),
+        shift(col(graft.core.TripleSchema.objekt)).as(graft.core.TripleSchema.objekt))
+      engine(s, dir)
+        .registerSingleTablePersisted(wide, s"$dir/long", Layouts.BySubject)
+        .sql(q1Sql.replace("%TBL%", "`table`"))
+    },
+
     // ---- Q2: sign-split tables, derived-table subquery, inner join then
     // left-outer join re-inner-ized by the post-join predicate — the
     // reference's exact shape at PartitionQueryingBRDSubject.java:152-157.
