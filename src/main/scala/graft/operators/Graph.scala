@@ -330,10 +330,12 @@ object Graph {
     // The canonical edge set feeds THREE scans (two degree branches + the
     // orientation join); without a persist each scan replays the caller's
     // full upstream lineage (for q50 that is a lineitem self-join +
-    // distinct — the dominant cost, not the wedge join).
+    // distinct — the dominant cost, not the wedge join). The count runs
+    // AFTER the persist, so the broadcast-decision probe materializes the
+    // cache instead of adding a 4th lineage replay.
     val und = canonicalEdges(edges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = triangleCountsCanonical(und)
+    val counts = triangleCountsCanonical(und, edgeCount = Some(und.count()))
     und.unpersist()
     counts
   }
@@ -346,13 +348,27 @@ object Graph {
     * join); callers with expensive lineage should persist first —
     * a parquet-backed input re-scans cheaply and needs no persist. */
   /** Edge-count ceiling for broadcasting the node-sized side tables
-    * (degree, adjacency) of the triangle kernel: the adjacency payload is
-    * ~one Int per EDGE (each edge appears in exactly one out-list), so m
-    * edges ≈ 4m bytes broadcast — 20M edges ≈ 80 MB, the sane upper end.
+    * (degree, adjacency) of the triangle kernel. The adjacency holds one
+    * entry per EDGE (each edge in exactly one out-list), but the
+    * MATERIALIZED broadcast relation costs far more than 4 bytes/entry:
+    * UnsafeRow headers, array offsets-and-nulls, and the driver-side
+    * object graph land at ~25-30 bytes per entry, so 8M edges ≈ 200-250 MB
+    * collected on the driver and shipped per executor. The broadcast()
+    * hint bypasses spark.sql.autoBroadcastJoinThreshold, so this constant
+    * IS the safety limit: at the ceiling the driver needs ~1 GB of free
+    * heap headroom (default driver memory configs above 2 GB are fine;
+    * lower deployments should shrink the limit). Past it, the kernel
+    * falls back to the shuffle join — the correct plan for cluster-scale
+    * graphs anyway.
     */
-  val TriangleBroadcastEdgeLimit: Long = 20000000L
+  val TriangleBroadcastEdgeLimit: Long = 8000000L
 
-  def triangleCountsCanonical(und: DataFrame): DataFrame = {
+  /** `edgeCount`: pass the known canonical-edge count to skip the probe
+    * scan (persisting callers count their cache; parquet-backed callers
+    * can leave it None — the probe is one cheap columnar count).
+    */
+  def triangleCountsCanonical(und: DataFrame,
+      edgeCount: Option[Long] = None): DataFrame = {
     // Size-adaptive join strategy: the degree and adjacency tables are
     // |V|-row / m-entry sized. Left as plain joins, Catalyst plans them as
     // shuffle joins (agg outputs carry no size stats), which SHUFFLES THE
@@ -362,7 +378,7 @@ object Graph {
     // map-side hash lookups and the kernel's only shuffles are the two
     // aggregates. Past the limit (cluster-scale graphs) the shuffle join
     // is the correct plan and the one-count() probe is noise.
-    val bc = und.count() <= TriangleBroadcastEdgeLimit
+    val bc = edgeCount.getOrElse(und.count()) <= TriangleBroadcastEdgeLimit
     val oriented = orientCanonical(und, broadcastDeg = bc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = enumerateTriangles(oriented, broadcastAdj = bc)

@@ -2118,6 +2118,17 @@ object Pipeline {
     * warehouse dimension table takes under change-data capture. One window
     * shuffle on user_id at any scale; ties broken by event_id so the
     * version chain is deterministic.
+    *
+    * ZERO-WIDTH VERSION CONTRACT: when a user has two events at the same
+    * ts, the lower-event_id version gets valid_from = valid_to — under the
+    * half-open [valid_from, valid_to) interval convention it is never the
+    * valid row at any instant (the higher event_id wins the timestamp),
+    * which is the standard warehouse treatment of same-instant updates.
+    * Point-in-time lookups must therefore filter
+    * `valid_from <= t AND (valid_to IS NULL OR valid_to > t)` — the
+    * half-open probe — rather than a closed-interval BETWEEN, which would
+    * double-count the zero-width row exactly at the tie instant
+    * (spec-pinned in QueriesSpec's version-chain invariants).
     */
   private def eventsScd2(d: Dialect): String =
     """SELECT CAST(user_id AS BIGINT) AS user_id,

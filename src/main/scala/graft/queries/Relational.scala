@@ -980,7 +980,7 @@ object Relational {
     // 7 at sf0.1; extra rounds are exact no-ops). The support-2 edge set is
     // staged to parquet as the gate's input fixture, q50-style: the kernel
     // under test is the peel loop, not the fact-table self-join. ----
-    QueryDef("q62_kcore", kcoreOracleSql(k = 2, depth = 16)) { (s, dir) =>
+    QueryDef("q62_kcore", kcoreOracleSql(k = 2, depth = 24)) { (s, dir) =>
       val edgeDir = Tables.staged(s, dir, "copurchase_s2_edges") { out =>
         val li = Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"))
@@ -1370,9 +1370,14 @@ object Relational {
   /** q62's oracle: k-core peeling unrolled to a fixed CTE chain. Peeling is
     * IDEMPOTENT past its fixpoint (once every degree is >= k, the keep
     * filter keeps everything and e_i = e_{i-1}), so `depth` rounds compute
-    * the exact core for any cascade that converges within `depth` — no
-    * convergence test needed in SQL. Base edge set = the same support-2
-    * co-purchase derivation the Spark gate stages to parquet.
+    * the exact core for any cascade that converges within `depth`. The
+    * final SELECT carries a LOUD convergence guard — if the last two
+    * levels differ in cardinality the oracle raises via error() instead of
+    * returning a silent mismatch against the Spark gate's true fixpoint
+    * (cascade depth measured 7 at sf0.1; depth 24 is well above the 10×
+    * growth trend, and the guard makes any overflow diagnosable). Base
+    * edge set = the same support-2 co-purchase derivation the Spark gate
+    * stages to parquet.
     */
   private def kcoreOracleSql(k: Int, depth: Int): String = {
     // AS MATERIALIZED is load-bearing: each level references its
@@ -1398,6 +1403,8 @@ object Relational {
       s"""
          |SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
          |FROM (SELECT u AS node FROM e$depth UNION ALL SELECT v FROM e$depth) q
+         |WHERE CASE WHEN (SELECT COUNT(*) FROM e$depth) = (SELECT COUNT(*) FROM e${depth - 1})
+         |  THEN TRUE ELSE error('k-core oracle: cascade not converged at depth $depth') END
          |GROUP BY node""".stripMargin)
     sb.toString
   }

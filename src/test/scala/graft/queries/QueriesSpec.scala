@@ -136,6 +136,34 @@ class QueriesSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("events_scd2: same-instant events — zero-width version contract") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two events of user 1 at the SAME ts (ids 10 < 11), one later event:
+    // the lower-id version must be zero-width (valid_from = valid_to) and
+    // a HALF-OPEN point-in-time probe must see exactly one version per
+    // instant — the documented contract (the closed-interval probe would
+    // double-count at the tie)
+    val dir = graft.sources.Tables.scratchDir("scd2_tie_fixture")
+    Seq(
+      (10L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", 1.0, "{}"),
+      (11L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "b", 2.0, "{}"),
+      (12L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "c", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("events_scd2")(spark, dir).persist()
+    val zw = out.filter(col("valid_from") === col("valid_to")).collect()
+    assert(zw.length == 1 && zw.head.getAs[Long]("event_id") == 10L,
+      "the lower event_id of a ts tie must be the zero-width version")
+    // half-open probe at both instants: exactly one valid version each
+    Seq("2024-01-01 00:00:00", "2024-01-01 01:00:00").foreach { t =>
+      val valid = out.filter(col("valid_from") <= lit(t).cast("timestamp") &&
+        (col("valid_to").isNull || col("valid_to") > lit(t).cast("timestamp")))
+      assert(valid.count() == 1, s"half-open probe at $t must see one version")
+    }
+    out.unpersist()
+  }
+
   test("corpus_bloom_decontaminate output is bit-identical to the exact gate") {
     // bloom prefilter must not change results: no false negatives, and the
     // exact-verify join removes every false positive — THE contract
