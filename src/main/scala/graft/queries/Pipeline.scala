@@ -1002,6 +1002,66 @@ object Pipeline {
       ivfPqSpark(xRef => body(xRef, SparkDialect)))
   }
 
+  /** SEQUENCE PACKING (round-7): the concat-and-chunk layout a pretraining
+    * dataloader feeds the model — documents are concatenated in doc_id
+    * order and sliced into fixed 512-token context windows ("bins"), with
+    * documents spanning window boundaries (the standard packed-dataset
+    * construction; span bookkeeping is what loss masking and attention
+    * resets consume downstream).
+    *
+    * Scale shape: packing runs PER SHARD (`doc_id % 8`) — the practice at
+    * corpus scale, since a single global concatenation order would
+    * serialize the prefix sum into one partition; per-shard windows are
+    * hash-partitioned and independent, so the whole layout is one window
+    * shuffle + one explode, embarrassingly parallel across shards. All
+    * arithmetic is integer (token counts, running sums, window indices) —
+    * bit-identical across engines.
+    *
+    * Output: one row per (document × spanned window) with the in-window
+    * offset of the document's start (0 when the document continues from
+    * the previous window) and the token count it contributes to that
+    * window.
+    */
+  private val PackB = 512 // context-window token budget
+
+  private def packSpansCtes(d: Dialect): String = {
+    val idiv = if (d == SparkDialect) "div" else "//"
+    s"""t AS (SELECT doc_id, CAST(${d.len(F.tokens(d, "text"))} AS BIGINT) AS ntok
+       |  FROM documents),
+       |w AS (SELECT doc_id, doc_id % 8 AS shard, ntok,
+       |    CAST(SUM(ntok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM t),
+       |spans AS (${d.explodeSelect("doc_id, shard, ntok, cum", "w",
+          d.seq(s"(cum - ntok) $idiv $PackB", s"(cum - 1) $idiv $PackB"), "bin")})""".stripMargin
+  }
+
+  private def corpusPack(d: Dialect): String = {
+    val idiv = if (d == SparkDialect) "div" else "//"
+    s"""WITH ${packSpansCtes(d)}
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(shard AS BIGINT) AS shard,
+       |  CAST(bin AS BIGINT) AS bin,
+       |  CAST(CASE WHEN bin = (cum - ntok) $idiv $PackB
+       |    THEN (cum - ntok) % $PackB ELSE 0 END AS BIGINT) AS off,
+       |  CAST(LEAST(cum, (bin + 1) * $PackB)
+       |    - GREATEST(cum - ntok, bin * $PackB) AS BIGINT) AS fill
+       |FROM spans""".stripMargin
+  }
+
+  /** Per-window fill audit of [[corpusPack]]: every window except each
+    * shard's LAST must fill to exactly the budget (the packed-dataset
+    * invariant a dataloader relies on — no padding inside the stream).
+    */
+  private def corpusPackStats(d: Dialect): String =
+    s"""WITH ${packSpansCtes(d)},
+       |contrib AS (SELECT shard, bin,
+       |    LEAST(cum, (bin + 1) * $PackB) - GREATEST(cum - ntok, bin * $PackB) AS c
+       |  FROM spans)
+       |SELECT CAST(shard AS BIGINT) AS shard, CAST(bin AS BIGINT) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(c) AS BIGINT) AS fill_tokens
+       |FROM contrib GROUP BY shard, bin""".stripMargin
+
   // -------------------------------------------------------- text analysis
 
   /** Token statistics: whitespace tokens + a BPE-ish subword count (maximal
@@ -2791,5 +2851,7 @@ object Pipeline {
     corpusKlDef,
     simIvfPq,
     simIvfPqRecall,
+    docQuery("corpus_pack", corpusPack),
+    docQuery("corpus_pack_stats", corpusPackStats),
   )
 }
