@@ -1062,6 +1062,69 @@ object Pipeline {
        |  CAST(SUM(c) AS BIGINT) AS fill_tokens
        |FROM contrib GROUP BY shard, bin""".stripMargin
 
+  /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, the MOSS scheme):
+    * hash every word-4-gram shingle, then keep the MINIMUM hash of each
+    * sliding window of 4 consecutive shingles — the guarantee is that any
+    * shared run of ≥ w+k-1 tokens between two documents yields at least
+    * one shared fingerprint, at ~1/w the storage of the full shingle set.
+    * The fingerprint set (deduped window minima) is the standard
+    * plagiarism/near-dup index key.
+    *
+    * Scale shape: one positional explode (map-only), one window frame MIN
+    * partitioned by doc (hash-partitioned — no global window), one
+    * DISTINCT. Documents shorter than one full window keep their partial
+    * first-window minimum so every doc stays indexed. All integer hashes —
+    * bit-identical across engines.
+    */
+  private val WinnowW = 4
+
+  private def winnowCtes(d: Dialect): String = {
+    val tw = s"(SELECT doc_id, ${F.shingles(d, F.tokens(d, "text"), 4)} AS sh" +
+      " FROM documents) tw"
+    val pos =
+      if (d == SparkDialect) s"SELECT doc_id, posexplode(sh) AS (pos, s) FROM $tw"
+      else s"SELECT doc_id, unnest(sh) AS s, unnest(range(len(sh))) AS pos FROM $tw"
+    s"""ps AS ($pos),
+       |v AS (SELECT doc_id, pos, ${F.strHash(d, "s")} AS h FROM ps),
+       |wm AS (SELECT doc_id, pos,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM v),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM wm
+       |  WHERE pos <= GREATEST(n - $WinnowW, 0))""".stripMargin
+  }
+
+  private def textWinnowFingerprint(d: Dialect): String =
+    s"""WITH ${winnowCtes(d)}
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(fp AS BIGINT) AS fp
+       |FROM fps""".stripMargin
+
+  /** Winnowing-candidate near-dup pairs: docs sharing ≥ 2 fingerprints,
+    * from an equi-join on the fingerprint key (the bucket-bounded candidate
+    * invariant — never all-pairs). The Spark side materializes the
+    * fingerprint set once before the self-join (Catalyst inlines a
+    * twice-referenced CTE — the shingle-hash fold would run double).
+    */
+  private def dedupWinnowPairsSelect(table: String): String =
+    s"""SELECT CAST(a.doc_id AS BIGINT) AS u, CAST(b.doc_id AS BIGINT) AS v,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM $table a JOIN $table b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING COUNT(*) >= 2""".stripMargin
+
+  private def dedupWinnowPairsDef: QueryDef =
+    QueryDef("dedup_winnow_pairs",
+      s"""WITH ${winnowCtes(DuckDialect)}
+         |${dedupWinnowPairsSelect("fps")}""".stripMargin) { (s, dir) =>
+      views(s, dir, "documents")
+      val fps = s.sql(
+        s"WITH ${winnowCtes(SparkDialect)} SELECT doc_id, fp FROM fps")
+        .localCheckpoint()
+      fps.createOrReplaceTempView("graft_winnow_fps")
+      s.sql(dedupWinnowPairsSelect("graft_winnow_fps"))
+    }
+
   // -------------------------------------------------------- text analysis
 
   /** Token statistics: whitespace tokens + a BPE-ish subword count (maximal
@@ -2853,5 +2916,7 @@ object Pipeline {
     simIvfPqRecall,
     docQuery("corpus_pack", corpusPack),
     docQuery("corpus_pack_stats", corpusPackStats),
+    docQuery("text_winnow_fingerprint", textWinnowFingerprint),
+    dedupWinnowPairsDef,
   )
 }

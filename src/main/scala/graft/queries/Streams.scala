@@ -895,6 +895,60 @@ object Streams {
       }
     },
 
+    // ---- transformWithState with EVENT-TIME TIMERS (round-7): session
+    // close by inactivity timer. Each batch folds rows into per-user
+    // session state (inline close + emit when the 30-min gap is exceeded)
+    // and re-points ONE timer at the session end + gap; when the watermark
+    // passes it, handleExpiredTimer emits the session and clears state —
+    // so the FINAL dangling sessions flush too, the exact hole
+    // stream_sessionize's oracle must carve out (it excludes each user's
+    // last session; this oracle is plain batch sessionization, every
+    // session included — batch-structure-insensitive). Sentinel rows only
+    // advance the watermark (filtered after the watermark node, before
+    // the typed processor); double sentinel so the last timers fire
+    // before AvailableNow terminates. Exact integer cents. ----
+    QueryDef("stream_tws_timer_sessions",
+      """WITH x AS (SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+        |y AS (SELECT user_id, ts, value,
+        |    SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT CAST(user_id AS BIGINT) AS user_id, MIN(ts) AS session_start,
+        |  MAX(ts) AS session_last, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM y GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      withStatePartitions(s, 2) {
+      import s.implicits._
+      val src = dualSentinelEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_twst_ckpt_${dir.hashCode & 0x7fffffff}")
+      withRocksDb(s) {
+        // Sentinels must REACH the watermark operator: a pre-watermark
+        // row filter pushes down into the scan and silently freezes the
+        // watermark (debugged this round: the last ~2.5 h of sessions'
+        // timers never fired). So sentinel rows flow through the
+        // processor — their null value coalesced for the typed encoder,
+        // their user -1 sessions dropped from the OUTPUT, where the
+        // filter cannot push through the stateful operator.
+        val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+          .withWatermark("ts", "2 hours")
+          .withColumn("value", coalesce(col("value"), lit(0.0)))
+          .as[EventStreams.Event]
+          .groupByKey(_.user_id)
+          .transformWithState(
+            new EventStreams.TimerSessionProcessor(30L * 60 * 1000000),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .toDF()
+          .filter(col("user_id") >= 0)
+          .writeStream.format("memory").queryName("g_stream_twst")
+          .outputMode("append").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        await(q)
+      }
+      s.table("g_stream_twst")
+      }
+    },
+
     // ---- STREAMING RDF: continuous BGP match over an arriving triple
     // stream. The streamed pattern (`?c :placed ?o`) filters each
     // micro-batch; the static pattern (`?c :in_nation ?n`) is the indexed

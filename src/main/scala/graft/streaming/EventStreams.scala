@@ -190,6 +190,82 @@ object EventStreams {
     }
   }
 
+  /** Exact-cents session state for the timer processor. */
+  final case class TimerSessState(startMicros: Long, lastMicros: Long,
+      n: Long, cents: Long)
+
+  /** A session CLOSED by inactivity — last event ts, not end-of-gap. */
+  final case class TimedSession(user_id: Long, session_start: Timestamp,
+      session_last: Timestamp, n_events: Long, sum_cents: Long)
+
+  /** transformWithState with EVENT-TIME TIMERS (round-7): sessionization
+    * whose FINAL dangling sessions flush deterministically — the exact gap
+    * the flatMapGroupsWithState sessionizer leaves (its oracle must
+    * exclude each user's last session; this one's includes every session).
+    *
+    * Discipline: each input batch folds its rows into the session state
+    * (closing a session inline when the gap is exceeded — emitted
+    * immediately), then re-points ONE inactivity timer at the session's
+    * current end (+gap): all previously registered timers are deleted, so
+    * the only live timer always matches the live state. When the watermark
+    * passes the timer, [[handleExpiredTimer]] emits the session and clears
+    * state. Because the staging delivers files in global event-time order,
+    * a timer can only fire once the session is genuinely un-extendable
+    * (any future event would start a new session), so the emitted multiset
+    * equals batch sessionization REGARDLESS of input-vs-timer processing
+    * order within a batch. Exact integer cents (the RunningStats
+    * discipline).
+    */
+  final class TimerSessionProcessor(gapMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, TimedSession] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[TimerSessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TimerSessState]("sess",
+        org.apache.spark.sql.Encoders.product[TimerSessState], TTLConfig.NONE)
+
+    private def emit(key: Long, s: TimerSessState): TimedSession =
+      TimedSession(key, fromMicros(s.startMicros), fromMicros(s.lastMicros),
+        s.n, s.cents)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[TimedSession] = {
+      val sorted = rows.toSeq.sortBy(e => toMicros(e.ts))
+      var st: TimerSessState = if (state.exists()) state.get() else null
+      val closed = scala.collection.mutable.ArrayBuffer.empty[TimedSession]
+      sorted.foreach { e =>
+        val t = toMicros(e.ts)
+        val cents = math.round(e.value * 100)
+        st match {
+          case null => st = TimerSessState(t, t, 1, cents)
+          case s if t - s.lastMicros >= gapMicros =>
+            closed += emit(key, s)
+            st = TimerSessState(t, t, 1, cents)
+          case s =>
+            st = TimerSessState(math.min(s.startMicros, t),
+              math.max(s.lastMicros, t), s.n + 1, s.cents + cents)
+        }
+      }
+      state.update(st)
+      // re-point the single inactivity timer at the (possibly extended) end
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(st.lastMicros / 1000 + gapMicros / 1000)
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[TimedSession] = {
+      if (state.exists()) {
+        val s = state.get()
+        state.clear()
+        Iterator.single(emit(key, s))
+      } else Iterator.empty
+    }
+  }
+
   /** Batch-mode sessionization with the built-in session_window — the
     * declarative equivalent (works in streaming with a watermark too).
     */
