@@ -1079,20 +1079,33 @@ object Pipeline {
   private val WinnowW = 4
 
   private def winnowCtes(d: Dialect): String = {
-    val tw = s"(SELECT doc_id, ${F.shingles(d, F.tokens(d, "text"), 4)} AS sh" +
-      " FROM documents) tw"
+    // Karp-Rabin shingle hashes, the scheme winnowing was defined over:
+    // hash each TOKEN once (short base-31 char fold), then combine the 4
+    // token hashes of each shingle with pure window arithmetic
+    // (`lead()` ×3 + modular polynomial) — no shingle strings are ever
+    // built and no per-shingle digest runs. The first formulation hashed
+    // every materialized 4-gram string through the md5 fold: measured 12.4s
+    // at sf0.1 vs 1.4s for this one, same fingerprint semantics (the hash
+    // function is part of the operator contract, as with lshBucket).
+    // Each mod step keeps the accumulator < 2^36 — exact in BIGINT.
+    val tw = s"(SELECT doc_id, ${F.tokens(d, "text")} AS tk FROM documents) tw"
     val pos =
-      if (d == SparkDialect) s"SELECT doc_id, posexplode(sh) AS (pos, s) FROM $tw"
-      else s"SELECT doc_id, unnest(sh) AS s, unnest(range(len(sh))) AS pos FROM $tw"
+      if (d == SparkDialect) s"SELECT doc_id, posexplode(tk) AS (pos, t) FROM $tw"
+      else s"SELECT doc_id, unnest(tk) AS t, unnest(range(len(tk))) AS pos FROM $tw"
+    val shingle = "(((((h * 31 + lead(h, 1) OVER w) % " + F.P +
+      ") * 31 + lead(h, 2) OVER w) % " + F.P +
+      ") * 31 + lead(h, 3) OVER w) % " + F.P
     s"""ps AS ($pos),
-       |v AS (SELECT doc_id, pos, ${F.strHash(d, "s")} AS h FROM ps),
+       |v AS (SELECT doc_id, pos, ${F.strHashCheap(d, "t")} AS h FROM ps),
+       |shg AS (SELECT doc_id, pos, $shingle AS sh,
+       |    COUNT(*) OVER (PARTITION BY doc_id) - 3 AS m
+       |  FROM v WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
        |wm AS (SELECT doc_id, pos,
-       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
-       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp,
-       |    COUNT(*) OVER (PARTITION BY doc_id) AS n
-       |  FROM v),
+       |    MIN(sh) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp, m
+       |  FROM shg WHERE sh IS NOT NULL),
        |fps AS (SELECT DISTINCT doc_id, fp FROM wm
-       |  WHERE pos <= GREATEST(n - $WinnowW, 0))""".stripMargin
+       |  WHERE pos <= GREATEST(m - $WinnowW, 0))""".stripMargin
   }
 
   private def textWinnowFingerprint(d: Dialect): String =
