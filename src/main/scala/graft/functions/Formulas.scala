@@ -42,6 +42,8 @@ sealed trait Dialect {
   /** Distinct-set intersection size; inputs must already be distinct. */
   def interSize(a: String, b: String): String
   def explodeSelect(cols: String, from: String, arrayExpr: String, alias: String): String
+  /** Aggregate rows into an array (order UNDEFINED — wrap in [[sort]]). */
+  def arrayAgg(e: String): String
 }
 
 object SparkDialect extends Dialect {
@@ -72,6 +74,7 @@ object SparkDialect extends Dialect {
   def interSize(a: String, b: String) = s"size(array_intersect($a, $b))"
   def explodeSelect(cols: String, from: String, arrayExpr: String, alias: String) =
     s"SELECT $cols, explode($arrayExpr) AS $alias FROM $from"
+  def arrayAgg(e: String) = s"collect_list($e)"
 }
 
 object DuckDialect extends Dialect {
@@ -103,6 +106,7 @@ object DuckDialect extends Dialect {
     s"len(list_filter($a, x -> list_contains($b, x)))"
   def explodeSelect(cols: String, from: String, arrayExpr: String, alias: String) =
     s"SELECT $cols, unnest($arrayExpr) AS $alias FROM $from"
+  def arrayAgg(e: String) = s"list($e)"
 }
 
 object Formulas {

@@ -1138,6 +1138,64 @@ object Pipeline {
       s.sql(dedupWinnowPairsSelect("graft_winnow_fps"))
     }
 
+  /** INVERTED INDEX with delta-encoded postings — the retrieval-side data
+    * structure a search/RAG stack builds over the corpus: per token, the
+    * document frequency and the SORTED posting list stored as first-order
+    * deltas (the classic postings compression: deltas are small ints that
+    * byte-pack; the space-joined string is the engine-portable surface).
+    *
+    * Scale shape: one explode + DISTINCT (map-side combinable), one
+    * groupBy token — hash-partitioned; posting arrays are bounded by
+    * per-token document frequency exactly as a production index's posting
+    * lists are. Delta transform is a pure array lambda (codegen).
+    */
+  private def textInvertedIndex(d: Dialect): String = {
+    val delta = s"${d.elem("ps", "i")} - CASE WHEN i = 1 THEN 0 ELSE ${d.elem("ps", "i-1")} END"
+    s"""WITH tok AS (SELECT DISTINCT doc_id, tk FROM (
+       |    ${d.explodeSelect("doc_id", "documents", F.tokens(d, "text"), "tk")}) e),
+       |idx AS (SELECT tk, ${d.sort(d.arrayAgg("doc_id"))} AS ps FROM tok GROUP BY tk)
+       |SELECT tk, CAST(${d.len("ps")} AS BIGINT) AS df,
+       |  ${d.joinWs(d.transform(d.seq("1", d.len("ps")), "i", s"CAST($delta AS STRING)"))} AS deltas
+       |FROM idx""".stripMargin
+  }
+
+  /** SPLIT-LEAKAGE AUDIT: near-duplicate pairs that CROSS the train/val/
+    * test content-hash split — the eval-contamination check a pipeline
+    * runs before trusting held-out metrics (a near-dup of a training doc
+    * in the test split silently inflates them). Candidates from the
+    * winnowing fingerprint join (bucket-bounded); split = the same
+    * content-hash buckets as corpus_split_hash.
+    */
+  private def splitOf(d: Dialect): String = {
+    val bucket = s"(${F.strHash(d, "text")} % 100)"
+    s"""SELECT doc_id, CASE WHEN $bucket < 90 THEN 'train'
+       |  WHEN $bucket < 95 THEN 'val' ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
+  private def splitLeakageSelect(fpsTable: String, d: Dialect): String =
+    s"""pairs AS (SELECT a.doc_id AS u, b.doc_id AS v,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM $fpsTable a JOIN $fpsTable b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2),
+       |sp AS (${splitOf(d)})
+       |SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, n_shared,
+       |  su.split AS split_u, sv.split AS split_v
+       |FROM pairs JOIN sp su ON su.doc_id = u JOIN sp sv ON sv.doc_id = v
+       |WHERE su.split <> sv.split""".stripMargin
+
+  private def corpusSplitLeakageDef: QueryDef =
+    QueryDef("corpus_split_leakage",
+      s"""WITH ${winnowCtes(DuckDialect)},
+         |${splitLeakageSelect("fps", DuckDialect)}""".stripMargin) { (s, dir) =>
+      views(s, dir, "documents")
+      val fps = s.sql(
+        s"WITH ${winnowCtes(SparkDialect)} SELECT doc_id, fp FROM fps")
+        .localCheckpoint()
+      fps.createOrReplaceTempView("graft_leak_fps")
+      s.sql(s"WITH ${splitLeakageSelect("graft_leak_fps", SparkDialect)}")
+    }
+
   // -------------------------------------------------------- text analysis
 
   /** Token statistics: whitespace tokens + a BPE-ish subword count (maximal
@@ -2931,5 +2989,7 @@ object Pipeline {
     docQuery("corpus_pack_stats", corpusPackStats),
     docQuery("text_winnow_fingerprint", textWinnowFingerprint),
     dedupWinnowPairsDef,
+    docQuery("text_inverted_index", textInvertedIndex),
+    corpusSplitLeakageDef,
   )
 }
