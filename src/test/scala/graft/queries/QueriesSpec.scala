@@ -136,6 +136,54 @@ class QueriesSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("corpus_pack: per-document token conservation and offset bounds") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("corpus_pack")(spark, sf).persist()
+    // a document's contributions across its spanned windows sum to its
+    // token count — nothing lost or duplicated at window boundaries
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"))
+    val bad = out.groupBy("doc_id").agg(sum("fill").as("f"))
+      .join(toks, "doc_id").filter(col("f") =!= col("ntok"))
+    assert(bad.count() == 0, "span fills must sum to the doc's token count")
+    // offsets stay inside the window; only a doc's FIRST window has off > 0
+    assert(out.filter(col("off") < 0 || col("off") >= 512).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("bin")
+    assert(out.withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1 && col("off") =!= 0).count() == 0,
+      "continuation windows must start at offset 0")
+    out.unpersist()
+  }
+
+  test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
+    import spark.implicits._
+    // k=4 shingles, w=4 windows: a shared run of 7 tokens guarantees one
+    // shared SELECTED fingerprint (the winnowing theorem); build two docs
+    // whose only commonality is exactly such a run
+    val shared = "q1 q2 q3 q4 q5 q6 q7"
+    val dir = graft.sources.Tables.scratchDir("winnow_fixture")
+    Seq(
+      (1L, s"aa bb cc dd ee $shared ff gg hh ii", "en", "s0", 0L),
+      (2L, s"zz yy xx ww $shared vv uu tt ss rr", "en", "s0", 0L),
+      (3L, "mm nn oo pp qq rr ss tt uu vv ww xx", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fps = SparkEntry.queries("text_winnow_fingerprint")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    val f3 = fps.filter(_._1 == 3L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty, "the shared 7-token run must yield a shared fingerprint")
+    assert((f1 & f3).isEmpty && (f2 & f3).isEmpty,
+      "no-overlap docs must not share fingerprints")
+    // and the pairs gate surfaces exactly the overlapping pair when the
+    // overlap clears the >= 2 shared-fingerprint threshold
+    val pairs = SparkEntry.queries("dedup_winnow_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.subsetOf(Set((1L, 2L))))
+  }
+
   test("events_scd2: same-instant events — zero-width version contract") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
