@@ -866,28 +866,40 @@ object Pipeline {
     * (final assignments / codes); 2 Lloyd iterations, seeds = the k lowest
     * vec_ids.
     */
-  private def pqKmeansCtes(d: Dialect, xRef: String, p: String,
+  /** One argmin-assignment step of the subspace k-means: per (vector,
+    * subspace), the nearest centroid of `cTable` by exact int64 squared
+    * L2 over milli-unit lanes, (dist, cid) tie-break. */
+  private def pqAssignCtes(d: Dialect, xRef: String, p: String, step: Int,
+      cTable: String): String =
+    s"""${p}d$step AS (SELECT x.vec_id, c.m, c.cid,
+       |    CAST(SUM((x.x*1000 - c.c)*(x.x*1000 - c.c)) AS BIGINT) AS dist
+       |  FROM $xRef x JOIN $cTable c ON x.i = c.i GROUP BY x.vec_id, c.m, c.cid),
+       |${p}a$step AS (SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+       |    FROM ${p}d$step) r WHERE rn = 1)""".stripMargin
+
+  /** The TRAINING front of the subspace k-means chain (seeds → assign →
+    * recompute), ending at the `${p}c2` centroid relation. NOTE: an
+    * experiment that eagerly checkpointed both c2 relations before the
+    * post-training pipeline made the 10× probe SLOWER (15.1 → 19.2s) —
+    * Spark 4 already shares the multi-referenced CTE subtree, and the
+    * eager materialization only serialized extra jobs — so the Spark
+    * gates run the same single inline chain as the oracle.
+    */
+  private def pqTrainCtes(d: Dialect, xRef: String, p: String,
       subDim: Int, k: Int): String = {
     val idiv = if (d == SparkDialect) "div" else "//"
-    def assign(step: Int, c: String): String =
-      s"""${p}d$step AS (SELECT x.vec_id, c.m, c.cid,
-         |    CAST(SUM((x.x*1000 - c.c)*(x.x*1000 - c.c)) AS BIGINT) AS dist
-         |  FROM $xRef x JOIN $c c ON x.i = c.i GROUP BY x.vec_id, c.m, c.cid),
-         |${p}a$step AS (SELECT vec_id, m, cid FROM (
-         |    SELECT vec_id, m, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
-         |    FROM ${p}d$step) r WHERE rn = 1)""".stripMargin
     s"""${p}c0 AS (SELECT vec_id AS cid, i $idiv $subDim AS m, i,
        |    CAST(x*1000 AS BIGINT) AS c
        |  FROM $xRef WHERE vec_id < $k),
-       |${assign(1, p + "c0")},
+       |${pqAssignCtes(d, xRef, p, 1, p + "c0")},
        |${p}c2 AS (SELECT a.cid, a.m, x.i,
        |    (CAST(SUM(x.x) AS BIGINT)*1000
        |      - ((CAST(SUM(x.x) AS BIGINT)*1000) % COUNT(*))) $idiv COUNT(*) AS c
        |  FROM $xRef x JOIN ${p}a1 a
        |    ON x.vec_id = a.vec_id AND x.i $idiv $subDim = a.m
-       |  GROUP BY a.cid, a.m, x.i),
-       |${assign(2, p + "c2")}""".stripMargin
+       |  GROUP BY a.cid, a.m, x.i)""".stripMargin
   }
 
   /** IVF-PQ with asymmetric-distance scoring, the operator a 100 TB
@@ -907,14 +919,21 @@ object Pipeline {
     * end-to-end (milli-unit lanes) — the oracle replays the identical
     * recurrence, bit-exact.
     */
-  private def ivfPqCtes(d: Dialect, xRef: String): String =
-    s"""${pqKmeansCtes(d, xRef, "cv", DIM, KM)},
-       |${pqKmeansCtes(d, xRef, "pq", 8, 8)},
+  /** Everything downstream of the trained centroids: final encode
+    * assignments for both quantizers, the query set, cell probing, the
+    * ADC lookup table, candidate scoring, and the top-5. `cvc2Ref` /
+    * `pqc2Ref` name the trained-centroid relations (inline CTEs for the
+    * oracle; checkpointed views for Spark).
+    */
+  private def ivfPqPostCtes(d: Dialect, xRef: String,
+      cvc2Ref: String, pqc2Ref: String): String =
+    s"""${pqAssignCtes(d, xRef, "cv", 2, cvc2Ref)},
+       |${pqAssignCtes(d, xRef, "pq", 2, pqc2Ref)},
        |q AS (SELECT vec_id AS qid, i, CAST(x*1000 AS BIGINT) AS qx
        |  FROM $xRef WHERE vec_id % 100 = 0),
        |qprobe AS (SELECT q.qid, c.cid,
        |    CAST(SUM((q.qx - c.c)*(q.qx - c.c)) AS BIGINT) AS dist
-       |  FROM q JOIN cvc2 c ON q.i = c.i GROUP BY q.qid, c.cid),
+       |  FROM q JOIN $cvc2Ref c ON q.i = c.i GROUP BY q.qid, c.cid),
        |probe AS (SELECT qid, cid FROM (
        |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
        |  FROM qprobe) r WHERE rn <= 3),
@@ -922,7 +941,7 @@ object Pipeline {
        |  FROM probe p JOIN cva2 a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
        |lut AS (SELECT q.qid, c.m, c.cid,
        |    CAST(SUM((q.qx - c.c)*(q.qx - c.c)) AS BIGINT) AS pd
-       |  FROM q JOIN pqc2 c ON q.i = c.i GROUP BY q.qid, c.m, c.cid),
+       |  FROM q JOIN $pqc2Ref c ON q.i = c.i GROUP BY q.qid, c.m, c.cid),
        |adc AS (SELECT cd.qid, cd.nid, CAST(SUM(l.pd) AS BIGINT) AS adist
        |  FROM cand cd JOIN pqa2 a ON a.vec_id = cd.nid
        |  JOIN lut l ON l.qid = cd.qid AND l.m = a.m AND l.cid = a.cid
@@ -932,10 +951,17 @@ object Pipeline {
        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS rnk
        |  FROM adc) r WHERE rnk <= 5)""".stripMargin
 
+  /** The full inline CTE chain (oracle form): both training fronts plus
+    * the post-training pipeline over their `c2` relations. */
+  private def ivfPqCtes(d: Dialect, xRef: String): String =
+    s"""${pqTrainCtes(d, xRef, "cv", DIM, KM)},
+       |${pqTrainCtes(d, xRef, "pq", 8, 8)},
+       |${ivfPqPostCtes(d, xRef, "cvc2", "pqc2")}""".stripMargin
+
   /** Materialize the quantized lane matrix once and run `body` over it —
-    * the [[embKmeansLloyd]] lesson: Catalyst inlines multi-reference CTEs,
-    * and the k-means/PQ chains reference the lane relation from every
-    * assign/recompute/LUT stage.
+    * the [[embKmeansLloyd]] lesson: the lane relation feeds every assign/
+    * recompute/LUT stage, and re-running its quantize fold per reference
+    * would dominate.
     */
   private def ivfPqSpark(body: String => String): (SparkSession, String) => DataFrame =
     (s, dir) => {
@@ -953,18 +979,17 @@ object Pipeline {
     "SELECT vec_id, unnest(qv) AS x, unnest(range(len(qv))) AS i FROM qz"
 
   private def simIvfPq: QueryDef = {
-    def body(xRef: String, d: Dialect) =
-      s"""WITH ${ivfPqCtes(d, xRef)}
-         |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
-         |  adist, CAST(rnk AS BIGINT) AS rnk
-         |FROM pqtop""".stripMargin
+    val sel =
+      """SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+        |  adist, CAST(rnk AS BIGINT) AS rnk
+        |FROM pqtop""".stripMargin
     QueryDef("sim_ivf_pq",
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
          |${ivfPqCtes(DuckDialect, "x")}
-         |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
-         |  adist, CAST(rnk AS BIGINT) AS rnk
-         |FROM pqtop""".stripMargin)(
-      ivfPqSpark(xRef => body(xRef, SparkDialect)))
+         |$sel""".stripMargin)(
+      ivfPqSpark(xRef =>
+        s"""WITH ${ivfPqCtes(SparkDialect, xRef)}
+           |$sel""".stripMargin))
   }
 
   /** Recall of the ADC top-5 against the EXACT integer-L2 top-5 over the
@@ -978,8 +1003,8 @@ object Pipeline {
     * exactly this number.
     */
   private def simIvfPqRecall: QueryDef = {
-    def body(xRef: String, d: Dialect) =
-      s"""WITH ${ivfPqCtes(d, xRef)},
+    def tail(xRef: String) =
+      s""",
          |exd AS (SELECT q.qid, e.vec_id AS nid,
          |    CAST(SUM((q.qx - e.x*1000)*(q.qx - e.x*1000)) AS BIGINT) AS dist
          |  FROM q JOIN $xRef e ON e.i = q.i AND e.vec_id <> q.qid
@@ -998,8 +1023,9 @@ object Pipeline {
          |LEFT JOIN hits h ON h.qid = e.qid""".stripMargin
     QueryDef("sim_ivf_pq_recall",
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
-         |${body("x", DuckDialect).stripPrefix("WITH ")}""".stripMargin)(
-      ivfPqSpark(xRef => body(xRef, SparkDialect)))
+         |${ivfPqCtes(DuckDialect, "x")}${tail("x")}""".stripMargin)(
+      ivfPqSpark(xRef =>
+        s"""WITH ${ivfPqCtes(SparkDialect, xRef)}${tail(xRef)}""".stripMargin))
   }
 
   /** SEQUENCE PACKING (round-7): the concat-and-chunk layout a pretraining
