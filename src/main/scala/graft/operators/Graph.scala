@@ -420,6 +420,46 @@ object Graph {
         when(lower, col("v")).otherwise(col("u")).as("t"))
   }
 
+  /** LABEL PROPAGATION communities (synchronous LPA, deterministic
+    * variant): every node starts as its own label; each round, every node
+    * adopts the MODE of its neighbors' labels, ties broken by the smaller
+    * label — the classic near-linear community detector, made
+    * deterministic (plain LPA's random tie-breaks and async order make it
+    * irreproducible; count-desc/label-asc is the standard deterministic
+    * fixture). A FIXED round count (caller-chosen) rather than a
+    * convergence test: synchronous LPA can 2-cycle on bipartite
+    * structures, so production runs bound rounds anyway.
+    *
+    * Scale shape, per round: one hash equi-join (undirected edges ×
+    * labels), one map-side-combinable (node, label) count, one per-node
+    * top-1 window (WindowGroupLimit caps it map-side). localCheckpoint
+    * bounds plan depth. `und`: canonical edges (u < v); every node
+    * appears in ≥1 edge by construction of an edge list.
+    * Returns (node, community).
+    */
+  def labelPropagation(und: DataFrame, rounds: Int): DataFrame = {
+    val both = und.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint()
+    var labels = both.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    (0 until rounds).foreach { _ =>
+      val votes = both.join(labels, both("v") === labels("node"))
+        .select(both("u").as("node"), col("lbl"))
+      labels = votes.groupBy("node", "lbl").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("node")
+            .orderBy(col("n").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
   /** K-CORE of an undirected canonical edge set (`u`, `v`; u < v, distinct):
     * the maximal subgraph where every node has degree >= k, computed by
     * iterative peeling — each round drops nodes with degree < k and the

@@ -1222,6 +1222,27 @@ object Pipeline {
       s.sql(s"WITH ${splitLeakageSelect("graft_leak_fps", SparkDialect)}")
     }
 
+  /** One BPE TRAINING STEP: corpus-wide adjacent-symbol-pair counts over
+    * the character stream of every token occurrence, ranked for the next
+    * merge — the inner loop of byte-pair-encoding tokenizer training
+    * (each round merges the top pair and recounts; this gate pins the
+    * counting round, the part that touches the whole corpus). Pairs are
+    * 2-char substrings via an array lambda — no per-character explode
+    * reaches the shuffle: the map-side combine collapses each partition
+    * to at most |alphabet|² rows, so the exchange is O(distinct pairs)
+    * regardless of corpus size, and the final rank orders a tiny
+    * aggregated relation. Deterministic (count desc, pair asc, top 20).
+    */
+  private def textBpePairs(d: Dialect): String = {
+    val pairs = d.transform(d.seq("1", "length(t) - 1"), "i", "substr(t, i, 2)")
+    s"""WITH tok AS (${d.explodeSelect("doc_id", "documents", F.tokens(d, "text"), "t")}),
+       |pr AS (${d.explodeSelect("doc_id", "tok", pairs, "pair")}),
+       |cnt AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pr GROUP BY pair)
+       |SELECT pair, n, CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rnk
+       |  FROM cnt) r WHERE rnk <= 20""".stripMargin
+  }
+
   // -------------------------------------------------------- text analysis
 
   /** Token statistics: whitespace tokens + a BPE-ish subword count (maximal
@@ -3017,5 +3038,6 @@ object Pipeline {
     dedupWinnowPairsDef,
     docQuery("text_inverted_index", textInvertedIndex),
     corpusSplitLeakageDef,
+    docQuery("text_bpe_pairs", textBpePairs),
   )
 }

@@ -996,6 +996,50 @@ object Relational {
         .select(col("node").cast("long").as("node"), col("core_deg"))
     },
 
+    // ---- LABEL PROPAGATION communities (round-7): 3 synchronous LPA
+    // rounds over the support-2 co-purchase graph — each node adopts the
+    // MODE of its neighbors' labels (count desc, label asc tie-break, the
+    // deterministic LPA fixture; plain LPA's random tie-breaks are
+    // irreproducible). Per round: one edges×labels equi-join, one
+    // map-side-combinable (node, label) count, one per-node top-1 window
+    // (WindowGroupLimit). Oracle unrolls the identical 3 rounds as
+    // MATERIALIZED CTEs (the q62 inlining lesson). ----
+    QueryDef("q64_label_prop", {
+      val base =
+        """WITH e0 AS MATERIALIZED (
+          |  SELECT a.l_partkey AS u, b.l_partkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+          |und AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+          |l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM und)""".stripMargin
+      val rounds = (1 to 3).map { k =>
+        s""",
+           |c$k AS MATERIALIZED (SELECT e.u AS node, l.lbl, COUNT(*) AS n
+           |  FROM und e JOIN l${k - 1} l ON l.node = e.v GROUP BY e.u, l.lbl),
+           |l$k AS MATERIALIZED (SELECT node, lbl FROM (
+           |    SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, lbl) AS rn
+           |  FROM c$k) r WHERE rn = 1)""".stripMargin
+      }.mkString
+      base + rounds +
+        "\nSELECT CAST(node AS BIGINT) AS node, CAST(lbl AS BIGINT) AS community FROM l3"
+    }) { (s, dir) =>
+      val edgeDir = Tables.staged(s, dir, "copurchase_s2_edges") { out =>
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        li.select(col("l_orderkey"), col("l_partkey").as("u"))
+          .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), "l_orderkey")
+          .filter(col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("supp"))
+          .filter(col("supp") >= 2)
+          .select(col("u"), col("v"))
+          .write.mode("overwrite").parquet(out)
+      }
+      graft.operators.Graph.labelPropagation(s.read.parquet(edgeDir), rounds = 3)
+        .select(col("node").cast("long").as("node"),
+          col("community").cast("long").as("community"))
+    },
+
     // ---- APPROXIMATE QUANTILE SKETCH (the constant-space companion to
     // q20's exact percentiles, as q25's HLL is to exact COUNT DISTINCT):
     // approx_percentile keeps a bounded sketch per group — at 100 TB the

@@ -156,6 +156,22 @@ class GraphSpec extends SparkTestBase {
     assert(got3 == Map(3L -> 0L, 4L -> 0L, 2L -> 1L, 5L -> 2L))
   }
 
+  test("labelPropagation: two cliques resolve to their min labels; ties break low") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {7,8,9} joined by a bridge 3-7: after 3
+    // deterministic rounds each clique converges on its minimum label
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L), (7L, 9L), (8L, 9L),
+      (3L, 7L)).toDF("u", "v")
+    val got = Graph.labelPropagation(g, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(Set(got(8L), got(9L)).forall(_ <= 7L)) // clique 2 agrees low
+    // deterministic: a second run yields the identical assignment
+    val again = Graph.labelPropagation(g, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("kCore: k above the densest subgraph yields an empty core") {
     import spark.implicits._
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
