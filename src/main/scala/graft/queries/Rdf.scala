@@ -291,6 +291,26 @@ object Rdf {
         .sparql("SELECT ?c ?v WHERE { ?c :val ?v } ORDER BY ?v ?c LIMIT 1000")
     },
 
+    // ---- SPARQL ORDER BY on an AGGREGATE alias (round-7): ?cnt is a
+    // plain number and must sort DIRECTLY — a count that numerically
+    // collides with a real dictionary id must NOT "decode" to that id's
+    // term (counts here land in the order-id range, so an accidental
+    // dictionary round-trip would scramble the slice). Secondary sort on
+    // the grouping variable uses decoded-term (lexical 'nation_N') order,
+    // pinning the mixed direct + decoded key path. ----
+    QueryDef("rdf_sparql_order_agg",
+      RdfBridge.oracleCte +
+        """SELECT Object AS n, CAST(COUNT(Subject) AS BIGINT) AS cnt
+          |FROM triples WHERE Predicate = -31 GROUP BY Object
+          |ORDER BY cnt DESC,
+          |  'nation_' || CAST(Object - 2000000000 AS VARCHAR) ASC
+          |LIMIT 10""".stripMargin) { (s, dir) =>
+      engine(s, dir)
+        .registerSplitTablesPersisted(RdfBridge.triples(s, dir), dir, Layouts.BySubject)
+        .sparql("SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c :in_nation ?n } " +
+          "GROUP BY ?n ORDER BY DESC(?cnt) ?n LIMIT 10")
+    },
+
     // ---- SPARQL OPTIONAL (LeftJoin): every customer bound via :in_nation,
     // orders attached when present — customers without orders keep ?o null,
     // which an inner BGP would drop. Planned as a left outer join on the

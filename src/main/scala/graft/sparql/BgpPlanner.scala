@@ -976,9 +976,14 @@ object BgpPlanner {
     // vocabulary (broadcast-sized) before the sort — the same shape as
     // withDecodedVals — and the helper columns drop right after, so with a
     // LIMIT the plan is still join → TakeOrderedAndProject.
+    // Variables that hold PLAIN NUMBERS, not encoded ids: BIND arithmetic
+    // AND aggregate aliases (a COUNT/SUM value must never round-trip the
+    // dictionary — a count that numerically collides with a real id would
+    // "decode" to that id's term and sort lexically). They sort directly.
+    val directSortVars: Set[String] = arithVars ++ query.countAggs.map(_.alias)
     def lexCol(v: String): String = s"__olex_$v"
     def withDecodedSortKeys(df: DataFrame, vars: Seq[String]): DataFrame =
-      vars.distinct.filterNot(arithVars.contains)
+      vars.distinct.filterNot(directSortVars.contains)
         .filterNot(v => df.columns.contains(valCol(v)))
         .foldLeft(df) { (acc, v) =>
           val idC = s"__oid_$v"
@@ -1001,14 +1006,14 @@ object BgpPlanner {
         val pre = withDecodedSortKeys(modified, sortVars)
         val keys = query.orderBy.flatMap { case (v, asc) =>
           val ks: Seq[Column] =
-            if (arithVars.contains(v)) Seq(col(v))
+            if (directSortVars.contains(v)) Seq(col(v))
             else Seq(
               when(col(v).isNull, 0)
                 .when(col(valCol(v)).isNotNull, 1).otherwise(2),
               col(valCol(v)), col(lexCol(v)))
           ks.map(k => if (asc) k.asc else k.desc)
         }
-        val helperCols = sortVars.distinct.filterNot(arithVars.contains)
+        val helperCols = sortVars.distinct.filterNot(directSortVars.contains)
           .flatMap(v => Seq(valCol(v), lexCol(v)))
         pre.orderBy(keys: _*).drop(helperCols: _*)
       }
