@@ -1243,6 +1243,30 @@ object Pipeline {
        |  FROM cnt) r WHERE rnk <= 20""".stripMargin
   }
 
+  /** NEGATIVE SAMPLING for contrastive training: per anchor vector, 3
+    * deterministic negatives — candidates drawn from the anchor's HASH
+    * BUCKET (16 buckets over vec_id) with a DIFFERENT label, ranked by a
+    * pairwise mixing hash. The bucket join is the scale move (the batch
+    * analog of in-batch negatives): candidate pairs are bucket-bounded,
+    * never the N² cross join, and the per-anchor top-3 is one rank window
+    * (WindowGroupLimit caps it map-side). Pure multiplicative integer
+    * hashing (Knuth constant mod the Mersenne prime) — no string casts,
+    * bit-identical across engines; anchors whose bucket holds no
+    * different-label candidate simply emit nothing (re-bucket or widen B
+    * in production).
+    */
+  private def embNegativeSample(d: Dialect): String =
+    s"""WITH v AS (SELECT vec_id, label,
+       |    (vec_id * 2654435761) % 2147483647 % 16 AS bkt FROM embeddings),
+       |cand AS (SELECT a.vec_id AS anchor, b.vec_id AS neg,
+       |    (a.vec_id * 2654435761 + b.vec_id * 40503) % 2147483647 AS h
+       |  FROM v a JOIN v b ON a.bkt = b.bkt AND a.label <> b.label)
+       |SELECT CAST(anchor AS BIGINT) AS anchor, CAST(neg AS BIGINT) AS neg,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM (SELECT anchor, neg,
+       |    ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY h, neg) AS rnk
+       |  FROM cand) r WHERE rnk <= 3""".stripMargin
+
   // -------------------------------------------------------- text analysis
 
   /** Token statistics: whitespace tokens + a BPE-ish subword count (maximal
@@ -3039,5 +3063,6 @@ object Pipeline {
     docQuery("text_inverted_index", textInvertedIndex),
     corpusSplitLeakageDef,
     docQuery("text_bpe_pairs", textBpePairs),
+    embQuery("emb_negative_sample", embNegativeSample),
   )
 }
