@@ -480,7 +480,7 @@ object Pipeline {
     * within the probe's bucket. The scale variant of top-k: candidates come
     * from a bucket equi-join instead of a cross join.
     */
-  private def simAnnLsh(d: Dialect): String = {
+  private[queries] def simAnnLsh(d: Dialect): String = {
     // zero-norm guard as in bruteForceTopkSql
     val cos = s"CASE WHEN qn * en > 0 THEN (${F.dot(d, "qv", "ev", DIM)}) / (qn * en) ELSE 0.0 END"
     s"""WITH e AS (SELECT vec_id, embedding,

@@ -296,6 +296,22 @@ object Streams {
     * hash partition of the rows — batch boundaries carry no semantics for
     * the stateless stream-static match, so any split verifies the same.
     */
+  /** The sim_ann_lsh QUERY SUBSET (vec_id % 50 = 0) staged as three
+    * parquet chunks — the arriving query stream of the ANN serving gate.
+    */
+  private def stagedEmbQueriesDir(spark: SparkSession, sfDir: String): String =
+    stageCache.computeIfAbsent(seedKey(spark, sfDir, "embq"), { _ =>
+      val dir = cleanScratch(spark,
+        s"embq_stream_${sfDir.hashCode & 0x7fffffff}")
+      val qs = Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") % 50 === 0)
+      Seq(0, 1, 2).foreach { i =>
+        qs.filter(pmod(hash(col("vec_id")), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      dir
+    })
+
   private def stagedTriplesDir(spark: SparkSession, sfDir: String): String =
     stageCache.computeIfAbsent(seedKey(spark, sfDir, "triples"), { _ =>
       val dir = cleanScratch(spark,
@@ -947,6 +963,55 @@ object Streams {
       }
       s.table("g_stream_twst")
       }
+    },
+
+    // ---- STREAMING ANN SERVING (round-7): a stream of query vectors
+    // answered against the static indexed corpus — the online-serving twin
+    // of sim_ann_lsh (whose SQL is this gate's oracle verbatim). Each
+    // micro-batch of queries computes its LSH bucket, probes the
+    // BROADCAST bucketed corpus (stateless stream-static equi-join, no
+    // state store), and foreachBatch ranks top-3 per query — legal there
+    // because the batch is a plain DataFrame, and exact because every
+    // query appears in exactly one batch (batching carries no semantics).
+    // The 100 TB shape: corpus-side buckets are the index; queries only
+    // ever touch their bucket. ----
+    QueryDef("stream_ann_serve", Pipeline.simAnnLsh(graft.functions.DuckDialect)) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val F = graft.functions.Formulas
+      val d = graft.functions.SparkDialect
+      val dim = 64 // TESTDATA embeddings dimension (Pipeline.DIM)
+      val src = stagedEmbQueriesDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_ann_ckpt_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_ann_out_${dir.hashCode & 0x7fffffff}")
+      val emb = Tables.load(s, dir, "embeddings")
+      val static = broadcast(emb.selectExpr("vec_id AS nid", "embedding AS ev",
+        s"${F.norm(d, "embedding", dim)} AS en",
+        s"${F.lshBucket(d, "embedding", dim, 8)} AS bkt"))
+      val q = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .selectExpr("vec_id AS qid", "embedding AS qv",
+          s"${F.norm(d, "embedding", dim)} AS qn",
+          s"${F.lshBucket(d, "embedding", dim, 8)} AS bkt")
+        .join(static, "bkt")
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          when(col("qn") * col("en") > 0,
+            expr("graft_dot(qv, ev)") / (col("qn") * col("en")))
+            .otherwise(lit(0.0)).as("score"))
+        .writeStream
+        .foreachBatch { (bdf: DataFrame, _: Long) =>
+          bdf.withColumn("rnk", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("qid")
+                .orderBy(col("score").desc, col("nid"))))
+            .filter(col("rnk") <= 3)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.read.parquet(out)
+        .select(col("qid").cast("long").as("qid"), col("nid").cast("long").as("nid"),
+          col("score"), col("rnk").cast("long").as("rnk"))
     },
 
     // ---- STREAMING RDF: continuous BGP match over an arriving triple
