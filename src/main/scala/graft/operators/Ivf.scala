@@ -40,8 +40,12 @@ object Ivf {
       .as[(Long, Seq[Float])].rdd.map { case (id, v) => (id, toDouble(v)) }
     data.cache()
 
+    // Seeds = the k lowest vec_ids. takeOrdered is a per-partition top-k
+    // merged on the driver — no total-sort shuffle of the corpus for k rows
+    // (the previous sortBy(_._1).take(k) paid one). Identical seeds.
     var centroids: Array[(Int, Array[Double])] = data
-      .sortBy(_._1).take(k).zipWithIndex.map { case ((_, v), i) => (i, v) }
+      .takeOrdered(k)(Ordering.by(_._1)).zipWithIndex
+      .map { case ((_, v), i) => (i, v) }
 
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(centroids)

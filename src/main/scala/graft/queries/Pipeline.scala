@@ -1164,6 +1164,91 @@ object Pipeline {
       s.sql(dedupWinnowPairsSelect("graft_winnow_fps"))
     }
 
+  /** REPEATED-SPAN REMOVAL — the substring-level dedup APPLY step
+    * (ExactSubstr-style, Lee et al. arXiv:2107.06499): rewrite every
+    * document with the non-canonical occurrences of cross-document
+    * repeated word-4-gram spans excised, keeping the copy in the span's
+    * lowest doc_id (`first_doc`, the same canonical-owner rule as
+    * dedup_repeated_spans). This is the missing half of the detection
+    * gate: a training-data pipeline doesn't just REPORT the memorization
+    * hazard, it clips it out of every survivor.
+    *
+    * Contract (single pass, like ExactSubstr): a token is removed iff it
+    * is covered by some 4-gram occurrence whose span also occurs in a
+    * LOWER-id document; ALL occurrences inside the owner doc stay (within-
+    * doc repetition is text_repetition's business, not dedup's). Removal
+    * can create new adjacent 4-grams in the rewritten text — as in the
+    * reference implementation, those are next-pass material, not this
+    * pass's.
+    *
+    * Scale shape: the span STRINGS never materialize — spans are the same
+    * Karp-Rabin positional token-hash combination winnowing uses (the
+    * 12.4s→1.1s lesson); the repeated-span relation is a hash aggregate on
+    * the span hash; occurrence marking is an equi-join back on that hash;
+    * coverage is a per-doc window MAX over the foreign-start flag (ROWS 3
+    * PRECEDING — span width), hash-partitioned by doc_id; reconstruction
+    * is an ordered aggregate per doc. One corpus-wide exchange per step,
+    * never all-pairs, no UDFs.
+    */
+  private def scrubShgCtes(d: Dialect): String = {
+    val tw = s"(SELECT doc_id, ${F.tokens(d, "text")} AS tk FROM documents) tw"
+    val pos =
+      if (d == SparkDialect) s"SELECT doc_id, posexplode(tk) AS (pos, t) FROM $tw"
+      else s"SELECT doc_id, unnest(tk) AS t, unnest(range(len(tk))) AS pos FROM $tw"
+    val shingle = "(((((h * 31 + lead(h, 1) OVER w) % " + F.P +
+      ") * 31 + lead(h, 2) OVER w) % " + F.P +
+      ") * 31 + lead(h, 3) OVER w) % " + F.P
+    s"""sps AS ($pos),
+       |sv AS (SELECT doc_id, pos, t, ${F.strHashCheap(d, "t")} AS h FROM sps),
+       |sshg AS (SELECT doc_id, pos, t, $shingle AS sh
+       |  FROM sv WINDOW w AS (PARTITION BY doc_id ORDER BY pos))""".stripMargin
+  }
+
+  private def spanScrubSelect(d: Dialect, shgTable: String): String = {
+    // ordered reconstruction of the kept tokens; aggregate skips the NULLs
+    // the CASE leaves on removed positions in both engines. COALESCE
+    // aligns the all-removed edge (DuckDB string_agg of no rows = NULL,
+    // Spark array_join of empty = '').
+    val kept =
+      if (d == SparkDialect)
+        "array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN c = 0 THEN struct(pos, t) END)), x -> x.t), ' ')"
+      else "COALESCE(string_agg(CASE WHEN c = 0 THEN t END, ' ' ORDER BY pos), '')"
+    s"""rep AS (SELECT sh, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+       |  FROM $shgTable WHERE sh IS NOT NULL
+       |  GROUP BY sh HAVING COUNT(DISTINCT doc_id) > 1),
+       |fl AS (SELECT g.doc_id, g.pos, g.t,
+       |    CASE WHEN r.first_doc IS NOT NULL AND r.first_doc <> g.doc_id
+       |      THEN 1 ELSE 0 END AS f
+       |  FROM $shgTable g LEFT JOIN rep r ON g.sh = r.sh),
+       |cov AS (SELECT doc_id, pos, t,
+       |    MAX(f) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS c
+       |  FROM fl)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(c) AS BIGINT) AS n_removed,
+       |  CAST(COUNT(*) - SUM(c) AS BIGINT) AS n_kept,
+       |  $kept AS scrubbed
+       |FROM cov GROUP BY doc_id""".stripMargin
+  }
+
+  private def dedupSpanScrubDef: QueryDef =
+    QueryDef("dedup_span_scrub",
+      s"""WITH ${scrubShgCtes(DuckDialect)},
+         |${spanScrubSelect(DuckDialect, "sshg")}""".stripMargin) { (s, dir) =>
+      views(s, dir, "documents")
+      // sshg is referenced twice (repeated-span aggregate + the occurrence
+      // join); it is a CTE-bearing plan, so per the materialization rule it
+      // must localCheckpoint — persist+view would silently re-run the
+      // explode + window per reference.
+      val shg = s.sql(
+        s"WITH ${scrubShgCtes(SparkDialect)} SELECT doc_id, pos, t, sh FROM sshg")
+        .localCheckpoint()
+      shg.createOrReplaceTempView("graft_scrub_shg")
+      s.sql(s"WITH ${spanScrubSelect(SparkDialect, "graft_scrub_shg")}")
+    }
+
   /** INVERTED INDEX with delta-encoded postings — the retrieval-side data
     * structure a search/RAG stack builds over the corpus: per token, the
     * document frequency and the SORTED posting list stored as first-order
@@ -3060,6 +3145,7 @@ object Pipeline {
     docQuery("corpus_pack_stats", corpusPackStats),
     docQuery("text_winnow_fingerprint", textWinnowFingerprint),
     dedupWinnowPairsDef,
+    dedupSpanScrubDef,
     docQuery("text_inverted_index", textInvertedIndex),
     corpusSplitLeakageDef,
     docQuery("text_bpe_pairs", textBpePairs),

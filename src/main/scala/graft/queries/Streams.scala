@@ -890,7 +890,12 @@ object Streams {
         |FROM batches b JOIN firsts f
         |  ON f.user_id = b.user_id AND f.fb <= b.bi
         |GROUP BY b.user_id, b.bi""".stripMargin) { (s, dir) =>
-      withStatePartitions(s, 2) {
+      // 1 state partition (vs the family's 2): after the ValueState
+      // rewrite the per-event work is a set union in memory, so the gate's
+      // cost IS the store lifecycle — one RocksDB instance opened+committed
+      // per micro-batch instead of two. Keyed output is partition-count-
+      // insensitive.
+      withStatePartitions(s, 1) {
       import s.implicits._
       val src = stagedEventsDir(s, dir)
       val ckpt = cleanScratch(s, s"stream_twsd_ckpt_${dir.hashCode & 0x7fffffff}")

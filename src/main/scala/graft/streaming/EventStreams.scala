@@ -173,20 +173,27 @@ object EventStreams {
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, Event, UserTypes] {
     import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
-    @transient private var state: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    // ValueState holding the whole type-SET (-joined, sorted), not a
+    // MapState with one entry per type: the per-type counts were never read
+    // (only the key-set size is emitted), and MapState pays a RocksDB
+    // get+put PER EVENT where this pays one get per (user, batch) and one
+    // put only when the set actually grew. Identical output multiset.
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[String] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getMapState[String, Long]("types",
-        org.apache.spark.sql.Encoders.STRING,
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      state = getHandle.getValueState[String]("types",
+        org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTypes] = {
-      rows.foreach { e =>
-        val prev = if (state.containsKey(e.event_type)) state.getValue(e.event_type) else 0L
-        state.updateValue(e.event_type, prev + 1L)
-      }
-      Iterator.single(UserTypes(key, state.keys().size))
+      val packed = if (state.exists()) state.get() else ""
+      var types: Set[String] =
+        if (packed.isEmpty) Set.empty else packed.split('').toSet
+      val before = types.size
+      rows.foreach { e => types += e.event_type }
+      if (types.size != before)
+        state.update(types.toSeq.sorted.mkString(""))
+      Iterator.single(UserTypes(key, types.size))
     }
   }
 

@@ -156,6 +156,40 @@ class QueriesSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("dedup_span_scrub: owner keeps the span, others lose exactly it; tokens conserve") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc1 owns the shared 4-gram "cc dd ee ff" (lowest doc_id); doc2's
+    // occurrence covers its positions 2..5; doc3 shares nothing
+    val dir = graft.sources.Tables.scratchDir("scrub_fixture")
+    Seq(
+      (1L, "aa bb cc dd ee ff", "en", "s0", 0L),
+      (2L, "zz yy cc dd ee ff xx", "en", "s0", 0L),
+      (3L, "mm nn oo pp qq rr", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("dedup_span_scrub")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("scrubbed") == "aa bb cc dd ee ff",
+      "the canonical owner must keep its copy")
+    assert(out(2L).getAs[String]("scrubbed") == "zz yy xx",
+      "non-owners must lose exactly the covered tokens")
+    assert(out(2L).getAs[Long]("n_removed") == 4L)
+    assert(out(3L).getAs[String]("scrubbed") == "mm nn oo pp qq rr",
+      "disjoint docs are untouched")
+    // conservation on the real corpus: removed + kept = original per doc,
+    // and the rewritten text has exactly n_kept tokens
+    val corpus = SparkEntry.queries("dedup_span_scrub")(spark, sf).persist()
+    assert(corpus.filter(col("n_removed") + col("n_kept") =!= col("n_tokens"))
+      .count() == 0, "token conservation")
+    assert(corpus.filter(col("n_kept") > 0 &&
+        size(split(trim(col("scrubbed")), "\\s+")) =!= col("n_kept"))
+      .count() == 0, "scrubbed text must carry exactly n_kept tokens")
+    assert(corpus.filter(col("n_removed") > 0).count() > 0,
+      "fixture sensitivity: some doc must actually be scrubbed")
+    corpus.unpersist()
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
     import spark.implicits._
     // k=4 shingles, w=4 windows: a shared run of 7 tokens guarantees one
