@@ -1002,31 +1002,85 @@ object Pipeline {
     * exists to surface: a production corpus tunes M/K/nprobe against
     * exactly this number.
     */
-  private def simIvfPqRecall: QueryDef = {
-    def tail(xRef: String) =
-      s""",
-         |exd AS (SELECT q.qid, e.vec_id AS nid,
-         |    CAST(SUM((q.qx - e.x*1000)*(q.qx - e.x*1000)) AS BIGINT) AS dist
-         |  FROM q JOIN $xRef e ON e.i = q.i AND e.vec_id <> q.qid
-         |  GROUP BY q.qid, e.vec_id),
-         |ext AS (SELECT qid, nid FROM (
-         |    SELECT qid, nid,
-         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rnk
-         |  FROM exd) r WHERE rnk <= 5),
-         |hits AS (SELECT p.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
-         |  FROM pqtop p JOIN ext e ON e.qid = p.qid AND e.nid = p.nid
-         |  GROUP BY p.qid)
-         |SELECT CAST(e.qid AS BIGINT) AS qid,
-         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-         |  CAST(COALESCE(h.n_hits, 0) * 200000 AS BIGINT) AS recall_micro
-         |FROM (SELECT DISTINCT qid FROM ext) e
-         |LEFT JOIN hits h ON h.qid = e.qid""".stripMargin
+  /** Recall tail vs the exact ground truth, parameterized by which top-5
+    * relation is being evaluated (`pqtop` = raw ADC, `rtop` = refined). */
+  private def ivfPqRecallTail(xRef: String, topTable: String): String =
+    s""",
+       |exd AS (SELECT q.qid, e.vec_id AS nid,
+       |    CAST(SUM((q.qx - e.x*1000)*(q.qx - e.x*1000)) AS BIGINT) AS dist
+       |  FROM q JOIN $xRef e ON e.i = q.i AND e.vec_id <> q.qid
+       |  GROUP BY q.qid, e.vec_id),
+       |ext AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rnk
+       |  FROM exd) r WHERE rnk <= 5),
+       |hits AS (SELECT p.qid, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM $topTable p JOIN ext e ON e.qid = p.qid AND e.nid = p.nid
+       |  GROUP BY p.qid)
+       |SELECT CAST(e.qid AS BIGINT) AS qid,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(h.n_hits, 0) * 200000 AS BIGINT) AS recall_micro
+       |FROM (SELECT DISTINCT qid FROM ext) e
+       |LEFT JOIN hits h ON h.qid = e.qid""".stripMargin
+
+  private def simIvfPqRecall: QueryDef =
     QueryDef("sim_ivf_pq_recall",
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
-         |${ivfPqCtes(DuckDialect, "x")}${tail("x")}""".stripMargin)(
+         |${ivfPqCtes(DuckDialect, "x")}${ivfPqRecallTail("x", "pqtop")}""".stripMargin)(
       ivfPqSpark(xRef =>
-        s"""WITH ${ivfPqCtes(SparkDialect, xRef)}${tail(xRef)}""".stripMargin))
+        s"""WITH ${ivfPqCtes(SparkDialect, xRef)}${ivfPqRecallTail(xRef, "pqtop")}""".stripMargin))
+
+  /** TWO-STAGE REFINE — the production IVF-PQ serving shape: the ADC pass
+    * produces a cheap top-`$RefineN` SHORTLIST (code lookups only), then
+    * the shortlist alone is re-ranked by the EXACT integer L2 over the
+    * full milli-unit lanes — one equi-join on (vec_id, lane) against
+    * `$RefineN` candidates/query, never the corpus. Final output = exact-
+    * re-ranked top-5.
+    *
+    * Recall dominance is structural, not statistical: the raw ADC top-5 is
+    * a subset of the shortlist, and every exact-ground-truth member that
+    * survives into the shortlist ranks ahead of any non-member under the
+    * exact (dist, nid) order — so refined recall >= ADC recall PER QUERY
+    * (spec-asserted), the verdict's acceptance bar.
+    */
+  private val RefineN = 20
+
+  private def ivfPqRefineCtes(xRef: String): String =
+    s""",
+       |short AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+       |  FROM adc) r WHERE rn <= $RefineN),
+       |rfd AS (SELECT s.qid, s.nid,
+       |    CAST(SUM((q.qx - e.x*1000)*(q.qx - e.x*1000)) AS BIGINT) AS dist
+       |  FROM short s JOIN q ON q.qid = s.qid
+       |  JOIN $xRef e ON e.vec_id = s.nid AND e.i = q.i
+       |  GROUP BY s.qid, s.nid),
+       |rtop AS (SELECT qid, nid, dist, rnk FROM (
+       |    SELECT qid, nid, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rnk
+       |  FROM rfd) r WHERE rnk <= 5)""".stripMargin
+
+  private def simIvfPqRefine: QueryDef = {
+    val sel =
+      """SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+        |  dist, CAST(rnk AS BIGINT) AS rnk
+        |FROM rtop""".stripMargin
+    QueryDef("sim_ivf_pq_refine",
+      s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
+         |${ivfPqCtes(DuckDialect, "x")}${ivfPqRefineCtes("x")}
+         |$sel""".stripMargin)(
+      ivfPqSpark(xRef =>
+        s"""WITH ${ivfPqCtes(SparkDialect, xRef)}${ivfPqRefineCtes(xRef)}
+           |$sel""".stripMargin))
   }
+
+  private def simIvfPqRefineRecall: QueryDef =
+    QueryDef("sim_ivf_pq_refine_recall",
+      s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
+         |${ivfPqCtes(DuckDialect, "x")}${ivfPqRefineCtes("x")}${ivfPqRecallTail("x", "rtop")}""".stripMargin)(
+      ivfPqSpark(xRef =>
+        s"""WITH ${ivfPqCtes(SparkDialect, xRef)}${ivfPqRefineCtes(xRef)}${ivfPqRecallTail(xRef, "rtop")}""".stripMargin))
 
   /** SEQUENCE PACKING (round-7): the concat-and-chunk layout a pretraining
     * dataloader feeds the model — documents are concatenated in doc_id
@@ -3141,6 +3195,8 @@ object Pipeline {
     corpusKlDef,
     simIvfPq,
     simIvfPqRecall,
+    simIvfPqRefine,
+    simIvfPqRefineRecall,
     docQuery("corpus_pack", corpusPack),
     docQuery("corpus_pack_stats", corpusPackStats),
     docQuery("text_winnow_fingerprint", textWinnowFingerprint),

@@ -190,6 +190,36 @@ class QueriesSpec extends SparkTestBase {
     corpus.unpersist()
   }
 
+  test("sim_ivf_pq_refine: exact re-rank recall dominates raw ADC recall per query") {
+    import org.apache.spark.sql.functions._
+    // structural invariant: ADC top-5 ⊆ shortlist, and ground-truth members
+    // in the shortlist outrank non-members under the exact order — so the
+    // refined top-5 can never lose a hit the raw ADC top-5 had
+    val adc = SparkEntry.queries("sim_ivf_pq_recall")(spark, sf)
+      .select(col("qid"), col("n_hits").as("adc_hits"))
+    val ref = SparkEntry.queries("sim_ivf_pq_refine_recall")(spark, sf)
+      .select(col("qid"), col("n_hits").as("ref_hits"))
+    val joined = adc.join(ref, "qid").persist()
+    assert(joined.count() > 0)
+    assert(joined.filter(col("ref_hits") < col("adc_hits")).count() == 0,
+      "refined recall must be >= ADC recall for every query")
+    joined.unpersist()
+  }
+
+  test("stream_ann_upsert: index versions only serve vectors that have arrived") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("stream_ann_upsert")(spark, sf).persist()
+    // visibility: a result at version v may only cite vectors whose
+    // arrival batch (vec_id % 3) precedes v
+    assert(out.filter(col("nid") % 3 >= col("version")).count() == 0,
+      "no result may cite a vector that had not arrived yet")
+    // sensitivity: the final version must actually surface late arrivals
+    assert(out.filter(col("version") === 3 && col("nid") % 3 === 2).count() > 0,
+      "batch-3 vectors must appear in version-3 results")
+    assert(out.filter(col("rnk") < 1 || col("rnk") > 3).count() == 0)
+    out.unpersist()
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
     import spark.implicits._
     // k=4 shingles, w=4 windows: a shared run of 7 tokens guarantees one
