@@ -2,10 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
-    // optional args (local iteration only): name prefixes to bench
+    // optional args (local iteration only): name prefixes to bench; a
+    // trailing "$" makes the match exact (e.g. "sim_ivf_pq$" selects only
+    // that gate, not its _recall/_refine siblings)
     val prefixes = if (args.nonEmpty) Some(args.toSeq) else None
     def selected(name: String): Boolean =
-      prefixes.forall(_.exists(name.startsWith))
+      prefixes.forall(_.exists(p =>
+        if (p.endsWith("$")) name == p.dropRight(1) else name.startsWith(p)))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

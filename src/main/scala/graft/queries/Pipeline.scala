@@ -180,6 +180,56 @@ object Pipeline {
        |WHERE est_sim >= 0.5""".stripMargin
   }
 
+  /** Per-batch (doc_id, band-key) relation for the streaming ingestion
+    * dedup gate ([[Streams]] stream_dedup_ingest): MinHash(K=16) + 4-band
+    * LSH over word-4-gram shingles, with the shingle hashes computed
+    * POSITIONALLY via the Karp-Rabin token-hash combination
+    * ([[scrubShgCtes]] — the winnowing lesson: no shingle strings, no
+    * per-shingle digest, no vocabulary join). The whole batch plan is ONE
+    * exchange: posexplode (map) → lead-window on doc_id → the 16 MIN
+    * aggregates GROUP BY doc_id reuse the window's hashpartitioning →
+    * band explode (map). Duplicate shingle occurrences need no DISTINCT —
+    * MIN over repeats is MIN.
+    */
+  private def ingestSigMins: String = (0 until K).map { k =>
+    s"MIN(((${2 * k + 3}*sh + ${k * k + 1}) % ${F.P})) AS s$k"
+  }.mkString(",\n    ")
+
+  private[queries] def ingestBands(s: SparkSession, docs: DataFrame): DataFrame = {
+    val d = SparkDialect
+    docs.createOrReplaceTempView("graft_ingest_docs")
+    s.sql(s"""WITH ${scrubShgCtes(d, "graft_ingest_docs")},
+      |sigs AS (SELECT doc_id, $ingestSigMins
+      |  FROM sshg WHERE sh IS NOT NULL GROUP BY doc_id)
+      |${d.explodeSelect("doc_id", "sigs",
+          bandKeyCols.mkString("array(", ", ", ")"), "bk")}""".stripMargin)
+  }
+
+  /** Batch-insensitive oracle for stream_dedup_ingest: a document is a dup
+    * iff it shares an LSH band with a doc that arrived strictly earlier —
+    * earlier batch (`doc_id % 3` arrival schedule), or same batch with a
+    * lower doc_id. The store indexes every SEEN doc's bands (dups too):
+    * a near-dup's fingerprint still differs from its keeper's, and
+    * dropping it from the store would let its own near-dups re-enter.
+    * Docs too short for one shingle have no bands — never dups, still
+    * emitted (LEFT JOIN from the full base).
+    */
+  private[queries] def ingestDedupOracle: String = {
+    val bandArray = bandKeyCols.mkString("[", ", ", "]")
+    s"""WITH ${scrubShgCtes(DuckDialect)},
+       |sigs AS (SELECT doc_id, $ingestSigMins
+       |  FROM sshg WHERE sh IS NOT NULL GROUP BY doc_id),
+       |b AS (${DuckDialect.explodeSelect("doc_id", "sigs", bandArray, "bk")}),
+       |dups AS (SELECT DISTINCT x.doc_id FROM b x JOIN b y ON x.bk = y.bk
+       |  AND (y.doc_id % 3 < x.doc_id % 3
+       |    OR (y.doc_id % 3 = x.doc_id % 3 AND y.doc_id < x.doc_id))),
+       |base AS (SELECT doc_id FROM documents)
+       |SELECT CAST(d.doc_id % 3 + 1 AS BIGINT) AS version,
+       |  CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  CAST(CASE WHEN dp.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+       |FROM base d LEFT JOIN dups dp ON dp.doc_id = d.doc_id""".stripMargin
+  }
+
   private def dedupMinhashLsh: QueryDef =
     QueryDef("dedup_minhash_lsh",
       s"""WITH sigs AS (${minhashSigSql(DuckDialect)})
@@ -1244,8 +1294,8 @@ object Pipeline {
     * is an ordered aggregate per doc. One corpus-wide exchange per step,
     * never all-pairs, no UDFs.
     */
-  private def scrubShgCtes(d: Dialect): String = {
-    val tw = s"(SELECT doc_id, ${F.tokens(d, "text")} AS tk FROM documents) tw"
+  private def scrubShgCtes(d: Dialect, docsTable: String = "documents"): String = {
+    val tw = s"(SELECT doc_id, ${F.tokens(d, "text")} AS tk FROM $docsTable) tw"
     val pos =
       if (d == SparkDialect) s"SELECT doc_id, posexplode(tk) AS (pos, t) FROM $tw"
       else s"SELECT doc_id, unnest(tk) AS t, unnest(range(len(tk))) AS pos FROM $tw"

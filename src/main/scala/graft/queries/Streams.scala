@@ -329,6 +329,22 @@ object Streams {
       dir
     })
 
+  /** Document arrival stream for the ingestion-dedup gate: three files in
+    * deterministic `doc_id % 3` order (same schedule as the corpus-vector
+    * stream, so the oracle can replay arrival relationally).
+    */
+  private def stagedDocsDir(spark: SparkSession, sfDir: String): String =
+    stageCache.computeIfAbsent(seedKey(spark, sfDir, "docs"), { _ =>
+      val dir = cleanScratch(spark,
+        s"docs_stream_${sfDir.hashCode & 0x7fffffff}")
+      val all = Tables.load(spark, sfDir, "documents")
+      Seq(0, 1, 2).foreach { i =>
+        all.filter(col("doc_id") % 3 === i)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      dir
+    })
+
   private def stagedTriplesDir(spark: SparkSession, sfDir: String): String =
     stageCache.computeIfAbsent(seedKey(spark, sfDir, "triples"), { _ =>
       val dir = cleanScratch(spark,
@@ -1132,6 +1148,71 @@ object Streams {
         .select(col("version").cast("long").as("version"),
           col("qid").cast("long").as("qid"), col("nid").cast("long").as("nid"),
           col("score"), col("rnk").cast("long").as("rnk"))
+    },
+
+    // ---- STREAMING INGESTION DEDUP (round-8): near-dup detection AT THE
+    // INGESTION BOUNDARY — the shape a pipeline actually runs (dedup
+    // against everything already accepted, not a batch re-scan). Each
+    // micro-batch of documents computes its MinHash/LSH band keys (the
+    // dedup_minhash_lsh pipeline over the batch only), flags docs sharing
+    // a band with the accumulated fingerprint STORE (prior batches) or
+    // with a lower-id doc in the same batch, then appends its own bands to
+    // the store. The store keeps every SEEN doc's bands — a near-dup's
+    // fingerprint differs from its keeper's, and dropping it would let
+    // its own near-dups re-enter. Oracle replays arrival relationally.
+    // 100 TB shape: the store is a band-keyed table; the dup check is one
+    // equi-join on band key per batch (batch × store, band-bounded) and
+    // the within-batch self-join is band-bounded; per-batch signature work
+    // touches the batch only. ----
+    QueryDef("stream_dedup_ingest", Pipeline.ingestDedupOracle) { (s, dir) =>
+      // batch-scoped shuffle width: each micro-batch runs the signature
+      // pipeline over a CORPUS THIRD, and 32-wide exchanges on a few
+      // thousand rows ×3 batches are pure task-launch tax (same rationale
+      // as the tws gates' state width)
+      withStatePartitions(s, 8) {
+      val src = stagedDocsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_ding_ckpt_${dir.hashCode & 0x7fffffff}")
+      val idxDir = cleanScratch(s, s"stream_ding_idx_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_ding_out_${dir.hashCode & 0x7fffffff}")
+      val docs = Tables.load(s, dir, "documents")
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+          val ss = bdf.sparkSession
+          val bands = Pipeline.ingestBands(ss, bdf).localCheckpoint()
+          // ONE rival relation covers both dup rules: within-batch rows keep
+          // their doc_id (earlier = lower id), store rows take rid = -1
+          // (any store hit is earlier) — so `rid < doc_id` is the whole
+          // predicate, and one semi-join + distinct replaces the former
+          // two-distinct union
+          val within = bands.select(col("bk").as("rbk"), col("doc_id").as("rid"))
+          val rivals =
+            if (batchId == 0) within
+            else within.union(ss.read.parquet(idxDir)
+              .select(col("bk").as("rbk"), lit(-1L).as("rid")))
+          val dups = bands
+            .join(rivals, col("rbk") === col("bk") && col("rid") < col("doc_id"),
+              "left_semi")
+            .select(col("doc_id")).distinct().withColumn("__dup", lit(1L))
+          bdf.select(col("doc_id"))
+            .join(dups, Seq("doc_id"), "left")
+            .select(lit(batchId + 1).cast("long").as("version"),
+              col("doc_id").cast("long").as("doc_id"),
+              coalesce(col("__dup"), lit(0L)).as("is_dup"))
+            .write.mode("append").parquet(out)
+          // store append AFTER the check: a batch never dedups against itself
+          // through the store (the within-batch rule handles that exactly)
+          bands.write.mode("append").parquet(idxDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.read.parquet(out)
+        .select(col("version").cast("long").as("version"),
+          col("doc_id").cast("long").as("doc_id"),
+          col("is_dup").cast("long").as("is_dup"))
+      }
     },
 
     // ---- STREAMING RDF: continuous BGP match over an arriving triple

@@ -220,6 +220,32 @@ class QueriesSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("stream_dedup_ingest: dups flagged against earlier arrivals only") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // arrival schedule is doc_id % 3 (batch i = version i+1). Doc 7
+    // (version 2) copies doc 3 (version 1) → flagged via the STORE; doc 10
+    // (version 2, lower id than... id 7 < 10, same batch? 10%3=1 same
+    // batch as 7) copies 7 → flagged WITHIN the batch against the lower
+    // id; doc 5 is unique → clean. Doc 3 arrives first → clean.
+    val copied = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = graft.sources.Tables.scratchDir("ingest_dedup_fixture")
+    Seq(
+      (3L, copied, "en", "s0", 0L),
+      (5L, "one two three four five six seven eight nine ten", "en", "s0", 0L),
+      (7L, copied, "en", "s0", 0L),
+      (10L, copied, "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("stream_dedup_ingest")(spark, dir)
+      .collect().map(r => (r.getLong(1), (r.getLong(0), r.getLong(2)))).toMap
+    assert(out.keySet == Set(3L, 5L, 7L, 10L), "every doc emitted exactly once")
+    assert(out(3L) == (1L, 0L), "first arrival of the copied text is clean")
+    assert(out(5L) == (3L, 0L), "unique doc is clean")
+    assert(out(7L) == (2L, 1L), "cross-batch copy flagged via the store")
+    assert(out(10L) == (2L, 1L), "within-batch copy flagged against the lower id")
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
     import spark.implicits._
     // k=4 shingles, w=4 windows: a shared run of 7 tokens guarantees one
