@@ -1432,6 +1432,191 @@ object Pipeline {
        |  FROM cnt) r WHERE rnk <= 20""".stripMargin
   }
 
+  /** Full BPE TRAINER (M merge rounds), fully declarative — one CTE chain
+    * both engines run verbatim, no driver loop. The corpus collapses to the
+    * DISTINCT-word frequency table first (the classic trainer's move: merge
+    * decisions depend only on (word, freq), so all sequence rewriting is
+    * vocabulary-bounded, not corpus-bounded). Each round: (1) adjacent-pair
+    * counts via one LEAD window, f-weighted; (2) global argmax pair — a
+    * 1-row CTE consumed as an uncorrelated scalar subquery (no join node);
+    * (3) greedy left-to-right merge application, relationally: matches that
+    * are CONSECUTIVE in sequence order form runs (rn − rank-among-matches
+    * groups them), and taking the odd offsets within each run IS the greedy
+    * leftmost-first tiling (a merge consumes its right neighbor, so the
+    * next legal match is 2 away); (4) rewrite = selected row becomes the
+    * merged symbol, its successor row is dropped (LAG gate). Every window
+    * partitions by word — one vocabulary-sized exchange feeds the whole
+    * chain; the only corpus-wide work is the initial token count.
+    */
+  private val BpeRounds = 4
+
+  /** One LEAD pass: each symbol row gains its in-sequence successor. */
+  private def bpePairScan(prev: String): String =
+    s"""SELECT w, f, pos, sym,
+       |  LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM $prev""".stripMargin
+
+  /** f-weighted adjacent-pair counts over a pair-scan relation. */
+  private def bpePairCount(p: String): String =
+    s"""SELECT sym || nxt AS pair, SUM(f) AS cnt FROM $p
+       |  WHERE nxt IS NOT NULL GROUP BY sym || nxt""".stripMargin
+
+  /** Greedy leftmost merge application — IDENTICAL text on both sides
+    * (the Spark runner and the DuckDB oracle differ only in the table the
+    * scalar `topRef` reads). Matches that are CONSECUTIVE in sequence
+    * order form runs (rn − rank-among-matches groups them); odd offsets
+    * within a run win, which IS the greedy leftmost tiling (a merge
+    * consumes its right neighbor, so the next legal match is 2 away).
+    * Selected rows become the merged symbol; their successors drop (LAG
+    * gate). An empty argmax relation yields mt = 0 everywhere — a no-op
+    * round on both engines.
+    */
+  private def bpeMergeSelect(p: String, topRef: String): String =
+    s"""SELECT w, f, pos,
+       |  CASE WHEN sel = 1 THEN sym || nxt ELSE sym END AS sym
+       |FROM (SELECT w, f, pos, sym, nxt, sel,
+       |    LAG(sel) OVER (PARTITION BY w ORDER BY rn) AS psel
+       |  FROM (SELECT w, f, pos, sym, nxt, rn, CASE WHEN mt = 1 AND
+       |        ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY rn) % 2 = 1
+       |      THEN 1 ELSE 0 END AS sel
+       |    FROM (SELECT w, f, pos, sym, nxt, rn, mt, CASE WHEN mt = 1
+       |        THEN rn - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY rn)
+       |        END AS grp
+       |      FROM (SELECT w, f, pos, sym, nxt,
+       |          ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS rn,
+       |          CASE WHEN nxt IS NOT NULL AND sym || nxt = $topRef
+       |            THEN 1 ELSE 0 END AS mt
+       |        FROM $p) bx) by) bz) bq
+       |WHERE COALESCE(psel, 0) = 0""".stripMargin
+
+  /** Corpus → distinct-word freqs → positional char rows (the classic
+    * trainer's move: merge decisions depend only on (word, freq), so all
+    * sequence rewriting is VOCABULARY-bounded, not corpus-bounded; the
+    * only corpus-wide work is the initial token count).
+    */
+  private def bpePrefix(d: Dialect): String = {
+    val chars = d.transform(d.seq("1", "length(w)"), "i", "substr(w, i, 1)")
+    val s0 =
+      if (d == SparkDialect) s"SELECT w, f, posexplode($chars) AS (pos, sym) FROM wf"
+      else s"SELECT w, f, unnest(range(length(w))) AS pos, unnest($chars) AS sym FROM wf"
+    s"""tok AS (${d.explodeSelect("doc_id", "documents", F.tokens(d, "text"), "t")}),
+       |wf AS (SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY t),
+       |s0 AS ($s0)""".stripMargin
+  }
+
+  /** The oracle's single-statement round chain (DuckDB materializes shared
+    * CTEs; Spark would inline them exponentially — the Spark side runs
+    * [[bpeSparkChain]] instead, one localCheckpoint per round over the
+    * SAME round SQL).
+    */
+  private def bpeOracleCtes(d: Dialect): String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = if (r == 1) "s0" else s"s${r - 1}"
+      s"""p$r AS (${bpePairScan(prev)}),
+         |t$r AS (SELECT pair, cnt FROM (${bpePairCount(s"p$r")}) c$r
+         |  ORDER BY cnt DESC, pair LIMIT 1),
+         |s$r AS (${bpeMergeSelect(s"p$r", s"(SELECT pair FROM t$r)")})""".stripMargin
+    }
+    s"${bpePrefix(d)},\n${rounds.mkString(",\n")}"
+  }
+
+  /** Spark runner: the same rounds, executed iteratively — each round is
+    * one vocabulary-sized window job (localCheckpoint'd, O(1) lineage) plus
+    * a 1-row argmax collect (driver-side model state, the kmeans/IVF
+    * precedent). Returns the post-merge symbol relation and the learned
+    * merge table.
+    */
+  private def bpeSparkChain(s: SparkSession, dir: String): (DataFrame, Seq[(Long, String, Long)]) = {
+    views(s, dir, "documents")
+    var cur = s.sql(s"WITH ${bpePrefix(SparkDialect)} SELECT w, f, pos, sym FROM s0")
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    for (r <- 1 to BpeRounds) {
+      cur.createOrReplaceTempView("graft_bpe_prev")
+      val p = s.sql(bpePairScan("graft_bpe_prev")).localCheckpoint()
+      p.createOrReplaceTempView("graft_bpe_p")
+      val top = s.sql(s"SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM (${bpePairCount("graft_bpe_p")}) c ORDER BY cnt DESC, pair LIMIT 1")
+        .collect()
+      if (top.nonEmpty) {
+        merges += ((r.toLong, top(0).getString(0), top(0).getLong(1)))
+        import s.implicits._
+        Seq(top(0).getString(0)).toDF("pair")
+          .createOrReplaceTempView("graft_bpe_top")
+        cur = s.sql(bpeMergeSelect("graft_bpe_p",
+          "(SELECT pair FROM graft_bpe_top)")).localCheckpoint()
+      }
+    }
+    (cur, merges.result())
+  }
+
+  /** Full BPE TRAINER (M merge rounds): the learned merge table — what a
+    * BPE trainer ships: (step, merged pair, f-weighted count at selection
+    * time). Oracle = one CTE chain; Spark = the iterative runner over the
+    * same round SQL.
+    */
+  private def textBpeTrainDef: QueryDef = {
+    val steps = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS step, pair, cnt FROM t$r")
+      .mkString("\n  UNION ALL ")
+    QueryDef("text_bpe_train",
+      s"""WITH ${bpeOracleCtes(DuckDialect)}
+         |SELECT CAST(step AS BIGINT) AS step, pair, CAST(cnt AS BIGINT) AS cnt
+         |FROM ($steps) m""".stripMargin) { (s, dir) =>
+      val (_, merges) = bpeSparkChain(s, dir)
+      import s.implicits._
+      merges.toDF("step", "pair", "cnt")
+    }
+  }
+
+  /** BPE ENCODE via the trained merges: a word's final segmentation applies
+    * to every occurrence (BPE is word-internal), so encoding = count the
+    * post-round-M symbol rows per distinct word and map back through the
+    * token relation — no per-occurrence rewriting. LEFT JOIN keeps
+    * zero-length tokens (no symbol rows) at 0 subwords.
+    */
+  private def bpeEncodeSelect(d: Dialect, segSrc: String): String =
+    s"""seg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym,
+       |    CAST(SUM(length(sym)) AS BIGINT) AS n_char
+       |  FROM $segSrc GROUP BY w)
+       |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(COALESCE(seg.n_sym, 0)) AS BIGINT) AS n_bpe,
+       |  CAST(SUM(COALESCE(seg.n_sym, 0)) AS DOUBLE)
+       |    / SUM(COALESCE(seg.n_char, 0)) AS syms_per_char
+       |FROM tok t LEFT JOIN seg ON t.t = seg.w
+       |GROUP BY t.doc_id""".stripMargin
+
+  private def textBpeEncodeDef: QueryDef =
+    QueryDef("text_bpe_encode",
+      s"""WITH ${bpeOracleCtes(DuckDialect)},
+         |${bpeEncodeSelect(DuckDialect, s"s$BpeRounds")}""".stripMargin) { (s, dir) =>
+      val (fin, _) = bpeSparkChain(s, dir)
+      fin.createOrReplaceTempView("graft_bpe_final")
+      s.sql(
+        s"""WITH tok AS (${SparkDialect.explodeSelect("doc_id", "documents",
+             F.tokens(SparkDialect, "text"), "t")}),
+           |${bpeEncodeSelect(SparkDialect, "graft_bpe_final")}""".stripMargin)
+    }
+
+  /** HASHING-TRICK DOCUMENT FEATURIZER (the HashingVectorizer /
+    * fastText-bucket move): tokens hash into B=16 buckets, bucket counts
+    * L2-normalize into a sparse document vector — embedding GENERATION
+    * from raw text with no vocabulary state at all (the property that
+    * matters at 100 TB: no dictionary build, no broadcast, schema fixed
+    * regardless of corpus). Output is the sparse (doc, bucket, weight)
+    * relation; norm arithmetic stays exact-integer until one final
+    * sqrt+divide (bit-identical across engines).
+    */
+  private def embHashFeatures(d: Dialect): String =
+    s"""WITH tok AS (${d.explodeSelect("doc_id", "documents", F.tokens(d, "text"), "t")}),
+       |b AS (SELECT doc_id, (${F.strHashCheap(d, "t")}) % 16 AS bkt FROM tok),
+       |c AS (SELECT doc_id, bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM b GROUP BY doc_id, bkt),
+       |n AS (SELECT doc_id, sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) AS nrm
+       |  FROM c GROUP BY doc_id)
+       |SELECT CAST(c.doc_id AS BIGINT) AS doc_id, CAST(bkt AS BIGINT) AS bkt,
+       |  CAST(cnt AS DOUBLE) / nrm AS weight
+       |FROM c JOIN n ON c.doc_id = n.doc_id""".stripMargin
+
   /** NEGATIVE SAMPLING for contrastive training: per anchor vector, 3
     * deterministic negatives — candidates drawn from the anchor's HASH
     * BUCKET (16 buckets over vec_id) with a DIFFERENT label, ranked by a
@@ -3255,6 +3440,9 @@ object Pipeline {
     docQuery("text_inverted_index", textInvertedIndex),
     corpusSplitLeakageDef,
     docQuery("text_bpe_pairs", textBpePairs),
+    textBpeTrainDef,
+    textBpeEncodeDef,
+    docQuery("emb_hash_features", embHashFeatures),
     embQuery("emb_negative_sample", embNegativeSample),
   )
 }

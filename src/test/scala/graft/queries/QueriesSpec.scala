@@ -246,6 +246,48 @@ class QueriesSpec extends SparkTestBase {
     assert(out(10L) == (2L, 1L), "within-batch copy flagged against the lower id")
   }
 
+  test("bpe trainer: greedy leftmost tiling, f-weighted argmax, symbol growth") {
+    import spark.implicits._
+    // hand-computed merge sequence: wf = {aaa: 3, ab: 1};
+    // round 1 pairs: aa = 2·3 = 6, ab = 1 → merge aa; aaa → [aa, a]
+    // round 2 pairs: aa+a = 3, ab = 1     → merge aaa; aaa → [aaa]
+    // round 3 pairs: ab = 1               → merge ab
+    // round 4: no pairs left → no row (empty-argmax round is a no-op)
+    val dir = graft.sources.Tables.scratchDir("bpe_fixture")
+    Seq((1L, "aaa aaa", "en", "s0", 0L), (2L, "aaa ab", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = SparkEntry.queries("text_bpe_train")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(merges.toSeq == Seq((1L, "aa", 6L), (2L, "aaa", 3L), (3L, "ab", 1L)))
+    val enc = SparkEntry.queries("text_bpe_encode")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(enc(1L) == (2L, 2L), "doc 1: two tokens, each a single merged symbol")
+    assert(enc(2L) == (2L, 2L), "doc 2: aaa + ab both fully merged")
+
+    // overlap tiling: aaaa with top pair aa must tile as [aa][aa], not
+    // merge the middle overlap — 3 matches in one run, odd offsets win
+    val dir2 = graft.sources.Tables.scratchDir("bpe_overlap_fixture")
+    Seq((1L, "aaaa aaaa aaaa", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val m2 = SparkEntry.queries("text_bpe_train")(spark, dir2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(m2.toSeq == Seq((1L, "aa", 9L), (2L, "aaaa", 3L)),
+      "run of 3 matches tiles to 2 merges (9 = 3 pairs x f=3), then aa+aa merges")
+  }
+
+  test("emb_hash_features: unit-norm sparse vectors, buckets in range") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("emb_hash_features")(spark, sf).persist()
+    assert(out.filter(col("bkt") < 0 || col("bkt") > 15).count() == 0)
+    val norms = out.groupBy("doc_id")
+      .agg(sum(col("weight") * col("weight")).as("sq"))
+    assert(norms.filter(abs(col("sq") - 1.0) > 1e-9).count() == 0,
+      "every document vector must be L2-normalized")
+    out.unpersist()
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
     import spark.implicits._
     // k=4 shingles, w=4 windows: a shared run of 7 tokens guarantees one
