@@ -581,6 +581,165 @@ object Pipeline {
        |WHERE x.qid < x.nid""".stripMargin
   }
 
+  // ------------------------------------------- graph-based ANN serving
+  //
+  // Beam search over a directed kNN graph — the relational analogue of the
+  // HNSW/NSG serving structure (single layer, fixed hop count): each query
+  // starts from a deterministic entry set (modulus equi-join — per-query
+  // pseudo-random entries with NO cross join), then H rounds of
+  // expand-neighbors → exact-score → per-query top-B beam. Every hop is a
+  // frontier×edges equi-join plus two id equi-joins for scoring, all
+  // beam-bounded: visited set ≤ Q × B × (deg+1) per hop regardless of
+  // corpus size. The graph build reuses sim_knn_graph's LSH-bucketed
+  // candidate contract (directed top-3, then symmetrized).
+
+  private val GsBeam = 8
+  private val GsHops = 2
+  private val GsEntryMod = 97
+
+  // Measured on the synthetic corpus (sf0.01): recall@3 = 0.067, vs 0.0
+  // for the LSH gate and 0.27 for raw IVF-PQ ADC. The corpus is planted
+  // near-dups over a RANDOM background (within-label mean cos 0.0016), so
+  // the kNN graph is structureless and beam navigation is coverage-bound —
+  // a third hop was measured to add cost and zero recall (the beam
+  // converges after one expansion on a random graph). The gates pin the
+  // serving SHAPE (beam-bounded equi-joins) and the recall gate exists
+  // precisely to measure this honestly, as sim_ann_recall does for LSH.
+
+  private def gsESelect(d: Dialect): String =
+    s"""SELECT vec_id, embedding, ${F.norm(d, "embedding", DIM)} AS nrm,
+       |  ${F.lshBucket(d, "embedding", DIM, 6)} AS bkt FROM embeddings""".stripMargin
+
+  /** Directed top-3 kNN edges within LSH buckets (bucketed-recall contract
+    * as in sim_knn_graph, without the mutuality filter — graph-ANN wants
+    * out-edges for every node).
+    */
+  private def gsKnnSelect(d: Dialect, eRel: String): String = {
+    val cos = s"CASE WHEN an * bn > 0 THEN (${F.dot(d, "av", "bv", DIM)}) / (an * bn) ELSE 0.0 END"
+    s"""SELECT qid, nid FROM (
+       |  SELECT qid, nid,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+       |  FROM (SELECT a.vec_id AS qid, b.vec_id AS nid, $cos AS score
+       |    FROM (SELECT vec_id, embedding AS av, nrm AS an, bkt FROM $eRel) a
+       |    JOIN (SELECT vec_id, embedding AS bv, nrm AS bn, bkt FROM $eRel) b
+       |      ON a.bkt = b.bkt AND b.vec_id <> a.vec_id) sc) r
+       |WHERE rnk <= 3""".stripMargin
+  }
+
+  private def gsEdgesSelect(knnRel: String): String =
+    s"""SELECT src, dst FROM (
+       |  SELECT qid AS src, nid AS dst FROM $knnRel
+       |  UNION
+       |  SELECT nid AS src, qid AS dst FROM $knnRel) u""".stripMargin
+
+  private def gsQSelect(eRel: String): String =
+    s"SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM $eRel WHERE vec_id % 50 = 0"
+
+  /** Entry candidates: an equi-join on the id residue — each query gets
+    * ~N/[[GsEntryMod]] deterministic pseudo-random entry points without a
+    * cross join.
+    */
+  private def gsEntryCand(eRel: String, qRel: String): String =
+    s"""SELECT q.qid, c.vec_id AS nid FROM $qRel q
+       |JOIN $eRel c ON c.vec_id % $GsEntryMod = q.qid % $GsEntryMod
+       |  AND c.vec_id <> q.qid""".stripMargin
+
+  /** One hop's candidate set: the kept beam plus its out-neighbors. */
+  private def gsHopCand(fRel: String, edgesRel: String): String =
+    s"""SELECT qid, nid FROM $fRel
+       |UNION
+       |SELECT f.qid, ed.dst AS nid FROM $fRel f
+       |JOIN $edgesRel ed ON f.nid = ed.src AND ed.dst <> f.qid""".stripMargin
+
+  /** Exact-score a (qid, nid) candidate relation and keep the per-query
+    * top-N beam.
+    */
+  private def gsScoreTop(d: Dialect, candSel: String, qRel: String,
+      eRel: String, topN: Int): String = {
+    val cos = s"CASE WHEN qn * en > 0 THEN (${F.dot(d, "qv", "ev", DIM)}) / (qn * en) ELSE 0.0 END"
+    s"""SELECT qid, nid, score, rnk FROM (
+       |  SELECT qid, nid, score,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+       |  FROM (SELECT c.qid, c.nid, $cos AS score
+       |    FROM ($candSel) c
+       |    JOIN (SELECT qid AS jqid, qv, qn FROM $qRel) jq ON jq.jqid = c.qid
+       |    JOIN (SELECT vec_id, embedding AS ev, nrm AS en FROM $eRel) je
+       |      ON je.vec_id = c.nid) sc) r
+       |WHERE rnk <= $topN""".stripMargin
+  }
+
+  /** Oracle: the whole search as one CTE chain (DuckDB shares CTEs; the
+    * Spark side runs [[gsSparkSearch]] — the same stage SQL, one
+    * localCheckpoint per stage, BPE-trainer precedent).
+    */
+  private def gsOracleSql(d: Dialect): String = {
+    val hops = (1 to GsHops).map { h =>
+      s"""f$h AS (${gsScoreTop(d, gsHopCand(s"f${h - 1}", "edges"), "q", "e", GsBeam)})"""
+    }.mkString(",\n")
+    s"""WITH e AS (${gsESelect(d)}),
+       |knn AS (${gsKnnSelect(d, "e")}),
+       |edges AS (${gsEdgesSelect("knn")}),
+       |q AS (${gsQSelect("e")}),
+       |f0 AS (${gsScoreTop(d, gsEntryCand("e", "q"), "q", "e", GsBeam)}),
+       |$hops
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, score,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM f$GsHops WHERE rnk <= 3""".stripMargin
+  }
+
+  private def gsSparkSearch(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    views(s, dir, "embeddings")
+    val e = s.sql(gsESelect(SparkDialect)).localCheckpoint()
+    e.createOrReplaceTempView("graft_gs_e")
+    val knn = s.sql(gsKnnSelect(SparkDialect, "graft_gs_e")).localCheckpoint()
+    knn.createOrReplaceTempView("graft_gs_knn")
+    s.sql(gsEdgesSelect("graft_gs_knn")).localCheckpoint()
+      .createOrReplaceTempView("graft_gs_edges")
+    s.sql(gsQSelect("graft_gs_e")).createOrReplaceTempView("graft_gs_q")
+    var frontier = s.sql(gsScoreTop(SparkDialect,
+        gsEntryCand("graft_gs_e", "graft_gs_q"),
+        "graft_gs_q", "graft_gs_e", GsBeam))
+      .localCheckpoint()
+    for (_ <- 1 to GsHops) {
+      frontier.createOrReplaceTempView("graft_gs_f")
+      frontier = s.sql(gsScoreTop(SparkDialect,
+          gsHopCand("graft_gs_f", "graft_gs_edges"),
+          "graft_gs_q", "graft_gs_e", GsBeam))
+        .localCheckpoint()
+    }
+    frontier
+  }
+
+  private def simGraphSearchDef: QueryDef =
+    QueryDef("sim_graph_search", gsOracleSql(DuckDialect)) { (s, dir) =>
+      gsSparkSearch(s, dir).where(s"rnk <= 3").selectExpr(
+        "CAST(qid AS BIGINT) AS qid", "CAST(nid AS BIGINT) AS nid",
+        "score", "CAST(rnk AS BIGINT) AS rnk")
+    }
+
+  /** Recall@3 of the graph search against the exact top-3 (EVAL gate — the
+    * brute-force ground truth is deliberate, as in sim_ann_recall).
+    */
+  private def simGraphSearchRecallDef: QueryDef =
+    QueryDef("sim_graph_search_recall",
+      s"""WITH bf AS (${bruteForceTopkSql(DuckDialect, 50, 3)}),
+         |gs AS (${gsOracleSql(DuckDialect)})
+         |SELECT bf.qid, CAST(COUNT(gs.nid) AS BIGINT) AS hits,
+         |  CAST(COUNT(gs.nid) AS DOUBLE) / 3.0 AS recall_at_3
+         |FROM bf LEFT JOIN gs ON bf.qid = gs.qid AND bf.nid = gs.nid
+         |GROUP BY bf.qid""".stripMargin) { (s, dir) =>
+      gsSparkSearch(s, dir).where("rnk <= 3")
+        .createOrReplaceTempView("graft_gs_res")
+      s.sql(
+        s"""WITH bf AS (${bruteForceTopkSql(SparkDialect, 50, 3)})
+           |SELECT bf.qid, CAST(COUNT(g.nid) AS BIGINT) AS hits,
+           |  CAST(COUNT(g.nid) AS DOUBLE) / 3.0 AS recall_at_3
+           |FROM bf LEFT JOIN graft_gs_res g
+           |  ON bf.qid = g.qid AND bf.nid = g.nid
+           |GROUP BY bf.qid""".stripMargin)
+    }
+
   /** Embedding-cosine near-dup pairs with metadata BLOCKING and a hot-block
     * GUARD: candidate pairs only within the same `label` block (at 100 TB,
     * blocking keys — source, shard, cluster id — bound the pair space), and
@@ -3443,6 +3602,8 @@ object Pipeline {
     textBpeTrainDef,
     textBpeEncodeDef,
     docQuery("emb_hash_features", embHashFeatures),
+    simGraphSearchDef,
+    simGraphSearchRecallDef,
     embQuery("emb_negative_sample", embNegativeSample),
   )
 }

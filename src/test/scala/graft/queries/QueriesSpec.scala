@@ -288,6 +288,35 @@ class QueriesSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("sim_graph_search: beam reaches the true NN two hops from an entry point") {
+    import spark.implicits._
+    // entry points for query 0 are ids ≡ 0 (mod 97) → {97, 194}. The true
+    // nearest neighbor 55 is NOT an entry, but is a within-bucket kNN
+    // neighbor of entry 97 (all u-family vectors are near-identical →
+    // same LSH bucket, mutual top-3 edges) — the beam must surface it at
+    // rank 1 after the hop expansion. Fillers point along a different
+    // axis and never outrank the family.
+    def vec(axis: Int, eps: Float, at: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(axis) = 1.0f; a(at) = a(at) + eps; a
+    }
+    val rows = Seq(
+      (0L, vec(0, 0.001f, 1), 0),
+      (55L, vec(0, 0.0011f, 1), 0), // closest to 0
+      (97L, vec(0, 0.01f, 2), 0),   // entry, same family
+      (194L, vec(0, 0.02f, 3), 0),  // entry, slightly farther
+      (300L, vec(7, 0.01f, 8), 1),  // filler family on another axis
+      (301L, vec(7, 0.02f, 9), 1))
+    val dir = graft.sources.Tables.scratchDir("graph_search_fixture")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("sim_graph_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val q0 = out.filter(_._1 == 0L).sortBy(_._3)
+    assert(q0.nonEmpty, "query 0 must produce results")
+    assert(q0.head._2 == 55L,
+      s"true NN 55 must be rank 1 after beam expansion, got ${q0.toSeq}")
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
     import spark.implicits._
     // k=4 shingles, w=4 windows: a shared run of 7 tokens guarantees one
