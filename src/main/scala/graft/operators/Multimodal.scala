@@ -244,6 +244,59 @@ object Multimodal {
     }).toDF("doc_id", "bin", "n_px")
   }
 
+  /** PERCEPTUAL HASH (average-hash family) computed during decode — the
+    * 8×8 block-mean bit signature image near-dup pipelines fingerprint
+    * with (a DCT pHash swaps in without changing shape or schema).
+    * Integer arithmetic only — block mean = floor(sum / size), global
+    * mean = floor(sum of block means / 64), bit = mean > global — so the
+    * oracle recomputes the exact bits from the pixel formula in plain SQL.
+    * Emitted as two 32-bit halves: a full 64-bit accumulation could
+    * overflow SIGNED BIGINT in the oracle engine. Degenerate blocks (image
+    * narrower than 8 px) clamp to one pixel row/column, duplicating rows
+    * across blocks deterministically. Sentinel on codec failure:
+    * (-1, -1, -1L, -1L).
+    */
+  def imagePHash(images: Dataset[ImageRow]): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.mapPartitions(_.map { r =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.png))
+        val w = img.getWidth; val h = img.getHeight
+        val means = new Array[Long](64)
+        var by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 8) {
+            val y0 = by * h / 8; val y1 = math.max((by + 1) * h / 8, y0 + 1)
+            val x0 = bx * w / 8; val x1 = math.max((bx + 1) * w / 8, x0 + 1)
+            var sum = 0L; var n = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { sum += img.getRGB(x, y) & 0xff; n += 1; x += 1 }
+              y += 1
+            }
+            means(by * 8 + bx) = sum / n
+            bx += 1
+          }
+          by += 1
+        }
+        val m = means.sum / 64
+        var hi = 0L; var lo = 0L
+        var i = 0
+        while (i < 64) {
+          val bit = if (means(i) > m) 1L else 0L
+          if (i < 32) hi = hi * 2 + bit else lo = lo * 2 + bit
+          i += 1
+        }
+        (r.doc_id, w, h, hi, lo)
+      } catch {
+        case _: Exception => (r.doc_id, -1, -1, -1L, -1L)
+      }
+    }).toDF("doc_id", "width", "height", "phash_hi", "phash_lo")
+  }
+
   final case class VideoRow(doc_id: Long, gif: Array[Byte])
 
   /** REAL video path (no stub), the moving-picture twin of [[imageTable]]:

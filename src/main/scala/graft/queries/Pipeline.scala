@@ -2812,6 +2812,85 @@ object Pipeline {
         graft.operators.Multimodal.imageTable(s, dir))
     }
 
+  /** DuckDB-side perceptual-hash reconstruction: the 8×8 block means from
+    * the pixel formula, global mean, bit pack into two 32-bit halves —
+    * ends in relation `ph(doc_id, width, height, phash_hi, phash_lo)`.
+    * Mirrors [[graft.operators.Multimodal.imagePHash]] integer for
+    * integer (floor divisions, degenerate-block clamp).
+    */
+  private def phashOracleCtes: String =
+    """dims AS (SELECT doc_id, 1 + doc_id % 64 AS w, 1 + doc_id % 48 AS h FROM documents),
+      |g8 AS (SELECT unnest(range(0, 8)) AS b),
+      |xs AS (SELECT unnest(range(0, 64)) AS x),
+      |ys AS (SELECT unnest(range(0, 48)) AS y),
+      |blk AS (SELECT d.doc_id, d.w, d.h, gy.b AS by, gx.b AS bx,
+      |    SUM(CAST((d.doc_id + 7*xs.x + 13*ys.y) % 251 AS BIGINT)) AS s,
+      |    COUNT(*) AS n
+      |  FROM dims d
+      |  JOIN g8 gy ON 1=1 JOIN g8 gx ON 1=1
+      |  JOIN ys ON ys.y >= (gy.b * d.h) // 8
+      |    AND ys.y < GREATEST(((gy.b + 1) * d.h) // 8, (gy.b * d.h) // 8 + 1)
+      |  JOIN xs ON xs.x >= (gx.b * d.w) // 8
+      |    AND xs.x < GREATEST(((gx.b + 1) * d.w) // 8, (gx.b * d.w) // 8 + 1)
+      |  GROUP BY d.doc_id, d.w, d.h, gy.b, gx.b),
+      |bm AS (SELECT doc_id, w, h, by, bx, s // n AS mean FROM blk),
+      |gm AS (SELECT doc_id, SUM(mean) // 64 AS m FROM bm GROUP BY doc_id),
+      |ph AS (SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+      |    CAST(MIN(b.w) AS INTEGER) AS width, CAST(MIN(b.h) AS INTEGER) AS height,
+      |    CAST(SUM(CASE WHEN b.by*8 + b.bx < 32 AND b.mean > gm.m
+      |      THEN (CAST(1 AS BIGINT) << (31 - (b.by*8 + b.bx))) ELSE 0 END) AS BIGINT) AS phash_hi,
+      |    CAST(SUM(CASE WHEN b.by*8 + b.bx >= 32 AND b.mean > gm.m
+      |      THEN (CAST(1 AS BIGINT) << (63 - (b.by*8 + b.bx))) ELSE 0 END) AS BIGINT) AS phash_lo
+      |  FROM bm b JOIN gm ON b.doc_id = gm.doc_id
+      |  GROUP BY b.doc_id)""".stripMargin
+
+  /** REAL perceptual hash through the gate: decoded-PNG aHash on
+    * executors; oracle rebuilds every bit from the generator formula.
+    */
+  private def multimodalPhashDef: QueryDef =
+    QueryDef("multimodal_phash",
+      s"""WITH $phashOracleCtes
+         |SELECT doc_id, width, height, phash_hi, phash_lo FROM ph""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.imagePHash(
+        graft.operators.Multimodal.imageTable(s, dir))
+    }
+
+  /** Image NEAR-DUP pairs by perceptual hash: 4 bands of 16 bits → band
+    * equi-join candidates (never all-pairs) → Hamming ≤ 10 verify via
+    * bit_count(xor) on the two halves. Shared dialect template over a
+    * phash relation; the Spark side feeds the REAL decoded hashes, the
+    * oracle the formula-derived ones. Sentinel rows (hash −1) are
+    * excluded — failed decodes must not band-collide with each other.
+    */
+  private def imagePhashPairs(d: Dialect, phRel: String): String = {
+    val ham = s"${d.bitCount(d.xor("ah", "bh"))} + ${d.bitCount(d.xor("al", "bl"))}"
+    s"""WITH pv AS (SELECT doc_id, phash_hi, phash_lo FROM $phRel WHERE phash_hi >= 0),
+       |pb AS (
+       |  SELECT doc_id, phash_hi, phash_lo, 0 AS band, ${d.shiftRight("phash_hi", "16")} AS bk FROM pv
+       |  UNION ALL SELECT doc_id, phash_hi, phash_lo, 1, phash_hi % 65536 FROM pv
+       |  UNION ALL SELECT doc_id, phash_hi, phash_lo, 2, ${d.shiftRight("phash_lo", "16")} FROM pv
+       |  UNION ALL SELECT doc_id, phash_hi, phash_lo, 3, phash_lo % 65536 FROM pv),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |    x.phash_hi AS ah, x.phash_lo AS al, y.phash_hi AS bh, y.phash_lo AS bl
+       |  FROM pb x JOIN pb y ON x.band = y.band AND x.bk = y.bk
+       |    AND x.doc_id < y.doc_id)
+       |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       |  CAST($ham AS BIGINT) AS hamming
+       |FROM cand WHERE $ham <= 10""".stripMargin
+  }
+
+  private def dedupImagePhashDef: QueryDef =
+    QueryDef("dedup_image_phash",
+      s"""WITH $phashOracleCtes,
+         |res AS (${imagePhashPairs(DuckDialect, "ph")})
+         |SELECT * FROM res""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.imagePHash(
+          graft.operators.Multimodal.imageTable(s, dir))
+        .localCheckpoint()
+        .createOrReplaceTempView("graft_phash")
+      s.sql(imagePhashPairs(SparkDialect, "graft_phash"))
+    }
+
   /** REAL WAV decode (javax.sound.sampled — the JDK's codec): sample rate,
     * frame count and integer absolute-amplitude sum read back from
     * RIFF/WAVE bytes synthesized deterministically per document. The
@@ -3563,6 +3642,8 @@ object Pipeline {
     multimodalResize,
     multimodalFrameSample,
     multimodalDecodeImage,
+    multimodalPhashDef,
+    dedupImagePhashDef,
     multimodalDecodeAudio,
     multimodalAudioFeatures,
     multimodalImageHistogram,

@@ -164,4 +164,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(s.getLong(0) == 99L && s.getLong(1) == -1L &&
       s.getLong(2) == -1L && s.getLong(3) == -1L)
   }
+
+  test("perceptual hash: decoded-PNG bits match an independent formula recompute") {
+    import spark.implicits._
+    // independent reimplementation from the generator formula (no codec):
+    // the gate must read the SAME bits out of the real decoded PNG
+    def expected(id: Long): (Long, Long) = {
+      val w = (1 + id % 64).toInt; val h = (1 + id % 48).toInt
+      val means = new Array[Long](64)
+      for (by <- 0 until 8; bx <- 0 until 8) {
+        val y0 = by * h / 8; val y1 = math.max((by + 1) * h / 8, y0 + 1)
+        val x0 = bx * w / 8; val x1 = math.max((bx + 1) * w / 8, x0 + 1)
+        val px = for { y <- y0 until y1; x <- x0 until x1 }
+          yield (id + 7L * x + 13L * y) % 251
+        means(by * 8 + bx) = px.sum / px.size
+      }
+      val m = means.sum / 64
+      val bits = means.map(v => if (v > m) 1L else 0L)
+      (bits.take(32).foldLeft(0L)(_ * 2 + _), bits.drop(32).foldLeft(0L)(_ * 2 + _))
+    }
+    val got = Multimodal.imagePHash(Multimodal.imageTable(spark, sf))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    got.keys.toSeq.sorted.take(8).foreach { id =>
+      assert(got(id) == expected(id), s"doc $id phash")
+    }
+    // sentinel on corrupt payload
+    val bad = Seq(Multimodal.ImageRow(99L, Array[Byte](1, 2, 3))).toDS()
+    val sr = Multimodal.imagePHash(bad).collect().head
+    assert(sr.getLong(3) == -1L && sr.getLong(4) == -1L)
+    // exact-dup images (identical hash) exist in the synthetic corpus, so
+    // the banded pairs gate surfaces hamming-0 pairs and never all-pairs
+    val pairs = SparkEntry.queries("dedup_image_phash")(spark, sf)
+    assert(pairs.filter(col("hamming") === 0).count() > 0)
+  }
 }
