@@ -352,6 +352,48 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** KEYFRAME FINGERPRINTS: one deterministic content hash per decoded
+    * frame — base-31 polynomial over the gray pixels in row-major order,
+    * mod the Mersenne prime — the per-frame signature video near-dup
+    * pipelines band on (a robust DCT frame hash swaps in without changing
+    * shape). Executor-side mapPartitions with the reader handle hoisted;
+    * a corrupt payload yields one (doc_id, -1, -1) sentinel row.
+    */
+  def videoFrameHashes(videos: Dataset[VideoRow]): DataFrame = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    videos.mapPartitions { it =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      it.flatMap { r =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.gif))
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          require(n > 0, "empty GIF")
+          val out = (0 until n).map { f =>
+            val img = reader.read(f)
+            var h = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                h = (h * 31 + (img.getRGB(x, y) & 0xff)) % 2147483647L
+                x += 1
+              }
+              y += 1
+            }
+            (r.doc_id, f, h)
+          }
+          iis.close()
+          out
+        } catch {
+          case _: Exception => Seq((r.doc_id, -1, -1L))
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "fhash")
+  }
+
   def videoTable(spark: SparkSession, sfDir: String): Dataset[VideoRow] = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")

@@ -2891,6 +2891,59 @@ object Pipeline {
       s.sql(imagePhashPairs(SparkDialect, "graft_phash"))
     }
 
+  /** DuckDB-side keyframe-fingerprint reconstruction: the per-frame
+    * polynomial hash replayed from the GIF generator formula
+    * `(id + 11f + 7x + 13y) mod 251` over row-major 8×6 pixels — ends in
+    * relation `fh(doc_id, frame_idx, fhash)`.
+    */
+  private def frameHashOracleCtes: String =
+    """vp AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
+      |fgrid AS (SELECT unnest(range(0, 8)) AS f),
+      |fh AS (SELECT vp.doc_id, CAST(fgrid.f AS INTEGER) AS frame_idx,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, 48),
+      |        i -> (vp.doc_id + 11*fgrid.f + 7*(i % 8) + 13*(i // 8)) % 251)),
+      |      (acc, x) -> (acc*31 + x) % 2147483647) AS fhash
+      |  FROM vp JOIN fgrid ON fgrid.f < vp.nf)""".stripMargin
+
+  /** REAL keyframe fingerprints through the gate: decoded-GIF frame hashes
+    * on executors; oracle replays the generator formula.
+    */
+  private def multimodalFrameHashDef: QueryDef =
+    QueryDef("multimodal_frame_hash",
+      s"""WITH $frameHashOracleCtes
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, frame_idx,
+         |  CAST(fhash AS BIGINT) AS fhash FROM fh""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.videoFrameHashes(
+        graft.operators.Multimodal.videoTable(s, dir))
+    }
+
+  /** Video NEAR-DUP pairs by shared keyframes: an equi-join on the frame
+    * fingerprint (never all-pairs — the hash IS the blocking key), pairs
+    * kept when ≥ 2 DISTINCT frames match. Pure ANSI template shared
+    * verbatim by both engines over their frame-hash relations; sentinel
+    * rows (fhash −1) excluded so failed decodes never pair.
+    */
+  private def videoDupPairsSelect(fhRel: String): String =
+    s"""SELECT CAST(a.doc_id AS BIGINT) AS a, CAST(b.doc_id AS BIGINT) AS b,
+       |  CAST(COUNT(DISTINCT a.fhash) AS BIGINT) AS n_shared
+       |FROM (SELECT doc_id, fhash FROM $fhRel WHERE fhash >= 0) a
+       |JOIN (SELECT doc_id, fhash FROM $fhRel WHERE fhash >= 0) b
+       |  ON a.fhash = b.fhash AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING COUNT(DISTINCT a.fhash) >= 2""".stripMargin
+
+  private def dedupVideoFramesDef: QueryDef =
+    QueryDef("dedup_video_frames",
+      s"""WITH $frameHashOracleCtes
+         |${videoDupPairsSelect("fh")}""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.videoFrameHashes(
+          graft.operators.Multimodal.videoTable(s, dir))
+        .localCheckpoint()
+        .createOrReplaceTempView("graft_frame_hash")
+      s.sql(videoDupPairsSelect("graft_frame_hash"))
+    }
+
   /** REAL WAV decode (javax.sound.sampled — the JDK's codec): sample rate,
     * frame count and integer absolute-amplitude sum read back from
     * RIFF/WAVE bytes synthesized deterministically per document. The
@@ -3644,6 +3697,8 @@ object Pipeline {
     multimodalDecodeImage,
     multimodalPhashDef,
     dedupImagePhashDef,
+    multimodalFrameHashDef,
+    dedupVideoFramesDef,
     multimodalDecodeAudio,
     multimodalAudioFeatures,
     multimodalImageHistogram,

@@ -197,4 +197,27 @@ class MultimodalSpec extends SparkTestBase {
     val pairs = SparkEntry.queries("dedup_image_phash")(spark, sf)
     assert(pairs.filter(col("hamming") === 0).count() > 0)
   }
+
+  test("keyframe fingerprints: decoded-GIF hashes match the formula; dup pairs share offsets") {
+    import spark.implicits._
+    // frame content is fully determined by (id + 11f) mod 251 — two videos
+    // share a frame iff their offset sets intersect; recompute a few
+    // fingerprints independently from the formula
+    def fhash(id: Long, f: Int): Long =
+      (for { y <- 0 until 6; x <- 0 until 8 } yield (id + 11L * f + 7 * x + 13 * y) % 251)
+        .foldLeft(0L)((h, p) => (h * 31 + p) % 2147483647L)
+    val got = Multimodal.videoFrameHashes(Multimodal.videoTable(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (id <- 0L to 7L; f <- 0 until (2 + id % 4).toInt)
+      assert(got((id, f)) == fhash(id, f), s"doc $id frame $f")
+    // videos 1 (offsets {1,12,23}) and 12 (offsets {12,23}) share 2 frames
+    val pairs = SparkEntry.queries("dedup_video_frames")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((1L, 12L)).contains(2L),
+      s"videos 1 and 12 must share exactly 2 keyframes, got ${pairs.get((1L, 12L))}")
+    // sentinel on corrupt payload never pairs
+    val bad = Seq(Multimodal.VideoRow(99L, Array[Byte](71, 73, 70))).toDS()
+    val sr = Multimodal.videoFrameHashes(bad).collect().head
+    assert(sr.getInt(1) == -1 && sr.getLong(2) == -1L)
+  }
 }
