@@ -94,6 +94,62 @@ object Probe {
       spark.stop(); return
     }
 
+    // `sbt "runMain graft.Probe knn"` → sim_knn_graph_auto stage profile:
+    // where does the build spend — the per-row plane-fold hashing, the
+    // bucket self-join + rank, or the mutuality join?
+    if (args.headOption.contains("knn")) {
+      import graft.functions.{Formulas => F, SparkDialect}
+      import graft.queries.Pipeline
+      graft.functions.VectorExpressions.register(spark)
+      graft.sources.Tables.load(spark, dir, "embeddings")
+        .createOrReplaceTempView("embeddings")
+      val n = timed("count")(spark.table("embeddings").count())
+      val planes = Pipeline.autoPlanes(n)
+      println(s"[probe] n=$n planes=$planes")
+      val e = timed("hash+checkpoint") {
+        spark.sql(
+          s"""SELECT vec_id, embedding,
+             |  ${F.norm(SparkDialect, "embedding", 64)} AS nrm,
+             |  ${F.lshBucketExpr(SparkDialect, "embedding", 64, planes.toString)} AS bkt
+             |FROM embeddings""".stripMargin).localCheckpoint()
+      }
+      e.createOrReplaceTempView("probe_knn_e")
+      timed("bucket histogram") {
+        spark.sql(
+          """SELECT COUNT(*) AS n_buckets, MAX(k) AS max_k,
+            |  CAST(SUM(k*k) AS BIGINT) AS sum_k2,
+            |  CAST(percentile_approx(k, 0.5) AS BIGINT) AS med_k
+            |FROM (SELECT bkt, COUNT(*) AS k FROM probe_knn_e GROUP BY bkt) b""".stripMargin)
+          .show(false)
+        spark.sql(
+          """SELECT bkt, COUNT(*) AS k FROM probe_knn_e GROUP BY bkt
+            |ORDER BY k DESC LIMIT 5""".stripMargin).show(false)
+      }
+      val knn = timed("scored+rank+checkpoint") {
+        spark.sql(
+          s"""SELECT qid, nid, score FROM (
+             |  SELECT qid, nid, score,
+             |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+             |  FROM (SELECT a.vec_id AS qid, b.vec_id AS nid,
+             |      CASE WHEN a.nrm * b.nrm > 0
+             |        THEN graft_dot(a.embedding, b.embedding) / (a.nrm * b.nrm)
+             |        ELSE 0.0 END AS score
+             |    FROM probe_knn_e a JOIN probe_knn_e b
+             |      ON a.bkt = b.bkt AND b.vec_id <> a.vec_id) sc) r
+             |WHERE rnk <= 3""".stripMargin).localCheckpoint()
+      }
+      knn.createOrReplaceTempView("probe_knn_knn")
+      timed("mutual join") {
+        spark.sql(
+          """SELECT x.qid AS u, x.nid AS v, x.score
+            |FROM probe_knn_knn x JOIN probe_knn_knn y
+            |  ON x.qid = y.nid AND x.nid = y.qid
+            |WHERE x.qid < x.nid""".stripMargin)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.stop(); return
+    }
+
     graft.sources.Tables.load(spark, dir, "documents")
       .createOrReplaceTempView("documents")
 

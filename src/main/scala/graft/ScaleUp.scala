@@ -57,6 +57,31 @@ object ScaleUp {
       println(s"[scaleup] $table: copied (scale-invariant dim)")
     }
 
+    // `randvec` mode: embeddings ONLY, with replica vectors REDRAWN from a
+    // deterministic hash (replica 0 keeps the originals). Key-shift
+    // replication leaves every replica's embedding bit-identical to its
+    // original — 100× data but only N distinct vectors — which piles 100
+    // exact copies into each LSH bucket and turns any bucket self-join
+    // probe into a fixture artifact. An ANN BUILD probe needs genuinely
+    // distinct vectors; near-dup structure is irrelevant to build cost.
+    if (args.length > 3 && args(3) == "randvec") {
+      val df = spark.read.parquet(s"$src/embeddings.parquet")
+      val dim = df.selectExpr("size(embedding)").first().getInt(0)
+      val out = (0 until factor).map { i =>
+        if (i == 0) df
+        else df.withColumn("vec_id", col("vec_id") + lit(i * vecStride))
+          .withColumn("embedding", expr(
+            s"""transform(sequence(1, $dim), j ->
+               |  CAST((((vec_id * 2654435761 + $i * 40503 + j * 97
+               |    + vec_id * j * 19349663) % 7919) % 2001 - 1000)
+               |    / 1000.0 AS FLOAT))""".stripMargin))
+      }.reduceLeft(_.unionAll(_))
+      out.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+      println(s"[scaleup] embeddings(randvec): -> " +
+        s"${spark.read.parquet(s"$dst/embeddings.parquet").count()}")
+      spark.stop(); return
+    }
+
     copy("region"); copy("nation")
     replicate("customer", Map("c_custkey" -> custStride))
     replicate("supplier", Map("s_suppkey" -> suppStride))

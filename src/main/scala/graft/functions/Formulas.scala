@@ -179,14 +179,29 @@ object Formulas {
   def norm(d: Dialect, a: String, n: Int): String = s"sqrt(${dot(d, a, a, n)})"
 
   /** Deterministic pseudo-random hyperplane component j,i in [-499.5, 499.5]:
-    * LCG-mixed, expressible identically in both engines.
+    * LCG-mixed, expressible identically in both engines. The `j*i` CROSS
+    * term is load-bearing: an additively separable form f(j) + g(i) makes
+    * every plane the SAME direction with a different bias — sign patterns
+    * then collapse to ~n_planes threshold patterns (measured: 594 of 8192
+    * buckets occupied at 13 planes, max bucket 13k of 200k rows,
+    * Σk² = 845M candidate pairs; balanced after the cross term).
     */
   def planeComponent(j: String, i: String): String =
-    s"CAST(((CAST($j AS BIGINT)*1103515245 + CAST($i AS BIGINT)*12345 + 54321) % 1000 + 1000) % 1000 AS DOUBLE) - 499.5"
+    s"CAST(((CAST($j AS BIGINT)*1103515245 + CAST($i AS BIGINT)*12345 + CAST($j AS BIGINT)*CAST($i AS BIGINT)*40503 + 54321) % 1000 + 1000) % 1000 AS DOUBLE) - 499.5"
 
   /** LSH bucket id from `nPlanes` hyperplane sign bits of embedding `v`. */
   def lshBucket(d: Dialect, v: String, dim: Int, nPlanes: Int): String =
-    d.reduce(d.seq("0", (nPlanes - 1).toString), "CAST(0 AS BIGINT)", "acc", "j",
+    lshBucketExpr(d, v, dim, nPlanes.toString)
+
+  /** [[lshBucket]] with the plane count as a SQL EXPRESSION (a column or a
+    * precomputed literal) — the auto-scaled bucketing path: bucket count
+    * derived from corpus size keeps the expected bucket width CONSTANT as
+    * the corpus grows, so bucket self-joins stay linear instead of
+    * quadratic-at-fixed-width. The expression must not reference lambda
+    * variables named `j`/`i`/`acc`/`a2`/`x`.
+    */
+  def lshBucketExpr(d: Dialect, v: String, dim: Int, nPlanes: String): String =
+    d.reduce(d.seq("0", s"($nPlanes) - 1"), "CAST(0 AS BIGINT)", "acc", "j",
       s"acc*2 + (CASE WHEN (${d.reduce(
         d.transform(d.seq("1", dim.toString), "i",
           s"CAST(${d.elem(v, "i")} AS DOUBLE) * (${planeComponent("j", "i")})"),

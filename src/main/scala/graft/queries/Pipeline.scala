@@ -581,6 +581,68 @@ object Pipeline {
        |WHERE x.qid < x.nid""".stripMargin
   }
 
+  /** AUTO-SCALED bucket width for LSH candidate generation: plane count
+    * derived from the corpus size so the EXPECTED BUCKET WIDTH stays
+    * constant (~32 rows) as the corpus grows — the fix for the
+    * fixed-bucket kNN build whose within-bucket self-join is quadratic at
+    * fixed width. ceil(log2) never straddles an engine ulp: log2 lands
+    * exactly on an integer only at powers of two, where every libm is
+    * exact.
+    */
+  def autoPlanes(n: Long): Int =
+    math.max(4, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+
+  private def autoPlanesSql: String =
+    "GREATEST(4, CAST(CEIL(LOG2(CAST(COUNT(*) AS DOUBLE) / 32.0)) AS BIGINT))"
+
+  /** The sim_knn_graph body over a pre-bucketed relation `e`. */
+  private def knnGraphBody(d: Dialect, eRel: String): String = {
+    val cos = s"CASE WHEN an * bn > 0 THEN (${F.dot(d, "av", "bv", DIM)}) / (an * bn) ELSE 0.0 END"
+    s"""scored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid, $cos AS score
+       |  FROM (SELECT vec_id, embedding AS av, nrm AS an, bkt FROM $eRel) a
+       |  JOIN (SELECT vec_id, embedding AS bv, nrm AS bn, bkt FROM $eRel) b
+       |    ON a.bkt = b.bkt AND b.vec_id <> a.vec_id),
+       |knn AS (SELECT qid, nid, score FROM (
+       |    SELECT qid, nid, score,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+       |    FROM scored) r WHERE rnk <= 3)
+       |SELECT CAST(x.qid AS BIGINT) AS u, CAST(x.nid AS BIGINT) AS v, x.score
+       |FROM knn x JOIN knn y ON x.qid = y.nid AND x.nid = y.qid
+       |WHERE x.qid < x.nid""".stripMargin
+  }
+
+  /** Mutual k-NN graph under AUTO-SCALED bucketing: same contract as
+    * sim_knn_graph, but the bucket count grows with the corpus (constant
+    * expected bucket width) — the build stays linear×log instead of
+    * quadratic-at-fixed-width. Spark computes the plane count up front
+    * (one count job, a literal in the plan — no subquery inside the hash
+    * fold); the oracle derives the identical value in SQL and carries it
+    * as a joined column.
+    */
+  private def simKnnGraphAutoDef: QueryDef =
+    QueryDef("sim_knn_graph_auto",
+      s"""WITH nv AS (SELECT $autoPlanesSql AS planes FROM embeddings),
+         |e AS (SELECT vec_id, embedding,
+         |    ${F.norm(DuckDialect, "embedding", DIM)} AS nrm,
+         |    ${F.lshBucketExpr(DuckDialect, "embedding", DIM, "nv.planes")} AS bkt
+         |  FROM embeddings CROSS JOIN nv),
+         |${knnGraphBody(DuckDialect, "e")}""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      views(s, dir, "embeddings")
+      val planes = autoPlanes(s.table("embeddings").count())
+      // hash ONCE: the self-join references e twice and the mutuality join
+      // references knn twice — inlined CTEs would run the per-row plane
+      // fold 4× over the corpus
+      s.sql(
+        s"""SELECT vec_id, embedding,
+           |  ${F.norm(SparkDialect, "embedding", DIM)} AS nrm,
+           |  ${F.lshBucketExpr(SparkDialect, "embedding", DIM, planes.toString)} AS bkt
+           |FROM embeddings""".stripMargin)
+        .localCheckpoint().createOrReplaceTempView("graft_knn_auto_e")
+      s.sql(s"WITH ${knnGraphBody(SparkDialect, "graft_knn_auto_e")}")
+    }
+
   // ------------------------------------------- graph-based ANN serving
   //
   // Beam search over a directed kNN graph — the relational analogue of the
@@ -3740,6 +3802,7 @@ object Pipeline {
     docQuery("emb_hash_features", embHashFeatures),
     simGraphSearchDef,
     simGraphSearchRecallDef,
+    simKnnGraphAutoDef,
     embQuery("emb_negative_sample", embNegativeSample),
   )
 }

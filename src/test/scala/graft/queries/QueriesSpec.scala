@@ -317,6 +317,19 @@ class QueriesSpec extends SparkTestBase {
       s"true NN 55 must be rank 1 after beam expansion, got ${q0.toSeq}")
   }
 
+  test("sim_knn_graph_auto: plane count tracks corpus size; edges are mutual") {
+    import org.apache.spark.sql.functions._
+    assert(Pipeline.autoPlanes(500) == 4)
+    assert(Pipeline.autoPlanes(2000) == 6)
+    assert(Pipeline.autoPlanes(20000) == 10)
+    assert(Pipeline.autoPlanes(200000) == 13)
+    assert(Pipeline.autoPlanes(2048) == 6, "exact power-of-two boundary")
+    val out = SparkEntry.queries("sim_knn_graph_auto")(spark, sf).persist()
+    assert(out.count() > 0)
+    assert(out.filter(col("u") >= col("v")).count() == 0, "canonical u < v")
+    out.unpersist()
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
     import spark.implicits._
     // k=4 shingles, w=4 windows: a shared run of 7 tokens guarantees one
