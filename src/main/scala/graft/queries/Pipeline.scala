@@ -668,9 +668,13 @@ object Pipeline {
   // serving SHAPE (beam-bounded equi-joins) and the recall gate exists
   // precisely to measure this honestly, as sim_ann_recall does for LSH.
 
-  private def gsESelect(d: Dialect): String =
+  /** Corpus relation with norm + AUTO-SCALED LSH bucket (see
+    * [[autoPlanes]]) — `planesExpr` is a literal on the Spark side (one
+    * count job up front) and the `nv.planes` column on the oracle side.
+    */
+  private def gsESelect(d: Dialect, planesExpr: String, fromRel: String): String =
     s"""SELECT vec_id, embedding, ${F.norm(d, "embedding", DIM)} AS nrm,
-       |  ${F.lshBucket(d, "embedding", DIM, 6)} AS bkt FROM embeddings""".stripMargin
+       |  ${F.lshBucketExpr(d, "embedding", DIM, planesExpr)} AS bkt FROM $fromRel""".stripMargin
 
   /** Directed top-3 kNN edges within LSH buckets (bucketed-recall contract
     * as in sim_knn_graph, without the mutuality filter — graph-ANN wants
@@ -738,7 +742,8 @@ object Pipeline {
     val hops = (1 to GsHops).map { h =>
       s"""f$h AS (${gsScoreTop(d, gsHopCand(s"f${h - 1}", "edges"), "q", "e", GsBeam)})"""
     }.mkString(",\n")
-    s"""WITH e AS (${gsESelect(d)}),
+    s"""WITH nv AS (SELECT $autoPlanesSql AS planes FROM embeddings),
+       |e AS (${gsESelect(d, "nv.planes", "embeddings CROSS JOIN nv")}),
        |knn AS (${gsKnnSelect(d, "e")}),
        |edges AS (${gsEdgesSelect("knn")}),
        |q AS (${gsQSelect("e")}),
@@ -752,7 +757,9 @@ object Pipeline {
   private def gsSparkSearch(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     views(s, dir, "embeddings")
-    val e = s.sql(gsESelect(SparkDialect)).localCheckpoint()
+    val planes = autoPlanes(s.table("embeddings").count())
+    val e = s.sql(gsESelect(SparkDialect, planes.toString, "embeddings"))
+      .localCheckpoint()
     e.createOrReplaceTempView("graft_gs_e")
     val knn = s.sql(gsKnnSelect(SparkDialect, "graft_gs_e")).localCheckpoint()
     knn.createOrReplaceTempView("graft_gs_knn")
