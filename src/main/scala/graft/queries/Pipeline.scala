@@ -2478,6 +2478,42 @@ object Pipeline {
       views(s, dir, "events"); s.sql(sql(SparkDialect))
     }
 
+  /** SEQUENCE-PATTERN DETECTION (MATCH_RECOGNIZE-style) composed from
+    * running-max windows — per-user view → click → purchase COMPLETED
+    * WITHIN A 24-HOUR WINDOW, the time-bounded pattern match Spark SQL
+    * lacks as a built-in (the unbounded-stage funnel is [[eventsFunnel]];
+    * this gate answers "did the chain complete in time", per occurrence).
+    * For each event the first window carries the latest preceding `view`;
+    * the second carries, over `click` rows, the latest such view — so at a
+    * `purchase` row, `chain_view` is the TIGHTEST chain's view timestamp
+    * (latest click before the purchase, latest view before that click: if
+    * the tightest chain misses the window, every chain does). All windows
+    * share one (user, (ts, event_id)) sort — one exchange per corpus;
+    * same-instant events order by event_id (the deterministic total order
+    * both engines replay). Timestamps compare in exact epoch MICROS
+    * (truncating to seconds first would misorder sub-second chains).
+    */
+  private def eventsFunnelWindowed(d: Dialect): String = {
+    val em = if (d == SparkDialect) "unix_micros(ts)" else "epoch_us(ts)"
+    s"""WITH ev AS (SELECT user_id, event_id, event_type, $em AS tus FROM events),
+       |w1 AS (SELECT user_id, event_id, event_type, tus,
+       |    MAX(CASE WHEN event_type = 'view' THEN tus END) OVER w AS last_view
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |w2 AS (SELECT user_id, event_id, event_type, tus,
+       |    MAX(CASE WHEN event_type = 'click' THEN last_view END) OVER w AS chain_view
+       |  FROM w1 WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |f AS (SELECT user_id, event_id, tus, chain_view FROM w2
+       |  WHERE event_type = 'purchase' AND chain_view IS NOT NULL
+       |    AND tus - chain_view <= 86400000000)
+       |SELECT CAST(user_id AS BIGINT) AS user_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       |  CAST(MIN(tus - chain_view) AS BIGINT) AS min_span_us,
+       |  CAST(MIN(tus) AS BIGINT) AS first_convert_us
+       |FROM f GROUP BY user_id""".stripMargin
+  }
+
   /** Stratified deterministic sampling: a per-source rate applied via
     * content-hash thresholds (10% of src0/src1, 50% of src2, 100% of the
     * rest) — reproducible downsampling with per-stratum control, no RNG
@@ -3745,6 +3781,7 @@ object Pipeline {
     docQuery("text_zipf_slope", textZipfSlope),
     docQuery("corpus_merge_upsert", corpusMergeUpsert),
     eventsQuery("events_funnel", eventsFunnel),
+    eventsQuery("events_funnel_windowed", eventsFunnelWindowed),
     eventsQuery("events_scd2", eventsScd2),
     eventsQuery("events_stats_moments", eventsStatsMoments),
     docQuery("corpus_sample_stratified", corpusSampleStratified),

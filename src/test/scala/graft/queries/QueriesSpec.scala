@@ -330,6 +330,43 @@ class QueriesSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("events_funnel_windowed: tightest chain decides the 24h window; order ties by event_id") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long, us: Long = 0): Timestamp = {
+      val x = new Timestamp(s * 1000); x.setNanos((us * 1000).toInt); x
+    }
+    val rows = Seq(
+      // user 1: v@0, c@600, p@1200 → converts, span 1200s
+      (1L, t(0), 1L, "view", 0.0, ""), (2L, t(600), 1L, "click", 0.0, ""),
+      (3L, t(1200), 1L, "purchase", 0.0, ""),
+      // user 2: v@0, c@100, p@90000s (25h) → outside 24h → NO convert
+      (4L, t(0), 2L, "view", 0.0, ""), (5L, t(100), 2L, "click", 0.0, ""),
+      (6L, t(90000), 2L, "purchase", 0.0, ""),
+      // user 3: stale v@0, c@100 (chain span 90200s — misses the window),
+      // then FRESH v@90000, c@90100, p@90200 → the TIGHTEST chain (view
+      // 90000) converts with span 200s
+      (7L, t(0), 3L, "view", 0.0, ""), (8L, t(100), 3L, "click", 0.0, ""),
+      (9L, t(90000), 3L, "view", 0.0, ""), (10L, t(90100), 3L, "click", 0.0, ""),
+      (11L, t(90200), 3L, "purchase", 0.0, ""),
+      // user 4: click BEFORE any view, then purchase → no chain
+      (12L, t(0), 4L, "click", 0.0, ""), (13L, t(100), 4L, "view", 0.0, ""),
+      (14L, t(200), 4L, "purchase", 0.0, ""),
+      // user 5: same-instant v(id 15) then c(id 16) — event_id breaks the
+      // tie, so the chain is valid
+      (15L, t(0), 5L, "view", 0.0, ""), (16L, t(0), 5L, "click", 0.0, ""),
+      (17L, t(60), 5L, "purchase", 0.0, ""))
+    val dir = graft.sources.Tables.scratchDir("funnel_fixture")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("events_funnel_windowed")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 3L, 5L), s"converting users, got $out")
+    assert(out(1L) == (1L, 1200000000L))
+    assert(out(3L) == (1L, 200000000L), "tightest chain must win for user 3")
+    assert(out(5L) == (1L, 60000000L), "same-instant view->click ordered by event_id")
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
     import spark.implicits._
     // k=4 shingles, w=4 windows: a shared run of 7 tokens guarantees one
