@@ -2493,9 +2493,15 @@ object Pipeline {
     * both engines replay). Timestamps compare in exact epoch MICROS
     * (truncating to seconds first would misorder sub-second chains).
     */
-  private def eventsFunnelWindowed(d: Dialect): String = {
+  /** The funnel chain CTEs, ending in relation
+    * `f(user_id, event_id, tus, chain_view)` — every qualifying purchase.
+    * Shared by the batch gate and the streaming CEP gate's oracle
+    * ([[Streams]] stream_funnel_match replays the same running-max
+    * recurrence as per-key state).
+    */
+  private[queries] def eventsFunnelChainCtes(d: Dialect): String = {
     val em = if (d == SparkDialect) "unix_micros(ts)" else "epoch_us(ts)"
-    s"""WITH ev AS (SELECT user_id, event_id, event_type, $em AS tus FROM events),
+    s"""ev AS (SELECT user_id, event_id, event_type, $em AS tus FROM events),
        |w1 AS (SELECT user_id, event_id, event_type, tus,
        |    MAX(CASE WHEN event_type = 'view' THEN tus END) OVER w AS last_view
        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
@@ -2506,13 +2512,18 @@ object Pipeline {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
        |f AS (SELECT user_id, event_id, tus, chain_view FROM w2
        |  WHERE event_type = 'purchase' AND chain_view IS NOT NULL
-       |    AND tus - chain_view <= 86400000000)
+       |    AND tus - chain_view <= ${Pipeline.FunnelWindowMicros})""".stripMargin
+  }
+
+  private[queries] val FunnelWindowMicros = 86400000000L
+
+  private def eventsFunnelWindowed(d: Dialect): String =
+    s"""WITH ${eventsFunnelChainCtes(d)}
        |SELECT CAST(user_id AS BIGINT) AS user_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_conversions,
        |  CAST(MIN(tus - chain_view) AS BIGINT) AS min_span_us,
        |  CAST(MIN(tus) AS BIGINT) AS first_convert_us
        |FROM f GROUP BY user_id""".stripMargin
-  }
 
   /** Stratified deterministic sampling: a per-source rate applied via
     * content-hash thresholds (10% of src0/src1, 50% of src2, 100% of the

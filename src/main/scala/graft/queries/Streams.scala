@@ -1150,6 +1150,45 @@ object Streams {
           col("score"), col("rnk").cast("long").as("rnk"))
     },
 
+    // ---- STREAMING CEP (round-8): the view→click→purchase within-window
+    // pattern as per-key transformWithState — two longs of state per user,
+    // emit on match. The oracle is the BATCH funnel's per-conversion
+    // relation: the processor folds the identical running-max recurrence
+    // over the identical (ts, event_id) total order (staging is globally
+    // time-ordered across batches; within a batch the processor sorts), so
+    // the multisets agree exactly. 100 TB shape: state O(1) per user, one
+    // shuffle on user_id per batch, no joins. ----
+    QueryDef("stream_funnel_match",
+      s"""WITH ${Pipeline.eventsFunnelChainCtes(graft.functions.DuckDialect)}
+         |SELECT CAST(user_id AS BIGINT) AS user_id,
+         |  CAST(tus AS BIGINT) AS purchase_us,
+         |  CAST(tus - chain_view AS BIGINT) AS span_us
+         |FROM f""".stripMargin) { (s, dir) =>
+      withStatePartitions(s, 2) {
+      import s.implicits._
+      val src = stagedEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_cep_ckpt_${dir.hashCode & 0x7fffffff}")
+      withRocksDb(s) {
+        val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+          .as[EventStreams.Event]
+          .groupByKey(_.user_id)
+          .transformWithState(
+            new EventStreams.FunnelProcessor(Pipeline.FunnelWindowMicros),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF()
+          .writeStream.format("memory").queryName("g_stream_cep")
+          .outputMode("update").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        await(q)
+      }
+      s.table("g_stream_cep")
+        .select(col("user_id").cast("long").as("user_id"),
+          col("purchase_us").cast("long").as("purchase_us"),
+          col("span_us").cast("long").as("span_us"))
+      }
+    },
+
     // ---- STREAMING INGESTION DEDUP (round-8): near-dup detection AT THE
     // INGESTION BOUNDARY — the shape a pipeline actually runs (dedup
     // against everything already accepted, not a batch re-scan). Each

@@ -197,6 +197,56 @@ object EventStreams {
     }
   }
 
+  /** Per-user CEP state for the streaming funnel: the latest `view`
+    * timestamp seen, and the tightest chain's view (the latest view that
+    * had a `click` after it). −1 = unset.
+    */
+  final case class FunnelState(lastView: Long, chainView: Long)
+
+  /** One row per completed conversion (a qualifying `purchase`). */
+  final case class Conversion(user_id: Long, purchase_us: Long, span_us: Long)
+
+  /** Streaming SEQUENCE-PATTERN MATCH (CEP): the view → click → purchase
+    * within-window funnel as per-key state — the same running-max
+    * recurrence the batch gate expresses with two windows, folded
+    * incrementally. State is two longs per user regardless of history
+    * length; each batch's rows are sorted by (event-time, event_id) — the
+    * same deterministic total order the batch windows use — and the
+    * staging delivers batches in global event-time order, so the emitted
+    * multiset equals the batch relation exactly. Emits on match (Update
+    * mode), the Flink-CEP-style shape Spark lacks as a built-in.
+    */
+  final class FunnelProcessor(windowMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, Conversion] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelState]("funnel",
+        org.apache.spark.sql.Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Conversion] = {
+      var s = if (state.exists()) state.get() else FunnelState(-1L, -1L)
+      val out = Seq.newBuilder[Conversion]
+      rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id)).foreach { e =>
+        val tus = toMicros(e.ts)
+        e.event_type match {
+          case "view" =>
+            if (tus > s.lastView) s = s.copy(lastView = tus)
+          case "click" =>
+            if (s.lastView > s.chainView) s = s.copy(chainView = s.lastView)
+          case "purchase" if s.chainView >= 0 && tus - s.chainView <= windowMicros =>
+            out += Conversion(key, tus, tus - s.chainView)
+          case _ =>
+        }
+      }
+      state.update(s)
+      out.result().iterator
+    }
+  }
+
   /** Exact-cents session state for the timer processor. */
   final case class TimerSessState(startMicros: Long, lastMicros: Long,
       n: Long, cents: Long)
