@@ -230,6 +230,52 @@ object Pipeline {
        |FROM base d LEFT JOIN dups dp ON dp.doc_id = d.doc_id""".stripMargin
   }
 
+  /** The quality-keep predicate as a 1/0 relation `(doc_id, keep)` — the
+    * EXACT arithmetic of text_quality's `quality_keep` (≥ 20 tokens and
+    * stopword ratio ≥ 0.05), shared by the streaming E2E ingest gate and
+    * its oracle.
+    */
+  private[queries] def qualityKeepSelect(d: Dialect, docsTable: String): String = {
+    val stop = d.arrayLit(Seq("the", "a", "and", "of", "to", "in", "is"))
+    val stopRatio =
+      s"CAST(${d.len(d.filter("toks", "t", d.contains(stop, "t")))} AS DOUBLE) / ${d.len("toks")}"
+    s"""SELECT doc_id, CASE WHEN ${d.len("toks")} >= 20 AND ($stopRatio) >= 0.05
+       |  THEN 1 ELSE 0 END AS keep
+       |FROM (SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM $docsTable) tq""".stripMargin
+  }
+
+  /** Spark-side per-batch quality split for the E2E ingest gate. */
+  private[queries] def qualityKeep(s: SparkSession, docs: DataFrame): DataFrame = {
+    docs.createOrReplaceTempView("graft_ingest_qdocs")
+    s.sql(qualityKeepSelect(SparkDialect, "graft_ingest_qdocs"))
+  }
+
+  /** Batch-insensitive oracle for stream_ingest_e2e: quality-rejects never
+    * enter the dedup store; among quality-passing docs the dup rule is the
+    * [[ingestDedupOracle]] arrival rule (earlier batch, or lower id within
+    * the batch). Statuses: 'quality' | 'dup' | 'ok'.
+    */
+  private[queries] def ingestE2eOracle: String = {
+    val bandArray = bandKeyCols.mkString("[", ", ", "]")
+    s"""WITH ${scrubShgCtes(DuckDialect)},
+       |qual AS (${qualityKeepSelect(DuckDialect, "documents")}),
+       |sigs AS (SELECT doc_id, $ingestSigMins
+       |  FROM sshg WHERE sh IS NOT NULL GROUP BY doc_id),
+       |b AS (${DuckDialect.explodeSelect("doc_id", "sigs", bandArray, "bk")}),
+       |bq AS (SELECT b.doc_id, b.bk FROM b
+       |  JOIN qual ON qual.doc_id = b.doc_id AND qual.keep = 1),
+       |dups AS (SELECT DISTINCT x.doc_id FROM bq x JOIN bq y ON x.bk = y.bk
+       |  AND (y.doc_id % 3 < x.doc_id % 3
+       |    OR (y.doc_id % 3 = x.doc_id % 3 AND y.doc_id < x.doc_id)))
+       |SELECT CAST(d.doc_id % 3 + 1 AS BIGINT) AS version,
+       |  CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  CASE WHEN q.keep = 0 THEN 'quality'
+       |       WHEN dp.doc_id IS NOT NULL THEN 'dup' ELSE 'ok' END AS status
+       |FROM (SELECT doc_id FROM documents) d
+       |JOIN qual q ON q.doc_id = d.doc_id
+       |LEFT JOIN dups dp ON dp.doc_id = d.doc_id""".stripMargin
+  }
+
   private def dedupMinhashLsh: QueryDef =
     QueryDef("dedup_minhash_lsh",
       s"""WITH sigs AS (${minhashSigSql(DuckDialect)})

@@ -1254,6 +1254,62 @@ object Streams {
       }
     },
 
+    // ---- STREAMING INGEST E2E (round-8): the production ingestion
+    // pipeline at the streaming boundary — each document micro-batch is
+    // quality-gated (text_quality's keep predicate), survivors are
+    // near-dup-checked against the ACCEPTED-band store (the
+    // stream_dedup_ingest semi-join), and only quality-passing docs' bands
+    // enter the store (a quality-reject never pollutes dedup state). One
+    // status row per doc per batch: 'quality' | 'dup' | 'ok'. 100 TB
+    // shape: per-batch signature work is batch-sized, the store probe is a
+    // band-key equi-join, quality is a pure Column predicate. ----
+    QueryDef("stream_ingest_e2e", Pipeline.ingestE2eOracle) { (s, dir) =>
+      withStatePartitions(s, 8) {
+      val src = stagedDocsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_ie2e_ckpt_${dir.hashCode & 0x7fffffff}")
+      val idxDir = cleanScratch(s, s"stream_ie2e_idx_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_ie2e_out_${dir.hashCode & 0x7fffffff}")
+      val docs = Tables.load(s, dir, "documents")
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+          val ss = bdf.sparkSession
+          // qual is consumed twice (pass filter + status join) but is a
+          // cheap single-pass Column predicate — recomputing beats the
+          // extra materialization job a localCheckpoint would force
+          val qual = Pipeline.qualityKeep(ss, bdf)
+          val pass = bdf.join(qual.filter(col("keep") === 1), Seq("doc_id"))
+          val bands = Pipeline.ingestBands(ss, pass).localCheckpoint()
+          val within = bands.select(col("bk").as("rbk"), col("doc_id").as("rid"))
+          val rivals =
+            if (batchId == 0) within
+            else within.union(ss.read.parquet(idxDir)
+              .select(col("bk").as("rbk"), lit(-1L).as("rid")))
+          val dups = bands
+            .join(rivals, col("rbk") === col("bk") && col("rid") < col("doc_id"),
+              "left_semi")
+            .select(col("doc_id")).distinct().withColumn("__dup", lit(1L))
+          bdf.select(col("doc_id"))
+            .join(qual, Seq("doc_id"))
+            .join(dups, Seq("doc_id"), "left")
+            .select(lit(batchId + 1).cast("long").as("version"),
+              col("doc_id").cast("long").as("doc_id"),
+              when(col("keep") === 0, lit("quality"))
+                .when(col("__dup").isNotNull, lit("dup"))
+                .otherwise(lit("ok")).as("status"))
+            .write.mode("append").parquet(out)
+          bands.write.mode("append").parquet(idxDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.read.parquet(out)
+        .select(col("version").cast("long").as("version"),
+          col("doc_id").cast("long").as("doc_id"), col("status"))
+      }
+    },
+
     // ---- STREAMING RDF: continuous BGP match over an arriving triple
     // stream. The streamed pattern (`?c :placed ?o`) filters each
     // micro-batch; the static pattern (`?c :in_nation ?n`) is the indexed

@@ -367,6 +367,37 @@ class QueriesSpec extends SparkTestBase {
     assert(out(5L) == (1L, 60000000L), "same-instant view->click ordered by event_id")
   }
 
+  test("stream_ingest_e2e: quality rejects never enter the dedup store") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val x = (1 to 60).map(i => s"tk$i").mkString(" ") // 0 stopwords → reject
+    val y = x + " the of and to" // 4/64 stopwords = 0.0625 → passes quality
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "runs to the old mill in the valley of green hills again today"
+    val rows = Seq(
+      (3L, x, "en", "s0", 0L),     // batch 0: quality reject
+      (4L, good, "en", "s0", 0L),  // batch 1: ok
+      (7L, y, "en", "s0", 0L),     // batch 1: would band-match X — must be ok
+      (8L, good, "en", "s0", 0L),  // batch 2: dup of 4
+      (5L, "tiny text", "en", "s0", 0L)) // batch 2: quality reject
+    val dir = graft.sources.Tables.scratchDir("ingest_e2e_fixture")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // premise: X and Y DO share an LSH band (Y embeds X's full token run),
+    // so Y's 'ok' below is only possible because X's bands were never stored
+    val bx = Pipeline.ingestBands(spark,
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .filter(col("doc_id") === 3)).select("bk").collect().map(_.getLong(0)).toSet
+    val by = Pipeline.ingestBands(spark,
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .filter(col("doc_id") === 7)).select("bk").collect().map(_.getLong(0)).toSet
+    assert((bx & by).nonEmpty, "fixture premise: X and Y must share a band")
+    val out = SparkEntry.queries("stream_ingest_e2e")(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(out == Map(3L -> "quality", 4L -> "ok", 7L -> "ok",
+      8L -> "dup", 5L -> "quality"), s"got $out")
+  }
+
   test("winnowing guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
     import spark.implicits._
     // k=4 shingles, w=4 windows: a shared run of 7 tokens guarantees one
