@@ -3494,6 +3494,29 @@ object Pipeline {
        |FROM bf LEFT JOIN ann ON bf.qid = ann.qid AND bf.nid = ann.nid
        |GROUP BY bf.qid""".stripMargin
 
+  /** RETRIEVAL-QUALITY METRICS for the ANN index: per-query MRR and
+    * NDCG@3 of the LSH top-3 against the exact top-3 (graded relevance
+    * 3/2/1 by exact rank) — the ranking-quality numbers every retrieval
+    * deployment reports beside recall. Both emitted in MICRO-units
+    * (ROUND absorbs the last-ulp drift of LOG2 across libms — the
+    * text_entropy discipline; raw doubles through transcendental
+    * functions would hash-mismatch across engines).
+    */
+  private def simAnnMrr(d: Dialect): String = {
+    val idcg = "(3.0 / LOG2(2.0) + 2.0 / LOG2(3.0) + 1.0 / LOG2(4.0))"
+    s"""WITH bf AS (${bruteForceTopkSql(d, 50, 3)}),
+       |ann AS (${simAnnLsh(d)}),
+       |h AS (SELECT ann.qid, ann.rnk, bf.rnk AS ernk
+       |  FROM ann JOIN bf ON bf.qid = ann.qid AND bf.nid = ann.nid),
+       |m AS (SELECT qid, MIN(rnk) AS frst,
+       |    SUM((4.0 - ernk) / LOG2(CAST(rnk + 1 AS DOUBLE))) AS dcg
+       |  FROM h GROUP BY qid)
+       |SELECT CAST(q.qid AS BIGINT) AS qid,
+       |  CAST(COALESCE(CAST(ROUND(1000000.0 / m.frst) AS BIGINT), 0) AS BIGINT) AS mrr_micro,
+       |  CAST(COALESCE(CAST(ROUND(m.dcg / $idcg * 1000000.0) AS BIGINT), 0) AS BIGINT) AS ndcg_micro
+       |FROM (SELECT DISTINCT qid FROM bf) q LEFT JOIN m ON m.qid = q.qid""".stripMargin
+  }
+
   /** The `(doc_id, toks)` token-array stage — tokenize ONCE; both the
     * unigram and bigram counts read it.
     */
@@ -3904,6 +3927,7 @@ object Pipeline {
     simGraphSearchDef,
     simGraphSearchRecallDef,
     simKnnGraphAutoDef,
+    embQuery("sim_ann_mrr", simAnnMrr),
     embQuery("emb_negative_sample", embNegativeSample),
   )
 }
