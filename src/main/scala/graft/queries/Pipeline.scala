@@ -3494,6 +3494,39 @@ object Pipeline {
        |FROM bf LEFT JOIN ann ON bf.qid = ann.qid AND bf.nid = ann.nid
        |GROUP BY bf.qid""".stripMargin
 
+  /** MATRYOSHKA TRUNCATION EVAL: recall@3 of exact cosine search over the
+    * FIRST 16 DIMENSIONS against the full-64-dim exact top-3 — the
+    * measurement behind dimension-truncated serving (store/search a
+    * prefix of each vector, re-rank with the full vector only on the
+    * shortlist). At 100 TB the prefix index is 4× smaller and the eval
+    * tells you what that costs in recall; both sides are deterministic
+    * defined-order folds.
+    */
+  private def simMatryoshkaRecall(d: Dialect): String = {
+    // the vectors must be PHYSICALLY truncated: F.dot's Spark side is the
+    // native graft_dot over the WHOLE array (its n parameter bounds only
+    // the oracle fold), so both engines get 16-element arrays up front
+    val trunc = d.slice("embedding", "1", "16")
+    val cosT = s"CASE WHEN qn * en > 0 THEN (${F.dot(d, "qv", "ev", 16)}) / (qn * en) ELSE 0.0 END"
+    s"""WITH bf AS (${bruteForceTopkSql(d, 50, 3)}),
+       |et AS (SELECT vec_id, $trunc AS embedding,
+       |    ${F.norm(d, trunc, 16)} AS nrm
+       |  FROM embeddings),
+       |qt AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM et
+       |  WHERE vec_id % 50 = 0),
+       |ts AS (SELECT qid, e.vec_id AS nid, $cosT AS score
+       |  FROM qt CROSS JOIN (SELECT vec_id, embedding AS ev, nrm AS en FROM et) e
+       |  WHERE e.vec_id <> qid),
+       |tt AS (SELECT qid, nid FROM (SELECT qid, nid,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+       |  FROM ts) r WHERE rnk <= 3)
+       |SELECT CAST(bf.qid AS BIGINT) AS qid,
+       |  CAST(COUNT(tt.nid) AS BIGINT) AS hits,
+       |  CAST(COUNT(tt.nid) AS DOUBLE) / 3.0 AS recall_at_3
+       |FROM bf LEFT JOIN tt ON tt.qid = bf.qid AND tt.nid = bf.nid
+       |GROUP BY bf.qid""".stripMargin
+  }
+
   /** RETRIEVAL-QUALITY METRICS for the ANN index: per-query MRR and
     * NDCG@3 of the LSH top-3 against the exact top-3 (graded relevance
     * 3/2/1 by exact rank) — the ranking-quality numbers every retrieval
@@ -3928,6 +3961,7 @@ object Pipeline {
     simGraphSearchRecallDef,
     simKnnGraphAutoDef,
     embQuery("sim_ann_mrr", simAnnMrr),
+    embQuery("sim_matryoshka_recall", simMatryoshkaRecall),
     embQuery("emb_negative_sample", embNegativeSample),
   )
 }
