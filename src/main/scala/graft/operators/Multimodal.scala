@@ -119,23 +119,24 @@ object Multimodal {
             case "video" =>
               val iis = javax.imageio.ImageIO.createImageInputStream(
                 new java.io.ByteArrayInputStream(m.payload))
-              gifReader.setInput(iis, false, true)
-              val n = gifReader.getNumImages(true)
-              require(n > 0, "empty GIF")
-              var sum = 0L
-              var f = 0
-              while (f < n) {
-                val img = gifReader.read(f)
-                var y = 0
-                while (y < img.getHeight) {
-                  var x = 0
-                  while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
-                  y += 1
+              try {
+                gifReader.setInput(iis, false, true)
+                val n = gifReader.getNumImages(true)
+                require(n > 0, "empty GIF")
+                var sum = 0L
+                var f = 0
+                while (f < n) {
+                  val img = gifReader.read(f)
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+                    y += 1
+                  }
+                  f += 1
                 }
-                f += 1
-              }
-              iis.close()
-              MediaFeatures(m.doc_id, m.modality, n.toLong, sum)
+                MediaFeatures(m.doc_id, m.modality, n.toLong, sum)
+              } finally iis.close()
             case other => throw new IllegalArgumentException(s"modality $other")
           }
         } catch {
@@ -365,13 +366,17 @@ object Multimodal {
     videos.mapPartitions { it =>
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       it.flatMap { r =>
+        // close in finally: a corrupt payload that throws mid-read must not
+        // leak the stream (a disk-cache temp file when ImageIO's file cache
+        // is on) — this path survives per-record codec failures by design
+        var iis: javax.imageio.stream.ImageInputStream = null
         try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(r.gif))
           reader.setInput(iis, false, true)
           val n = reader.getNumImages(true)
           require(n > 0, "empty GIF")
-          val out = (0 until n).map { f =>
+          (0 until n).map { f =>
             val img = reader.read(f)
             var h = 0L
             var y = 0
@@ -385,10 +390,10 @@ object Multimodal {
             }
             (r.doc_id, f, h)
           }
-          iis.close()
-          out
         } catch {
           case _: Exception => Seq((r.doc_id, -1, -1L))
+        } finally {
+          if (iis != null) iis.close()
         }
       }
     }.toDF("doc_id", "frame_idx", "fhash")
@@ -417,8 +422,9 @@ object Multimodal {
     videos.mapPartitions { it =>
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       it.map { r =>
+        var iis: javax.imageio.stream.ImageInputStream = null
         try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(r.gif))
           reader.setInput(iis, false, true)
           val n = reader.getNumImages(true)
@@ -439,10 +445,11 @@ object Multimodal {
             }
             f += 1
           }
-          iis.close()
           (r.doc_id, n, w, h, sum)
         } catch {
           case _: Exception => (r.doc_id, -1, -1, -1, -1L)
+        } finally {
+          if (iis != null) iis.close()
         }
       }
     }.toDF("doc_id", "n_frames", "width", "height", "pixel_sum")
@@ -501,12 +508,13 @@ object Multimodal {
     videos.mapPartitions { it =>
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       it.flatMap { r =>
+        var iis: javax.imageio.stream.ImageInputStream = null
         try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(r.gif))
           reader.setInput(iis, false, true)
           val n = reader.getNumImages(true)
-          val rows = (0 until n).collect { case f if f % stride == 0 =>
+          (0 until n).collect { case f if f % stride == 0 =>
             val img = reader.read(f)
             var sum = 0L
             var y = 0
@@ -517,10 +525,10 @@ object Multimodal {
             }
             (r.doc_id, f.toLong, img.getWidth, img.getHeight, sum)
           }
-          iis.close()
-          rows
         } catch {
           case _: Exception => Seq((r.doc_id, -1L, -1, -1, -1L))
+        } finally {
+          if (iis != null) iis.close()
         }
       }
     }.toDF("doc_id", "frame_idx", "width", "height", "pixel_sum")

@@ -631,12 +631,19 @@ object Pipeline {
     * derived from the corpus size so the EXPECTED BUCKET WIDTH stays
     * constant (~32 rows) as the corpus grows — the fix for the
     * fixed-bucket kNN build whose within-bucket self-join is quadratic at
-    * fixed width. ceil(log2) never straddles an engine ulp: log2 lands
-    * exactly on an integer only at powers of two, where every libm is
-    * exact.
+    * fixed width. Computed with EXACT integer arithmetic — smallest p
+    * with 32·2^p >= n — because the natural-log ratio ceil(ln(n/32)/ln 2)
+    * rounds ABOVE the integer at some power-of-two corpus sizes (e.g.
+    * n = 32·2^29) while the oracle's CEIL(LOG2(...)) is exact there, so
+    * the two engines would build different bucket counts. ceil(log2(n/32))
+    * == ceil(log2(ceil(n/32))) for all n, so the integer form matches the
+    * oracle everywhere.
     */
-  def autoPlanes(n: Long): Int =
-    math.max(4, math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+  def autoPlanes(n: Long): Int = {
+    val q = (n + 31) >> 5 // ceil(n/32)
+    val p = if (q <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+    math.max(4, p)
+  }
 
   private def autoPlanesSql: String =
     "GREATEST(4, CAST(CEIL(LOG2(CAST(COUNT(*) AS DOUBLE) / 32.0)) AS BIGINT))"
@@ -1729,10 +1736,17 @@ object Pipeline {
     s"""SELECT w, f, pos, sym,
        |  LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM $prev""".stripMargin
 
-  /** f-weighted adjacent-pair counts over a pair-scan relation. */
+  /** f-weighted adjacent-pair counts over a pair-scan relation. The pair
+    * KEY is delimited (sym, chr(1), nxt) — bare concatenation would merge
+    * the counts of distinct pairs with equal concatenation (("ab","c") vs
+    * ("a","bc") after round 1), picking merges no true BPE trainer would.
+    * Symbols never contain chr(1) (they come from document text), so the
+    * delimited key is injective; the delimiter is stripped only in the
+    * EMITTED pair string and the rewritten symbol.
+    */
   private def bpePairCount(p: String): String =
-    s"""SELECT sym || nxt AS pair, SUM(f) AS cnt FROM $p
-       |  WHERE nxt IS NOT NULL GROUP BY sym || nxt""".stripMargin
+    s"""SELECT sym || chr(1) || nxt AS pair, SUM(f) AS cnt FROM $p
+       |  WHERE nxt IS NOT NULL GROUP BY sym || chr(1) || nxt""".stripMargin
 
   /** Greedy leftmost merge application — IDENTICAL text on both sides
     * (the Spark runner and the DuckDB oracle differ only in the table the
@@ -1757,7 +1771,7 @@ object Pipeline {
        |        END AS grp
        |      FROM (SELECT w, f, pos, sym, nxt,
        |          ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS rn,
-       |          CASE WHEN nxt IS NOT NULL AND sym || nxt = $topRef
+       |          CASE WHEN nxt IS NOT NULL AND sym || chr(1) || nxt = $topRef
        |            THEN 1 ELSE 0 END AS mt
        |        FROM $p) bx) by) bz) bq
        |WHERE COALESCE(psel, 0) = 0""".stripMargin
@@ -1811,7 +1825,9 @@ object Pipeline {
       val top = s.sql(s"SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM (${bpePairCount("graft_bpe_p")}) c ORDER BY cnt DESC, pair LIMIT 1")
         .collect()
       if (top.nonEmpty) {
-        merges += ((r.toLong, top(0).getString(0), top(0).getLong(1)))
+        // merges table carries the stripped pair; the MATCH key (temp view)
+        // keeps the chr(1) delimiter
+        merges += ((r.toLong, top(0).getString(0).replace("\u0001", ""), top(0).getLong(1)))
         import s.implicits._
         Seq(top(0).getString(0)).toDF("pair")
           .createOrReplaceTempView("graft_bpe_top")
@@ -1829,7 +1845,7 @@ object Pipeline {
     */
   private def textBpeTrainDef: QueryDef = {
     val steps = (1 to BpeRounds)
-      .map(r => s"SELECT $r AS step, pair, cnt FROM t$r")
+      .map(r => s"SELECT $r AS step, replace(pair, chr(1), '') AS pair, cnt FROM t$r")
       .mkString("\n  UNION ALL ")
     QueryDef("text_bpe_train",
       s"""WITH ${bpeOracleCtes(DuckDialect)}
