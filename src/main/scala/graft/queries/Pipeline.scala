@@ -27,7 +27,7 @@ object Pipeline {
 
   private val K = 16 // minhash signature length
   private val R = 4  // rows per LSH band -> 4 bands
-  private val DIM = 64 // embedding dimension (TESTDATA embeddings)
+  private[queries] val DIM = 64 // embedding dimension (TESTDATA embeddings)
 
   private def views(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
@@ -770,22 +770,44 @@ object Pipeline {
        |SELECT f.qid, ed.dst AS nid FROM $fRel f
        |JOIN $edgesRel ed ON f.nid = ed.src AND ed.dst <> f.qid""".stripMargin
 
+  /** THE REFINE PATTERN, rank half (round-9, one implementation for three
+    * index families): given a SCORED candidate relation `(qid, nid,
+    * scoreCol)`, keep the per-query top-N by `(score, nid)`. Shared by
+    * graph-ANN beam scoring (cosine, DESC), IVF-PQ two-stage refine
+    * (exact int64 L2, ASC), and matryoshka truncated-dim serving
+    * (full-dim cosine re-rank, DESC).
+    */
+  private[queries] def rankTopN(scoredSel: String, scoreCol: String,
+      desc: Boolean, topN: Int, rankCol: String = "rnk"): String = {
+    val ord = if (desc) s"$scoreCol DESC" else scoreCol
+    s"""SELECT qid, nid, $scoreCol, $rankCol FROM (
+       |  SELECT qid, nid, $scoreCol,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY $ord, nid) AS $rankCol
+       |  FROM ($scoredSel) sc) r
+       |WHERE $rankCol <= $topN""".stripMargin
+  }
+
+  /** The refine pattern, scoring half: exact cosine over a (qid, nid)
+    * shortlist via two id equi-joins against the query and corpus vector
+    * relations — never the corpus (cost = |shortlist| × dim). `qRel` must
+    * expose (qid, qv, qn), `eRel` (vec_id, embedding, nrm).
+    */
+  private[queries] def cosScoredSel(d: Dialect, candSel: String, qRel: String,
+      eRel: String, dim: Int = DIM): String = {
+    val cos = s"CASE WHEN qn * en > 0 THEN (${F.dot(d, "qv", "ev", dim)}) / (qn * en) ELSE 0.0 END"
+    s"""SELECT c.qid, c.nid, $cos AS score
+       |FROM ($candSel) c
+       |JOIN (SELECT qid AS jqid, qv, qn FROM $qRel) jq ON jq.jqid = c.qid
+       |JOIN (SELECT vec_id, embedding AS ev, nrm AS en FROM $eRel) je
+       |  ON je.vec_id = c.nid""".stripMargin
+  }
+
   /** Exact-score a (qid, nid) candidate relation and keep the per-query
-    * top-N beam.
+    * top-N beam — the refine pattern at cosine/DESC.
     */
   private def gsScoreTop(d: Dialect, candSel: String, qRel: String,
-      eRel: String, topN: Int): String = {
-    val cos = s"CASE WHEN qn * en > 0 THEN (${F.dot(d, "qv", "ev", DIM)}) / (qn * en) ELSE 0.0 END"
-    s"""SELECT qid, nid, score, rnk FROM (
-       |  SELECT qid, nid, score,
-       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
-       |  FROM (SELECT c.qid, c.nid, $cos AS score
-       |    FROM ($candSel) c
-       |    JOIN (SELECT qid AS jqid, qv, qn FROM $qRel) jq ON jq.jqid = c.qid
-       |    JOIN (SELECT vec_id, embedding AS ev, nrm AS en FROM $eRel) je
-       |      ON je.vec_id = c.nid) sc) r
-       |WHERE rnk <= $topN""".stripMargin
-  }
+      eRel: String, topN: Int): String =
+    rankTopN(cosScoredSel(d, candSel, qRel, eRel), "score", desc = true, topN)
 
   /** Oracle: the whole search as one CTE chain (DuckDB shares CTEs; the
     * Spark side runs [[gsSparkSearch]] — the same stage SQL, one
@@ -931,7 +953,7 @@ object Pipeline {
   /** Shared CTE body: per-vector absmax + the int8 lane array `qv` and
     * dequantization `scale` (see [[embQuantize]] for the float discipline).
     */
-  private def quantCte(d: Dialect): String = d match {
+  private[queries] def quantCte(d: Dialect, src: String = "embeddings"): String = d match {
     case SparkDialect =>
       // Direct array-lambda form: transform/aggregate over the embedding
       // array itself. Same arithmetic as the index form below, same element
@@ -942,7 +964,7 @@ object Pipeline {
         " CAST(0 AS DOUBLE), (acc, x) -> CASE WHEN x > acc THEN x ELSE acc END)"
       val lanes = "transform(embedding, e -> CAST(CASE WHEN amax = 0 THEN 0 ELSE " +
         "ROUND(CAST(e AS DOUBLE) * 127.0 / amax) END AS INTEGER))"
-      s"""a AS (SELECT vec_id, embedding, $absFold AS amax FROM embeddings),
+      s"""a AS (SELECT vec_id, embedding, $absFold AS amax FROM $src),
          |qz AS (SELECT vec_id, amax / 127.0 AS scale, $lanes AS qv FROM a)""".stripMargin
     case _ =>
       val absFold = d.reduce(
@@ -951,7 +973,7 @@ object Pipeline {
         "CAST(0 AS DOUBLE)", "acc", "x", "CASE WHEN x > acc THEN x ELSE acc END")
       val lane = s"CAST(CASE WHEN amax = 0 THEN 0 ELSE " +
         s"ROUND(CAST(${d.elem("embedding", "i")} AS DOUBLE) * 127.0 / amax) END AS INTEGER)"
-      s"""a AS (SELECT vec_id, embedding, $absFold AS amax FROM embeddings),
+      s"""a AS (SELECT vec_id, embedding, $absFold AS amax FROM $src),
          |qz AS (SELECT vec_id, amax / 127.0 AS scale,
          |  ${d.transform(d.seq("1", DIM.toString), "i", lane)} AS qv FROM a)""".stripMargin
   }
@@ -1113,7 +1135,7 @@ object Pipeline {
     * is the oracle-exact training recurrence — same join shape Spark
     * plans as a broadcast hash join here.
     */
-  private val KM = 4
+  private[queries] val KM = 4
 
   /** The k-means CTE chain over an existing exploded (vec_id, i, x)
     * relation `xRef` (x = int8 lane). Shared verbatim by the DuckDB oracle
@@ -1121,7 +1143,11 @@ object Pipeline {
     * inlines multi-reference CTEs, and `x` is referenced by every assign
     * and recompute stage).
     */
-  private def kmeansBodySql(d: Dialect, xRef: String): String = {
+  /** The Lloyd CTE chain alone (c0 → a1 → c2 → a2) — reused by
+    * [[embKmeansLloyd]] and, as the LEARNED blocking key, by the semantic
+    * dedup gate (`a2` = final per-vector cluster assignments).
+    */
+  private def kmeansCtes(d: Dialect, xRef: String): String = {
     val idiv = if (d == SparkDialect) "div" else "//"
     def assign(k: Int, c: String): String =
       s"""d$k AS (SELECT x.vec_id, c.cid,
@@ -1142,11 +1168,14 @@ object Pipeline {
        |  FROM $xRef WHERE vec_id < $KM),
        |${assign(1, "c0")},
        |${recompute(2)},
-       |${assign(2, "c2")}
+       |${assign(2, "c2")}""".stripMargin
+  }
+
+  private def kmeansBodySql(d: Dialect, xRef: String): String =
+    s"""${kmeansCtes(d, xRef)}
        |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cluster,
        |  dist AS dist2
        |FROM a2""".stripMargin
-  }
 
   private def embKmeansLloyd: QueryDef = {
     val dd = DuckDialect
@@ -1170,6 +1199,58 @@ object Pipeline {
       s.sql(s"WITH ${kmeansBodySql(d, "graft_km_x")}")
     }
   }
+
+  /** SEMANTIC DEDUP (round-9, SemDeDup-shaped — Abbas et al.,
+    * arXiv:2303.09540): the LEARNED k-means cluster id is the BLOCKING KEY
+    * for embedding-cosine near-dup pruning — cluster the corpus with the
+    * emb_kmeans_lloyd Lloyd chain (bit-exact in both engines), then within
+    * each cluster (sub-bucketed above [[BlockCap]] rows, the
+    * dedup_embedding_cosine hot-block guard) mark every vector with cosine
+    * >= 0.3 to a LOWER-id vector in its block; one verdict row per vector.
+    * The first gate where a trained model's output feeds a dedup operator
+    * as input. 100 TB shape: cluster assignment is a broadcast-centroid
+    * pass; pair generation is a (cluster, sub)-key equi-join — no block
+    * goes all-pairs unbounded; the final verdict is one left join on
+    * vec_id.
+    */
+  private def dedupSemanticSql(d: Dialect, xRef: String): String = {
+    val cos = s"CASE WHEN x.nrm * y.nrm > 0 THEN (${F.dot(d, "x.embedding", "y.embedding", DIM)}) / (x.nrm * y.nrm) ELSE 0.0 END"
+    val sub = F.lshBucket(d, "embedding", DIM, 4)
+    s"""${kmeansCtes(d, xRef)},
+       |en AS (SELECT vec_id, embedding, ${F.norm(d, "embedding", DIM)} AS nrm
+       |  FROM embeddings),
+       |ec AS (SELECT en.vec_id, en.embedding, en.nrm, a.cid AS cluster
+       |  FROM en JOIN a2 a ON a.vec_id = en.vec_id),
+       |bs AS (SELECT cluster, COUNT(*) AS bn FROM ec GROUP BY cluster),
+       |eb AS (SELECT ec.vec_id, ec.embedding, ec.nrm, ec.cluster,
+       |    CASE WHEN bs.bn > $BlockCap THEN $sub ELSE CAST(0 AS BIGINT) END AS sub
+       |  FROM ec JOIN bs ON ec.cluster = bs.cluster),
+       |dups AS (SELECT DISTINCT y.vec_id FROM eb x JOIN eb y
+       |  ON x.cluster = y.cluster AND x.sub = y.sub AND x.vec_id < y.vec_id
+       |  WHERE $cos >= 0.3)
+       |SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       |  CAST(e.cluster AS BIGINT) AS cluster,
+       |  CAST(CASE WHEN dp.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+       |FROM ec e LEFT JOIN dups dp ON dp.vec_id = e.vec_id""".stripMargin
+  }
+
+  private def dedupSemanticDef: QueryDef =
+    QueryDef("dedup_semantic",
+      s"""WITH ${quantCte(DuckDialect)},
+         |x AS ($duckPqX),
+         |${dedupSemanticSql(DuckDialect, "x")}""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      views(s, dir, "embeddings")
+      // materialize the quantized lane matrix once (the embKmeansLloyd
+      // lesson: it feeds every assign/recompute stage)
+      val qz = s.sql(s"WITH ${quantCte(SparkDialect)} SELECT vec_id, qv FROM qz")
+        .localCheckpoint()
+      qz.createOrReplaceTempView("graft_sd_qz")
+      val x = s.sql("SELECT vec_id, posexplode(qv) AS (i, x) FROM graft_sd_qz")
+        .localCheckpoint()
+      x.createOrReplaceTempView("graft_sd_x")
+      s.sql(s"WITH ${dedupSemanticSql(SparkDialect, "graft_sd_x")}")
+    }
 
   private def simIvfExhaustive: QueryDef = {
     val d = DuckDialect
@@ -1200,7 +1281,7 @@ object Pipeline {
   /** One argmin-assignment step of the subspace k-means: per (vector,
     * subspace), the nearest centroid of `cTable` by exact int64 squared
     * L2 over milli-unit lanes, (dist, cid) tie-break. */
-  private def pqAssignCtes(d: Dialect, xRef: String, p: String, step: Int,
+  private[queries] def pqAssignCtes(d: Dialect, xRef: String, p: String, step: Int,
       cTable: String): String =
     s"""${p}d$step AS (SELECT x.vec_id, c.m, c.cid,
        |    CAST(SUM((x.x*1000 - c.c)*(x.x*1000 - c.c)) AS BIGINT) AS dist
@@ -1218,7 +1299,7 @@ object Pipeline {
     * eager materialization only serialized extra jobs — so the Spark
     * gates run the same single inline chain as the oracle.
     */
-  private def pqTrainCtes(d: Dialect, xRef: String, p: String,
+  private[queries] def pqTrainCtes(d: Dialect, xRef: String, p: String,
       subDim: Int, k: Int): String = {
     val idiv = if (d == SparkDialect) "div" else "//"
     s"""${p}c0 AS (SELECT vec_id AS cid, i $idiv $subDim AS m, i,
@@ -1256,11 +1337,15 @@ object Pipeline {
     * `pqc2Ref` name the trained-centroid relations (inline CTEs for the
     * oracle; checkpointed views for Spark).
     */
-  private def ivfPqPostCtes(d: Dialect, xRef: String,
+  /** The QUERY-SIDE model state of IVF-PQ serving (q lanes → cell probes →
+    * ADC lookup table) — shared by the batch gates (via [[ivfPqPostCtes]])
+    * and the STREAMING upsert gate, whose Spark side materializes `probe`
+    * and `lut` once (broadcast-sized: nq×3 and nq×M×K rows) and re-serves
+    * them against the growing code store every micro-batch.
+    */
+  private[queries] def ivfPqServeStaticCtes(d: Dialect, xRef: String,
       cvc2Ref: String, pqc2Ref: String): String =
-    s"""${pqAssignCtes(d, xRef, "cv", 2, cvc2Ref)},
-       |${pqAssignCtes(d, xRef, "pq", 2, pqc2Ref)},
-       |q AS (SELECT vec_id AS qid, i, CAST(x*1000 AS BIGINT) AS qx
+    s"""q AS (SELECT vec_id AS qid, i, CAST(x*1000 AS BIGINT) AS qx
        |  FROM $xRef WHERE vec_id % 100 = 0),
        |qprobe AS (SELECT q.qid, c.cid,
        |    CAST(SUM((q.qx - c.c)*(q.qx - c.c)) AS BIGINT) AS dist
@@ -1268,11 +1353,17 @@ object Pipeline {
        |probe AS (SELECT qid, cid FROM (
        |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
        |  FROM qprobe) r WHERE rn <= 3),
-       |cand AS (SELECT p.qid, a.vec_id AS nid
-       |  FROM probe p JOIN cva2 a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
        |lut AS (SELECT q.qid, c.m, c.cid,
        |    CAST(SUM((q.qx - c.c)*(q.qx - c.c)) AS BIGINT) AS pd
-       |  FROM q JOIN $pqc2Ref c ON q.i = c.i GROUP BY q.qid, c.m, c.cid),
+       |  FROM q JOIN $pqc2Ref c ON q.i = c.i GROUP BY q.qid, c.m, c.cid)""".stripMargin
+
+  private def ivfPqPostCtes(d: Dialect, xRef: String,
+      cvc2Ref: String, pqc2Ref: String): String =
+    s"""${pqAssignCtes(d, xRef, "cv", 2, cvc2Ref)},
+       |${pqAssignCtes(d, xRef, "pq", 2, pqc2Ref)},
+       |${ivfPqServeStaticCtes(d, xRef, cvc2Ref, pqc2Ref)},
+       |cand AS (SELECT p.qid, a.vec_id AS nid
+       |  FROM probe p JOIN cva2 a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
        |adc AS (SELECT cd.qid, cd.nid, CAST(SUM(l.pd) AS BIGINT) AS adist
        |  FROM cand cd JOIN pqa2 a ON a.vec_id = cd.nid
        |  JOIN lut l ON l.qid = cd.qid AND l.m = a.m AND l.cid = a.cid
@@ -1306,7 +1397,7 @@ object Pipeline {
       s.sql(body("graft_pq_x"))
     }
 
-  private val duckPqX =
+  private[queries] val duckPqX =
     "SELECT vec_id, unnest(qv) AS x, unnest(range(len(qv))) AS i FROM qz"
 
   private def simIvfPq: QueryDef = {
@@ -1379,18 +1470,15 @@ object Pipeline {
   private def ivfPqRefineCtes(xRef: String): String =
     s""",
        |short AS (SELECT qid, nid FROM (
-       |    SELECT qid, nid,
-       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
-       |  FROM adc) r WHERE rn <= $RefineN),
+       |    ${rankTopN("SELECT qid, nid, adist FROM adc", "adist",
+                       desc = false, RefineN, "rn")}) s0),
        |rfd AS (SELECT s.qid, s.nid,
        |    CAST(SUM((q.qx - e.x*1000)*(q.qx - e.x*1000)) AS BIGINT) AS dist
        |  FROM short s JOIN q ON q.qid = s.qid
        |  JOIN $xRef e ON e.vec_id = s.nid AND e.i = q.i
        |  GROUP BY s.qid, s.nid),
-       |rtop AS (SELECT qid, nid, dist, rnk FROM (
-       |    SELECT qid, nid, dist,
-       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rnk
-       |  FROM rfd) r WHERE rnk <= 5)""".stripMargin
+       |rtop AS (${rankTopN("SELECT qid, nid, dist FROM rfd", "dist",
+                            desc = false, 5)})""".stripMargin
 
   private def simIvfPqRefine: QueryDef = {
     val sel =
@@ -3543,6 +3631,60 @@ object Pipeline {
        |GROUP BY bf.qid""".stripMargin
   }
 
+  /** MATRYOSHKA TWO-STAGE SERVING (round-9): the truncation EVAL turned
+    * into an OPERATOR — shortlist by exact cosine over the FIRST 16
+    * DIMENSIONS (the 4×-cheaper prefix scan sim_matryoshka_recall
+    * evaluates), then re-rank the `$RefineN`-deep shortlist alone by the
+    * FULL-64-dim cosine via the shared refine pattern ([[rankTopN]] +
+    * [[cosScoredSel]], the sim_ivf_pq_refine join shape); final = top-3
+    * by full-dim score. At 100 TB: stage 1 reads a 4×-smaller prefix
+    * index (and composes with any shortlister — IVF cells, LSH buckets);
+    * stage 2 touches |queries| × $RefineN full vectors, never the corpus.
+    */
+  private def simMatryoshkaServeCtes(d: Dialect): String = {
+    val trunc = d.slice("embedding", "1", "16")
+    val cosT = s"CASE WHEN qn * en > 0 THEN (${F.dot(d, "qv", "ev", 16)}) / (qn * en) ELSE 0.0 END"
+    s"""et AS (SELECT vec_id, $trunc AS embedding,
+       |    ${F.norm(d, trunc, 16)} AS nrm
+       |  FROM embeddings),
+       |qt AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM et
+       |  WHERE vec_id % 50 = 0),
+       |ts AS (SELECT qid, e.vec_id AS nid, $cosT AS score
+       |  FROM qt CROSS JOIN (SELECT vec_id, embedding AS ev, nrm AS en FROM et) e
+       |  WHERE e.vec_id <> qid),
+       |short AS (SELECT qid, nid FROM (
+       |    ${rankTopN("SELECT qid, nid, score FROM ts", "score",
+                       desc = true, RefineN, "rn")}) s0),
+       |ef AS (SELECT vec_id, embedding, ${F.norm(d, "embedding", DIM)} AS nrm
+       |  FROM embeddings),
+       |qf AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM ef
+       |  WHERE vec_id % 50 = 0),
+       |serve AS (${rankTopN(
+             cosScoredSel(d, "SELECT qid, nid FROM short", "qf", "ef"),
+             "score", desc = true, 3)})""".stripMargin
+  }
+
+  private def simMatryoshkaServe(d: Dialect): String =
+    s"""WITH ${simMatryoshkaServeCtes(d)}
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+       |  score, CAST(rnk AS BIGINT) AS rnk
+       |FROM serve""".stripMargin
+
+  /** Recall@3 of the two-stage matryoshka serve against the full-dim
+    * exact top-3 — the dominance measurement vs the truncated-only eval
+    * (spec-asserted: serve recall >= sim_matryoshka_recall per mean, same
+    * query set).
+    */
+  private def simMatryoshkaServeRecall(d: Dialect): String =
+    s"""WITH bf AS (${bruteForceTopkSql(d, 50, 3)}),
+       |${simMatryoshkaServeCtes(d)}
+       |SELECT CAST(bf.qid AS BIGINT) AS qid,
+       |  CAST(COUNT(sv.nid) AS BIGINT) AS hits,
+       |  CAST(COUNT(sv.nid) AS DOUBLE) / 3.0 AS recall_at_3
+       |FROM bf LEFT JOIN (SELECT qid, nid FROM serve) sv
+       |  ON sv.qid = bf.qid AND sv.nid = bf.nid
+       |GROUP BY bf.qid""".stripMargin
+
   /** RETRIEVAL-QUALITY METRICS for the ANN index: per-query MRR and
     * NDCG@3 of the LSH top-3 against the exact top-3 (graded relevance
     * 3/2/1 by exact rank) — the ranking-quality numbers every retrieval
@@ -3978,6 +4120,9 @@ object Pipeline {
     simKnnGraphAutoDef,
     embQuery("sim_ann_mrr", simAnnMrr),
     embQuery("sim_matryoshka_recall", simMatryoshkaRecall),
+    embQuery("sim_matryoshka_serve", simMatryoshkaServe),
+    embQuery("sim_matryoshka_serve_recall", simMatryoshkaServeRecall),
+    dedupSemanticDef,
     embQuery("emb_negative_sample", embNegativeSample),
   )
 }

@@ -279,6 +279,50 @@ object Streams {
     })
   }
 
+  /** Hash-bucket width of the ingestion band-key store. Gate-scale value;
+    * on a real cluster this is sized to the store volume (e.g. 4096) so a
+    * batch's probe reads a thin partition slice of a corpus-sized store.
+    */
+  private val IngestStoreBuckets = 8
+
+  /** Per-batch probe + merge-compact of the ingestion band-key STORE
+    * (round-9 rework). The store holds DISTINCT band keys only — it is
+    * probed as `rid = -1`, so per-doc multiplicity was dead weight — and
+    * is written `partitionBy(bkb)` where `bkb = pmod(hash(bk), buckets)`.
+    * Each batch (1) collects the ≤[[IngestStoreBuckets]] bucket ids its
+    * own keys hash into (driver model state) and reads ONLY those store
+    * partitions (static partition pruning — the probe cost tracks the
+    * batch's bucket subset, not the corpus), and (2) appends only keys
+    * NOT already in that slice (left_anti on the same pruned scan — a key
+    * can only collide inside its own bucket), keeping the store exactly
+    * the distinct band-key set, vocabulary-bounded.
+    *
+    * Returns the pruned store slice (None on the first batch) and a thunk
+    * that performs the compacted append — call it AFTER the batch output
+    * is written, so a batch never probes its own keys through the store
+    * (the within-batch rule handles same-batch dups exactly).
+    */
+  private[queries] def bandStoreProbe(ss: SparkSession, bands: DataFrame,
+      idxDir: String, batchId: Long): (Option[DataFrame], () => Unit) = {
+    val bkeys = bands.select(col("bk")).distinct()
+      .withColumn("bkb", pmod(hash(col("bk")), lit(IngestStoreBuckets)))
+      .localCheckpoint()
+    val slice =
+      if (batchId == 0) None
+      else {
+        val buckets = bkeys.select("bkb").distinct().collect().map(_.getInt(0)).toSeq
+        Some(ss.read.parquet(idxDir).filter(col("bkb").isin(buckets: _*)))
+      }
+    val append = () => {
+      val newKeys = slice match {
+        case None     => bkeys
+        case Some(st) => bkeys.join(st.select("bk"), Seq("bk"), "left_anti")
+      }
+      newKeys.write.partitionBy("bkb").mode("append").parquet(idxDir)
+    }
+    (slice, append)
+  }
+
   private def await(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     assert(q.awaitTermination(300000), "streaming gate timed out")
     // batch-level trace for debugging watermark/eviction timing issues
@@ -1150,6 +1194,119 @@ object Streams {
           col("score"), col("rnk").cast("long").as("rnk"))
     },
 
+    // ---- STREAMING IVF-PQ INDEX MAINTENANCE (round-9): the upsert path
+    // for the SECOND index family — at 100 TB you retrain centroids rarely
+    // but upsert PQ codes constantly. The model (coarse centroids + PQ
+    // codebooks, trained once on the corpus with the sim_ivf_pq Lloyd
+    // chains) is static broadcast-sized state; each micro-batch of
+    // late-arriving vectors is quantized, lane-exploded, assigned to its
+    // nearest coarse cell, PQ-encoded (all batch-sized, per-vector work),
+    // and append-merged into the cell-keyed code store; then the STATIC
+    // query set re-serves by ADC against the refreshed store — vectors
+    // that arrived in batch b appear in version-b results and not before.
+    // The oracle replays arrival relationally (version v's candidates =
+    // vec_id % 3 < v over the full-corpus encode — per-vector assignment
+    // is independent of arrival, so batch-wise and corpus-wide encodes are
+    // bit-identical). 100 TB shape: store rows are M-code tuples keyed by
+    // cell; the serve is probe(cell)-pruned + an M-lookup ADC join, never
+    // full vectors; merge is append-only. ----
+    QueryDef("stream_ivfpq_upsert", {
+      val dd = graft.functions.DuckDialect
+      s"""WITH ${Pipeline.quantCte(dd)}, x AS (${Pipeline.duckPqX}),
+         |${Pipeline.pqTrainCtes(dd, "x", "cv", Pipeline.DIM, Pipeline.KM)},
+         |${Pipeline.pqTrainCtes(dd, "x", "pq", 8, 8)},
+         |${Pipeline.pqAssignCtes(dd, "x", "cv", 2, "cvc2")},
+         |${Pipeline.pqAssignCtes(dd, "x", "pq", 2, "pqc2")},
+         |${Pipeline.ivfPqServeStaticCtes(dd, "x", "cvc2", "pqc2")},
+         |cand AS (SELECT p.qid, a.vec_id AS nid
+         |  FROM probe p JOIN cva2 a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
+         |vs AS (SELECT unnest(range(1, 4)) AS version),
+         |vadc AS (SELECT vs.version, cd.qid, cd.nid,
+         |    CAST(SUM(l.pd) AS BIGINT) AS adist
+         |  FROM vs JOIN cand cd ON cd.nid % 3 < vs.version
+         |  JOIN pqa2 a ON a.vec_id = cd.nid
+         |  JOIN lut l ON l.qid = cd.qid AND l.m = a.m AND l.cid = a.cid
+         |  GROUP BY vs.version, cd.qid, cd.nid)
+         |SELECT CAST(version AS BIGINT) AS version, CAST(qid AS BIGINT) AS qid,
+         |  CAST(nid AS BIGINT) AS nid, adist, CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT version, qid, nid, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY version, qid ORDER BY adist, nid) AS rnk
+         |  FROM vadc) r
+         |WHERE rnk <= 5""".stripMargin
+    }) { (s, dir) =>
+      val d = graft.functions.SparkDialect
+      val src = stagedEmbCorpusDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_ipu_ckpt_${dir.hashCode & 0x7fffffff}")
+      val idxDir = cleanScratch(s, s"stream_ipu_idx_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_ipu_out_${dir.hashCode & 0x7fffffff}")
+      val emb = Tables.load(s, dir, "embeddings")
+      emb.createOrReplaceTempView("embeddings")
+      // ---- static model state, trained ONCE on the corpus (the production
+      // cadence: centroids retrain rarely, codes upsert constantly) ----
+      s.sql(s"WITH ${Pipeline.quantCte(d)} SELECT vec_id, qv FROM qz")
+        .localCheckpoint().createOrReplaceTempView("graft_ipu_qz")
+      s.sql("SELECT vec_id, posexplode(qv) AS (i, x) FROM graft_ipu_qz")
+        .localCheckpoint().createOrReplaceTempView("graft_ipu_x")
+      s.sql(s"WITH ${Pipeline.pqTrainCtes(d, "graft_ipu_x", "cv", Pipeline.DIM, Pipeline.KM)} SELECT cid, m, i, c FROM cvc2")
+        .localCheckpoint().createOrReplaceTempView("graft_ipu_cvc2")
+      s.sql(s"WITH ${Pipeline.pqTrainCtes(d, "graft_ipu_x", "pq", 8, 8)} SELECT cid, m, i, c FROM pqc2")
+        .localCheckpoint().createOrReplaceTempView("graft_ipu_pqc2")
+      // query-side serve state: cell probes (nq×3) and the ADC lookup
+      // table (nq×M×K) — broadcast-sized, computed once
+      val serveCtes = Pipeline.ivfPqServeStaticCtes(
+        d, "graft_ipu_x", "graft_ipu_cvc2", "graft_ipu_pqc2")
+      s.sql(s"WITH $serveCtes SELECT qid, cid FROM probe")
+        .localCheckpoint().createOrReplaceTempView("graft_ipu_probe")
+      s.sql(s"WITH $serveCtes SELECT qid, m, cid, pd FROM lut")
+        .localCheckpoint().createOrReplaceTempView("graft_ipu_lut")
+      val q = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+          val ss = bdf.sparkSession
+          // 1. encode THE BATCH: quantize + lane-explode + nearest-cell
+          //    assign + PQ-encode against the broadcast-sized centroids
+          bdf.createOrReplaceTempView("graft_ipu_b")
+          ss.sql(
+            s"""WITH ${Pipeline.quantCte(d, "graft_ipu_b")}
+               |SELECT vec_id, posexplode(qv) AS (i, x) FROM qz""".stripMargin)
+            .localCheckpoint().createOrReplaceTempView("graft_ipu_bx")
+          val codes = ss.sql(
+            s"""WITH ${Pipeline.pqAssignCtes(d, "graft_ipu_bx", "cv", 2, "graft_ipu_cvc2")},
+               |${Pipeline.pqAssignCtes(d, "graft_ipu_bx", "pq", 2, "graft_ipu_pqc2")}
+               |SELECT c.vec_id AS nid, c.cid AS cell, p.m, p.cid
+               |FROM cva2 c JOIN pqa2 p ON p.vec_id = c.vec_id""".stripMargin)
+          // 2. merge: append-only, cell-sorted (parquet min/max per row
+          //    group; at warehouse scale this is partitionBy(cell) — the
+          //    stream_ann_upsert small-file rationale applies verbatim)
+          codes.sortWithinPartitions("cell").write.mode("append").parquet(idxDir)
+          // 3. serve: static probes × refreshed store — cell equi-join +
+          //    M-lookup ADC, exactly the sim_ivf_pq scoring arithmetic
+          ss.read.parquet(idxDir).createOrReplaceTempView("graft_ipu_store")
+          ss.sql(
+            """SELECT p.qid, st.nid, CAST(SUM(l.pd) AS BIGINT) AS adist
+              |FROM graft_ipu_probe p
+              |JOIN graft_ipu_store st ON st.cell = p.cid AND st.nid <> p.qid
+              |JOIN graft_ipu_lut l ON l.qid = p.qid AND l.m = st.m AND l.cid = st.cid
+              |GROUP BY p.qid, st.nid""".stripMargin)
+            .withColumn("rnk", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("qid")
+                .orderBy(col("adist"), col("nid"))))
+            .filter(col("rnk") <= 5)
+            .select(lit(batchId + 1).cast("long").as("version"),
+              col("qid").cast("long").as("qid"), col("nid").cast("long").as("nid"),
+              col("adist"), col("rnk").cast("long").as("rnk"))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.read.parquet(out)
+        .select(col("version").cast("long").as("version"),
+          col("qid").cast("long").as("qid"), col("nid").cast("long").as("nid"),
+          col("adist"), col("rnk").cast("long").as("rnk"))
+    },
+
     // ---- STREAMING CEP (round-8): the view→click→purchase within-window
     // pattern as per-key transformWithState — two longs of state per user,
     // emit on match. The oracle is the BATCH funnel's per-conversion
@@ -1195,14 +1352,15 @@ object Streams {
     // micro-batch of documents computes its MinHash/LSH band keys (the
     // dedup_minhash_lsh pipeline over the batch only), flags docs sharing
     // a band with the accumulated fingerprint STORE (prior batches) or
-    // with a lower-id doc in the same batch, then appends its own bands to
-    // the store. The store keeps every SEEN doc's bands — a near-dup's
-    // fingerprint differs from its keeper's, and dropping it would let
-    // its own near-dups re-enter. Oracle replays arrival relationally.
-    // 100 TB shape: the store is a band-keyed table; the dup check is one
-    // equi-join on band key per batch (batch × store, band-bounded) and
-    // the within-batch self-join is band-bounded; per-batch signature work
-    // touches the batch only. ----
+    // with a lower-id doc in the same batch, then merges its own bands
+    // into the store. The store keeps every SEEN doc's bands (as DISTINCT
+    // keys — see bandStoreProbe) — a near-dup's fingerprint differs from
+    // its keeper's, and dropping it would let its own near-dups re-enter.
+    // Oracle replays arrival relationally. 100 TB shape: the store is the
+    // DISTINCT band-key set, hash-bucket partitioned; the dup check is one
+    // equi-join on band key per batch against the batch's partition-pruned
+    // store slice, the within-batch self-join is band-bounded, and
+    // per-batch signature work touches the batch only. ----
     QueryDef("stream_dedup_ingest", Pipeline.ingestDedupOracle) { (s, dir) =>
       // batch-scoped shuffle width: each micro-batch runs the signature
       // pipeline over a CORPUS THIRD, and 32-wide exchanges on a few
@@ -1226,10 +1384,12 @@ object Streams {
           // predicate, and one semi-join + distinct replaces the former
           // two-distinct union
           val within = bands.select(col("bk").as("rbk"), col("doc_id").as("rid"))
-          val rivals =
-            if (batchId == 0) within
-            else within.union(ss.read.parquet(idxDir)
-              .select(col("bk").as("rbk"), lit(-1L).as("rid")))
+          val (slice, mergeStore) = bandStoreProbe(ss, bands, idxDir, batchId)
+          val rivals = slice match {
+            case None     => within
+            case Some(st) => within.union(
+              st.select(col("bk").as("rbk"), lit(-1L).as("rid")))
+          }
           val dups = bands
             .join(rivals, col("rbk") === col("bk") && col("rid") < col("doc_id"),
               "left_semi")
@@ -1240,9 +1400,9 @@ object Streams {
               col("doc_id").cast("long").as("doc_id"),
               coalesce(col("__dup"), lit(0L)).as("is_dup"))
             .write.mode("append").parquet(out)
-          // store append AFTER the check: a batch never dedups against itself
+          // store merge AFTER the check: a batch never dedups against itself
           // through the store (the within-batch rule handles that exactly)
-          bands.write.mode("append").parquet(idxDir)
+          mergeStore()
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -1262,7 +1422,8 @@ object Streams {
     // enter the store (a quality-reject never pollutes dedup state). One
     // status row per doc per batch: 'quality' | 'dup' | 'ok'. 100 TB
     // shape: per-batch signature work is batch-sized, the store probe is a
-    // band-key equi-join, quality is a pure Column predicate. ----
+    // band-key equi-join against the partition-pruned distinct-key store
+    // (bandStoreProbe), quality is a pure Column predicate. ----
     QueryDef("stream_ingest_e2e", Pipeline.ingestE2eOracle) { (s, dir) =>
       withStatePartitions(s, 8) {
       val src = stagedDocsDir(s, dir)
@@ -1282,10 +1443,12 @@ object Streams {
           val pass = bdf.join(qual.filter(col("keep") === 1), Seq("doc_id"))
           val bands = Pipeline.ingestBands(ss, pass).localCheckpoint()
           val within = bands.select(col("bk").as("rbk"), col("doc_id").as("rid"))
-          val rivals =
-            if (batchId == 0) within
-            else within.union(ss.read.parquet(idxDir)
-              .select(col("bk").as("rbk"), lit(-1L).as("rid")))
+          val (slice, mergeStore) = bandStoreProbe(ss, bands, idxDir, batchId)
+          val rivals = slice match {
+            case None     => within
+            case Some(st) => within.union(
+              st.select(col("bk").as("rbk"), lit(-1L).as("rid")))
+          }
           val dups = bands
             .join(rivals, col("rbk") === col("bk") && col("rid") < col("doc_id"),
               "left_semi")
@@ -1299,7 +1462,7 @@ object Streams {
                 .when(col("__dup").isNotNull, lit("dup"))
                 .otherwise(lit("ok")).as("status"))
             .write.mode("append").parquet(out)
-          bands.write.mode("append").parquet(idxDir)
+          mergeStore()
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()

@@ -206,6 +206,39 @@ class QueriesSpec extends SparkTestBase {
     joined.unpersist()
   }
 
+  test("sim_matryoshka_serve: full-dim re-rank recall >= truncated-only recall") {
+    import org.apache.spark.sql.functions._
+    // the serve shortlist is the truncated top-20; the truncated-only eval
+    // is its top-3 prefix — every ground-truth member the eval finds is in
+    // the shortlist, and the full-dim exact order ranks ground-truth
+    // members of the shortlist ahead of non-members on mean recall
+    val trunc = SparkEntry.queries("sim_matryoshka_recall")(spark, sf)
+      .agg(avg("recall_at_3")).head.getDouble(0)
+    val serve = SparkEntry.queries("sim_matryoshka_serve_recall")(spark, sf)
+      .agg(avg("recall_at_3")).head.getDouble(0)
+    assert(serve >= trunc,
+      s"two-stage serve mean recall ($serve) must be >= truncated-only ($trunc)")
+  }
+
+  test("dedup_semantic: verdicts are exactly the lower-id-rival rule over learned blocks") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("dedup_semantic")(spark, sf).persist()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(out.count() == n, "one verdict row per vector")
+    // blocking key is LEARNED: cluster ids come from the Lloyd chain
+    val km = SparkEntry.queries("emb_kmeans_lloyd")(spark, sf)
+      .select(col("vec_id"), col("cluster").as("km_cluster"))
+    assert(out.join(km, "vec_id")
+      .filter(col("cluster") =!= col("km_cluster")).count() == 0,
+      "dedup blocks must be the kmeans assignments")
+    // the lowest id of any cluster can never be a dup (no lower-id rival)
+    val mins = out.groupBy("cluster").agg(min("vec_id").as("vec_id"))
+    assert(out.join(mins, Seq("cluster", "vec_id"))
+      .filter(col("is_dup") === 1).count() == 0,
+      "cluster-minimum ids must be keepers")
+    out.unpersist()
+  }
+
   test("stream_ann_upsert: index versions only serve vectors that have arrived") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("stream_ann_upsert")(spark, sf).persist()
@@ -217,6 +250,27 @@ class QueriesSpec extends SparkTestBase {
     assert(out.filter(col("version") === 3 && col("nid") % 3 === 2).count() > 0,
       "batch-3 vectors must appear in version-3 results")
     assert(out.filter(col("rnk") < 1 || col("rnk") > 3).count() == 0)
+    out.unpersist()
+  }
+
+  test("stream_ivfpq_upsert: code-store versions only serve vectors that have arrived") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("stream_ivfpq_upsert")(spark, sf).persist()
+    assert(out.filter(col("nid") % 3 >= col("version")).count() == 0,
+      "no result may cite a vector whose codes had not been upserted yet")
+    assert(out.filter(col("version") === 3 && col("nid") % 3 === 2).count() > 0,
+      "batch-3 vectors must appear in version-3 results")
+    // the final version's ADC results equal the batch gate's (same model,
+    // same corpus once everything has arrived)
+    val batch = SparkEntry.queries("sim_ivf_pq")(spark, sf)
+      .select(col("qid"), col("nid"), col("adist"))
+    val v3 = out.filter(col("version") === 3)
+      .select(col("qid"), col("nid"), col("adist").as("sadist"))
+    assert(v3.join(batch, Seq("qid", "nid"))
+      .filter(col("sadist") =!= col("adist")).count() == 0,
+      "streamed ADC distances must match the batch gate's")
+    assert(v3.count() == batch.count(),
+      "version 3 must serve exactly the batch gate's result set")
     out.unpersist()
   }
 
