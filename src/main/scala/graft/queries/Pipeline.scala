@@ -1234,6 +1234,39 @@ object Pipeline {
        |FROM ec e LEFT JOIN dups dp ON dp.vec_id = e.vec_id""".stripMargin
   }
 
+  /** CLUSTER-BALANCED SAMPLING (round-9): keep up to 32 vectors per
+    * LEARNED kmeans cluster in deterministic multiplicative-hash order —
+    * the diversity-preserving selection step that follows semantic dedup
+    * in a curation pipeline (cap each semantic REGION, where
+    * corpus_temperature_sample caps each source). 100 TB shape: one
+    * broadcast-assign pass + one window partitioned by cluster id —
+    * a single hash exchange on the cluster key.
+    */
+  private def embClusterSample(d: Dialect, xRef: String): String =
+    s"""${kmeansCtes(d, xRef)},
+       |ranked AS (SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY cid
+       |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rn
+       |  FROM a2)
+       |SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cluster,
+       |  CAST(rn AS BIGINT) AS rn
+       |FROM ranked WHERE rn <= 32""".stripMargin
+
+  private def embClusterSampleDef: QueryDef =
+    QueryDef("emb_cluster_sample",
+      s"""WITH ${quantCte(DuckDialect)},
+         |x AS ($duckPqX),
+         |${embClusterSample(DuckDialect, "x")}""".stripMargin) { (s, dir) =>
+      views(s, dir, "embeddings")
+      val qz = s.sql(s"WITH ${quantCte(SparkDialect)} SELECT vec_id, qv FROM qz")
+        .localCheckpoint()
+      qz.createOrReplaceTempView("graft_cs_qz")
+      val x = s.sql("SELECT vec_id, posexplode(qv) AS (i, x) FROM graft_cs_qz")
+        .localCheckpoint()
+      x.createOrReplaceTempView("graft_cs_x")
+      s.sql(s"WITH ${embClusterSample(SparkDialect, "graft_cs_x")}")
+    }
+
   private def dedupSemanticDef: QueryDef =
     QueryDef("dedup_semantic",
       s"""WITH ${quantCte(DuckDialect)},
@@ -3685,6 +3718,36 @@ object Pipeline {
        |  ON sv.qid = bf.qid AND sv.nid = bf.nid
        |GROUP BY bf.qid""".stripMargin
 
+  /** INDEX DELETION (round-9): serving with TOMBSTONES — the
+    * right-to-be-forgotten path of an embedding store. At 100 TB a delete
+    * never rebuilds the index: deleted ids (here `vec_id % 97 = 0`) become
+    * a tombstone set anti-joined at serve time (compaction folds them into
+    * the index lazily, offline). The serve is sim_ann_lsh verbatim plus
+    * one anti-join on the candidate id — applied AFTER bucket pruning, so
+    * its cost tracks the candidate set, never the corpus.
+    */
+  private def simAnnDelete(d: Dialect): String = {
+    val cos = s"CASE WHEN qn * en > 0 THEN (${F.dot(d, "qv", "ev", DIM)}) / (qn * en) ELSE 0.0 END"
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    ${F.norm(d, "embedding", DIM)} AS nrm,
+       |    ${F.lshBucket(d, "embedding", DIM, 8)} AS bkt FROM embeddings),
+       |del AS (SELECT vec_id AS did FROM embeddings WHERE vec_id % 97 = 0),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn, bkt FROM e
+       |  WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id AS nid, $cos AS score
+       |  FROM q JOIN (SELECT vec_id, embedding AS ev, nrm AS en, bkt FROM e) e
+       |    ON q.bkt = e.bkt AND e.vec_id <> q.qid
+       |  LEFT JOIN del ON del.did = e.vec_id
+       |  WHERE del.did IS NULL)
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, score,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM (SELECT qid, nid, score,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+       |  FROM scored) s
+       |WHERE rnk <= 3""".stripMargin
+  }
+
   /** RETRIEVAL-QUALITY METRICS for the ANN index: per-query MRR and
     * NDCG@3 of the LSH top-3 against the exact top-3 (graded relevance
     * 3/2/1 by exact rank) — the ranking-quality numbers every retrieval
@@ -4122,7 +4185,9 @@ object Pipeline {
     embQuery("sim_matryoshka_recall", simMatryoshkaRecall),
     embQuery("sim_matryoshka_serve", simMatryoshkaServe),
     embQuery("sim_matryoshka_serve_recall", simMatryoshkaServeRecall),
+    embQuery("sim_ann_delete", simAnnDelete),
     dedupSemanticDef,
+    embClusterSampleDef,
     embQuery("emb_negative_sample", embNegativeSample),
   )
 }

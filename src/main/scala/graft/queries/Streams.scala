@@ -311,7 +311,11 @@ object Streams {
       if (batchId == 0) None
       else {
         val buckets = bkeys.select("bkb").distinct().collect().map(_.getInt(0)).toSeq
-        Some(ss.read.parquet(idxDir).filter(col("bkb").isin(buckets: _*)))
+        // explicit schema: an all-filtered first batch appends NOTHING under
+        // partitionBy (no data files, no footer), and inference would fail
+        // on the empty store dir — a store with zero keys is a valid state
+        Some(ss.read.schema(bkeys.schema).parquet(idxDir)
+          .filter(col("bkb").isin(buckets: _*)))
       }
     val append = () => {
       val newKeys = slice match {
@@ -377,6 +381,23 @@ object Streams {
     * deterministic `doc_id % 3` order (same schedule as the corpus-vector
     * stream, so the oracle can replay arrival relationally).
     */
+  /** The TOMBSTONE stream for the ANN-delete gate: delete requests
+    * (`vec_id % 97 = 0`) staged as three files in `vec_id % 3` arrival
+    * order, so the oracle can replay deletion visibility relationally.
+    */
+  private def stagedEmbDeletesDir(spark: SparkSession, sfDir: String): String =
+    stageCache.computeIfAbsent(seedKey(spark, sfDir, "embdel"), { _ =>
+      val dir = cleanScratch(spark,
+        s"embdel_stream_${sfDir.hashCode & 0x7fffffff}")
+      val all = Tables.load(spark, sfDir, "embeddings")
+        .filter(col("vec_id") % 97 === 0).select("vec_id")
+      Seq(0, 1, 2).foreach { i =>
+        all.filter(col("vec_id") % 3 === i)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      dir
+    })
+
   private def stagedDocsDir(spark: SparkSession, sfDir: String): String =
     stageCache.computeIfAbsent(seedKey(spark, sfDir, "docs"), { _ =>
       val dir = cleanScratch(spark,
@@ -1194,6 +1215,101 @@ object Streams {
           col("score"), col("rnk").cast("long").as("rnk"))
     },
 
+    // ---- STREAMING INDEX DELETION (round-9): the right-to-be-forgotten
+    // twin of stream_ann_upsert — the INDEX is static, DELETE requests are
+    // the stream. Each micro-batch of tombstones merges into the tombstone
+    // store FIRST (a delete takes effect in its own version), then the
+    // static query set re-serves: the precomputed bucket-pruned candidate
+    // scores (static × static, computed ONCE) minus the accumulated
+    // tombstones — per-batch work is one anti-join + rank, never a rescore.
+    // Oracle replays deletion visibility relationally (version v excludes
+    // deletes with vec_id % 3 < v). 100 TB shape: tombstones are a tiny
+    // id set (broadcast anti-join at serve; compaction folds them into the
+    // index offline); the candidate relation is the serving index itself.
+    QueryDef("stream_ann_delete", {
+      val dd = graft.functions.DuckDialect
+      val F = graft.functions.Formulas
+      val dim = 64
+      val cos = s"CASE WHEN qn * en > 0 THEN (${F.dot(dd, "qv", "ev", dim)}) / (qn * en) ELSE 0.0 END"
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    ${F.norm(dd, "embedding", dim)} AS nrm,
+         |    ${F.lshBucket(dd, "embedding", dim, 8)} AS bkt FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn, bkt FROM e
+         |  WHERE vec_id % 50 = 0),
+         |del AS (SELECT vec_id AS did, vec_id % 3 AS m FROM embeddings
+         |  WHERE vec_id % 97 = 0),
+         |vs AS (SELECT unnest(range(1, 4)) AS version),
+         |scored AS (SELECT vs.version, q.qid, e.nid, $cos AS score
+         |  FROM vs CROSS JOIN q
+         |  JOIN (SELECT vec_id AS nid, embedding AS ev, nrm AS en, bkt FROM e) e
+         |    ON q.bkt = e.bkt AND e.nid <> q.qid
+         |  LEFT JOIN del ON del.did = e.nid AND del.m < vs.version
+         |  WHERE del.did IS NULL)
+         |SELECT CAST(version AS BIGINT) AS version, CAST(qid AS BIGINT) AS qid,
+         |  CAST(nid AS BIGINT) AS nid, score, CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT version, qid, nid, score,
+         |    ROW_NUMBER() OVER (PARTITION BY version, qid ORDER BY score DESC, nid) AS rnk
+         |  FROM scored) s
+         |WHERE rnk <= 3""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val F = graft.functions.Formulas
+      val d = graft.functions.SparkDialect
+      val dim = 64
+      val src = stagedEmbDeletesDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_adel_ckpt_${dir.hashCode & 0x7fffffff}")
+      val tombDir = cleanScratch(s, s"stream_adel_tomb_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_adel_out_${dir.hashCode & 0x7fffffff}")
+      val emb = Tables.load(s, dir, "embeddings")
+      // static index × static queries: the full bucket-pruned candidate
+      // scores are computed ONCE; every version re-serves from this
+      // relation minus tombstones
+      val e = emb.selectExpr("vec_id AS nid", "embedding AS ev",
+        s"${F.norm(d, "embedding", dim)} AS en",
+        s"${F.lshBucket(d, "embedding", dim, 8)} AS bkt")
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+        .selectExpr("vec_id AS qid", "embedding AS qv",
+          s"${F.norm(d, "embedding", dim)} AS qn",
+          s"${F.lshBucket(d, "embedding", dim, 8)} AS bkt")
+      val scored = queries.join(e, "bkt")
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          when(col("qn") * col("en") > 0,
+            expr("graft_dot(qv, ev)") / (col("qn") * col("en")))
+            .otherwise(lit(0.0)).as("score"))
+        .localCheckpoint()
+      val q = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            emb.schema("vec_id").dataType))))
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+          val ss = bdf.sparkSession
+          // merge tombstones FIRST: a delete takes effect in its version
+          bdf.select(col("vec_id")).write.mode("append").parquet(tombDir)
+          val tombs = ss.read.parquet(tombDir)
+            .select(col("vec_id").as("__del"))
+          scored.join(tombs, col("nid") === col("__del"), "left_anti")
+            .withColumn("rnk", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("qid")
+                .orderBy(col("score").desc, col("nid"))))
+            .filter(col("rnk") <= 3)
+            .select(lit(batchId + 1).cast("long").as("version"),
+              col("qid").cast("long").as("qid"),
+              col("nid").cast("long").as("nid"),
+              col("score"), col("rnk").cast("long").as("rnk"))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.read.parquet(out)
+        .select(col("version").cast("long").as("version"),
+          col("qid").cast("long").as("qid"), col("nid").cast("long").as("nid"),
+          col("score"), col("rnk").cast("long").as("rnk"))
+    },
+
     // ---- STREAMING IVF-PQ INDEX MAINTENANCE (round-9): the upsert path
     // for the SECOND index family — at 100 TB you retrain centroids rarely
     // but upsert PQ codes constantly. The model (coarse centroids + PQ
@@ -1436,10 +1552,11 @@ object Streams {
         .writeStream
         .foreachBatch { (bdf: DataFrame, batchId: Long) =>
           val ss = bdf.sparkSession
-          // qual is consumed twice (pass filter + status join) but is a
-          // cheap single-pass Column predicate — recomputing beats the
-          // extra materialization job a localCheckpoint would force
-          val qual = Pipeline.qualityKeep(ss, bdf)
+          // qual is consumed twice (pass filter + status join): ONE
+          // localCheckpoint beats recomputing the tokenize/stopword fold
+          // per reference — measured 12.7s vs 14.3s median-of-3 at 10×
+          // batch size, within noise at sf0.1 (PLANS.md round-9)
+          val qual = Pipeline.qualityKeep(ss, bdf).localCheckpoint()
           val pass = bdf.join(qual.filter(col("keep") === 1), Seq("doc_id"))
           val bands = Pipeline.ingestBands(ss, pass).localCheckpoint()
           val within = bands.select(col("bk").as("rbk"), col("doc_id").as("rid"))

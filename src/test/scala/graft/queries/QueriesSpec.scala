@@ -253,6 +253,52 @@ class QueriesSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("emb_cluster_sample: per-cluster cap over the learned assignments") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("emb_cluster_sample")(spark, sf).persist()
+    assert(out.groupBy("cluster").count().filter(col("count") > 32).count() == 0,
+      "no cluster may exceed the 32-sample cap")
+    val km = SparkEntry.queries("emb_kmeans_lloyd")(spark, sf)
+      .select(col("vec_id"), col("cluster").as("km_cluster"))
+    assert(out.join(km, "vec_id")
+      .filter(col("cluster") =!= col("km_cluster")).count() == 0,
+      "samples must carry their kmeans cluster")
+    out.unpersist()
+  }
+
+  test("sim_ann_delete: tombstoned ids never serve; survivors are promoted, not dropped") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("sim_ann_delete")(spark, sf).persist()
+    assert(out.filter(col("nid") % 97 === 0).count() == 0,
+      "no deleted vector may appear in results")
+    // vs the undeleted index: every surviving (qid, nid) the baseline
+    // ranked must still be served (deletion only promotes)
+    val base = SparkEntry.queries("sim_ann_lsh")(spark, sf)
+      .filter(col("nid") % 97 =!= 0).select("qid", "nid")
+    assert(base.join(out.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
+      .count() == 0, "surviving baseline hits must remain served")
+    out.unpersist()
+  }
+
+  test("stream_ann_delete: a delete takes effect in its own version, never later") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("stream_ann_delete")(spark, sf).persist()
+    // visibility: version v must not serve ids whose delete arrived at
+    // batch m = vec_id % 3 with m < v
+    assert(out.filter(col("nid") % 97 === 0 && col("nid") % 3 < col("version"))
+      .count() == 0, "tombstoned ids must vanish from their version onward")
+    // final version == the batch tombstone gate (all deletes applied)
+    val batch = SparkEntry.queries("sim_ann_delete")(spark, sf)
+      .select(col("qid"), col("nid"), col("rnk").as("brnk"))
+    val v3 = out.filter(col("version") === 3)
+      .select(col("qid"), col("nid"), col("rnk"))
+    assert(v3.join(batch, Seq("qid", "nid"))
+      .filter(col("rnk") =!= col("brnk")).count() == 0,
+      "version-3 ranking must equal the batch tombstone serve")
+    assert(v3.count() == batch.count())
+    out.unpersist()
+  }
+
   test("stream_ivfpq_upsert: code-store versions only serve vectors that have arrived") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("stream_ivfpq_upsert")(spark, sf).persist()
