@@ -4086,6 +4086,383 @@ object Pipeline {
        |SELECT a, b FROM pairs""".stripMargin
   def debugMinhashPairsSql(t: String): String = minhashPairsSql(SparkDialect, t)
 
+  // ----------------------------- binary-quantized serving (round-9)
+
+  /** Packed sign-bit code for embedding dims (lo, lo+32]: bit i-1 set when
+    * dim lo+i is positive. Two 32-bit halves per 64-dim vector (one BIGINT
+    * each) — bit 63 is never used, so the BIGINT sum of distinct powers of
+    * two cannot overflow under ANSI mode.
+    */
+  private def signPack(d: Dialect, v: String, lo: Int): String =
+    d.reduce(d.seq("1", "32"), "CAST(0 AS BIGINT)", "acc", "i",
+      s"acc + (CASE WHEN ${d.elem(v, s"i + $lo")} > 0 THEN ${d.shiftLeft1("i - 1")} ELSE CAST(0 AS BIGINT) END)")
+
+  /** BINARY-QUANTIZED TWO-STAGE SERVING: 1-bit sign quantization packs a
+    * 64-dim float vector into TWO BIGINT words (16 bytes — 16× smaller
+    * than the float index); stage 1 shortlists the per-query top-$RefineN
+    * by HAMMING distance (`bit_count(xor)` per word — 2 popcounts/
+    * candidate instead of 64 FMAs); stage 2 re-ranks the shortlist alone
+    * by exact full-dim cosine via the shared refine pattern ([[rankTopN]]
+    * + [[cosScoredSel]]). The standard binary-embedding serving stack
+    * (e.g. faiss `IndexBinaryFlat` + float refine). At 100 TB: the packed
+    * scan is the deliberate exact stage-1 contract (same as matryoshka
+    * serving) — it composes with any shortlister (IVF cells, LSH
+    * buckets), and the refine join touches |queries| × $RefineN full
+    * vectors, never the corpus.
+    */
+  private def simBinaryHammingCtes(d: Dialect): String = {
+    val ham = s"${d.bitCount(d.xor("q.qlo", "b.lo"))} + ${d.bitCount(d.xor("q.qhi", "b.hi"))}"
+    s"""bq AS (SELECT vec_id, ${signPack(d, "embedding", 0)} AS lo,
+       |    ${signPack(d, "embedding", 32)} AS hi FROM embeddings),
+       |qb AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM bq
+       |  WHERE vec_id % 50 = 0),
+       |hs AS (SELECT q.qid, b.vec_id AS nid, CAST($ham AS BIGINT) AS ham
+       |  FROM qb q CROSS JOIN bq b WHERE b.vec_id <> q.qid),
+       |short AS (SELECT qid, nid FROM (
+       |    ${rankTopN("SELECT qid, nid, ham FROM hs", "ham",
+                       desc = false, RefineN, "rn")}) s0),
+       |ef AS (SELECT vec_id, embedding, ${F.norm(d, "embedding", DIM)} AS nrm
+       |  FROM embeddings),
+       |qf AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM ef
+       |  WHERE vec_id % 50 = 0),
+       |serve AS (${rankTopN(
+             cosScoredSel(d, "SELECT qid, nid FROM short", "qf", "ef"),
+             "score", desc = true, 3)})""".stripMargin
+  }
+
+  private def simBinaryHamming(d: Dialect): String =
+    s"""WITH ${simBinaryHammingCtes(d)}
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+       |  score, CAST(rnk AS BIGINT) AS rnk
+       |FROM serve""".stripMargin
+
+  /** Recall@3 of binary-quantized two-stage serving against the exact
+    * full-dim top-3 — what 16× index compression costs in recall.
+    */
+  private def simBinaryHammingRecall(d: Dialect): String =
+    s"""WITH bf AS (${bruteForceTopkSql(d, 50, 3)}),
+       |${simBinaryHammingCtes(d)}
+       |SELECT CAST(bf.qid AS BIGINT) AS qid,
+       |  CAST(COUNT(sv.nid) AS BIGINT) AS hits,
+       |  CAST(COUNT(sv.nid) AS DOUBLE) / 3.0 AS recall_at_3
+       |FROM bf LEFT JOIN (SELECT qid, nid FROM serve) sv
+       |  ON sv.qid = bf.qid AND sv.nid = bf.nid
+       |GROUP BY bf.qid""".stripMargin
+
+  // ----------------------------- learned data selection (round-9)
+
+  private val DsirB = 64 // hashed n-gram feature buckets (DSIR + classifier)
+
+  /** Hashed unigram+bigram bucket counts per document — the DSIR feature
+    * relation: (doc_id, bkt, cnt). Map-side-combinable aggregate over two
+    * explodes; no vocabulary state (the hashing-trick property that
+    * matters at 100 TB).
+    */
+  private def dsirFeatSql(d: Dialect): String = {
+    val h = F.strHashCheap(d, "g")
+    s"""SELECT doc_id, bkt, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |  SELECT doc_id, ($h) % $DsirB AS bkt FROM (
+       |    SELECT doc_id, g FROM (${d.explodeSelect("doc_id",
+             s"(SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM documents) tw",
+             "toks", "g")}) u
+       |    UNION ALL
+       |    SELECT doc_id, g FROM (${d.explodeSelect("doc_id",
+             s"(SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM documents) tw2",
+             F.shingles(d, "toks", 2), "g")}) b2) feats) fb
+       |GROUP BY doc_id, bkt""".stripMargin
+  }
+
+  /** DSIR DATA SELECTION (Xie et al., "Data Selection for Language Models
+    * via Importance Resampling", arXiv:2302.03169): score every document
+    * by the hashed-n-gram importance log-weight log p_target(x) −
+    * p_raw(x) under bag-of-buckets models — target = the `src0` domain,
+    * raw = the whole corpus — and select documents that look more
+    * target-like than raw-like. Per-bucket log-ratios are Laplace-
+    * smoothed and micro-quantized ONCE per bucket (the text_entropy `ln`
+    * discipline: one transcendental per bucket, never per doc); the
+    * per-document weight is then an exact integer dot product.
+    *
+    * 100 TB shape: feature counts are map-side-combinable aggregates; the
+    * bucket distributions are one $DsirB-row relation (broadcast); the
+    * per-doc weight is one bucket equi-join + integer SUM; selection is a
+    * pure THRESHOLD (logw > 0 ⇔ target-likelihood dominates) — no global
+    * sort, no quantile pass.
+    */
+  private def dsirSql(d: Dialect, cSrc: String): String =
+    s"""WITH c AS ($cSrc),
+       |cs AS (SELECT c.bkt,
+       |    CAST(SUM(CASE WHEN dd.source = 'src0' THEN c.cnt ELSE 0 END) AS BIGINT) AS tc,
+       |    CAST(SUM(c.cnt) AS BIGINT) AS rc
+       |  FROM c JOIN documents dd ON c.doc_id = dd.doc_id GROUP BY c.bkt),
+       |tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS ttot,
+       |    CAST(SUM(rc) AS BIGINT) AS rtot FROM cs),
+       |lam AS (SELECT bkt,
+       |    CAST(ROUND(ln((CAST(tc + 1 AS DOUBLE) * (CAST(rtot AS DOUBLE) + $DsirB.0))
+       |      / (CAST(rc + 1 AS DOUBLE) * (CAST(ttot AS DOUBLE) + $DsirB.0))) * 1000000.0) AS BIGINT) AS lam_micro
+       |  FROM cs CROSS JOIN tot),
+       |w AS (SELECT c.doc_id, CAST(SUM(c.cnt * l.lam_micro) AS BIGINT) AS logw_micro
+       |  FROM c JOIN lam l ON c.bkt = l.bkt GROUP BY c.doc_id)
+       |SELECT CAST(w.doc_id AS BIGINT) AS doc_id, dd.source, w.logw_micro,
+       |  CAST(CASE WHEN w.logw_micro > 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
+       |FROM w JOIN documents dd ON w.doc_id = dd.doc_id""".stripMargin
+
+  private def corpusDsirSelectDef: QueryDef =
+    QueryDef("corpus_dsir_select",
+      dsirSql(DuckDialect, dsirFeatSql(DuckDialect))) { (s, dir) =>
+      views(s, dir, "documents")
+      // c is referenced by both the distribution branch and the weight
+      // branch — materialize once (the cachedTf lesson)
+      s.sql(dsirFeatSql(SparkDialect)).persist()
+        .createOrReplaceTempView("graft_dsir_c")
+      s.sql(dsirSql(SparkDialect, "SELECT doc_id, bkt, cnt FROM graft_dsir_c"))
+    }
+
+  // quality-classifier hyperparameters: lr = 1/QcLrd (≈1.8× below the
+  // measured divergence threshold 2/λmax ≈ 1/104 of the feature Gram
+  // matrix, stable across sf0.001/0.01/0.1), QcRounds full-batch steps
+  private val QcLrd = 192
+  private val QcRounds = 8
+
+  /** Classifier feature relation: hashed-unigram bucket counts + a bias
+    * column (bkt = −1, cnt = 1 for every doc). Integer counts — the GD
+    * arithmetic below stays exact. `docsTable` parameterized so the
+    * streaming learned-filter gate can featurize a micro-batch with the
+    * IDENTICAL arithmetic.
+    */
+  private[queries] def qcFeatSql(d: Dialect, docsTable: String = "documents"): String = {
+    val h = F.strHashCheap(d, "t")
+    s"""SELECT doc_id, bkt, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |  SELECT doc_id, ($h) % $DsirB AS bkt
+       |  FROM (${d.explodeSelect("doc_id", docsTable, F.tokens(d, "text"), "t")}) tok) fb
+       |GROUP BY doc_id, bkt
+       |UNION ALL
+       |SELECT doc_id, CAST(-1 AS BIGINT) AS bkt, CAST(1 AS BIGINT) AS cnt
+       |FROM $docsTable""".stripMargin
+  }
+
+  private def qcLabelSql: String =
+    """SELECT doc_id, CAST(CASE WHEN n_chars > 150 THEN 1 ELSE 0 END AS BIGINT) AS y
+      |FROM documents""".stripMargin
+
+  /** One full-batch GD round in EXACT integer fixed-point (micro units):
+    * per-doc prediction from the previous weights, residual against
+    * y·10⁶, per-bucket gradient, and the weight update
+    * w += ⌊grad / (n·$QcLrd)⌋ as an exact floored BIGINT division
+    * (positive-remainder subtraction, then the engine's exact integer
+    * divide) — bit-identical across engines, the kmeans ×1000 discipline.
+    * `cc`/`yy` are the feature/label relations; `wp` the previous weights.
+    */
+  private def qcRoundSql(d: Dialect, cc: String, yy: String, wp: String): String = {
+    val idiv = if (d == SparkDialect) "div" else "//"
+    val m = s"(n.n * $QcLrd)"
+    s"""SELECT g.bkt, COALESCE(wp.w, CAST(0 AS BIGINT))
+       |    + ((g.g - (((g.g % $m) + $m) % $m)) $idiv $m) AS w
+       |FROM (SELECT cc.bkt,
+       |    CAST(SUM((yy.y * 1000000 - COALESCE(p.pred, 0)) * cc.cnt) AS BIGINT) AS g
+       |  FROM ($cc) cc JOIN ($yy) yy ON cc.doc_id = yy.doc_id
+       |  LEFT JOIN (SELECT cc2.doc_id, CAST(SUM(cc2.cnt * wp2.w) AS BIGINT) AS pred
+       |    FROM ($cc) cc2 JOIN ($wp) wp2 ON cc2.bkt = wp2.bkt
+       |    GROUP BY cc2.doc_id) p ON p.doc_id = cc.doc_id
+       |  GROUP BY cc.bkt) g
+       |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents) n
+       |LEFT JOIN ($wp) wp ON wp.bkt = g.bkt""".stripMargin
+  }
+
+  private def qcScoreSql(d: Dialect, cc: String, yy: String, wf: String): String =
+    s"""SELECT CAST(yy.doc_id AS BIGINT) AS doc_id,
+       |  COALESCE(p.pred, CAST(0 AS BIGINT)) AS score_micro,
+       |  CAST(CASE WHEN COALESCE(p.pred, 0) > 500000 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       |  yy.y AS label
+       |FROM ($yy) yy
+       |LEFT JOIN (SELECT cc.doc_id, CAST(SUM(cc.cnt * w.w) AS BIGINT) AS pred
+       |  FROM ($cc) cc JOIN ($wf) w ON cc.bkt = w.bkt
+       |  GROUP BY cc.doc_id) p ON p.doc_id = yy.doc_id""".stripMargin
+
+  private val qcEmptyW = "SELECT CAST(NULL AS BIGINT) AS bkt, CAST(0 AS BIGINT) AS w WHERE 1 = 0"
+
+  /** QUALITY-CLASSIFIER DISTILLATION: train a hashed-feature LINEAR PROBE
+    * (the fastText-style quality-filter move — distill a slow quality rule
+    * into a vocabulary-free linear model that scores at hash+dot cost)
+    * against the `n_chars > 150` quality label, with $QcRounds full-batch
+    * gradient-descent steps in EXACT integer fixed-point (micro-unit
+    * weights, floored-division updates — both engines bit-identical, no
+    * float ever SUMmed). Output = per-doc score, hard prediction at 0.5,
+    * and the label (measured: ≈0.90 accuracy vs ≈0.80 base rate at
+    * sf0.001-0.1).
+    *
+    * 100 TB shape: each round is two hash-partitioned aggregates (per-doc
+    * prediction, per-bucket gradient) + a broadcast of the ($DsirB+1)-row
+    * weight relation — model state is weights only, the kmeans/PCA/BPE
+    * driver-state precedent; the Spark side chains rounds with one
+    * localCheckpoint per round (65-row DF) so plans stay O(1).
+    */
+  /** The oracle-side GD chain: w1..wN CTEs over the `qcc`/`qcy` relations
+    * (which the caller must provide in the WITH prologue). Shared by the
+    * batch gate and the streaming learned-filter oracle.
+    */
+  private[queries] def qcOracleRounds(d: Dialect): String =
+    (1 to QcRounds).map { k =>
+      val wp = if (k == 1) qcEmptyW else s"SELECT bkt, w FROM w${k - 1}"
+      s"w$k AS (${qcRoundSql(d, "SELECT doc_id, bkt, cnt FROM qcc",
+        "SELECT doc_id, y FROM qcy", wp)})"
+    }.mkString(",\n")
+
+  /** Spark-side training chain: materialize the feature/label relations
+    * once, run $QcRounds GD rounds (one localCheckpoint per 65-row weight
+    * relation), and return the FINAL weights DataFrame `(bkt, w)` — the
+    * model handoff the streaming learned filter broadcasts at serve time.
+    */
+  private[queries] def qcTrainWeights(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "documents")
+    val d = SparkDialect
+    // the feature matrix feeds every round twice — materialize once
+    s.sql(qcFeatSql(d)).localCheckpoint().createOrReplaceTempView("graft_qc_cc")
+    s.sql(qcLabelSql).localCheckpoint().createOrReplaceTempView("graft_qc_y")
+    val cc = "SELECT doc_id, bkt, cnt FROM graft_qc_cc"
+    val yy = "SELECT doc_id, y FROM graft_qc_y"
+    var wp = qcEmptyW
+    var w: DataFrame = null
+    (1 to QcRounds).foreach { _ =>
+      // 65-row model state per round; localCheckpoint keeps lineage O(1)
+      w = s.sql(qcRoundSql(d, cc, yy, wp)).localCheckpoint()
+      w.createOrReplaceTempView("graft_qc_w")
+      wp = "SELECT bkt, w FROM graft_qc_w"
+    }
+    w
+  }
+
+  private def textQualityClassifierDef: QueryDef = {
+    val dd = DuckDialect
+    val oracleChain =
+      s"""WITH qcc AS (${qcFeatSql(dd)}),
+         |qcy AS ($qcLabelSql),
+         |${qcOracleRounds(dd)}
+         |${qcScoreSql(dd, "SELECT doc_id, bkt, cnt FROM qcc",
+            "SELECT doc_id, y FROM qcy", s"SELECT bkt, w FROM w$QcRounds")}""".stripMargin
+    QueryDef("text_quality_classifier", oracleChain) { (s, dir) =>
+      qcTrainWeights(s, dir)
+      s.sql(qcScoreSql(SparkDialect, "SELECT doc_id, bkt, cnt FROM graft_qc_cc",
+        "SELECT doc_id, y FROM graft_qc_y", "SELECT bkt, w FROM graft_qc_w"))
+    }
+  }
+
+  /** Batch-insensitive oracle for stream_learned_filter: weights come from
+    * the FULL-corpus GD chain (training is offline — arrival order cannot
+    * affect them), scoring is per-doc, version = the `doc_id % 3` arrival
+    * schedule. Admission threshold = the classifier's 0.5 decision
+    * boundary in micro units.
+    */
+  private[queries] def learnedFilterOracle: String = {
+    val dd = DuckDialect
+    s"""WITH qcc AS (${qcFeatSql(dd)}),
+       |qcy AS ($qcLabelSql),
+       |${qcOracleRounds(dd)},
+       |sc AS (SELECT qcc.doc_id, CAST(SUM(qcc.cnt * w.w) AS BIGINT) AS pred
+       |  FROM qcc JOIN (SELECT bkt, w FROM w$QcRounds) w ON qcc.bkt = w.bkt
+       |  GROUP BY qcc.doc_id)
+       |SELECT CAST(d.doc_id % 3 + 1 AS BIGINT) AS version,
+       |  CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  COALESCE(sc.pred, CAST(0 AS BIGINT)) AS score_micro,
+       |  CAST(CASE WHEN COALESCE(sc.pred, 0) > 500000 THEN 1 ELSE 0 END AS BIGINT) AS admitted
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** Per-batch scoring for the streaming learned filter: featurize the
+    * batch view with the training featurizer's EXACT arithmetic and score
+    * against the broadcast weight relation.
+    */
+  private[queries] def learnedFilterScore(s: SparkSession, batchView: String,
+      weightsView: String): DataFrame =
+    s.sql(
+      s"""SELECT b.doc_id,
+         |  COALESCE(p.pred, CAST(0 AS BIGINT)) AS score_micro,
+         |  CAST(CASE WHEN COALESCE(p.pred, 0) > 500000 THEN 1 ELSE 0 END AS BIGINT) AS admitted
+         |FROM (SELECT doc_id FROM $batchView) b
+         |LEFT JOIN (SELECT cc.doc_id, CAST(SUM(cc.cnt * w.w) AS BIGINT) AS pred
+         |  FROM (${qcFeatSql(SparkDialect, batchView)}) cc
+         |  JOIN $weightsView w ON cc.bkt = w.bkt
+         |  GROUP BY cc.doc_id) p ON p.doc_id = b.doc_id""".stripMargin)
+
+  // ----------------------------- hybrid retrieval fusion (round-9)
+
+  private val RrfK = 60   // the standard RRF damping constant
+  private val RrfTop = 20 // per-system shortlist depth
+
+  /** HYBRID RETRIEVAL with RECIPROCAL RANK FUSION (Cormack et al., SIGIR
+    * 2009): fuse a LEXICAL ranking (per-doc BM25 sum over the 3-term
+    * query — the text_bm25 scoring, micro-quantized per term then SUMmed
+    * as integers) with a DENSE ranking (cosine between the query's and
+    * each document's hashed-bucket count vectors — the emb_hash_features
+    * space) by rrf(d) = Σ_sys 1/($RrfK + rank_sys(d)) over each system's
+    * top-$RrfTop, keeping the fused top-10. The standard BM25+vector
+    * hybrid every RAG stack runs.
+    *
+    * 100 TB shape: both rankings are per-query top-k windows over
+    * CANDIDATE sets (docs containing a query term / docs sharing a query
+    * feature bucket — posting-list equi-joins, never full-corpus sorts at
+    * serve time with a real inverted/ANN index, which sim_* and
+    * text_inverted_index already provide as shortlisters); the fusion
+    * itself joins two $RrfTop-row lists. The rrf score is a 2-term scalar
+    * expression — never a float SUM.
+    */
+  private def hybridRrfSql(d: Dialect, tfSrc: Option[String] = None): String = {
+    val tf = tfSrc.getOrElse(tfSql(d))
+    val avgdlRatio = "(CAST(dl.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE) / CAST(s.total_len AS DOUBLE))"
+    val h = F.strHashCheap(d, "tk")
+    s"""WITH tf AS ($tf),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+       |df AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tk),
+       |q AS (SELECT tk FROM df ORDER BY df DESC, tk ASC LIMIT 3),
+       |scored AS (SELECT t.doc_id,
+       |    CAST(ROUND(ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+       |        / (CAST(f.df AS DOUBLE) + 0.5)) * 1000000.0) AS BIGINT) AS idf_micro,
+       |    (CAST(t.tf AS DOUBLE) * 2.2)
+       |      / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * $avgdlRatio)) AS sat
+       |  FROM tf t JOIN q ON t.tk = q.tk JOIN df f ON t.tk = f.tk
+       |  JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN stats s),
+       |lex AS (SELECT doc_id,
+       |    CAST(SUM(CAST(ROUND(CAST(idf_micro AS DOUBLE) * sat) AS BIGINT)) AS BIGINT) AS lex_micro
+       |  FROM scored GROUP BY doc_id),
+       |lexr AS (SELECT doc_id, rl FROM (SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY lex_micro DESC, doc_id) AS rl
+       |  FROM lex) l0 WHERE rl <= $RrfTop),
+       |qv AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS qcnt FROM (
+       |    SELECT ($h) % 16 AS bkt FROM q) qb GROUP BY bkt),
+       |qn AS (SELECT sqrt(CAST(SUM(qcnt * qcnt) AS DOUBLE)) AS qn FROM qv),
+       |db AS (SELECT doc_id, bkt, CAST(SUM(tf) AS BIGINT) AS cnt FROM (
+       |    SELECT doc_id, ($h) % 16 AS bkt, tf FROM tf) d0 GROUP BY doc_id, bkt),
+       |dn AS (SELECT doc_id, sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) AS dn
+       |  FROM db GROUP BY doc_id),
+       |num AS (SELECT db.doc_id, CAST(SUM(db.cnt * qv.qcnt) AS BIGINT) AS num
+       |  FROM db JOIN qv ON db.bkt = qv.bkt GROUP BY db.doc_id),
+       |dense AS (SELECT num.doc_id,
+       |    CAST(num.num AS DOUBLE) / (dn.dn * qn.qn) AS dscore
+       |  FROM num JOIN dn ON num.doc_id = dn.doc_id CROSS JOIN qn),
+       |denr AS (SELECT doc_id, rd FROM (SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY dscore DESC, doc_id) AS rd
+       |  FROM dense) d1 WHERE rd <= $RrfTop),
+       |fused AS (SELECT COALESCE(l.doc_id, r.doc_id) AS doc_id,
+       |    COALESCE(l.rl, CAST(0 AS BIGINT)) AS lex_rank,
+       |    COALESCE(r.rd, CAST(0 AS BIGINT)) AS dense_rank,
+       |    COALESCE(1.0 / ($RrfK.0 + CAST(l.rl AS DOUBLE)), 0.0)
+       |      + COALESCE(1.0 / ($RrfK.0 + CAST(r.rd AS DOUBLE)), 0.0) AS rrf
+       |  FROM lexr l FULL OUTER JOIN denr r ON l.doc_id = r.doc_id)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+       |  CAST(dense_rank AS BIGINT) AS dense_rank, rrf,
+       |  CAST(rk AS BIGINT) AS rk
+       |FROM (SELECT doc_id, lex_rank, dense_rank, rrf,
+       |    ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rk
+       |  FROM fused) f WHERE rk <= 10""".stripMargin
+  }
+
+  private def textHybridRrfDef: QueryDef =
+    QueryDef("text_hybrid_rrf", hybridRrfSql(DuckDialect)) { (s, dir) =>
+      s.sql(hybridRrfSql(SparkDialect, Some(cachedTf(s, dir))))
+    }
+
   def defs: Seq[QueryDef] = Seq(
     docQuery("dedup_exact", dedupExact),
     docQuery("dedup_repeated_spans", dedupSpans),
@@ -4189,5 +4566,10 @@ object Pipeline {
     dedupSemanticDef,
     embClusterSampleDef,
     embQuery("emb_negative_sample", embNegativeSample),
+    embQuery("sim_binary_hamming", simBinaryHamming),
+    embQuery("sim_binary_hamming_recall", simBinaryHammingRecall),
+    corpusDsirSelectDef,
+    textQualityClassifierDef,
+    textHybridRrfDef,
   )
 }

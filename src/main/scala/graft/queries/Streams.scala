@@ -1590,6 +1590,46 @@ object Streams {
       }
     },
 
+    // ---- STREAMING LEARNED FILTER (round-9): the batch-trained quality
+    // classifier applied at the INGESTION boundary — train the hashed-
+    // feature linear probe OFFLINE on the static corpus (the
+    // text_quality_classifier GD chain, exact integer fixed-point), then
+    // score each arriving micro-batch against the BROADCAST 65-row weight
+    // relation and admit at the 0.5 decision boundary. The model-handoff
+    // pattern every production ingest runs: retrain rarely in batch,
+    // serve per batch at hash+dot cost. Per-batch work = one batch-sized
+    // feature aggregate + a broadcast join; no state store at all
+    // (the model IS the state, and it is read-only at serve time).
+    // Oracle: weights are arrival-independent (trained on the full
+    // corpus), so the full-corpus chain + the doc_id%3 schedule replays
+    // every version exactly. ----
+    QueryDef("stream_learned_filter", Pipeline.learnedFilterOracle) { (s, dir) =>
+      val src = stagedDocsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_lf_ckpt_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_lf_out_${dir.hashCode & 0x7fffffff}")
+      Pipeline.qcTrainWeights(s, dir).createOrReplaceTempView("graft_lf_w")
+      val docs = Tables.load(s, dir, "documents")
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+          val ss = bdf.sparkSession
+          bdf.createOrReplaceTempView("graft_lf_batch")
+          Pipeline.learnedFilterScore(ss, "graft_lf_batch", "graft_lf_w")
+            .select(lit(batchId + 1).cast("long").as("version"),
+              col("doc_id").cast("long").as("doc_id"),
+              col("score_micro"), col("admitted"))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.read.parquet(out)
+        .select(col("version").cast("long").as("version"),
+          col("doc_id").cast("long").as("doc_id"),
+          col("score_micro"), col("admitted"))
+    },
+
     // ---- STREAMING RDF: continuous BGP match over an arriving triple
     // stream. The streamed pattern (`?c :placed ?o`) filters each
     // micro-batch; the static pattern (`?c :in_nation ?n`) is the indexed
