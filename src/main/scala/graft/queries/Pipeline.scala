@@ -2052,6 +2052,56 @@ object Pipeline {
        |    ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY h, neg) AS rnk
        |  FROM cand) r WHERE rnk <= 3""".stripMargin
 
+  /** HARD-NEGATIVE MINING (round-9): for each anchor vector, the top-3
+    * nearest DIFFERENT-label vectors by cosine — the contrastive-training
+    * prep step that upgrades [[embNegativeSample]]'s RANDOM negatives to
+    * the hard negatives a retrieval/embedding trainer actually wants
+    * (candidates near the decision boundary). Candidates come from the
+    * anchor's LSH bucket under the AUTO-SCALED plane count
+    * ([[autoPlanes]] — constant expected bucket width as the corpus
+    * grows), so mining is a bucket equi-join, never all-pairs; ranking is
+    * ROW_NUMBER per anchor over (cosine DESC, neg_id) — deterministic in
+    * both engines because the cosine is the shared defined-order fold.
+    *
+    * 100 TB shape: one count job (the plane literal), one hash exchange on
+    * the bucket key for the self-join, one hash exchange on anchor for the
+    * top-k window. Same skeleton as sim_knn_graph_auto, which measured
+    * linear per decade at 2k/20k/200k vectors.
+    */
+  private def embHardNegativesBody(d: Dialect, eRel: String): String = {
+    val cos = s"CASE WHEN a.nrm * b.nrm > 0 THEN (${F.dot(d, "a.embedding", "b.embedding", DIM)}) / (a.nrm * b.nrm) ELSE 0.0 END"
+    s"""cand AS (SELECT a.vec_id AS anchor, a.label AS label,
+       |    b.vec_id AS neg_id, $cos AS score
+       |  FROM $eRel a JOIN $eRel b ON a.bkt = b.bkt AND a.label <> b.label)
+       |SELECT CAST(anchor AS BIGINT) AS anchor, CAST(label AS INTEGER) AS label,
+       |  CAST(rnk AS BIGINT) AS rnk, CAST(neg_id AS BIGINT) AS neg_id, score
+       |FROM (SELECT anchor, label, neg_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY score DESC, neg_id) AS rnk
+       |  FROM cand) r WHERE rnk <= 3""".stripMargin
+  }
+
+  private def embHardNegativesDef: QueryDef =
+    QueryDef("emb_hard_negatives",
+      s"""WITH nv AS (SELECT $autoPlanesSql AS planes FROM embeddings),
+         |e AS (SELECT vec_id, embedding, label,
+         |    ${F.norm(DuckDialect, "embedding", DIM)} AS nrm,
+         |    ${F.lshBucketExpr(DuckDialect, "embedding", DIM, "nv.planes")} AS bkt
+         |  FROM embeddings CROSS JOIN nv),
+         |${embHardNegativesBody(DuckDialect, "e")}""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      views(s, dir, "embeddings")
+      val planes = autoPlanes(s.table("embeddings").count())
+      // hash ONCE (the sim_knn_graph_auto lesson): the self-join references
+      // e twice — inlined, the per-row plane fold would run 2x
+      s.sql(
+        s"""SELECT vec_id, embedding, label,
+           |  ${F.norm(SparkDialect, "embedding", DIM)} AS nrm,
+           |  ${F.lshBucketExpr(SparkDialect, "embedding", DIM, planes.toString)} AS bkt
+           |FROM embeddings""".stripMargin)
+        .localCheckpoint().createOrReplaceTempView("graft_hn_e")
+      s.sql(s"WITH ${embHardNegativesBody(SparkDialect, "graft_hn_e")}")
+    }
+
   // -------------------------------------------------------- text analysis
 
   /** Token statistics: whitespace tokens + a BPE-ish subword count (maximal
@@ -2066,6 +2116,41 @@ object Pipeline {
        |  CAST(${d.regexpCount("text", "[bcdfghjklmnpqrstvwxyz]*[aeiou]+[bcdfghjklmnpqrstvwxyz]*")} AS BIGINT) AS n_subwords,
        |  CAST($sumLen AS DOUBLE) / ${d.len("toks")} AS mean_token_len
        |FROM (SELECT doc_id, text, $toks AS toks FROM documents) t""".stripMargin
+  }
+
+  /** GOPHER-style quality RULE BATTERY (round-9; Rae et al.,
+    * arXiv:2112.11446 §A1.1): per-document boolean flags for the four
+    * rules meaningful on a whitespace-token corpus — word count in
+    * bounds, mean word length in [3, 10], ≥ 2 stopword occurrences, and
+    * top-word frequency ≤ 10% (the repetition screen) — plus the AND of
+    * all four as `gopher_pass`. Emitting per-RULE flags (not just the
+    * verdict) is what production curation needs: rule-level pass rates
+    * are the knobs you tune per source. All comparisons are exact
+    * integer cross-multiplications (`3·wc ≤ chars`, `10·maxw ≤ wc`) —
+    * no ratio doubles anywhere.
+    *
+    * Scale shape: one explode + two map-side-combinable aggregates
+    * ((doc, word) counts, then per-doc rollup) — a word-count-shaped job,
+    * embarrassingly parallel at any corpus size.
+    */
+  private def textGopherRules(d: Dialect): String = {
+    val toks = F.tokens(d, "text")
+    val stop = d.arrayLit(Seq("the", "a", "and", "of", "to", "in", "is"))
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |w AS (${d.explodeSelect("doc_id", "t", "toks", "w")}),
+       |pw AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+       |ag AS (SELECT doc_id, SUM(c) AS wc, SUM(c * length(w)) AS chars,
+       |    SUM(CASE WHEN ${d.contains(stop, "w")} THEN c ELSE 0 END) AS stops,
+       |    MAX(c) AS maxw
+       |  FROM pw GROUP BY doc_id)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(wc AS BIGINT) AS n_words,
+       |  CAST(CASE WHEN wc >= 20 AND wc <= 80 THEN 1 ELSE 0 END AS BIGINT) AS r_word_count,
+       |  CAST(CASE WHEN 3*wc <= chars AND chars <= 10*wc THEN 1 ELSE 0 END AS BIGINT) AS r_mean_word_len,
+       |  CAST(CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stopwords,
+       |  CAST(CASE WHEN 10*maxw <= wc THEN 1 ELSE 0 END AS BIGINT) AS r_repetition,
+       |  CAST(CASE WHEN wc >= 20 AND wc <= 80 AND 3*wc <= chars AND chars <= 10*wc
+       |    AND stops >= 2 AND 10*maxw <= wc THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+       |FROM ag""".stripMargin
   }
 
   /** Quality scoring: char length, non-alphanumeric ratio, stopword ratio,
@@ -3023,42 +3108,94 @@ object Pipeline {
     * — and the vocab size rides as a broadcast scalar. The standard
     * distributed n-gram-LM pipeline at any corpus size.
     */
+  /** The DuckDB lm-score chain as a CTE prefix ending at `lm(doc_id,
+    * n_bigrams, lm_score_micro)` — shared by text_lm_score and the CCNet
+    * bucketing gate that windows over it.
+    */
+  private val lmScoreDuckCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bi AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM toks),
+      |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
+      |uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+      |voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+      |        FROM (SELECT unnest(t) AS w FROM toks) q),
+      |p AS (SELECT b.doc_id, ((big.c12 + 1) * 1000000) // (uni.c1 + voc.v) AS p_micro
+      |      FROM bi b JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN voc),
+      |lm AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS lm_score_micro
+      |FROM p GROUP BY doc_id)""".stripMargin
+
+  /** The Spark lm-score chain (same arithmetic as [[lmScoreDuckCtes]]) —
+    * per-doc (doc_id, n_bigrams, lm_score_micro).
+    */
+  private def lmScoreSparkDf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val bi = toks
+      .select(col("doc_id"),
+        expr("slice(t, 1, size(t) - 1)").as("a1"),
+        expr("slice(t, 2, size(t) - 1)").as("a2"))
+      .select(col("doc_id"), explode(arrays_zip(col("a1"), col("a2"))).as("b"))
+      .select(col("doc_id"), col("b.a1").as("w1"), col("b.a2").as("w2"))
+    val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val voc = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1")).crossJoin(broadcast(voc))
+      .select(col("doc_id"),
+        expr("((c12 + CAST(1 AS BIGINT)) * CAST(1000000 AS BIGINT)) div (c1 + v)")
+          .as("p_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_micro) div count(1)").as("lm_score_micro"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("n_bigrams"), col("lm_score_micro"))
+  }
+
   private def textLmScore: QueryDef =
     QueryDef("text_lm_score",
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |bi AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2 FROM toks),
-        |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY w1, w2),
-        |uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bi GROUP BY w1),
-        |voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
-        |        FROM (SELECT unnest(t) AS w FROM toks) q),
-        |p AS (SELECT b.doc_id, ((big.c12 + 1) * 1000000) // (uni.c1 + voc.v) AS p_micro
-        |      FROM bi b JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN voc)
-        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-        |  CAST(SUM(p_micro) // COUNT(*) AS BIGINT) AS lm_score_micro
-        |FROM p GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      s"""WITH $lmScoreDuckCtes
+         |SELECT doc_id, n_bigrams, lm_score_micro FROM lm""".stripMargin)(
+      (s, dir) => lmScoreSparkDf(s, dir))
+
+  /** CCNet-style HEAD/MIDDLE/TAIL bucketing (Wenzek et al.,
+    * arXiv:1911.00359 §4.3): per-LANGUAGE terciles of the corpus-own LM
+    * score (text_lm_score's exact integer micro-units), assigned by
+    * NTILE(3) over a deterministic total order (score DESC, doc_id) —
+    * head = best-scoring third, the slice CCNet keeps unconditionally.
+    * Docs with < 2 tokens have no bigrams and no score; they fall out of
+    * the chain in BOTH engines (CCNet likewise drops un-scoreable docs).
+    *
+    * Scale shape: the lm chain is the text_lm_score pipeline (equi-joins +
+    * map-side-combinable aggregates); the tercile assignment is one window
+    * per language — a range-partitioned sort keyed (lang, score), the same
+    * exchange a global ORDER BY would use, but split per language.
+    * Production CCNet derives the two thresholds from a fixed-size sample
+    * and assigns by comparison (no sort at all); NTILE is the exact-rank
+    * form of the same contract, verifiable bit-for-bit.
+    */
+  private def textCcnetBuckets: QueryDef =
+    QueryDef("text_ccnet_buckets",
+      s"""WITH $lmScoreDuckCtes,
+         |b AS (SELECT lm.doc_id, d.lang, lm.lm_score_micro,
+         |    NTILE(3) OVER (PARTITION BY d.lang
+         |      ORDER BY lm.lm_score_micro DESC, lm.doc_id) AS nt
+         |  FROM lm JOIN documents d ON d.doc_id = lm.doc_id)
+         |SELECT doc_id, lang, lm_score_micro,
+         |  CASE WHEN nt = 1 THEN 'head' WHEN nt = 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM b""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.functions._
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
-      val bi = toks
-        .select(col("doc_id"),
-          expr("slice(t, 1, size(t) - 1)").as("a1"),
-          expr("slice(t, 2, size(t) - 1)").as("a2"))
-        .select(col("doc_id"), explode(arrays_zip(col("a1"), col("a2"))).as("b"))
-        .select(col("doc_id"), col("b.a1").as("w1"), col("b.a2").as("w2"))
-      val big = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val uni = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val voc = toks.select(explode(col("t")).as("w"))
-        .agg(countDistinct(col("w")).as("v"))
-      bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1")).crossJoin(broadcast(voc))
-        .select(col("doc_id"),
-          expr("((c12 + CAST(1 AS BIGINT)) * CAST(1000000 AS BIGINT)) div (c1 + v)")
-            .as("p_micro"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          expr("sum(p_micro) div count(1)").as("lm_score_micro"))
-        .select(col("doc_id").cast("long").as("doc_id"),
-          col("n_bigrams"), col("lm_score_micro"))
+      val lang = s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id").cast("long").as("doc_id"), col("lang"))
+      lmScoreSparkDf(s, dir).join(lang, Seq("doc_id"))
+        .withColumn("nt", expr(
+          "NTILE(3) OVER (PARTITION BY lang ORDER BY lm_score_micro DESC, doc_id)"))
+        .select(col("doc_id"), col("lang"), col("lm_score_micro"),
+          expr("CASE WHEN nt = 1 THEN 'head' WHEN nt = 2 THEN 'middle' " +
+            "ELSE 'tail' END").as("bucket"))
     }
 
   /** REAL image decode through the gate (no stub): deterministic PNGs built
@@ -4571,5 +4708,8 @@ object Pipeline {
     corpusDsirSelectDef,
     textQualityClassifierDef,
     textHybridRrfDef,
+    embHardNegativesDef,
+    docQuery("text_gopher_rules", textGopherRules),
+    textCcnetBuckets,
   )
 }

@@ -1423,6 +1423,25 @@ object Streams {
           col("adist"), col("rnk").cast("long").as("rnk"))
     },
 
+    // ---- STREAMING MINI-BATCH K-MEANS (round-9, Sculley 2010 shape):
+    // the CENTROIDS themselves as maintained streaming state — the third
+    // index-maintenance family after the LSH band store (keys) and the
+    // IVF-PQ code store (codes). Seeds are an offline snapshot (the
+    // corpus's KM lowest vec_ids, the kmeansBodySql convention); each
+    // micro-batch assigns its vectors to the CURRENT centroids (exact
+    // int64 milli-unit argmin — the pqAssignCtes recurrence), folds the
+    // batch's per-cluster lane sums + counts into cumulative state, and
+    // re-derives centroids as exact truncating integer means (the
+    // pqTrainCtes divide discipline), emitting the post-update centroids
+    // as that batch's version. The oracle replays the identical
+    // 3-batch recurrence relationally (arrival = vec_id % 3). Clusters
+    // that have received no vectors hold their seed centroid. 100 TB
+    // shape: state is model-sized (KM × DIM sums + counts, never
+    // corpus-sized); per batch = one broadcast-sized centroid join over
+    // batch lanes + one map-side-combinable aggregate; assignment work is
+    // batch-bounded. ----
+    streamKmeansUpdateDef,
+
     // ---- STREAMING CEP (round-8): the view→click→purchase within-window
     // pattern as per-key transformWithState — two longs of state per user,
     // emit on match. The oracle is the BATCH funnel's per-conversion
@@ -1666,4 +1685,131 @@ object Streams {
       s.table("g_stream_rdf")
     },
   )
+
+  // -------------------------------------------- streaming mini-batch kmeans
+
+  /** One mini-batch update step as CTEs: assign `batchRel` (a lane matrix
+    * `(vec_id, i, x)`) to the centroids in `kRel` (`(cid, m, i, c)` — the
+    * pqAssignCtes contract) and aggregate the batch's per-(cluster, lane)
+    * milli-unit sums + member counts. Emits `${p}t(cid, i, s, n)`.
+    */
+  private def smkBatchCtes(d: graft.functions.Dialect, batchRel: String,
+      kRel: String, p: String): String =
+    s"""${Pipeline.pqAssignCtes(d, batchRel, p, 1, kRel)},
+       |${p}t AS (SELECT a.cid, x.i, CAST(SUM(x.x) AS BIGINT)*1000 AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM $batchRel x JOIN ${p}a1 a ON x.vec_id = a.vec_id
+       |  GROUP BY a.cid, x.i)""".stripMargin
+
+  /** Centroids from cumulative state: exact truncating integer mean over
+    * `uRel(cid, i, s, n)` (the pqTrainCtes divide discipline — subtract the
+    * C-semantics remainder first so floor and truncation agree across
+    * engines), seed centroid where a cluster has no members yet.
+    */
+  private def smkCentroidSelect(d: graft.functions.Dialect, seedRel: String,
+      uRel: String): String = {
+    val idiv = if (d == graft.functions.SparkDialect) "div" else "//"
+    s"""SELECT k.cid, k.m, k.i,
+       |  CASE WHEN u.n IS NULL THEN k.c
+       |       ELSE (u.s - (u.s % u.n)) $idiv u.n END AS c
+       |FROM $seedRel k LEFT JOIN $uRel u ON u.cid = k.cid AND u.i = k.i""".stripMargin
+  }
+
+  private def streamKmeansUpdateDef: QueryDef = {
+    val dd = graft.functions.DuckDialect
+    val oracle = {
+      val b = (v: Int) => s"b$v AS (SELECT vec_id, i, x FROM x WHERE vec_id % 3 = ${v - 1})"
+      val vSel = (v: Int) =>
+        s"""SELECT CAST($v AS BIGINT) AS version, CAST(cid AS BIGINT) AS cid,
+           |  CAST(i AS BIGINT) AS i, CAST(c AS BIGINT) AS c FROM k$v""".stripMargin
+      s"""WITH ${Pipeline.quantCte(dd)}, x AS (${Pipeline.duckPqX}),
+         |${b(1)}, ${b(2)}, ${b(3)},
+         |k0 AS (SELECT vec_id AS cid, CAST(0 AS BIGINT) AS m, i,
+         |    CAST(x*1000 AS BIGINT) AS c FROM x WHERE vec_id < ${Pipeline.KM}),
+         |${smkBatchCtes(dd, "b1", "k0", "m1")},
+         |u1 AS (SELECT cid, i, s, n FROM m1t),
+         |k1 AS (${smkCentroidSelect(dd, "k0", "u1")}),
+         |${smkBatchCtes(dd, "b2", "k1", "m2")},
+         |u2 AS (SELECT cid, i, CAST(SUM(s) AS BIGINT) AS s, CAST(SUM(n) AS BIGINT) AS n
+         |  FROM (SELECT cid, i, s, n FROM u1 UNION ALL SELECT cid, i, s, n FROM m2t) z
+         |  GROUP BY cid, i),
+         |k2 AS (${smkCentroidSelect(dd, "k0", "u2")}),
+         |${smkBatchCtes(dd, "b3", "k2", "m3")},
+         |u3 AS (SELECT cid, i, CAST(SUM(s) AS BIGINT) AS s, CAST(SUM(n) AS BIGINT) AS n
+         |  FROM (SELECT cid, i, s, n FROM u2 UNION ALL SELECT cid, i, s, n FROM m3t) z
+         |  GROUP BY cid, i),
+         |k3 AS (${smkCentroidSelect(dd, "k0", "u3")})
+         |${vSel(1)} UNION ALL ${vSel(2)} UNION ALL ${vSel(3)}""".stripMargin
+    }
+    QueryDef("stream_kmeans_update", oracle) { (s, dir) =>
+      val d = graft.functions.SparkDialect
+      val src = stagedEmbCorpusDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_smk_ckpt_${dir.hashCode & 0x7fffffff}")
+      val stateDir = cleanScratch(s, s"stream_smk_state_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_smk_out_${dir.hashCode & 0x7fffffff}")
+      val emb = Tables.load(s, dir, "embeddings")
+      emb.createOrReplaceTempView("embeddings")
+      // offline seed snapshot: the KM lowest vec_ids' quantized lanes
+      // (model-sized — KM × DIM rows)
+      s.sql(s"WITH ${Pipeline.quantCte(d)} SELECT vec_id, qv FROM qz WHERE vec_id < ${Pipeline.KM}")
+        .localCheckpoint().createOrReplaceTempView("graft_smk_seedqz")
+      s.sql(
+        """SELECT vec_id AS cid, CAST(0 AS BIGINT) AS m, i, CAST(x*1000 AS BIGINT) AS c
+          |FROM (SELECT vec_id, posexplode(qv) AS (i, x) FROM graft_smk_seedqz) t""".stripMargin)
+        .localCheckpoint().createOrReplaceTempView("graft_smk_k0")
+      val q = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+          val ss = bdf.sparkSession
+          // 1. quantize + lane-explode THE BATCH
+          bdf.createOrReplaceTempView("graft_smk_b")
+          ss.sql(
+            s"""WITH ${Pipeline.quantCte(d, "graft_smk_b")}
+               |SELECT vec_id, posexplode(qv) AS (i, x) FROM qz""".stripMargin)
+            .localCheckpoint().createOrReplaceTempView("graft_smk_bx")
+          // 2. current centroids = seeds folded with cumulative state
+          //    (model-sized — KM × DIM rows; referenced once per batch, so
+          //    no checkpoint: the plan inlines the tiny state read)
+          val kCur =
+            if (batchId == 0) ss.table("graft_smk_k0")
+            else {
+              ss.read.parquet(s"$stateDir/v$batchId")
+                .createOrReplaceTempView("graft_smk_u")
+              ss.sql(smkCentroidSelect(d, "graft_smk_k0", "graft_smk_u"))
+            }
+          kCur.createOrReplaceTempView("graft_smk_k")
+          // 3. assign the batch, fold its sums/counts into the state
+          ss.sql(
+            s"""WITH ${smkBatchCtes(d, "graft_smk_bx", "graft_smk_k", "mb")}
+               |SELECT cid, i, s, n FROM mbt""".stripMargin)
+            .createOrReplaceTempView("graft_smk_t")
+          val merged =
+            if (batchId == 0) ss.table("graft_smk_t")
+            else ss.sql(
+              """SELECT cid, i, CAST(SUM(s) AS BIGINT) AS s, CAST(SUM(n) AS BIGINT) AS n
+                |FROM (SELECT cid, i, s, n FROM graft_smk_u
+                |      UNION ALL SELECT cid, i, s, n FROM graft_smk_t) z
+                |GROUP BY cid, i""".stripMargin)
+          // model-sized state: one file, one task (32 near-empty shuffle
+          // outputs otherwise dominate the per-batch cost)
+          merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v${batchId + 1}")
+          // 4. emit the POST-update centroids as this batch's version
+          ss.read.parquet(s"$stateDir/v${batchId + 1}")
+            .createOrReplaceTempView("graft_smk_un")
+          ss.sql(smkCentroidSelect(d, "graft_smk_k0", "graft_smk_un"))
+            .select(lit(batchId + 1).cast("long").as("version"),
+              col("cid").cast("long").as("cid"),
+              col("i").cast("long").as("i"), col("c").cast("long").as("c"))
+            .coalesce(1).write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.read.parquet(out)
+        .select(col("version").cast("long").as("version"),
+          col("cid").cast("long").as("cid"),
+          col("i").cast("long").as("i"), col("c").cast("long").as("c"))
+    }
+  }
 }

@@ -310,4 +310,23 @@ class StreamingSpec extends SparkTestBase {
     // the unbounded-state variant would have dropped the late duplicate:
     // that non-eviction is exactly what makes it unusable at 100 TB/day
   }
+
+  test("stream_kmeans_update: model-sized versioned centroids that actually move") {
+    val df = SparkEntry.queries("stream_kmeans_update")(spark, sf).cache()
+    val km = 4L  // Pipeline.KM
+    val dim = 64L // Pipeline.DIM
+    // exactly 3 versions x KM clusters x DIM lanes — state is model-sized
+    assert(df.count() == 3 * km * dim)
+    val perV = df.groupBy("version").agg(countDistinct("cid").as("k"),
+      count(lit(1)).as("n")).collect()
+    assert(perV.length == 3)
+    perV.foreach { r =>
+      assert(r.getLong(1) == km && r.getLong(2) == km * dim)
+    }
+    // the stream genuinely updates state: centroids differ across versions
+    val moved = df.groupBy("cid", "i").agg(countDistinct("c").as("nc"))
+      .filter(col("nc") > 1).count()
+    assert(moved > 0, "at least one centroid lane must move across versions")
+    df.unpersist()
+  }
 }

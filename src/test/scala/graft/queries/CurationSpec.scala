@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+import org.apache.spark.sql.functions._
+
+/** Round-9 curation additions: hard-negative mining, the Gopher rule
+  * battery, and CCNet head/middle/tail bucketing. Exact value parity vs
+  * DuckDB is the driver's t2 gate (replicated by tools/oracle_check.py);
+  * these specs assert the SEMANTIC properties the hash compare cannot see
+  * — label disjointness, rank monotonicity, rule consistency, and tercile
+  * balance.
+  */
+class CurationSpec extends SparkTestBase {
+
+  private def gate(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("emb_hard_negatives: negatives have a different label than the anchor") {
+    val hn = gate("emb_hard_negatives")
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("neg_id"), col("label").as("neg_label"))
+    assert(hn.join(labels, "neg_id")
+      .filter(col("label") === col("neg_label")).count() == 0)
+  }
+
+  test("emb_hard_negatives: <= 3 per anchor, ranks consecutive, scores non-increasing") {
+    val hn = gate("emb_hard_negatives").cache()
+    assert(hn.groupBy("anchor").count().filter(col("count") > 3).count() == 0)
+    // rank r per anchor is exactly 1..n (ROW_NUMBER contract)
+    val ranks = hn.groupBy("anchor")
+      .agg(count(lit(1)).as("n"), max("rnk").as("mx"), min("rnk").as("mn"))
+    assert(ranks.filter(col("mx") =!= col("n") || col("mn") =!= 1).count() == 0)
+    // score at rank 1 >= score at rank n (cosine DESC ordering)
+    val s1 = hn.filter(col("rnk") === 1).select(col("anchor"), col("score").as("top"))
+    val sn = hn.join(ranks.select("anchor", "mx"), "anchor")
+      .filter(col("rnk") === col("mx")).select(col("anchor"), col("score").as("bot"))
+    assert(s1.join(sn, "anchor").filter(col("top") < col("bot")).count() == 0)
+    hn.unpersist()
+  }
+
+  test("emb_hard_negatives: mined negatives are HARDER than random negatives") {
+    // the point of the upgrade over emb_negative_sample: the mined
+    // negatives' mean cosine must exceed the corpus-wide cross-label mean
+    // (random negatives approximate that mean by construction)
+    val hn = gate("emb_hard_negatives")
+    val mined = hn.agg(avg("score")).collect()(0).getDouble(0)
+    assert(mined > 0.0, s"mean mined-negative cosine $mined should be clearly positive " +
+      "(random cross-label pairs of this corpus center near 0)")
+  }
+
+  test("text_gopher_rules: pass is the AND of the four rules, flags are 0/1") {
+    val g = gate("text_gopher_rules").cache()
+    val flags = Seq("r_word_count", "r_mean_word_len", "r_stopwords", "r_repetition")
+    flags.foreach { f =>
+      assert(g.filter(!col(f).isin(0L, 1L)).count() == 0, s"$f must be 0/1")
+    }
+    val and = flags.map(col).reduce(_ * _)
+    assert(g.filter(col("gopher_pass") =!= and).count() == 0)
+    // the battery must discriminate on this corpus: both verdicts present
+    assert(g.filter(col("gopher_pass") === 1).count() > 0)
+    assert(g.filter(col("gopher_pass") === 0).count() > 0)
+    g.unpersist()
+  }
+
+  test("text_ccnet_buckets: per-language terciles are balanced to within 1") {
+    val b = gate("text_ccnet_buckets")
+    val spread = b.groupBy("lang", "bucket").count()
+      .groupBy("lang").agg((max("count") - min("count")).as("d"),
+        countDistinct("bucket").as("k"))
+    assert(spread.filter(col("d") > 1 || col("k") =!= 3).count() == 0,
+      "NTILE(3) must yield 3 buckets per language, sizes within 1")
+  }
+
+  test("text_ccnet_buckets: head scores dominate tail scores per language") {
+    val b = gate("text_ccnet_buckets")
+    val byB = b.groupBy("lang").pivot("bucket", Seq("head", "tail"))
+      .agg(avg("lm_score_micro"))
+    assert(byB.filter(col("head") <= col("tail")).count() == 0,
+      "mean head lm score must exceed mean tail lm score in every language")
+  }
+}
