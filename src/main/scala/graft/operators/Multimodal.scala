@@ -695,4 +695,67 @@ object Multimodal {
       }
     }.toDF("doc_id", "sample_rate", "n_samples", "abs_sum")
   }
+
+  /** AUDIO FINGERPRINT (round-9), the acoustic twin of [[imagePHash]]:
+    * chromaprint-style energy bits over 8-sample frames — the low 16 bits
+    * are energy-DELTA signs (bit j = 1 iff frame j+1 out-energies frame j;
+    * robust to gain scaling), the high 16 bits are ABOVE-MEAN flags
+    * (bit 16+j = 1 iff e_j · nf > Σe, the integer-exact mean compare, the
+    * same trick as [[imagePHash]]'s mean bit). Executor-side mapPartitions
+    * decode with the per-record (-1, -1) sentinel; the oracle replays the
+    * synth formula with a LEAD window + per-doc total, zero audio
+    * libraries.
+    */
+  def audioFingerprint(audio: Dataset[AudioRow]): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions { it =>
+      val readers = wavReaders.sortBy(r => !r.getClass.getName.contains("Wave"))
+      def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
+        readers.view.flatMap { rd =>
+          try Some(rd.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+        }.headOption.getOrElse(
+          throw new javax.sound.sampled.UnsupportedAudioFileException("no reader"))
+      it.map { r =>
+        try {
+          val ais = open(r.wav)
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"unexpected WAV format: $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val nf = n / 8 // complete frames only
+          val e = new Array[Long](nf)
+          var j = 0
+          while (j < nf) {
+            var k = 0; var s = 0L
+            while (k < 8) {
+              val v = ((bytes(2 * (8 * j + k)) & 0xff) |
+                (bytes(2 * (8 * j + k) + 1) << 8)).toShort
+              s += v.toLong * v.toLong
+              k += 1
+            }
+            e(j) = s
+            j += 1
+          }
+          val total = e.sum
+          var fp = 0L
+          var b = 0
+          while (b < math.min(nf - 1, 16)) {
+            if (e(b + 1) > e(b)) fp |= 1L << b
+            b += 1
+          }
+          b = 0
+          while (b < math.min(nf, 16)) {
+            if (e(b) * nf > total) fp |= 1L << (b + 16)
+            b += 1
+          }
+          (r.doc_id, nf.toLong, fp)
+        } catch {
+          case _: Exception => (r.doc_id, -1L, -1L)
+        }
+      }
+    }.toDF("doc_id", "n_frames", "afp")
+  }
 }

@@ -2102,6 +2102,61 @@ object Pipeline {
       s.sql(s"WITH ${embHardNegativesBody(SparkDialect, "graft_hn_e")}")
     }
 
+  /** TRIPLET MINING (round-9): one training triplet per anchor — the
+    * hardest POSITIVE (same label, MINIMUM cosine: the far positive that
+    * stretches the margin) and the hardest NEGATIVE (different label,
+    * MAXIMUM cosine: the impostor at the boundary), both drawn from the
+    * anchor's auto-scaled LSH bucket. Anchors missing either side in
+    * their bucket produce no triplet (both engines agree — inner join).
+    * This is the batch-mining step of triplet-loss training (FaceNet,
+    * arXiv:1503.03832 §3.2's "semi-hard" selection, here the hard
+    * variant) — the consumer of [[embHardNegativesBody]]'s candidates
+    * one level up: ready (anchor, positive, negative) rows.
+    *
+    * 100 TB shape: identical to emb_hard_negatives — one bucket
+    * equi-join, two per-anchor windows over its output, one anchor-keyed
+    * join of the two rank-1 relations.
+    */
+  private def embTripletMineBody(d: Dialect, eRel: String): String = {
+    val cos = s"CASE WHEN a.nrm * b.nrm > 0 THEN (${F.dot(d, "a.embedding", "b.embedding", DIM)}) / (a.nrm * b.nrm) ELSE 0.0 END"
+    s"""cand AS (SELECT a.vec_id AS anchor, a.label AS label,
+       |    b.vec_id AS bid, b.label AS blabel, $cos AS score
+       |  FROM $eRel a JOIN $eRel b ON a.bkt = b.bkt AND a.vec_id <> b.vec_id),
+       |pos AS (SELECT anchor, label, bid AS pos_id, score AS pos_score
+       |  FROM (SELECT anchor, label, bid, score,
+       |      ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY score ASC, bid) AS rn
+       |    FROM cand WHERE blabel = label) r WHERE rn = 1),
+       |neg AS (SELECT anchor, bid AS neg_id, score AS neg_score
+       |  FROM (SELECT anchor, bid, score,
+       |      ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY score DESC, bid) AS rn
+       |    FROM cand WHERE blabel <> label) r WHERE rn = 1)
+       |SELECT CAST(p.anchor AS BIGINT) AS anchor, CAST(p.label AS INTEGER) AS label,
+       |  CAST(p.pos_id AS BIGINT) AS pos_id, p.pos_score,
+       |  CAST(n.neg_id AS BIGINT) AS neg_id, n.neg_score
+       |FROM pos p JOIN neg n ON n.anchor = p.anchor""".stripMargin
+  }
+
+  private def embTripletMineDef: QueryDef =
+    QueryDef("emb_triplet_mine",
+      s"""WITH nv AS (SELECT $autoPlanesSql AS planes FROM embeddings),
+         |e AS (SELECT vec_id, embedding, label,
+         |    ${F.norm(DuckDialect, "embedding", DIM)} AS nrm,
+         |    ${F.lshBucketExpr(DuckDialect, "embedding", DIM, "nv.planes")} AS bkt
+         |  FROM embeddings CROSS JOIN nv),
+         |${embTripletMineBody(DuckDialect, "e")}""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      views(s, dir, "embeddings")
+      val planes = autoPlanes(s.table("embeddings").count())
+      // hash ONCE (self-join references e twice)
+      s.sql(
+        s"""SELECT vec_id, embedding, label,
+           |  ${F.norm(SparkDialect, "embedding", DIM)} AS nrm,
+           |  ${F.lshBucketExpr(SparkDialect, "embedding", DIM, planes.toString)} AS bkt
+           |FROM embeddings""".stripMargin)
+        .localCheckpoint().createOrReplaceTempView("graft_tm_e")
+      s.sql(s"WITH ${embTripletMineBody(SparkDialect, "graft_tm_e")}")
+    }
+
   // -------------------------------------------------------- text analysis
 
   /** Token statistics: whitespace tokens + a BPE-ish subword count (maximal
@@ -3380,6 +3435,74 @@ object Pipeline {
       s.sql(videoDupPairsSelect("graft_frame_hash"))
     }
 
+  /** DuckDB-side audio-fingerprint reconstruction: per-frame energies from
+    * the WAV generator formula `v(id, n) = ((id·31 + 17n) mod 2048) − 1024`
+    * over 8-sample windows; delta-sign bits via a LEAD window and
+    * above-mean bits via the per-doc total (integer-exact `e·nf > Σe`) —
+    * ends in relation `af(doc_id, n_frames, afp)`. Zero audio libraries.
+    */
+  private def audioFpOracleCtes: String =
+    """ad AS (SELECT doc_id, 64 + doc_id % 128 AS ns FROM documents),
+      |fj AS (SELECT doc_id, unnest(range(0, ns // 8)) AS j FROM ad),
+      |en AS (SELECT doc_id, j, list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(0, 8),
+      |      k -> (((doc_id*31 + 17*(8*j+k)) % 2048) - 1024)
+      |         * (((doc_id*31 + 17*(8*j+k)) % 2048) - 1024))),
+      |    (acc, x) -> acc + x) AS e FROM fj),
+      |eb AS (SELECT doc_id, j, e,
+      |    LEAD(e) OVER (PARTITION BY doc_id ORDER BY j) AS e2,
+      |    SUM(e) OVER (PARTITION BY doc_id) AS te,
+      |    COUNT(*) OVER (PARTITION BY doc_id) AS nf FROM en),
+      |af AS (SELECT doc_id, CAST(MAX(nf) AS BIGINT) AS n_frames,
+      |    CAST(SUM(CASE WHEN j < 16 AND e2 IS NOT NULL AND e2 > e
+      |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+      |    + SUM(CASE WHEN j < 16 AND e * nf > te
+      |      THEN (CAST(1 AS BIGINT) << (j + 16)) ELSE 0 END) AS BIGINT) AS afp
+      |  FROM eb GROUP BY doc_id)""".stripMargin
+
+  /** REAL audio fingerprints through the gate: decoded-WAV energy-delta
+    * sign bits on executors (Multimodal.audioFingerprint); oracle replays
+    * the synth formula.
+    */
+  private def multimodalAudioFpDef: QueryDef =
+    QueryDef("multimodal_audio_fp",
+      s"""WITH $audioFpOracleCtes
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_frames, afp FROM af""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.audioFingerprint(
+        graft.operators.Multimodal.audioTable(s, dir))
+    }
+
+  /** Audio DEDUP by exact fingerprint match — the AcoustID-style lookup
+    * shape: all docs whose 32-bit acoustic fingerprints collide form a
+    * cluster; keeper = lowest doc_id, sentinel rows (afp −1) excluded so
+    * failed decodes never cluster. The synthetic corpus genuinely contains
+    * phase-shifted near-copies of the same waveform, so clusters are
+    * non-trivial by construction. Pure ANSI template shared verbatim by
+    * both engines over their fingerprint relations.
+    *
+    * 100 TB shape: ONE hash-partitioned groupBy on the fingerprint (the
+    * dedup_exact shape, with the REAL codec pass in front) — no pairwise
+    * step at all; at scale the fingerprint is the blocking key and an
+    * optional in-cluster verify rides the bounded cluster, exactly like
+    * dedup_exact → dedup_minhash_lsh.
+    */
+  private def audioFpClustersSelect(afRel: String): String =
+    s"""SELECT CAST(afp AS BIGINT) AS afp,
+       |  CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_copies
+       |FROM $afRel WHERE afp >= 0
+       |GROUP BY afp HAVING COUNT(*) > 1""".stripMargin
+
+  private def dedupAudioFpDef: QueryDef =
+    QueryDef("dedup_audio_fp",
+      s"""WITH $audioFpOracleCtes
+         |${audioFpClustersSelect("af")}""".stripMargin) { (s, dir) =>
+      graft.operators.Multimodal.audioFingerprint(
+          graft.operators.Multimodal.audioTable(s, dir))
+        .createOrReplaceTempView("graft_audio_fp")
+      s.sql(audioFpClustersSelect("graft_audio_fp"))
+    }
+
   /** REAL WAV decode (javax.sound.sampled — the JDK's codec): sample rate,
     * frame count and integer absolute-amplitude sum read back from
     * RIFF/WAVE bytes synthesized deterministically per document. The
@@ -4096,6 +4219,43 @@ object Pipeline {
        |WHERE $h < r.thr""".stripMargin
   }
 
+  /** ANNEALED MIXTURE SCHEDULE (round-9): per-EPOCH language weights
+    * `w_l(e) ∝ n_l^α_e` with α annealing 0.25 → 1.0 over 4 epochs — the
+    * curriculum every multilingual run tunes: start near-uniform (small
+    * languages upweighted, α→0), end at the natural distribution (α=1).
+    * The fractional powers are computed as SQRT CHAINS — n^0.25 =
+    * sqrt(sqrt(n)), n^0.5 = sqrt(n), n^0.75 = sqrt(n)·sqrt(sqrt(n)) —
+    * because IEEE sqrt and multiply are correctly rounded (bit-identical
+    * across engines) where pow/ln are libm-dependent (the
+    * corpus_temperature_sample discipline, extended to a whole schedule).
+    * Weights are normalized per epoch and floored to integer micro-units.
+    *
+    * 100 TB shape: one map-side-combinable count per language, a 4×L
+    * scalar grid, one broadcast-sized per-epoch total — the corpus itself
+    * is never touched beyond the count.
+    */
+  private def corpusAnnealMixture(d: Dialect): String = {
+    // α_e for epoch e in 1..4 as a sqrt chain over the double count
+    val pow = Seq(
+      1 -> "SQRT(SQRT(nd))",          // α = 0.25
+      2 -> "SQRT(nd)",                // α = 0.5
+      3 -> "SQRT(nd) * SQRT(SQRT(nd))", // α = 0.75
+      4 -> "nd")                      // α = 1.0
+    val grid = pow.map { case (e, p) =>
+      s"SELECT $e AS epoch, lang, n_docs, $p AS w FROM n"
+    }.mkString(" UNION ALL ")
+    s"""WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(*) AS DOUBLE) AS nd
+       |  FROM documents GROUP BY lang),
+       |g AS ($grid),
+       |t AS (SELECT epoch, SUM(CAST(w AS DECIMAL(28, 8))) AS tw
+       |  FROM g GROUP BY epoch)
+       |SELECT CAST(g.epoch AS BIGINT) AS epoch, g.lang, g.n_docs,
+       |  CAST(FLOOR(g.w / CAST(t.tw AS DOUBLE) * 1000000.0) AS BIGINT)
+       |    AS weight_micro
+       |FROM g JOIN t ON t.epoch = g.epoch""".stripMargin
+  }
+
   /** Source-mixing interleave — the training-data "mixing ratios" step:
     * each source gets a weight (here derived from the source id; any
     * weight table slots in), documents are deterministically shuffled
@@ -4711,5 +4871,9 @@ object Pipeline {
     embHardNegativesDef,
     docQuery("text_gopher_rules", textGopherRules),
     textCcnetBuckets,
+    embTripletMineDef,
+    docQuery("corpus_anneal_mixture", corpusAnnealMixture),
+    multimodalAudioFpDef,
+    dedupAudioFpDef,
   )
 }

@@ -165,6 +165,30 @@ class MultimodalSpec extends SparkTestBase {
       s.getLong(2) == -1L && s.getLong(3) == -1L)
   }
 
+  test("audio fingerprint: decoded energy-delta bits match an independent recompute; sentinel on corrupt") {
+    import spark.implicits._
+    val got = Multimodal.audioFingerprint(Multimodal.audioTable(spark, sf))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got.keys.toSeq.sorted.take(8).foreach { id =>
+      val n = (64 + id % 128).toInt
+      val v = (0 until n).map(i => ((id * 31 + 17L * i) % 2048) - 1024)
+      val nf = n / 8
+      val e = (0 until nf).map(j => (0 until 8).map(k => v(8 * j + k) * v(8 * j + k)).sum)
+      val total = e.sum
+      val fp = (0 until math.min(nf - 1, 16))
+        .filter(b => e(b + 1) > e(b)).map(b => 1L << b).sum +
+        (0 until math.min(nf, 16))
+          .filter(b => e(b) * nf > total).map(b => 1L << (b + 16)).sum
+      assert(got(id) == ((nf.toLong, fp)), s"doc $id")
+    }
+    // fingerprints are 32-bit and non-degenerate corpus-wide
+    assert(got.values.forall { case (_, fp) => fp >= 0 && fp < (1L << 32) })
+    assert(got.values.map(_._2).toSet.size > 50, "fingerprints must discriminate")
+    val bad = Seq(Multimodal.AudioRow(77L, Array[Byte](82, 73))).toDS()
+    val s = Multimodal.audioFingerprint(bad).collect().head
+    assert(s.getLong(0) == 77L && s.getLong(1) == -1L && s.getLong(2) == -1L)
+  }
+
   test("perceptual hash: decoded-PNG bits match an independent formula recompute") {
     import spark.implicits._
     // independent reimplementation from the generator formula (no codec):

@@ -3,12 +3,13 @@ package graft.queries
 import graft.{SparkEntry, SparkTestBase}
 import org.apache.spark.sql.functions._
 
-/** Round-9 curation additions: hard-negative mining, the Gopher rule
-  * battery, and CCNet head/middle/tail bucketing. Exact value parity vs
-  * DuckDB is the driver's t2 gate (replicated by tools/oracle_check.py);
-  * these specs assert the SEMANTIC properties the hash compare cannot see
-  * — label disjointness, rank monotonicity, rule consistency, and tercile
-  * balance.
+/** Round-9 curation additions: hard-negative mining, triplet mining, the
+  * Gopher rule battery, CCNet head/middle/tail bucketing, and the annealed
+  * mixture schedule. Exact value parity vs DuckDB is the driver's t2 gate
+  * (replicated by tools/oracle_check.py); these specs assert the SEMANTIC
+  * properties the hash compare cannot see — label disjointness, rank
+  * monotonicity, rule consistency, tercile balance, and mixture
+  * flattening.
   */
 class CurationSpec extends SparkTestBase {
 
@@ -68,6 +69,41 @@ class CurationSpec extends SparkTestBase {
         countDistinct("bucket").as("k"))
     assert(spread.filter(col("d") > 1 || col("k") =!= 3).count() == 0,
       "NTILE(3) must yield 3 buckets per language, sizes within 1")
+  }
+
+  test("emb_triplet_mine: one triplet per anchor, correct label sides") {
+    val t = gate("emb_triplet_mine").cache()
+    assert(t.groupBy("anchor").count().filter(col("count") > 1).count() == 0)
+    val lbl = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label").as("l2"))
+    assert(t.join(lbl, col("pos_id") === col("vec_id"))
+      .filter(col("label") =!= col("l2")).count() == 0, "positive must share the label")
+    assert(t.join(lbl, col("neg_id") === col("vec_id"))
+      .filter(col("label") === col("l2")).count() == 0, "negative must differ in label")
+    assert(t.filter(col("pos_id") === col("anchor") ||
+      col("neg_id") === col("anchor")).count() == 0)
+    t.unpersist()
+  }
+
+  test("corpus_anneal_mixture: 4 epochs, normalized weights, annealing flattens early epochs") {
+    val m = gate("corpus_anneal_mixture").cache()
+    val langs = m.select("lang").distinct().count()
+    assert(m.count() == 4 * langs)
+    // per-epoch weights sum to 1e6 minus at most S floor losses
+    val sums = m.groupBy("epoch").agg(sum("weight_micro").as("s")).collect()
+    sums.foreach { r =>
+      val s = r.getLong(1)
+      assert(s <= 1000000L && s >= 1000000L - langs, s"epoch ${r.get(0)} sum $s")
+    }
+    // epoch 1 (α=0.25) is flatter than epoch 4 (α=1, natural shares)
+    def spread(e: Int): Double = {
+      val w = m.filter(col("epoch") === e).agg(
+        max("weight_micro").cast("double"), min("weight_micro").cast("double"))
+        .collect()(0)
+      w.getDouble(0) / w.getDouble(1)
+    }
+    assert(spread(1) < spread(4), "annealing must flatten the early-epoch mixture")
+    m.unpersist()
   }
 
   test("text_ccnet_buckets: head scores dominate tail scores per language") {
