@@ -59,6 +59,30 @@ object Rdf {
       graft.sources.TripleIO.readText(s, tmp)
     },
 
+    // ---- The same text round-trip through the DataSource V2 reader
+    // (graft.sources.TripleTextSource): full-scan equivalence with the
+    // CSV-based readText path. ----
+    QueryDef("rdf_text_io_v2",
+      RdfBridge.oracleCte + "SELECT Subject, Predicate, Object FROM triples") { (s, dir) =>
+      val tmp = graft.sources.Tables.scratchDir("text_io_v2")
+      graft.sources.TripleIO.writeText(RdfBridge.triples(s, dir), tmp)
+      s.read.format("graft-triples").load(tmp)
+    },
+
+    // ---- V2 pushdown through the gate: the point predicate and the
+    // 2-column projection are NEGOTIATED INTO THE READER (pushFilters /
+    // pruneColumns — SourcesSpec pins the scan description), so rejected
+    // lines never materialize a row and kept lines parse 2 ints, not 3. ----
+    QueryDef("rdf_dsv2_pushdown",
+      RdfBridge.oracleCte +
+        "SELECT Subject, Object FROM triples WHERE Predicate = -2") { (s, dir) =>
+      val tmp = graft.sources.Tables.scratchDir("text_io_v2")
+      graft.sources.TripleIO.writeText(RdfBridge.triples(s, dir), tmp)
+      s.read.format("graft-triples").load(tmp)
+        .filter(org.apache.spark.sql.functions.col("Predicate") === -2)
+        .select("Subject", "Object")
+    },
+
     // ---- Q1: 3-hop chain self-join, subject-range layout. The point
     // predicates prune to one range partition of the sorted layout; the two
     // chain joins shuffle on the join key (at cluster scale: subject-bucketed
