@@ -1684,7 +1684,55 @@ object Streams {
       await(q)
       s.table("g_stream_rdf")
     },
+
+    // ---- STREAMING DSv2 (round-9): the graft-triples V2 source read as a
+    // STREAM — files are the offset space, one file per micro-batch
+    // (source-side throttling), Trigger.AvailableNow drains to the
+    // query-start snapshot. The point predicate and 2-column projection
+    // are NEGOTIATED INTO THE STREAMING READER (same ScanBuilder as the
+    // batch path — SourcesSpec pins the description), so rejected lines
+    // never materialize a row in any batch. Stateless filter+project ⇒
+    // batching carries no semantics; oracle = the static SQL. ----
+    QueryDef("stream_dsv2_triples",
+      graft.sources.RdfBridge.oracleCte +
+        "SELECT Subject, Object FROM triples WHERE Predicate = -2") { (s, dir) =>
+      val src = stagedTripleTextDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_dsv2_ckpt_${dir.hashCode & 0x7fffffff}")
+      val q = s.readStream.format("graft-triples").load(src)
+        .filter(col("Subject").isNotNull && col("Predicate") === -2)
+        .select("Subject", "Object")
+        .writeStream.format("memory").queryName("g_stream_dsv2")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.table("g_stream_dsv2")
+    },
   )
+
+  /** Triple TEXT staging for the streaming DSv2 gate: the corpus split
+    * into three name-ordered text files (the source's offset space), each
+    * written by [[graft.sources.TripleIO.writeText]] then renamed into the
+    * shared directory.
+    */
+  private def stagedTripleTextDir(spark: SparkSession, sfDir: String): String =
+    stageCache.computeIfAbsent(seedKey(spark, sfDir, "tritext"), { _ =>
+      val dir = cleanScratch(spark,
+        s"tritext_stream_${sfDir.hashCode & 0x7fffffff}")
+      new java.io.File(dir).mkdirs()
+      val all = graft.sources.RdfBridge.triples(spark, sfDir)
+      val cols = all.columns.map(col)
+      Seq(0, 1, 2).foreach { i =>
+        val tmp = cleanScratch(spark,
+          s"tritext_tmp_${sfDir.hashCode & 0x7fffffff}")
+        graft.sources.TripleIO.writeText(
+          all.filter(pmod(hash(cols: _*), lit(3)) === i).coalesce(1), tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-")).get
+        val ok = part.renameTo(new java.io.File(dir, f"f$i%02d.txt"))
+        require(ok, s"staging rename failed for $part")
+      }
+      dir
+    })
 
   // -------------------------------------------- streaming mini-batch kmeans
 

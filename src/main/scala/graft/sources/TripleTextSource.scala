@@ -56,7 +56,7 @@ private[sources] final class TripleTextTable(path: String, tblSchema: StructType
   override def name(): String = s"graft-triples:$path"
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TripleTextScanBuilder(path, tblSchema)
 }
@@ -125,6 +125,89 @@ private[sources] final class TripleTextScan(path: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TripleReaderFactory(required.fieldNames, pushed)
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TripleTextMicroBatchStream(path, required.fieldNames, pushed)
+}
+
+/** STREAMING read of the triple text directory: files (name-sorted, the
+  * append-only file-source convention) are the offset space; each
+  * micro-batch admits ONE new file (source-side throttling — the
+  * maxFilesPerTrigger analogue), and Trigger.AvailableNow drains to the
+  * file set snapshotted at query start ([[SupportsTriggerAvailableNow]]).
+  * The SAME ScanBuilder negotiates pushdown, so a streamed point-predicate
+  * extraction parses and filters inside the reader exactly like the batch
+  * path — a pushdown-capable streaming source.
+  *
+  * 100 TB shape: offsets are file counts (no per-record state); partitions
+  * are whole files; restart replays from the checkpointed count.
+  */
+private[sources] final class TripleTextMicroBatchStream(path: String,
+    cols: Array[String], pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FileOffset(n: Int) extends Offset {
+    override def json(): String = n.toString
+  }
+
+  private def listFiles(): Array[String] = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val stat = fs.getFileStatus(p)
+    val files =
+      if (stat.isDirectory) fs.listStatus(p).toSeq.filter(_.isFile)
+      else Seq(stat)
+    files.map(_.getPath.toString)
+      .filterNot { f =>
+        val n = f.substring(f.lastIndexOf('/') + 1)
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .sorted.toArray
+  }
+
+  // target file count for AvailableNow (snapshot at prepare time);
+  // -1 = continuous mode (no cap beyond the live listing)
+  private var availableNowTarget: Int = -1
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = listFiles().length
+
+  override def initialOffset(): Offset = FileOffset(0)
+
+  /** Admission-controlled advance: ONE new file per micro-batch, capped at
+    * the AvailableNow snapshot (or the live listing in continuous mode).
+    */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val from = start.asInstanceOf[FileOffset].n
+    val total =
+      if (availableNowTarget >= 0) availableNowTarget else listFiles().length
+    FileOffset(math.max(from, math.min(total, from + 1)))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the entry point")
+
+  override def deserializeOffset(json: String): Offset =
+    FileOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FileOffset].n
+    val e = end.asInstanceOf[FileOffset].n
+    listFiles().slice(s, e).map(f => TripleFilePartition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TripleReaderFactory(cols, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] final case class TripleFilePartition(file: String)

@@ -51,6 +51,28 @@ class SourcesSpec extends SparkTestBase {
     assert(rows == Set((1, 2, 3), (6, 7, 8)))
   }
 
+  test("graft-triples streaming: one file per micro-batch, batch-equivalent result") {
+    // stage 3 small name-ordered files
+    val tmp = Tables.scratchDir("dsv2_stream_spec")
+    val d = new java.io.File(tmp); d.mkdirs()
+    Seq(0, 1, 2).foreach { i =>
+      val w = new java.io.PrintWriter(s"$tmp/f0$i.txt")
+      (0 until 10).foreach(j => w.println(s"${i * 10 + j} -2 ${j}"))
+      w.close()
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("dsv2_ckpt").toString
+    val q = spark.readStream.format("graft-triples").load(tmp)
+      .filter(col("Predicate") === -2)
+      .writeStream.format("memory").queryName("dsv2_stream_spec")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val gotBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(gotBatches == 3, s"expected 3 one-file micro-batches, got $gotBatches")
+    val rows = spark.table("dsv2_stream_spec").count()
+    assert(rows == 30)
+  }
+
   test("graft-triples: one partition per file (parallel scan)") {
     val n = spark.read.format("graft-triples").load(textDir).rdd.getNumPartitions
     val files = new java.io.File(textDir).listFiles()
