@@ -69,6 +69,17 @@ object Rdf {
       s.read.format("graft-triples").load(tmp)
     },
 
+    // ---- V2 WRITE → V2 READ round-trip: the reference's text sink as a
+    // DSv2 BatchWrite (task temp file + commit rename, truncate-on-
+    // overwrite) feeding the pushdown reader. ----
+    QueryDef("rdf_dsv2_roundtrip",
+      RdfBridge.oracleCte + "SELECT Subject, Predicate, Object FROM triples") { (s, dir) =>
+      val tmp = graft.sources.Tables.scratchDir("dsv2_rt")
+      RdfBridge.triples(s, dir).write.format("graft-triples")
+        .mode("overwrite").save(tmp)
+      s.read.format("graft-triples").load(tmp)
+    },
+
     // ---- V2 pushdown through the gate: the point predicate and the
     // 2-column projection are NEGOTIATED INTO THE READER (pushFilters /
     // pruneColumns — SourcesSpec pins the scan description), so rejected

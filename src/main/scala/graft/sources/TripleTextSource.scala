@@ -52,13 +52,19 @@ final class TripleTextSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] final class TripleTextTable(path: String, tblSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-triples:$path"
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TripleTextScanBuilder(path, tblSchema)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new TripleTextWriteBuilder(path, info.schema())
 }
 
 private[sources] final class TripleTextScanBuilder(path: String, full: StructType)
@@ -277,4 +283,106 @@ private[sources] final class TripleReaderFactory(cols: Array[String],
       override def close(): Unit = in.close()
     }
   }
+}
+
+/** V2 WRITE path: the reference's text sink (`saveAsTextFile` after a
+  * manual directory delete — `PartitionQueryingSubject.java:72-73,153`) as
+  * a proper DSv2 BatchWrite. Each task streams its partition to a private
+  * temp file and COMMIT renames it into place (task-attempt atomicity —
+  * a failed attempt leaves only an uncommitted temp, never a torn file);
+  * `mode("overwrite")` maps to [[SupportsTruncate]], which clears the
+  * directory once at job start. Schema must be the 3 integer triple
+  * columns.
+  */
+private[sources] final class TripleTextWriteBuilder(path: String,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true
+    this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+        require(schema.length == 3,
+          s"graft-triples writes 3-column triple rows, got ${schema.length}")
+        if (doTruncate) {
+          val conf = SparkSession.active.sparkContext.hadoopConfiguration
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(conf)
+          if (fs.exists(p)) fs.delete(p, true)
+          fs.mkdirs(p)
+        }
+        new TripleTextBatchWrite(path)
+      }
+    }
+}
+
+private[sources] final class TripleTextBatchWrite(path: String)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new TripleTextWriterFactory(path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // rename every committed temp into place — driver-side, one per task
+    val conf = new org.apache.hadoop.conf.Configuration()
+    messages.foreach {
+      case TripleFileCommit(tmp, fin) =>
+        val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
+        val ok = fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(fin))
+        require(ok, s"commit rename failed: $tmp -> $fin")
+      case _ => ()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    messages.foreach {
+      case TripleFileCommit(tmp, _) =>
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, false)
+      case _ => ()
+    }
+  }
+}
+
+private[sources] final case class TripleFileCommit(tmp: String, fin: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] final class TripleTextWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val tmp = f"$path/.part-$partitionId%05d-$taskId.tmp"
+      private val fin = f"$path/part-$partitionId%05d.txt"
+      private val p = new org.apache.hadoop.fs.Path(tmp)
+      private val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+
+      override def write(row: InternalRow): Unit = {
+        out.write(s"${row.getInt(0)} ${row.getInt(1)} ${row.getInt(2)}")
+        out.newLine()
+      }
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        TripleFileCommit(tmp, fin)
+      }
+      override def abort(): Unit = {
+        out.close()
+        if (fs.exists(p)) fs.delete(p, false)
+      }
+      override def close(): Unit = ()
+    }
 }

@@ -73,6 +73,21 @@ class SourcesSpec extends SparkTestBase {
     assert(rows == 30)
   }
 
+  test("graft-triples write: V2 round-trip, overwrite truncates, commit leaves no temps") {
+    val tmp = Tables.scratchDir("dsv2_write_spec")
+    val in = RdfBridge.triples(spark, sf)
+    in.write.format("graft-triples").mode("overwrite").save(tmp)
+    // write twice: overwrite must truncate, not double
+    in.write.format("graft-triples").mode("overwrite").save(tmp)
+    val back = spark.read.format("graft-triples").load(tmp)
+    assert(back.count() == in.count())
+    assert(back.exceptAll(in).isEmpty && in.exceptAll(back).isEmpty)
+    // commit renamed every task temp into place
+    val leftovers = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"uncommitted temps: ${leftovers.mkString(",")}")
+  }
+
   test("graft-triples: one partition per file (parallel scan)") {
     val n = spark.read.format("graft-triples").load(textDir).rdd.getNumPartitions
     val files = new java.io.File(textDir).listFiles()
