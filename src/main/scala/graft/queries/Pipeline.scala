@@ -2801,6 +2801,93 @@ object Pipeline {
       views(s, dir, "events"); s.sql(sql(SparkDialect))
     }
 
+  /** RETENTION COHORTS (round-9) — the product-analytics triangle: users
+    * cohorted by the DAY of their first event (relative to the corpus
+    * epoch), counted distinct per (cohort_day, days-since-first-event).
+    * Exact integer epoch-micros arithmetic end-to-end (the events_funnel
+    * discipline) — no date/timezone functions, so both engines agree
+    * bit-for-bit.
+    *
+    * 100 TB shape: one map-side-combinable MIN per user, a broadcast
+    * 1-row corpus epoch, one join back on user_id (hash-partitioned),
+    * one COUNT DISTINCT groupBy — the canonical two-exchange cohort job.
+    */
+  private def eventsRetentionCohorts(d: Dialect): String = {
+    val em = if (d == SparkDialect) "unix_micros(ts)" else "epoch_us(ts)"
+    val idiv = if (d == SparkDialect) "div" else "//"
+    s"""WITH ev AS (SELECT user_id, $em AS tus FROM events),
+       |f AS (SELECT user_id, CAST(MIN(tus) AS BIGINT) AS t0 FROM ev GROUP BY user_id),
+       |g AS (SELECT CAST(MIN(t0) AS BIGINT) AS g0 FROM f),
+       |a AS (SELECT e.user_id,
+       |    (f.t0 - g.g0) $idiv 86400000000 AS cohort_day,
+       |    (e.tus - f.t0) $idiv 86400000000 AS age_day
+       |  FROM ev e JOIN f ON f.user_id = e.user_id CROSS JOIN g)
+       |SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+       |  CAST(age_day AS BIGINT) AS age_day,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+       |FROM a GROUP BY cohort_day, age_day""".stripMargin
+  }
+
+  /** SPAN CORRUPTION (round-9) — the T5 denoising-objective data prep
+    * (Raffel et al., arXiv:1910.10683 §3.1.4): deterministic ~1-in-7 span
+    * starts (multiplicative hash on (doc, position) — no RNG, engines and
+    * reruns agree), span length 2, adjacent/overlapping spans MERGED
+    * (exactly T5's contiguous-span rule). Per doc emits the INPUT (masked
+    * spans replaced by one `<x_K>` sentinel each) and the TARGET (each
+    * sentinel followed by its masked tokens) plus token accounting.
+    * Sentinel ids are per-doc span ranks via one running-sum window; the
+    * ordered reassembly is an ordered string aggregation in both engines
+    * (array_sort over (pos, piece) structs in Spark, string_agg ORDER BY
+    * in DuckDB).
+    *
+    * 100 TB shape: tokenize + scalar mask flags (codegen'd), ONE window
+    * exchange on doc_id (the span numbering + ordered concat share it) —
+    * a per-doc-bounded job at any corpus size.
+    */
+  private def corpusSpanCorruption(d: Dialect): String = {
+    def start(off: Int): String = {
+      val p = if (off == 0) "p" else s"(p - $off)"
+      s"(p >= $off AND ((doc_id*1103515245 + $p*12345 + 54321) % 2147483647) % 7 = 0)"
+    }
+    val masked = s"(${start(0)} OR ${start(1)})"
+    val maskedPrev = s"(p >= 1 AND (${start(1)} OR ${start(2)}))"
+    val toks =
+      if (d == SparkDialect)
+        "SELECT doc_id, posexplode(split(text, ' ')) AS (p, tok) FROM documents"
+      else
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS tok, " +
+          "unnest(range(len(string_split(text, ' ')))) AS p FROM documents"
+    def agg(piece: String): String =
+      if (d == SparkDialect)
+        s"array_join(transform(array_sort(collect_list(CASE WHEN $piece IS NOT NULL " +
+          s"THEN named_struct('p', p, 's', $piece) END)), z -> z.s), ' ')"
+      else s"COALESCE(string_agg($piece, ' ' ORDER BY p), '')"
+    val sentinel = "concat('<x_', CAST(sid AS STRING), '>')"
+    val sentinelD = if (d == SparkDialect) sentinel else
+      "concat('<x_', CAST(sid AS VARCHAR), '>')"
+    s"""WITH t AS ($toks),
+       |m AS (SELECT doc_id, p, tok,
+       |    CASE WHEN $masked THEN 1 ELSE 0 END AS mk,
+       |    CASE WHEN $masked AND NOT $maskedPrev THEN 1 ELSE 0 END AS ns
+       |  FROM t),
+       |sp AS (SELECT doc_id, p, tok, mk, ns,
+       |    SUM(ns) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM m),
+       |pieces AS (SELECT doc_id, p, mk,
+       |    CASE WHEN mk = 0 THEN tok
+       |         WHEN ns = 1 THEN $sentinelD ELSE NULL END AS inp,
+       |    CASE WHEN mk = 0 THEN NULL
+       |         WHEN ns = 1 THEN concat($sentinelD, ' ', tok) ELSE tok END AS tgt
+       |  FROM sp)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(mk) AS BIGINT) AS n_masked,
+       |  ${agg("inp")} AS input_text,
+       |  ${agg("tgt")} AS target_text
+       |FROM pieces GROUP BY doc_id""".stripMargin
+  }
+
   /** SEQUENCE-PATTERN DETECTION (MATCH_RECOGNIZE-style) composed from
     * running-max windows — per-user view → click → purchase COMPLETED
     * WITHIN A 24-HOUR WINDOW, the time-bounded pattern match Spark SQL
@@ -4875,5 +4962,7 @@ object Pipeline {
     docQuery("corpus_anneal_mixture", corpusAnnealMixture),
     multimodalAudioFpDef,
     dedupAudioFpDef,
+    eventsQuery("events_retention_cohorts", eventsRetentionCohorts),
+    docQuery("corpus_span_corruption", corpusSpanCorruption),
   )
 }

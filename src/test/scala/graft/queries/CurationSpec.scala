@@ -106,6 +106,37 @@ class CurationSpec extends SparkTestBase {
     m.unpersist()
   }
 
+  test("events_retention_cohorts: day-0 activity is each cohort's maximum") {
+    val r = gate("events_retention_cohorts").cache()
+    assert(r.filter(col("cohort_day") < 0 || col("age_day") < 0).count() == 0)
+    val day0 = r.filter(col("age_day") === 0)
+      .select(col("cohort_day"), col("active_users").as("c0"))
+    val mx = r.groupBy("cohort_day").agg(max("active_users").as("mx"))
+    assert(day0.join(mx, "cohort_day").filter(col("c0") =!= col("mx")).count() == 0,
+      "every user is active on day 0 of their own cohort")
+    r.unpersist()
+  }
+
+  test("corpus_span_corruption: token conservation and sentinel pairing") {
+    val c = gate("corpus_span_corruption").cache()
+    val counted = c.withColumn("in_toks", split(col("input_text"), " "))
+      .withColumn("tgt_toks", split(col("target_text"), " "))
+      .withColumn("in_sent", size(filter(col("in_toks"), t => t.startsWith("<x_"))))
+      .withColumn("tgt_sent", size(filter(col("tgt_toks"), t => t.startsWith("<x_"))))
+      .withColumn("in_plain", size(col("in_toks")) - col("in_sent"))
+      .withColumn("tgt_plain", size(col("tgt_toks")) - col("tgt_sent"))
+    // masked tokens all land in the target; unmasked all stay in the input
+    assert(counted.filter(col("in_plain") + col("n_masked") =!= col("n_tokens")).count() == 0)
+    assert(counted.filter(col("tgt_plain") =!= col("n_masked")).count() == 0)
+    // one sentinel per span, mirrored between input and target
+    assert(counted.filter(col("in_sent") =!= col("tgt_sent")).count() == 0)
+    // the objective actually masks a meaningful fraction (~2/7 expected)
+    val rate = c.agg(sum("n_masked").cast("double") / sum("n_tokens"))
+      .collect()(0).getDouble(0)
+    assert(rate > 0.15 && rate < 0.45, s"mask rate $rate out of range")
+    c.unpersist()
+  }
+
   test("text_ccnet_buckets: head scores dominate tail scores per language") {
     val b = gate("text_ccnet_buckets")
     val byB = b.groupBy("lang").pivot("bucket", Seq("head", "tail"))
