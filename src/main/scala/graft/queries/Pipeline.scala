@@ -1433,6 +1433,42 @@ object Pipeline {
   private[queries] val duckPqX =
     "SELECT vec_id, unnest(qv) AS x, unnest(range(len(qv))) AS i FROM qz"
 
+  /** ANN INDEX DIAGNOSTICS (round-9): the two numbers an embedding-store
+    * operator watches per index build — per-cell OCCUPANCY (cell balance
+    * drives nprobe tail latency: one hot cell and every probe touching it
+    * pays its full width) and per-cell PQ DISTORTION (the exact int64
+    * squared error between each member's lanes and its assigned PQ
+    * centroids — the quantity recall degrades with). Derived from the SAME
+    * training recurrences the serving gates run (pqTrainCtes/pqAssignCtes),
+    * so the report describes exactly the index sim_ivf_pq serves from;
+    * the assigned-centroid distance is read off the assignment step's own
+    * distance relation (d2 ⋈ a2) — no recomputation.
+    *
+    * 100 TB shape: training is the documented linear Lloyd recurrence;
+    * the report itself is two hash aggregates over model-keyed joins —
+    * index-sized output (KM rows).
+    */
+  private def simIndexStats: QueryDef = {
+    def tail(d: Dialect, xRef: String): String =
+      s"""${pqTrainCtes(d, xRef, "cv", DIM, KM)},
+         |${pqTrainCtes(d, xRef, "pq", 8, 8)},
+         |${pqAssignCtes(d, xRef, "cv", 2, "cvc2")},
+         |${pqAssignCtes(d, xRef, "pq", 2, "pqc2")},
+         |pd AS (SELECT d.vec_id, CAST(SUM(d.dist) AS BIGINT) AS dd
+         |  FROM pqd2 d JOIN pqa2 a
+         |    ON a.vec_id = d.vec_id AND a.m = d.m AND a.cid = d.cid
+         |  GROUP BY d.vec_id)
+         |SELECT CAST(c.cid AS BIGINT) AS cell,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(pd.dd) AS BIGINT) AS pq_distortion
+         |FROM cva2 c JOIN pd ON pd.vec_id = c.vec_id
+         |GROUP BY c.cid""".stripMargin
+    QueryDef("sim_index_stats",
+      s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
+         |${tail(DuckDialect, "x")}""".stripMargin)(
+      ivfPqSpark(xRef => s"WITH ${tail(SparkDialect, xRef)}"))
+  }
+
   private def simIvfPq: QueryDef = {
     val sel =
       """SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
@@ -4964,5 +5000,6 @@ object Pipeline {
     dedupAudioFpDef,
     eventsQuery("events_retention_cohorts", eventsRetentionCohorts),
     docQuery("corpus_span_corruption", corpusSpanCorruption),
+    simIndexStats,
   )
 }

@@ -137,6 +137,16 @@ class CurationSpec extends SparkTestBase {
     c.unpersist()
   }
 
+  test("sim_index_stats: occupancies partition the corpus, distortion non-negative") {
+    val st = gate("sim_index_stats").cache()
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(st.agg(sum("n_vecs")).collect()(0).getLong(0) == n,
+      "every vector belongs to exactly one cell")
+    assert(st.count() <= 4) // at most KM cells
+    assert(st.filter(col("pq_distortion") < 0).count() == 0)
+    st.unpersist()
+  }
+
   test("text_ccnet_buckets: head scores dominate tail scores per language") {
     val b = gate("text_ccnet_buckets")
     val byB = b.groupBy("lang").pivot("bucket", Seq("head", "tail"))
