@@ -4379,6 +4379,110 @@ object Pipeline {
        |FROM g JOIN t ON t.epoch = g.epoch""".stripMargin
   }
 
+  /** FILL-IN-THE-MIDDLE transformation (round-9; Bavarian et al.,
+    * arXiv:2207.14255): each document's token stream is cut at two
+    * deterministic hash-derived points and re-emitted in PSM order —
+    * `<fim_pre> prefix <fim_suf> suffix <fim_mid> middle` — the data op
+    * behind every infilling-capable code model. Cut points are exact
+    * integer arithmetic on (doc_id, n): c1 = 1 + H1 mod (n-1), c2 = c1 +
+    * 1 + H2 mod (n-c1), guaranteeing 1 ≤ c1 < c2 ≤ n so all three parts
+    * are well-defined (prefix [1, c1], middle (c1, c2], suffix (c2, n];
+    * middle non-empty, prefix non-empty, suffix possibly empty — the PSM
+    * convention). Docs with < 2 tokens pass through unchanged with
+    * fim_applied = 0 (both engines agree).
+    *
+    * 100 TB shape: pure per-row scalar work on the token array — map-only,
+    * zero shuffles.
+    */
+  private def corpusFimTransform(d: Dialect): String = {
+    val toks = F.tokens(d, "text")
+    val h1 = "((doc_id*1103515245 + 12345) % 2147483647)"
+    val h2 = "((doc_id*69069 + 54321) % 2147483647)"
+    val part = (from: String, n: String) => d.joinWs(d.slice("t", from, n))
+    s"""WITH t0 AS (SELECT doc_id, $toks AS t FROM documents),
+       |c AS (SELECT doc_id, t, ${d.len("t")} AS n,
+       |    CASE WHEN ${d.len("t")} >= 2
+       |      THEN 1 + $h1 % (${d.len("t")} - 1) ELSE 0 END AS c1
+       |  FROM t0),
+       |c2t AS (SELECT doc_id, t, n, c1,
+       |    CASE WHEN n >= 2 THEN c1 + 1 + $h2 % (n - c1) ELSE 0 END AS c2
+       |  FROM c)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(CASE WHEN n >= 2 THEN 1 ELSE 0 END AS BIGINT) AS fim_applied,
+       |  CASE WHEN n < 2 THEN ${d.joinWs("t")}
+       |       ELSE concat('<fim_pre> ', ${part("1", "c1")},
+       |                   ' <fim_suf> ', CASE WHEN c2 < n
+       |                     THEN ${part("c2 + 1", "n - c2")} ELSE '' END,
+       |                   ' <fim_mid> ', ${part("c1 + 1", "c2 - c1")})
+       |  END AS fim_text
+       |FROM c2t""".stripMargin
+  }
+
+  /** PREFERENCE-PAIR CONSTRUCTION (round-9): per source, the
+    * highest-quality document paired against the lowest (deterministic
+    * (score, doc_id) tie-break) — the (chosen, rejected) row a reward
+    * model / DPO pipeline trains on, with the quality margin carried for
+    * margin-weighted losses. Scorer = the text_quality composite's
+    * integer core (length + stopword evidence), so the pair is
+    * reproducible from corpus facts alone. Sources whose best and worst
+    * coincide (single-doc sources) emit no pair.
+    *
+    * 100 TB shape: one scalar scoring pass + two per-source windows
+    * sharing one hash exchange on source.
+    */
+  private def corpusPreferencePairs(d: Dialect): String = {
+    val toks = F.tokens(d, "text")
+    val stop = d.arrayLit(Seq("the", "a", "and", "of", "to", "in", "is"))
+    val score =
+      s"CAST(10 * ${d.len(d.filter("toks", "w", d.contains(stop, "w")))} + ${d.len("toks")} AS BIGINT)"
+    s"""WITH sc AS (SELECT doc_id, source, $score AS q
+       |  FROM (SELECT doc_id, source, $toks AS toks FROM documents) t),
+       |r AS (SELECT doc_id, source, q,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rb,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY q ASC, doc_id) AS rw
+       |  FROM sc)
+       |SELECT b.source, CAST(b.doc_id AS BIGINT) AS chosen_id,
+       |  CAST(w.doc_id AS BIGINT) AS rejected_id,
+       |  CAST(b.q - w.q AS BIGINT) AS margin
+       |FROM (SELECT source, doc_id, q FROM r WHERE rb = 1) b
+       |JOIN (SELECT source, doc_id, q FROM r WHERE rw = 1) w
+       |  ON w.source = b.source AND w.doc_id <> b.doc_id""".stripMargin
+  }
+
+  /** LENGTH-BUCKETED BATCHING (round-9): docs grouped into power-of-two
+    * token-length buckets, then numbered into fixed-size batches of 8
+    * within each bucket (deterministic content-hash order) — the padding-
+    * efficiency step before training (batching similar lengths bounds
+    * wasted pad tokens at < 2× per batch by construction). Bucket id =
+    * position of the highest set bit of n (integer arithmetic, no
+    * floating log2).
+    *
+    * 100 TB shape: scalar bucket assignment + ONE window exchange on the
+    * bucket key; batch ids are per-bucket ranks, never a global sequence.
+    */
+  private def corpusLengthBuckets(d: Dialect): String = {
+    val toks = F.tokens(d, "text")
+    // highest-set-bit bucket via comparison ladder (n <= 512 at testdata
+    // scale; the ladder extends by construction)
+    val bucket =
+      """CASE WHEN n <= 8 THEN 3 WHEN n <= 16 THEN 4 WHEN n <= 32 THEN 5
+        |     WHEN n <= 64 THEN 6 WHEN n <= 128 THEN 7 WHEN n <= 256 THEN 8
+        |     WHEN n <= 512 THEN 9 WHEN n <= 1024 THEN 10 ELSE 11 END""".stripMargin
+    val idiv = if (d == SparkDialect) "div" else "//"
+    s"""WITH t AS (SELECT doc_id, ${d.len(toks)} AS n,
+       |    ${F.strHash(d, "text")} AS h FROM documents),
+       |b AS (SELECT doc_id, n, h, $bucket AS bucket FROM t),
+       |r AS (SELECT doc_id, n, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rk
+       |  FROM b)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(bucket AS BIGINT) AS bucket,
+       |  CAST((rk - 1) $idiv 8 AS BIGINT) AS batch_id,
+       |  CAST((rk - 1) % 8 AS BIGINT) AS slot
+       |FROM r""".stripMargin
+  }
+
   /** Source-mixing interleave — the training-data "mixing ratios" step:
     * each source gets a weight (here derived from the source id; any
     * weight table slots in), documents are deterministically shuffled
@@ -5001,5 +5105,8 @@ object Pipeline {
     eventsQuery("events_retention_cohorts", eventsRetentionCohorts),
     docQuery("corpus_span_corruption", corpusSpanCorruption),
     simIndexStats,
+    docQuery("corpus_fim_transform", corpusFimTransform),
+    docQuery("corpus_preference_pairs", corpusPreferencePairs),
+    docQuery("corpus_length_buckets", corpusLengthBuckets),
   )
 }

@@ -147,6 +147,39 @@ class CurationSpec extends SparkTestBase {
     st.unpersist()
   }
 
+  test("corpus_fim_transform: PSM markers and token conservation") {
+    val f = gate("corpus_fim_transform").cache()
+    val marked = f.withColumn("toks", split(col("fim_text"), " "))
+      .withColumn("markers", size(filter(col("toks"), t => t.startsWith("<fim_"))))
+      .withColumn("plain", size(filter(col("toks"),
+        t => !t.startsWith("<fim_") && t =!= lit(""))))
+    // applied docs carry exactly the 3 PSM markers and every original token
+    assert(marked.filter(col("fim_applied") === 1 && col("markers") =!= 3).count() == 0)
+    assert(marked.filter(col("fim_applied") === 0 && col("markers") =!= 0).count() == 0)
+    assert(marked.filter(col("plain") =!= col("n_tokens")).count() == 0,
+      "FIM reorders tokens, never drops or duplicates them")
+    f.unpersist()
+  }
+
+  test("corpus_preference_pairs: one pair per multi-doc source, non-negative margin") {
+    val p = gate("corpus_preference_pairs").cache()
+    assert(p.groupBy("source").count().filter(col("count") > 1).count() == 0)
+    assert(p.filter(col("chosen_id") === col("rejected_id")).count() == 0)
+    assert(p.filter(col("margin") < 0).count() == 0)
+    p.unpersist()
+  }
+
+  test("corpus_length_buckets: batches of <= 8 within power-of-two buckets") {
+    val b = gate("corpus_length_buckets").cache()
+    assert(b.filter(col("slot") < 0 || col("slot") > 7).count() == 0)
+    assert(b.groupBy("bucket", "batch_id").count().filter(col("count") > 8).count() == 0)
+    // n fits its bucket: n <= 2^bucket, and n > 2^(bucket-1) above the floor bucket
+    assert(b.filter(col("n_tokens") > pow(lit(2.0), col("bucket"))).count() == 0)
+    assert(b.filter(col("bucket") > 3 &&
+      col("n_tokens") <= pow(lit(2.0), col("bucket") - 1)).count() == 0)
+    b.unpersist()
+  }
+
   test("text_ccnet_buckets: head scores dominate tail scores per language") {
     val b = gate("text_ccnet_buckets")
     val byB = b.groupBy("lang").pivot("bucket", Seq("head", "tail"))
