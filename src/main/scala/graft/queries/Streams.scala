@@ -1790,6 +1790,7 @@ object Streams {
          |${vSel(1)} UNION ALL ${vSel(2)} UNION ALL ${vSel(3)}""".stripMargin
     }
     QueryDef("stream_kmeans_update", oracle) { (s, dir) =>
+      withStatePartitions(s, 8) {
       val d = graft.functions.SparkDialect
       val src = stagedEmbCorpusDir(s, dir)
       val ckpt = cleanScratch(s, s"stream_smk_ckpt_${dir.hashCode & 0x7fffffff}")
@@ -1858,6 +1859,7 @@ object Streams {
         .select(col("version").cast("long").as("version"),
           col("cid").cast("long").as("cid"),
           col("i").cast("long").as("i"), col("c").cast("long").as("c"))
+      }
     }
   }
 }
