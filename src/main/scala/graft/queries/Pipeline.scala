@@ -2619,6 +2619,51 @@ object Pipeline {
        |    AS corr_value_hour
        |FROM m""".stripMargin
 
+  /** TWO-SAMPLE A/B TEST (round-9): deterministic hash-bucket assignment
+    * (user_id parity — the standard experiment split), per-arm exact
+    * integer moment sums in cents (the events_stats_moments discipline:
+    * BIGINT/DECIMAL aggregates, order-independent), then Welch's z
+    * statistic as ONE scalar double expression over those exact sums —
+    * identical doubles in both engines because every input to the float
+    * tree is an exact integer. The gate a metrics pipeline runs per
+    * experiment readout.
+    *
+    * 100 TB shape: one map-side-combinable aggregate over events, a 2-row
+    * pivot, scalar math — no data shuffle beyond the aggregate's.
+    */
+  private def eventsAbTest(d: Dialect): String =
+    s"""WITH b AS (SELECT CASE WHEN user_id % 2 = 1 THEN 'B' ELSE 'A' END AS arm,
+       |    CAST(round(value * 100) AS BIGINT) AS x
+       |  FROM events),
+       |m AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx,
+       |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx
+       |  FROM b GROUP BY arm),
+       |w AS (SELECT
+       |    CAST(MAX(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS na,
+       |    CAST(MAX(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS nb,
+       |    CAST(MAX(CASE WHEN arm = 'A' THEN sx END) AS BIGINT) AS sxa,
+       |    CAST(MAX(CASE WHEN arm = 'B' THEN sx END) AS BIGINT) AS sxb,
+       |    CAST(MAX(CASE WHEN arm = 'A' THEN sxx END) AS DECIMAL(25,0)) AS sxxa,
+       |    CAST(MAX(CASE WHEN arm = 'B' THEN sxx END) AS DECIMAL(25,0)) AS sxxb
+       |  FROM m)
+       |SELECT na, nb,
+       |  CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a_cents,
+       |  CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b_cents,
+       |  (CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)
+       |    - CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)) AS lift_cents,
+       |  (CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)
+       |    - CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE))
+       |  / sqrt(
+       |      ((CAST(na AS DOUBLE) * CAST(sxxa AS DOUBLE)
+       |         - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE))
+       |        / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE))) / CAST(na AS DOUBLE)
+       |    + ((CAST(nb AS DOUBLE) * CAST(sxxb AS DOUBLE)
+       |         - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE))
+       |        / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE))) / CAST(nb AS DOUBLE))
+       |    AS welch_z
+       |FROM w""".stripMargin
+
   /** Batch MERGE / upsert (the Delta-style `MERGE INTO` semantics on plain
     * parquet): an updates batch — re-crawled src0 docs (text uppercased,
     * n_chars bumped) plus genuinely new rows in a shifted id space —
@@ -5108,5 +5153,6 @@ object Pipeline {
     docQuery("corpus_fim_transform", corpusFimTransform),
     docQuery("corpus_preference_pairs", corpusPreferencePairs),
     docQuery("corpus_length_buckets", corpusLengthBuckets),
+    eventsQuery("events_ab_test", eventsAbTest),
   )
 }

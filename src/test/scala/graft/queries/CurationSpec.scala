@@ -180,6 +180,19 @@ class CurationSpec extends SparkTestBase {
     b.unpersist()
   }
 
+  test("events_ab_test: one readout row, arms partition users, z consistent with lift") {
+    val t = gate("events_ab_test").collect()
+    assert(t.length == 1)
+    val r = t(0)
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    val n = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(na + nb == n, "arms must partition all events")
+    assert(na > 0 && nb > 0)
+    val lift = r.getDouble(4); val z = r.getDouble(5)
+    assert(lift == 0.0 && z == 0.0 || (lift > 0) == (z > 0),
+      "z must carry the lift's sign")
+  }
+
   test("text_ccnet_buckets: head scores dominate tail scores per language") {
     val b = gate("text_ccnet_buckets")
     val byB = b.groupBy("lang").pivot("bucket", Seq("head", "tail"))
