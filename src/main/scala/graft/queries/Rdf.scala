@@ -87,7 +87,9 @@ object Rdf {
     QueryDef("rdf_dsv2_pushdown",
       RdfBridge.oracleCte +
         "SELECT Subject, Object FROM triples WHERE Predicate = -2") { (s, dir) =>
-      val tmp = graft.sources.Tables.scratchDir("text_io_v2")
+      // own scratch dir: sharing rdf_text_io_v2's would race two Overwrite
+      // writes under concurrent gate execution
+      val tmp = graft.sources.Tables.scratchDir("dsv2_pushdown")
       graft.sources.TripleIO.writeText(RdfBridge.triples(s, dir), tmp)
       s.read.format("graft-triples").load(tmp)
         .filter(org.apache.spark.sql.functions.col("Predicate") === -2)

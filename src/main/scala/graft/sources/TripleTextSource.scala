@@ -51,6 +51,36 @@ final class TripleTextSource extends TableProvider with DataSourceRegister {
   }
 }
 
+/** Java-serializable carrier for the SESSION's Hadoop configuration —
+  * executor-side readers/writers must open files with the same fs settings
+  * (credentials, scheme impls) the driver planned with; a fresh
+  * `new Configuration()` only loads default resources and silently drops
+  * anything set on the SparkSession. Serialized via Hadoop's own
+  * `Configuration.write/readFields` (the Writable contract).
+  */
+private[sources] final class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+private[sources] object SerializableHadoopConf {
+  /** Broadcast the active session's Hadoop conf (driver-side call): one
+    * executor fetch per host instead of a conf copy per task. */
+  def broadcastActive(): org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] = {
+    val sc = SparkSession.active.sparkContext
+    sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
+  }
+}
+
 private[sources] final class TripleTextTable(path: String, tblSchema: StructType)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
@@ -64,7 +94,7 @@ private[sources] final class TripleTextTable(path: String, tblSchema: StructType
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
       org.apache.spark.sql.connector.write.WriteBuilder =
-    new TripleTextWriteBuilder(path, info.schema())
+    new TripleTextWriteBuilder(path, info.schema(), info.queryId())
 }
 
 private[sources] final class TripleTextScanBuilder(path: String, full: StructType)
@@ -130,7 +160,8 @@ private[sources] final class TripleTextScan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TripleReaderFactory(required.fieldNames, pushed)
+    new TripleReaderFactory(required.fieldNames, pushed,
+      SerializableHadoopConf.broadcastActive())
 
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -146,8 +177,17 @@ private[sources] final class TripleTextScan(path: String, required: StructType,
   * extraction parses and filters inside the reader exactly like the batch
   * path — a pushdown-capable streaming source.
   *
-  * 100 TB shape: offsets are file counts (no per-record state); partitions
-  * are whole files; restart replays from the checkpointed count.
+  * Offsets are the LAST-PROCESSED FILE PATH (high-water mark), not an
+  * index into a re-sorted listing: a batch admits the first path strictly
+  * greater than the mark, so adding a file whose name sorts before
+  * already-processed files can never shift indices into replaying or
+  * skipping OTHER files (such a late low-sorting file is itself ignored —
+  * the documented append-only contract, same as FileStreamSource's
+  * name-ordering assumption, but enforced rather than assumed).
+  *
+  * 100 TB shape: offsets are one path string (no per-record state);
+  * partitions are whole files; restart resumes strictly after the
+  * checkpointed path.
   */
 private[sources] final class TripleTextMicroBatchStream(path: String,
     cols: Array[String], pushed: Array[Filter])
@@ -156,8 +196,9 @@ private[sources] final class TripleTextMicroBatchStream(path: String,
 
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private case class FileOffset(n: Int) extends Offset {
-    override def json(): String = n.toString
+  /** `mark` = full path of the last processed file; "" before any. */
+  private case class FileOffset(mark: String) extends Offset {
+    override def json(): String = mark
   }
 
   private def listFiles(): Array[String] = {
@@ -176,41 +217,45 @@ private[sources] final class TripleTextMicroBatchStream(path: String,
       .sorted.toArray
   }
 
-  // target file count for AvailableNow (snapshot at prepare time);
-  // -1 = continuous mode (no cap beyond the live listing)
-  private var availableNowTarget: Int = -1
+  // file set snapshotted at AvailableNow prepare time; null = continuous
+  // mode (live listing per advance)
+  private var availableNowFiles: Array[String] = null
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = listFiles().length
+    availableNowFiles = listFiles()
 
-  override def initialOffset(): Offset = FileOffset(0)
+  override def initialOffset(): Offset = FileOffset("")
 
-  /** Admission-controlled advance: ONE new file per micro-batch, capped at
-    * the AvailableNow snapshot (or the live listing in continuous mode).
+  /** Admission-controlled advance: ONE new file per micro-batch — the
+    * first path strictly greater than the high-water mark, drawn from the
+    * AvailableNow snapshot (or the live listing in continuous mode).
     */
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
-    val from = start.asInstanceOf[FileOffset].n
-    val total =
-      if (availableNowTarget >= 0) availableNowTarget else listFiles().length
-    FileOffset(math.max(from, math.min(total, from + 1)))
+    val mark = start.asInstanceOf[FileOffset].mark
+    val files =
+      if (availableNowFiles != null) availableNowFiles else listFiles()
+    files.find(_ > mark) match {
+      case Some(next) => FileOffset(next)
+      case None       => FileOffset(mark)
+    }
   }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "admission-controlled source: latestOffset(start, limit) is the entry point")
 
-  override def deserializeOffset(json: String): Offset =
-    FileOffset(json.trim.toInt)
+  override def deserializeOffset(json: String): Offset = FileOffset(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FileOffset].n
-    val e = end.asInstanceOf[FileOffset].n
-    listFiles().slice(s, e).map(f => TripleFilePartition(f): InputPartition)
+    val s = start.asInstanceOf[FileOffset].mark
+    val e = end.asInstanceOf[FileOffset].mark
+    listFiles().filter(f => f > s && f <= e)
+      .map(f => TripleFilePartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TripleReaderFactory(cols, pushed)
+    new TripleReaderFactory(cols, pushed, SerializableHadoopConf.broadcastActive())
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -220,16 +265,18 @@ private[sources] final case class TripleFilePartition(file: String)
     extends InputPartition
 
 private[sources] final class TripleReaderFactory(cols: Array[String],
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter],
+    conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[TripleFilePartition].file
     new PartitionReader[InternalRow] {
-      // executor-side open through the Hadoop FS API (the same path scheme
-      // the planner listed; local fs here, HDFS/S3 with the shipped conf
-      // at cluster scale)
+      // executor-side open through the Hadoop FS API with the SESSION's
+      // broadcast conf — the same fs settings/credentials the driver-side
+      // listing used (a fresh Configuration would drop them)
       private val p = new org.apache.hadoop.fs.Path(file)
-      private val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      private val fs = p.getFileSystem(conf.value.value)
       private val in = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
 
@@ -291,11 +338,14 @@ private[sources] final class TripleReaderFactory(cols: Array[String],
   * temp file and COMMIT renames it into place (task-attempt atomicity —
   * a failed attempt leaves only an uncommitted temp, never a torn file);
   * `mode("overwrite")` maps to [[SupportsTruncate]], which clears the
-  * directory once at job start. Schema must be the 3 integer triple
+  * directory once at job start. Final file names carry the job's queryId,
+  * so a second job appending into the same directory can never rename onto
+  * an earlier job's part file (silent replacement on RawLocalFileSystem,
+  * job-failing false rename on HDFS). Schema must be the 3 integer triple
   * columns.
   */
 private[sources] final class TripleTextWriteBuilder(path: String,
-    schema: StructType)
+    schema: StructType, queryId: String)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
 
@@ -318,21 +368,25 @@ private[sources] final class TripleTextWriteBuilder(path: String,
           if (fs.exists(p)) fs.delete(p, true)
           fs.mkdirs(p)
         }
-        new TripleTextBatchWrite(path)
+        new TripleTextBatchWrite(path, queryId)
       }
     }
 }
 
-private[sources] final class TripleTextBatchWrite(path: String)
+private[sources] final class TripleTextBatchWrite(path: String, queryId: String)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new TripleTextWriterFactory(path)
+    new TripleTextWriterFactory(path, queryId,
+      SerializableHadoopConf.broadcastActive())
+
+  // commit/abort run on the driver: the session conf is directly at hand
+  private def driverConf = SparkSession.active.sparkContext.hadoopConfiguration
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // rename every committed temp into place — driver-side, one per task
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = driverConf
     messages.foreach {
       case TripleFileCommit(tmp, fin) =>
         val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
@@ -344,7 +398,7 @@ private[sources] final class TripleTextBatchWrite(path: String)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = driverConf
     messages.foreach {
       case TripleFileCommit(tmp, _) =>
         val p = new org.apache.hadoop.fs.Path(tmp)
@@ -358,16 +412,18 @@ private[sources] final class TripleTextBatchWrite(path: String)
 private[sources] final case class TripleFileCommit(tmp: String, fin: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-private[sources] final class TripleTextWriterFactory(path: String)
+private[sources] final class TripleTextWriterFactory(path: String,
+    queryId: String,
+    conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val tmp = f"$path/.part-$partitionId%05d-$taskId.tmp"
-      private val fin = f"$path/part-$partitionId%05d.txt"
+      private val fin = f"$path/part-$partitionId%05d-$queryId.txt"
       private val p = new org.apache.hadoop.fs.Path(tmp)
-      private val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      private val fs = p.getFileSystem(conf.value.value)
       private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
         fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
 

@@ -88,6 +88,55 @@ class SourcesSpec extends SparkTestBase {
     assert(leftovers.isEmpty, s"uncommitted temps: ${leftovers.mkString(",")}")
   }
 
+  test("graft-triples streaming: restart offsets are file-name marks, not indices") {
+    // process f01/f02; then drop in f00 (sorts BEFORE processed files) and
+    // f03; restart from the checkpoint. Index-based offsets would shift and
+    // replay f01 (or skip f03); name-mark offsets process exactly f03.
+    val tmp = Tables.scratchDir("dsv2_restart_spec")
+    val d = new java.io.File(tmp)
+    if (d.exists()) d.listFiles().foreach(_.delete())
+    d.mkdirs()
+    def put(name: String, base: Int): Unit = {
+      val w = new java.io.PrintWriter(s"$tmp/$name")
+      (0 until 10).foreach(j => w.println(s"${base + j} -2 $j"))
+      w.close()
+    }
+    put("f01.txt", 100); put("f02.txt", 200)
+    val ckpt = java.nio.file.Files.createTempDirectory("dsv2_rst_ckpt").toString
+    // memory sink refuses checkpoint recovery; foreachBatch supports it
+    def drain(outDir: String): Unit = {
+      val q = spark.readStream.format("graft-triples").load(tmp)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    val out1 = java.nio.file.Files.createTempDirectory("dsv2_rst_o1").toString
+    val out2 = java.nio.file.Files.createTempDirectory("dsv2_rst_o2").toString
+    drain(out1)
+    assert(spark.read.parquet(out1).count() == 20)
+    put("f00.txt", 0); put("f03.txt", 300)
+    drain(out2)
+    val second = spark.read.parquet(out2)
+    assert(second.count() == 10, "restart must process exactly the one new high-sorting file")
+    assert(second.agg(min(col("Subject"))).head.getInt(0) == 300,
+      "the processed file must be f03 (f00 sorts below the mark: ignored, no replay)")
+  }
+
+  test("graft-triples write: append mode never renames onto a prior job's files") {
+    val tmp = Tables.scratchDir("dsv2_append_spec")
+    val ad = new java.io.File(tmp)
+    if (ad.exists()) { ad.listFiles().foreach(_.delete()); ad.delete() }
+    val in = RdfBridge.triples(spark, sf).limit(100)
+    in.write.format("graft-triples").mode("append").save(tmp)
+    in.write.format("graft-triples").mode("append").save(tmp)
+    val back = spark.read.format("graft-triples").load(tmp)
+    assert(back.count() == 200,
+      "two append jobs must coexist (queryId-unique file names), not clobber")
+  }
+
   test("graft-triples: one partition per file (parallel scan)") {
     val n = spark.read.format("graft-triples").load(textDir).rdd.getNumPartitions
     val files = new java.io.File(textDir).listFiles()
