@@ -1313,11 +1313,14 @@ object Pipeline {
     */
   /** One argmin-assignment step of the subspace k-means: per (vector,
     * subspace), the nearest centroid of `cTable` by exact int64 squared
-    * L2 over milli-unit lanes, (dist, cid) tie-break. */
+    * L2 over milli-unit lanes, (dist, cid) tie-break. `scale` converts the
+    * input lanes to milli-units (1000 for raw int8 lanes; 1 when the input
+    * relation is ALREADY milli-unit, e.g. residuals against a milli-unit
+    * centroid). */
   private[queries] def pqAssignCtes(d: Dialect, xRef: String, p: String, step: Int,
-      cTable: String): String =
+      cTable: String, scale: Int = 1000): String =
     s"""${p}d$step AS (SELECT x.vec_id, c.m, c.cid,
-       |    CAST(SUM((x.x*1000 - c.c)*(x.x*1000 - c.c)) AS BIGINT) AS dist
+       |    CAST(SUM((x.x*$scale - c.c)*(x.x*$scale - c.c)) AS BIGINT) AS dist
        |  FROM $xRef x JOIN $cTable c ON x.i = c.i GROUP BY x.vec_id, c.m, c.cid),
        |${p}a$step AS (SELECT vec_id, m, cid FROM (
        |    SELECT vec_id, m, cid,
@@ -1333,15 +1336,15 @@ object Pipeline {
     * gates run the same single inline chain as the oracle.
     */
   private[queries] def pqTrainCtes(d: Dialect, xRef: String, p: String,
-      subDim: Int, k: Int): String = {
+      subDim: Int, k: Int, scale: Int = 1000): String = {
     val idiv = if (d == SparkDialect) "div" else "//"
     s"""${p}c0 AS (SELECT vec_id AS cid, i $idiv $subDim AS m, i,
-       |    CAST(x*1000 AS BIGINT) AS c
+       |    CAST(x*$scale AS BIGINT) AS c
        |  FROM $xRef WHERE vec_id < $k),
-       |${pqAssignCtes(d, xRef, p, 1, p + "c0")},
+       |${pqAssignCtes(d, xRef, p, 1, p + "c0", scale)},
        |${p}c2 AS (SELECT a.cid, a.m, x.i,
-       |    (CAST(SUM(x.x) AS BIGINT)*1000
-       |      - ((CAST(SUM(x.x) AS BIGINT)*1000) % COUNT(*))) $idiv COUNT(*) AS c
+       |    (CAST(SUM(x.x) AS BIGINT)*$scale
+       |      - ((CAST(SUM(x.x) AS BIGINT)*$scale) % COUNT(*))) $idiv COUNT(*) AS c
        |  FROM $xRef x JOIN ${p}a1 a
        |    ON x.vec_id = a.vec_id AND x.i $idiv $subDim = a.m
        |  GROUP BY a.cid, a.m, x.i)""".stripMargin
@@ -1570,6 +1573,85 @@ object Pipeline {
       ivfPqSpark(xRef =>
         s"""WITH ${ivfPqCtes(SparkDialect, xRef)}${ivfPqRefineCtes(xRef)}${ivfPqRecallTail(xRef, "rtop")}""".stripMargin))
 
+  /** IVF-PQ with RESIDUAL encoding (round-10): the PQ codebooks are
+    * trained on — and the codes encode — the residual
+    * `x − coarse_centroid(x)` instead of the raw vector, the production
+    * IVF-PQ construction (Jégou, Douze, Schmid, "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011 §IV-A): residual energy is a
+    * fraction of vector energy, so the same M×K code budget quantizes
+    * finer at equal nprobe. The ADC lookup table becomes PER PROBED CELL
+    * (the query's residual against THAT cell's centroid, vs each codebook
+    * entry): `lut` is (qid, pcell, m, code) — nq×nprobe×M×K rows, still
+    * broadcast-sized model state.
+    *
+    * Exactness discipline: the coarse chain stays milli-unit (scale
+    * 1000); residual lanes are ALREADY milli-unit differences, so the
+    * residual PQ chain runs at `scale = 1` through the shared
+    * [[pqTrainCtes]]/[[pqAssignCtes]] — same exact int64 arithmetic,
+    * bit-identical across engines (|r| ≤ 2·127000 ⇒ per-lane square
+    * ≤ 6.5e10, ×64 lanes well inside int64). Scale shape: unchanged from
+    * sim_ivf_pq plus one (vec_id, i) equi-join to form residual lanes;
+    * candidates stay cell-pruned, ADC stays M lookups per candidate.
+    */
+  private def ivfPqResidualCtes(d: Dialect, xRef: String): String =
+    s"""${pqTrainCtes(d, xRef, "cv", DIM, KM)},
+       |${pqAssignCtes(d, xRef, "cv", 2, "cvc2")},
+       |xr AS (SELECT x.vec_id, x.i, x.x*1000 - c.c AS x
+       |  FROM $xRef x JOIN cva2 a ON a.vec_id = x.vec_id
+       |  JOIN cvc2 c ON c.cid = a.cid AND c.i = x.i),
+       |${pqTrainCtes(d, "xr", "pq", 8, 8, 1)},
+       |${pqAssignCtes(d, "xr", "pq", 2, "pqc2", 1)},
+       |q AS (SELECT vec_id AS qid, i, CAST(x*1000 AS BIGINT) AS qx
+       |  FROM $xRef WHERE vec_id % 100 = 0),
+       |qprobe AS (SELECT q.qid, c.cid,
+       |    CAST(SUM((q.qx - c.c)*(q.qx - c.c)) AS BIGINT) AS dist
+       |  FROM q JOIN cvc2 c ON q.i = c.i GROUP BY q.qid, c.cid),
+       |probe AS (SELECT qid, cid FROM (
+       |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
+       |  FROM qprobe) r WHERE rn <= 3),
+       |qr AS (SELECT p.qid, p.cid AS pcell, q.i, q.qx - c.c AS rx
+       |  FROM probe p JOIN q ON q.qid = p.qid
+       |  JOIN cvc2 c ON c.cid = p.cid AND c.i = q.i),
+       |lut AS (SELECT r.qid, r.pcell, c.m, c.cid,
+       |    CAST(SUM((r.rx - c.c)*(r.rx - c.c)) AS BIGINT) AS pd
+       |  FROM qr r JOIN pqc2 c ON r.i = c.i GROUP BY r.qid, r.pcell, c.m, c.cid),
+       |cand AS (SELECT p.qid, p.cid AS pcell, a.vec_id AS nid
+       |  FROM probe p JOIN cva2 a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
+       |adc AS (SELECT cd.qid, cd.nid, CAST(SUM(l.pd) AS BIGINT) AS adist
+       |  FROM cand cd JOIN pqa2 a ON a.vec_id = cd.nid
+       |  JOIN lut l ON l.qid = cd.qid AND l.pcell = cd.pcell
+       |    AND l.m = a.m AND l.cid = a.cid
+       |  GROUP BY cd.qid, cd.nid),
+       |pqtop AS (SELECT qid, nid, adist, rnk FROM (
+       |    SELECT qid, nid, adist,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS rnk
+       |  FROM adc) r WHERE rnk <= 5)""".stripMargin
+
+  private def simIvfPqResidual: QueryDef = {
+    val sel =
+      """SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+        |  adist, CAST(rnk AS BIGINT) AS rnk
+        |FROM pqtop""".stripMargin
+    QueryDef("sim_ivf_pq_residual",
+      s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
+         |${ivfPqResidualCtes(DuckDialect, "x")}
+         |$sel""".stripMargin)(
+      ivfPqSpark(xRef =>
+        s"""WITH ${ivfPqResidualCtes(SparkDialect, xRef)}
+           |$sel""".stripMargin))
+  }
+
+  /** Recall@5 of the residual-encoded ADC against the same exact ground
+    * truth as [[simIvfPqRecall]] — equal M/K/nprobe, so the per-query
+    * delta vs sim_ivf_pq_recall IS the residual-encoding gain (recorded
+    * in SCALE.md; spec-compared at suite level). */
+  private def simIvfPqResidualRecall: QueryDef =
+    QueryDef("sim_ivf_pq_residual_recall",
+      s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
+         |${ivfPqResidualCtes(DuckDialect, "x")}${ivfPqRecallTail("x", "pqtop")}""".stripMargin)(
+      ivfPqSpark(xRef =>
+        s"""WITH ${ivfPqResidualCtes(SparkDialect, xRef)}${ivfPqRecallTail(xRef, "pqtop")}""".stripMargin))
+
   /** SEQUENCE PACKING (round-7): the concat-and-chunk layout a pretraining
     * dataloader feeds the model — documents are concatenated in doc_id
     * order and sliced into fixed 512-token context windows ("bins"), with
@@ -1704,6 +1786,68 @@ object Pipeline {
         .localCheckpoint()
       fps.createOrReplaceTempView("graft_winnow_fps")
       s.sql(dedupWinnowPairsSelect("graft_winnow_fps"))
+    }
+
+  /** EXACT ≥k-token duplicated-substring detection (round-10) — the
+    * suffix-array-style dedup corpora actually deploy ("Deduplicating
+    * Training Data Makes Language Models Better", Lee et al.
+    * arXiv:2107.06499 §4.1), relationally: where the winnowing family
+    * APPROXIMATES (sampled fingerprints), this gate is EXACT — for every
+    * document pair it reports the true maximal duplicated token span
+    * (≥ [[ExactSubK]] tokens), by k-gram anchoring:
+    *
+    *  1. every k-token window becomes an anchor row (doc, pos, kgram);
+    *  2. candidate pairs come from the k-gram EQUI-JOIN (the
+    *     bucket-bounded invariant — the join key is the exact k-gram
+    *     string, so the anchor match IS the verify: no hash collisions to
+    *     re-check, never all-pairs);
+    *  3. consecutive anchor matches on one alignment diagonal
+    *     (pa − pb constant, pa consecutive) merge via the gaps-and-islands
+    *     trick into maximal runs — a run of L anchors certifies an exact
+    *     duplicated substring of L + k − 1 tokens (suffix-array adjacency,
+    *     reconstructed relationally).
+    *
+    * 100 TB shape: one explode + one hash exchange on the k-gram key
+    * (anchor buckets), one window partitioned by (da, db, diag); hot
+    * k-grams (boilerplate) are the usual skew keys — salting/AQE skew-join
+    * territory, or a document-frequency cap on anchors as the documented
+    * relaxation. Spark side materializes the anchor relation ONCE before
+    * the self-join (the dedup_winnow_pairs lesson — an inlined CTE would
+    * run the tokenize + slice fold twice).
+    */
+  private val ExactSubK = 8
+
+  private[queries] def exactSubGramCtes(d: Dialect): String = {
+    val kg = d.joinWs(d.slice("toks", "i", ExactSubK.toString))
+    s"""t AS (SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM documents),
+       |g0 AS (${d.explodeSelect("doc_id, toks", "t",
+           d.seq("1", s"${d.len("toks")} - ${ExactSubK - 1}"), "i")}),
+       |g AS (SELECT doc_id, i, $kg AS kg FROM g0)""".stripMargin
+  }
+
+  private[queries] def exactSubBody(table: String): String =
+    s"""SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+       |  CAST(MAX(span) AS BIGINT) AS max_span_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_spans
+       |FROM (SELECT da, db, COUNT(*) + ${ExactSubK - 1} AS span
+       |  FROM (SELECT da, db, pa - pb AS diag, pa,
+       |      pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS isl
+       |    FROM (SELECT a.doc_id AS da, b.doc_id AS db, a.i AS pa, b.i AS pb
+       |      FROM $table a JOIN $table b
+       |        ON a.kg = b.kg AND a.doc_id < b.doc_id) pairs) runs
+       |  GROUP BY da, db, diag, isl) spans
+       |GROUP BY da, db""".stripMargin
+
+  private def dedupExactSubstringDef: QueryDef =
+    QueryDef("dedup_exact_substring",
+      s"""WITH ${exactSubGramCtes(DuckDialect)}
+         |${exactSubBody("g")}""".stripMargin) { (s, dir) =>
+      views(s, dir, "documents")
+      val g = s.sql(
+        s"WITH ${exactSubGramCtes(SparkDialect)} SELECT doc_id, i, kg FROM g")
+        .localCheckpoint()
+      g.createOrReplaceTempView("graft_xsub_g")
+      s.sql(exactSubBody("graft_xsub_g"))
     }
 
   /** REPEATED-SPAN REMOVAL — the substring-level dedup APPLY step
@@ -2625,43 +2769,88 @@ object Pipeline {
     * BIGINT/DECIMAL aggregates, order-independent), then Welch's z
     * statistic as ONE scalar double expression over those exact sums —
     * identical doubles in both engines because every input to the float
-    * tree is an exact integer. The gate a metrics pipeline runs per
-    * experiment readout.
+    * tree is an exact integer. Per-arm variance is the SAMPLE variance
+    * (÷(n−1)), as Welch's statistic defines it; arms are event-table
+    * halves (thousands of rows), so n > 1 always holds here. The gate a
+    * metrics pipeline runs per experiment readout.
     *
     * 100 TB shape: one map-side-combinable aggregate over events, a 2-row
     * pivot, scalar math — no data shuffle beyond the aggregate's.
     */
+  /** Arm-assignment + integer-cents projection over an events relation —
+    * the per-ROW half of the A/B readout, shared by the batch gate, the
+    * versioned oracle, and the streaming gate's per-batch fold. */
+  private[queries] val abArmSelect: String =
+    """CASE WHEN user_id % 2 = 1 THEN 'B' ELSE 'A' END AS arm,
+      |    CAST(round(value * 100) AS BIGINT) AS x""".stripMargin
+
+  /** Per-arm exact moment sums (the associative state the streaming gate
+    * accumulates per batch). */
+  private[queries] val abMomentAggs: String =
+    """CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx,
+      |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx""".stripMargin
+
+  /** 2-row → 1-row arm pivot over an `m(arm, n, sx, sxx)` relation. */
+  private[queries] val abPivotCols: String =
+    """CAST(MAX(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS na,
+      |    CAST(MAX(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS nb,
+      |    CAST(MAX(CASE WHEN arm = 'A' THEN sx END) AS BIGINT) AS sxa,
+      |    CAST(MAX(CASE WHEN arm = 'B' THEN sx END) AS BIGINT) AS sxb,
+      |    CAST(MAX(CASE WHEN arm = 'A' THEN sxx END) AS DECIMAL(25,0)) AS sxxa,
+      |    CAST(MAX(CASE WHEN arm = 'B' THEN sxx END) AS DECIMAL(25,0)) AS sxxb""".stripMargin
+
+  /** Welch's z readout over a pivoted `w(na, nb, sxa, sxb, sxxa, sxxb)`
+    * row: one scalar double expression over exact integer sums (sample
+    * variance ÷(n−1), as Welch defines). */
+  private[queries] val welchReadoutCols: String =
+    """na, nb,
+      |  CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a_cents,
+      |  CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b_cents,
+      |  (CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)
+      |    - CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)) AS lift_cents,
+      |  (CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)
+      |    - CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE))
+      |  / sqrt(
+      |      ((CAST(na AS DOUBLE) * CAST(sxxa AS DOUBLE)
+      |         - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE))
+      |        / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0))) / CAST(na AS DOUBLE)
+      |    + ((CAST(nb AS DOUBLE) * CAST(sxxb AS DOUBLE)
+      |         - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE))
+      |        / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0))) / CAST(nb AS DOUBLE))
+      |    AS welch_z""".stripMargin
+
   private def eventsAbTest(d: Dialect): String =
-    s"""WITH b AS (SELECT CASE WHEN user_id % 2 = 1 THEN 'B' ELSE 'A' END AS arm,
-       |    CAST(round(value * 100) AS BIGINT) AS x
+    s"""WITH b AS (SELECT $abArmSelect
        |  FROM events),
-       |m AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST(SUM(x) AS BIGINT) AS sx,
-       |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx
+       |m AS (SELECT arm, $abMomentAggs
        |  FROM b GROUP BY arm),
-       |w AS (SELECT
-       |    CAST(MAX(CASE WHEN arm = 'A' THEN n END) AS BIGINT) AS na,
-       |    CAST(MAX(CASE WHEN arm = 'B' THEN n END) AS BIGINT) AS nb,
-       |    CAST(MAX(CASE WHEN arm = 'A' THEN sx END) AS BIGINT) AS sxa,
-       |    CAST(MAX(CASE WHEN arm = 'B' THEN sx END) AS BIGINT) AS sxb,
-       |    CAST(MAX(CASE WHEN arm = 'A' THEN sxx END) AS DECIMAL(25,0)) AS sxxa,
-       |    CAST(MAX(CASE WHEN arm = 'B' THEN sxx END) AS DECIMAL(25,0)) AS sxxb
+       |w AS (SELECT $abPivotCols
        |  FROM m)
-       |SELECT na, nb,
-       |  CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS mean_a_cents,
-       |  CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS mean_b_cents,
-       |  (CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)
-       |    - CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)) AS lift_cents,
-       |  (CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)
-       |    - CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE))
-       |  / sqrt(
-       |      ((CAST(na AS DOUBLE) * CAST(sxxa AS DOUBLE)
-       |         - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE))
-       |        / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE))) / CAST(na AS DOUBLE)
-       |    + ((CAST(nb AS DOUBLE) * CAST(sxxb AS DOUBLE)
-       |         - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE))
-       |        / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE))) / CAST(nb AS DOUBLE))
-       |    AS welch_z
+       |SELECT $welchReadoutCols
+       |FROM w""".stripMargin
+
+  /** DuckDB oracle for the STREAMING A/B readout: version v's readout is
+    * the batch formula over the first v time-ordered THIRDS of the events
+    * table — exactly the prefix each micro-batch has seen, since the
+    * staging splits on the same (ts, event_id) row-number boundaries
+    * (`stagedEventsDir`). The streaming side accumulates per-arm exact
+    * integer sums per batch (associative), so cumulative sums equal the
+    * oracle's prefix sums bit-for-bit and the double tree agrees. */
+  private[queries] def eventsAbTestVersionedOracle: String =
+    s"""WITH ev AS (SELECT user_id, value,
+       |    ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+       |    COUNT(*) OVER () AS nn
+       |  FROM events),
+       |vs AS (SELECT CAST(1 AS BIGINT) AS version
+       |  UNION ALL SELECT 2 UNION ALL SELECT 3),
+       |b AS (SELECT vs.version, $abArmSelect
+       |  FROM vs JOIN ev ON ev.rn <= (vs.version * ev.nn) // 3),
+       |m AS (SELECT version, arm, $abMomentAggs
+       |  FROM b GROUP BY version, arm),
+       |w AS (SELECT version, $abPivotCols
+       |  FROM m GROUP BY version)
+       |SELECT version, $welchReadoutCols
        |FROM w""".stripMargin
 
   /** Batch MERGE / upsert (the Delta-style `MERGE INTO` semantics on plain
@@ -2893,7 +3082,7 @@ object Pipeline {
     * 1-row corpus epoch, one join back on user_id (hash-partitioned),
     * one COUNT DISTINCT groupBy — the canonical two-exchange cohort job.
     */
-  private def eventsRetentionCohorts(d: Dialect): String = {
+  private[queries] def eventsRetentionCohorts(d: Dialect): String = {
     val em = if (d == SparkDialect) "unix_micros(ts)" else "epoch_us(ts)"
     val idiv = if (d == SparkDialect) "div" else "//"
     s"""WITH ev AS (SELECT user_id, $em AS tus FROM events),
@@ -5113,10 +5302,13 @@ object Pipeline {
     simIvfPqRecall,
     simIvfPqRefine,
     simIvfPqRefineRecall,
+    simIvfPqResidual,
+    simIvfPqResidualRecall,
     docQuery("corpus_pack", corpusPack),
     docQuery("corpus_pack_stats", corpusPackStats),
     docQuery("text_winnow_fingerprint", textWinnowFingerprint),
     dedupWinnowPairsDef,
+    dedupExactSubstringDef,
     dedupSpanScrubDef,
     docQuery("text_inverted_index", textInvertedIndex),
     corpusSplitLeakageDef,

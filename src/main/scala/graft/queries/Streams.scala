@@ -286,16 +286,16 @@ object Streams {
   private val IngestStoreBuckets = 8
 
   /** Per-batch probe + merge-compact of the ingestion band-key STORE
-    * (round-9 rework). The store holds DISTINCT band keys only — it is
-    * probed as `rid = -1`, so per-doc multiplicity was dead weight — and
-    * is written `partitionBy(bkb)` where `bkb = pmod(hash(bk), buckets)`.
-    * Each batch (1) collects the ≤[[IngestStoreBuckets]] bucket ids its
-    * own keys hash into (driver model state) and reads ONLY those store
-    * partitions (static partition pruning — the probe cost tracks the
-    * batch's bucket subset, not the corpus), and (2) appends only keys
-    * NOT already in that slice (left_anti on the same pruned scan — a key
-    * can only collide inside its own bucket), keeping the store exactly
-    * the distinct band-key set, vocabulary-bounded.
+    * (round-9 rework; round-10: on the shared [[graft.streaming.IndexStore]]
+    * layout). The store holds DISTINCT band keys only — it is probed as
+    * `rid = -1`, so per-doc multiplicity was dead weight. Each batch
+    * (1) collects the ≤[[IngestStoreBuckets]] bucket ids its own keys hash
+    * into (driver model state) and reads ONLY those store partitions
+    * (static partition pruning — the probe cost tracks the batch's bucket
+    * subset, not the corpus), and (2) appends only keys NOT already in
+    * that slice (left_anti on the same pruned scan — a key can only
+    * collide inside its own bucket), keeping the store exactly the
+    * distinct band-key set, vocabulary-bounded.
     *
     * Returns the pruned store slice (None on the first batch) and a thunk
     * that performs the compacted append — call it AFTER the batch output
@@ -304,27 +304,59 @@ object Streams {
     */
   private[queries] def bandStoreProbe(ss: SparkSession, bands: DataFrame,
       idxDir: String, batchId: Long): (Option[DataFrame], () => Unit) = {
-    val bkeys = bands.select(col("bk")).distinct()
-      .withColumn("bkb", pmod(hash(col("bk")), lit(IngestStoreBuckets)))
-      .localCheckpoint()
+    val store = new graft.streaming.IndexStore(ss, idxDir, "bk", IngestStoreBuckets)
+    val bkeys = store.bucketed(bands.select(col("bk")).distinct()).localCheckpoint()
     val slice =
       if (batchId == 0) None
-      else {
-        val buckets = bkeys.select("bkb").distinct().collect().map(_.getInt(0)).toSeq
-        // explicit schema: an all-filtered first batch appends NOTHING under
-        // partitionBy (no data files, no footer), and inference would fail
-        // on the empty store dir — a store with zero keys is a valid state
-        Some(ss.read.schema(bkeys.schema).parquet(idxDir)
-          .filter(col("bkb").isin(buckets: _*)))
-      }
+      else Some(store.read(bkeys.schema, store.partsOf(bkeys)))
     val append = () => {
       val newKeys = slice match {
         case None     => bkeys
         case Some(st) => bkeys.join(st.select("bk"), Seq("bk"), "left_anti")
       }
-      newKeys.write.partitionBy("bkb").mode("append").parquet(idxDir)
+      newKeys.write.partitionBy(store.bucketCol).mode("append").parquet(idxDir)
     }
     (slice, append)
+  }
+
+  /** One micro-batch of the production ingestion pipeline — quality gate →
+    * accepted-band near-dup check against the compacted store → one status
+    * row per doc ('quality' | 'dup' | 'ok') — shared by the single-run gate
+    * (stream_ingest_e2e) and the checkpoint-restart gate
+    * (stream_ingest_restart): exactly-once across a restart is only
+    * meaningful if both runs execute the identical batch body.
+    */
+  private def ingestE2eBatch(idxDir: String, out: String)(
+      bdf: DataFrame, batchId: Long): Unit = {
+    val ss = bdf.sparkSession
+    // qual is consumed twice (pass filter + status join): ONE
+    // localCheckpoint beats recomputing the tokenize/stopword fold
+    // per reference — measured 12.7s vs 14.3s median-of-3 at 10×
+    // batch size, within noise at sf0.1 (PLANS.md round-9)
+    val qual = Pipeline.qualityKeep(ss, bdf).localCheckpoint()
+    val pass = bdf.join(qual.filter(col("keep") === 1), Seq("doc_id"))
+    val bands = Pipeline.ingestBands(ss, pass).localCheckpoint()
+    val within = bands.select(col("bk").as("rbk"), col("doc_id").as("rid"))
+    val (slice, mergeStore) = bandStoreProbe(ss, bands, idxDir, batchId)
+    val rivals = slice match {
+      case None     => within
+      case Some(st) => within.union(
+        st.select(col("bk").as("rbk"), lit(-1L).as("rid")))
+    }
+    val dups = bands
+      .join(rivals, col("rbk") === col("bk") && col("rid") < col("doc_id"),
+        "left_semi")
+      .select(col("doc_id")).distinct().withColumn("__dup", lit(1L))
+    bdf.select(col("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(lit(batchId + 1).cast("long").as("version"),
+        col("doc_id").cast("long").as("doc_id"),
+        when(col("keep") === 0, lit("quality"))
+          .when(col("__dup").isNotNull, lit("dup"))
+          .otherwise(lit("ok")).as("status"))
+      .write.mode("append").parquet(out)
+    mergeStore()
   }
 
   private def await(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
@@ -1172,27 +1204,27 @@ object Streams {
           s"${F.norm(d, "embedding", dim)} AS qn",
           s"CAST(${F.lshBucket(d, "embedding", dim, 8)} AS LONG) AS bkt")
         .localCheckpoint())
+      // vector store on the shared IndexStore layout: 256 raw bkt values
+      // hash-fold into 8 partition dirs (direct partitionBy(bkt) would be
+      // the 256-tiny-file pathology at batch scale; a corpus-sized store
+      // raises the bucket count instead). The static query set's bucket
+      // subset is known once — every serve reads only those partitions.
+      val vecStore = new graft.streaming.IndexStore(s, idxDir, "bkt", 8)
+      val qParts = vecStore.partsOf(queries.select("bkt"))
       val q = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
         .writeStream
         .foreachBatch { (bdf: DataFrame, batchId: Long) =>
-          val ss = bdf.sparkSession
-          // 1. merge: bucket/norm folds over the BATCH only, appended as
-          //    bucket-SORTED files (no rewrite of prior versions). At
-          //    warehouse scale this append is partitionBy(bkt) — per-bucket
-          //    directories a compactor folds — but 256 directories × 3
-          //    batches of tiny files is exactly the small-file pathology
-          //    that layout exists to avoid, so at fixture scale the
-          //    bucket-sorted single file per batch (same merge semantics,
-          //    parquet min/max stats per row group) is the honest shape.
-          bdf.selectExpr("vec_id AS nid", "embedding AS ev",
-              s"${F.norm(d, "embedding", dim)} AS en",
-              s"CAST(${F.lshBucket(d, "embedding", dim, 8)} AS LONG) AS bkt")
-            .sortWithinPartitions("bkt")
-            .write.mode("append").parquet(idxDir)
+          // 1. merge: bucket/norm folds over the BATCH only, appended into
+          //    the store's bucket partitions (no rewrite of prior versions)
+          val rows = bdf.selectExpr("vec_id AS nid", "embedding AS ev",
+            s"${F.norm(d, "embedding", dim)} AS en",
+            s"CAST(${F.lshBucket(d, "embedding", dim, 8)} AS LONG) AS bkt")
+          vecStore.append(rows)
           // 2. serve: the static queries probe the refreshed index at this
-          //    version (bucket equi-join; bucket partitions pruned at scale)
-          val idx = ss.read.parquet(idxDir)
+          //    version — partition-pruned to the queries' bucket subset,
+          //    then the bucket equi-join
+          val idx = vecStore.read(vecStore.storeSchema(rows.schema), qParts)
           idx.join(queries, "bkt")
             .filter(col("nid") =!= col("qid"))
             .select(lit(batchId + 1).cast("long").as("version"),
@@ -1278,17 +1310,21 @@ object Streams {
             expr("graft_dot(qv, ev)") / (col("qn") * col("en")))
             .otherwise(lit(0.0)).as("score"))
         .localCheckpoint()
+      // tombstone store on the shared IndexStore layout: one bucket —
+      // tombstones are a tiny id set, read whole at serve (compaction
+      // folds them into the index offline at scale)
+      val delSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          emb.schema("vec_id").dataType)))
+      val tombStore = new graft.streaming.IndexStore(s, tombDir, "vec_id", 1)
       val q = s.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            emb.schema("vec_id").dataType))))
+        .schema(delSchema)
         .option("maxFilesPerTrigger", 1).parquet(src)
         .writeStream
         .foreachBatch { (bdf: DataFrame, batchId: Long) =>
-          val ss = bdf.sparkSession
           // merge tombstones FIRST: a delete takes effect in its version
-          bdf.select(col("vec_id")).write.mode("append").parquet(tombDir)
-          val tombs = ss.read.parquet(tombDir)
+          tombStore.append(bdf.select(col("vec_id")))
+          val tombs = tombStore.readAll(tombStore.storeSchema(delSchema))
             .select(col("vec_id").as("__del"))
           scored.join(tombs, col("nid") === col("__del"), "left_anti")
             .withColumn("rnk", row_number().over(
@@ -1375,6 +1411,14 @@ object Streams {
         .localCheckpoint().createOrReplaceTempView("graft_ipu_probe")
       s.sql(s"WITH $serveCtes SELECT qid, m, cid, pd FROM lut")
         .localCheckpoint().createOrReplaceTempView("graft_ipu_lut")
+      // the code store is partitioned BY CELL (raw-key IndexStore layout:
+      // the cell domain is model-sized), and the probe set is STATIC — so
+      // the prunable cell subset is known ONCE, before the stream starts;
+      // every batch's serve reads only those partitions instead of the
+      // whole accumulated store (the bandStoreProbe fix, applied to the
+      // second index family)
+      val probeCells = new graft.streaming.IndexStore(s, idxDir, "cell", 0)
+        .partsOf(s.table("graft_ipu_probe").select(col("cid").as("cell")))
       val q = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
         .writeStream
@@ -1392,13 +1436,18 @@ object Streams {
                |${Pipeline.pqAssignCtes(d, "graft_ipu_bx", "pq", 2, "graft_ipu_pqc2")}
                |SELECT c.vec_id AS nid, c.cid AS cell, p.m, p.cid
                |FROM cva2 c JOIN pqa2 p ON p.vec_id = c.vec_id""".stripMargin)
-          // 2. merge: append-only, cell-sorted (parquet min/max per row
-          //    group; at warehouse scale this is partitionBy(cell) — the
-          //    stream_ann_upsert small-file rationale applies verbatim)
-          codes.sortWithinPartitions("cell").write.mode("append").parquet(idxDir)
-          // 3. serve: static probes × refreshed store — cell equi-join +
-          //    M-lookup ADC, exactly the sim_ivf_pq scoring arithmetic
-          ss.read.parquet(idxDir).createOrReplaceTempView("graft_ipu_store")
+          // 2. merge: append-only into the cell-partitioned store (per-cell
+          //    directories; nothing existing is rewritten). The store
+          //    handle binds to the BATCH session: the temp view below must
+          //    land in the catalog the per-batch SQL resolves against.
+          val codeStore = new graft.streaming.IndexStore(ss, idxDir, "cell", 0)
+          codeStore.append(codes)
+          // 3. serve: static probes × the refreshed store's PROBED CELLS
+          //    ONLY (partition-pruned read — serve cost tracks probe-cell
+          //    volume, not store size) — cell equi-join + M-lookup ADC,
+          //    exactly the sim_ivf_pq scoring arithmetic
+          codeStore.read(codes.schema, probeCells)
+            .createOrReplaceTempView("graft_ipu_store")
           ss.sql(
             """SELECT p.qid, st.nid, CAST(SUM(l.pd) AS BIGINT) AS adist
               |FROM graft_ipu_probe p
@@ -1478,6 +1527,97 @@ object Streams {
         .select(col("user_id").cast("long").as("user_id"),
           col("purchase_us").cast("long").as("purchase_us"),
           col("span_us").cast("long").as("span_us"))
+      }
+    },
+
+    // ---- STREAMING A/B READOUT (round-10): the experiment metrics
+    // pipeline as it actually runs — one Welch readout PER MICRO-BATCH
+    // over everything seen so far. Per batch: one map-side-combinable
+    // per-arm aggregate over the BATCH only (n, Σx, Σx² in exact integer
+    // cents), appended to a 2-rows-per-batch partials store; the cumulative
+    // readout is a sum over that store (model-sized: arms × batches), a
+    // 2-row pivot, and the shared Welch scalar tree. No corpus re-scan,
+    // no state store — the model IS the per-arm sums. Oracle replays each
+    // version as the batch formula over the first v time-ordered thirds
+    // (the staging's own row-number boundaries); integer sums are
+    // associative, so cumulative = prefix bit-for-bit. ----
+    QueryDef("stream_ab_test", Pipeline.eventsAbTestVersionedOracle) { (s, dir) =>
+      val src = stagedEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_sab_ckpt_${dir.hashCode & 0x7fffffff}")
+      val pdir = cleanScratch(s, s"stream_sab_m_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_sab_out_${dir.hashCode & 0x7fffffff}")
+      val schema = s.read.parquet(src).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+          val ss = bdf.sparkSession
+          bdf.createOrReplaceTempView("graft_sab_b")
+          ss.sql(
+            s"""SELECT arm, ${Pipeline.abMomentAggs}
+               |FROM (SELECT ${Pipeline.abArmSelect} FROM graft_sab_b) b
+               |GROUP BY arm""".stripMargin)
+            .write.mode("append").parquet(pdir)
+          ss.read.parquet(pdir).createOrReplaceTempView("graft_sab_parts")
+          ss.sql(
+            s"""SELECT CAST(${batchId + 1} AS BIGINT) AS version,
+               |  ${Pipeline.welchReadoutCols}
+               |FROM (SELECT ${Pipeline.abPivotCols}
+               |  FROM (SELECT arm, CAST(SUM(n) AS BIGINT) AS n,
+               |      CAST(SUM(sx) AS BIGINT) AS sx,
+               |      CAST(SUM(sxx) AS DECIMAL(25,0)) AS sxx
+               |    FROM graft_sab_parts GROUP BY arm) m) w""".stripMargin)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.read.parquet(out)
+        .select(col("version").cast("long").as("version"),
+          col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+          col("mean_a_cents"), col("mean_b_cents"), col("lift_cents"),
+          col("welch_z"))
+    },
+
+    // ---- STREAMING RETENTION COHORTS (round-10): cohort bookkeeping as
+    // per-user transformWithState — two longs of state per user (first-seen
+    // time, highest age-day emitted). Because staging is globally
+    // time-ordered, t0 is final on first sight and age-days are
+    // non-decreasing, so emitting on `age > maxEmitted` yields each
+    // occurring (user, age_day) EXACTLY once — the emitted increments ARE
+    // the batch gate's DISTINCT (user, age) relation, and the final
+    // matrix is one aggregate over them (the global cohort epoch = min
+    // emitted t0). Batch-equivalent by construction; oracle = the batch
+    // retention gate verbatim. 100 TB shape: O(1) state/user, one shuffle
+    // on user_id per batch, matrix-sized output aggregate. ----
+    QueryDef("stream_retention_cohorts",
+      Pipeline.eventsRetentionCohorts(graft.functions.DuckDialect)) { (s, dir) =>
+      withStatePartitions(s, 2) {
+      import s.implicits._
+      val src = stagedEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_ret_ckpt_${dir.hashCode & 0x7fffffff}")
+      withRocksDb(s) {
+        val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+          .as[EventStreams.Event]
+          .groupByKey(_.user_id)
+          .transformWithState(
+            new EventStreams.RetentionProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF()
+          .writeStream.format("memory").queryName("g_stream_ret")
+          .outputMode("update").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        await(q)
+      }
+      s.table("g_stream_ret").createOrReplaceTempView("graft_ret_hits")
+      s.sql(
+        """SELECT CAST((t0_us - g.g0) div 86400000000 AS BIGINT) AS cohort_day,
+          |  CAST(age_day AS BIGINT) AS age_day,
+          |  CAST(COUNT(*) AS BIGINT) AS active_users
+          |FROM graft_ret_hits
+          |CROSS JOIN (SELECT MIN(t0_us) AS g0 FROM graft_ret_hits) g
+          |GROUP BY 1, 2""".stripMargin)
       }
     },
 
@@ -1569,40 +1709,64 @@ object Streams {
       val q = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
         .writeStream
-        .foreachBatch { (bdf: DataFrame, batchId: Long) =>
-          val ss = bdf.sparkSession
-          // qual is consumed twice (pass filter + status join): ONE
-          // localCheckpoint beats recomputing the tokenize/stopword fold
-          // per reference — measured 12.7s vs 14.3s median-of-3 at 10×
-          // batch size, within noise at sf0.1 (PLANS.md round-9)
-          val qual = Pipeline.qualityKeep(ss, bdf).localCheckpoint()
-          val pass = bdf.join(qual.filter(col("keep") === 1), Seq("doc_id"))
-          val bands = Pipeline.ingestBands(ss, pass).localCheckpoint()
-          val within = bands.select(col("bk").as("rbk"), col("doc_id").as("rid"))
-          val (slice, mergeStore) = bandStoreProbe(ss, bands, idxDir, batchId)
-          val rivals = slice match {
-            case None     => within
-            case Some(st) => within.union(
-              st.select(col("bk").as("rbk"), lit(-1L).as("rid")))
-          }
-          val dups = bands
-            .join(rivals, col("rbk") === col("bk") && col("rid") < col("doc_id"),
-              "left_semi")
-            .select(col("doc_id")).distinct().withColumn("__dup", lit(1L))
-          bdf.select(col("doc_id"))
-            .join(qual, Seq("doc_id"))
-            .join(dups, Seq("doc_id"), "left")
-            .select(lit(batchId + 1).cast("long").as("version"),
-              col("doc_id").cast("long").as("doc_id"),
-              when(col("keep") === 0, lit("quality"))
-                .when(col("__dup").isNotNull, lit("dup"))
-                .otherwise(lit("ok")).as("status"))
-            .write.mode("append").parquet(out)
-          mergeStore()
-        }
+        .foreachBatch { (b: DataFrame, id: Long) => ingestE2eBatch(idxDir, out)(b, id) }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       await(q)
+      s.read.parquet(out)
+        .select(col("version").cast("long").as("version"),
+          col("doc_id").cast("long").as("doc_id"), col("status"))
+      }
+    },
+
+    // ---- CHECKPOINT-RESTART / EXACTLY-ONCE (round-10, verdict item): the
+    // SAME ingestion pipeline, killed after its first micro-batch and
+    // RESTARTED FROM THE CHECKPOINT with the already-processed file still
+    // present in the source directory — the recovery path every production
+    // ingest exercises. Pass 1 sees only arrival file 0 and drains it
+    // (batch 0); then files 1 and 2 land and a NEW query starts on the
+    // SAME checkpoint: the file-source log must skip file 0 (no replay,
+    // no duplicate statuses, no double-inserted band keys) and continue
+    // batch numbering at 1. The gate's output is oracle-compared to the
+    // single-run result (ingestE2eOracle — identical by exactly-once), and
+    // StreamingSpec additionally asserts the band STORE equals the
+    // single-run store (no dup keys, no loss). ----
+    QueryDef("stream_ingest_restart", Pipeline.ingestE2eOracle) { (s, dir) =>
+      withStatePartitions(s, 8) {
+      val staged = stagedDocsDir(s, dir)
+      val src = cleanScratch(s, s"stream_irs_src_${dir.hashCode & 0x7fffffff}")
+      val ckpt = cleanScratch(s, s"stream_irs_ckpt_${dir.hashCode & 0x7fffffff}")
+      val idxDir = cleanScratch(s, s"stream_irs_idx_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_irs_out_${dir.hashCode & 0x7fffffff}")
+      val docs = Tables.load(s, dir, "documents")
+      // arrival files of the staged stream, in arrival (mtime) order
+      val fs = new org.apache.hadoop.fs.Path(staged)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(staged))
+        .filter(st => st.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getModificationTime)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+      // deterministic arrival: explicit, strictly-increasing mtimes so the
+      // file source admits them in the staged order on both passes
+      def land(i: Int): Unit = {
+        val dst = new org.apache.hadoop.fs.Path(src, f"arrival-$i%02d.parquet")
+        org.apache.hadoop.fs.FileUtil.copy(fs, files(i).getPath, fs, dst,
+          false, s.sparkContext.hadoopConfiguration)
+        fs.setTimes(dst, 1000000000000L + i * 100000L, -1)
+      }
+      def drainOnce(): Unit = {
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) => ingestE2eBatch(idxDir, out)(b, id) }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        await(q)
+      }
+      land(0)
+      drainOnce()                // pass 1: batch 0 only, then clean stop
+      land(1); land(2)           // file 0 REMAINS present
+      drainOnce()                // restart from ckpt: batches 1, 2 — no replay
       s.read.parquet(out)
         .select(col("version").cast("long").as("version"),
           col("doc_id").cast("long").as("doc_id"), col("status"))

@@ -247,6 +247,54 @@ object EventStreams {
     }
   }
 
+  /** Per-user retention state: first-event micros and the highest age-day
+    * already emitted (−1 sentinels before any event). */
+  final case class RetentionState(t0Micros: Long, maxAgeEmitted: Long)
+
+  /** One emitted row per (user, NEW age-day) — the increment the cohort
+    * matrix aggregates; `t0_us` rides along so the final aggregation can
+    * derive the global cohort epoch (min t0) without a second state pass. */
+  final case class RetentionHit(user_id: Long, t0_us: Long, age_day: Long)
+
+  /** Streaming RETENTION-COHORT maintenance (round-10): per-user
+    * ValueState = (first-seen time, highest age-day emitted) — two longs
+    * regardless of history. Because the staging delivers batches in global
+    * event-time order (and each batch is sorted by (ts, event_id)), a
+    * user's first-ever event arrives first (t0 is final the moment it is
+    * set) and age-days are non-decreasing — so emitting exactly when
+    * `age > maxAgeEmitted` yields each occurring (user, age_day) ONCE:
+    * the emitted multiset is precisely the batch gate's
+    * DISTINCT-(user, age) relation, batch-equivalent by construction.
+    */
+  final class RetentionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, RetentionHit] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[RetentionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RetentionState]("ret",
+        org.apache.spark.sql.Encoders.product[RetentionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[RetentionHit] = {
+      val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+      var st = if (state.exists()) state.get() else RetentionState(-1L, -1L)
+      val out = Seq.newBuilder[RetentionHit]
+      sorted.foreach { e =>
+        val t = toMicros(e.ts)
+        if (st.t0Micros < 0) st = RetentionState(t, -1L)
+        val age = (t - st.t0Micros) / 86400000000L // t >= t0 by arrival order
+        if (age > st.maxAgeEmitted) {
+          out += RetentionHit(key, st.t0Micros, age)
+          st = st.copy(maxAgeEmitted = age)
+        }
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
   /** Exact-cents session state for the timer processor. */
   final case class TimerSessState(startMicros: Long, lastMicros: Long,
       n: Long, cents: Long)

@@ -311,6 +311,45 @@ class StreamingSpec extends SparkTestBase {
     // that non-eviction is exactly what makes it unusable at 100 TB/day
   }
 
+  test("stream_ingest_restart: exactly-once across a checkpoint restart (output + store)") {
+    // the restart gate runs the pipeline as pass-1 (one file) + restart
+    // (two more files, file 0 still present); the single-run gate drains
+    // all three in one query. Exactly-once means both the emitted statuses
+    // AND the band store are identical multisets.
+    val single = SparkEntry.queries("stream_ingest_e2e")(spark, sf).persist()
+    val restart = SparkEntry.queries("stream_ingest_restart")(spark, sf).persist()
+    assert(single.count() == restart.count(), "no duplicated or lost statuses")
+    assert(restart.exceptAll(single).isEmpty && single.exceptAll(restart).isEmpty,
+      "restarted pipeline must emit exactly the single-run statuses")
+    val h = sf.hashCode & 0x7fffffff
+    val st1 = spark.read.parquet(
+      graft.sources.Tables.scratchDir(s"stream_ie2e_idx_$h")).select("bk").persist()
+    val st2 = spark.read.parquet(
+      graft.sources.Tables.scratchDir(s"stream_irs_idx_$h")).select("bk").persist()
+    assert(st2.count() == st2.distinct().count(), "store holds no duplicate keys")
+    assert(st1.exceptAll(st2).isEmpty && st2.exceptAll(st1).isEmpty,
+      "band store after restart must equal the single-run store")
+    Seq(single, restart, st1, st2).foreach(_.unpersist())
+  }
+
+  test("stream_ab_test: final version equals the batch A/B readout") {
+    val full = SparkEntry.queries("events_ab_test")(spark, sf)
+    val v3 = SparkEntry.queries("stream_ab_test")(spark, sf)
+      .filter(col("version") === 3).drop("version")
+      .select(full.columns.map(col): _*)
+    assert(v3.count() == 1)
+    assert(v3.exceptAll(full).isEmpty && full.exceptAll(v3).isEmpty,
+      "cumulative streaming readout over all batches must equal the batch gate")
+  }
+
+  test("stream_retention_cohorts: streamed cohort matrix equals the batch gate") {
+    val batch = SparkEntry.queries("events_retention_cohorts")(spark, sf)
+    val strm = SparkEntry.queries("stream_retention_cohorts")(spark, sf)
+      .select(batch.columns.map(col): _*)
+    assert(strm.exceptAll(batch).isEmpty && batch.exceptAll(strm).isEmpty,
+      "batch-equivalent by construction")
+  }
+
   test("stream_kmeans_update: model-sized versioned centroids that actually move") {
     val df = SparkEntry.queries("stream_kmeans_update")(spark, sf).cache()
     val km = 4L  // Pipeline.KM

@@ -43,7 +43,7 @@ class BandStoreSpec extends SparkTestBase {
     val seed = bands((1L to 64L).map(i => i -> s"k$i"): _*)
     val (_, m0) = Streams.bandStoreProbe(spark, seed, idx, 0L)
     m0()
-    val nParts = new java.io.File(idx).listFiles().count(_.getName.startsWith("bkb="))
+    val nParts = new java.io.File(idx).listFiles().count(_.getName.startsWith("__sb="))
     assert(nParts > 1, "seed must span multiple bucket partitions")
     // a single-key batch hashes into exactly one bucket
     val (slice, _) = Streams.bandStoreProbe(spark, bands(99L -> "k1"), idx, 1L)
@@ -54,5 +54,46 @@ class BandStoreSpec extends SparkTestBase {
     val allFiles = spark.read.parquet(idx).select(input_file_name()).distinct().count()
     assert(prunedFiles < allFiles,
       s"pruned scan must read fewer files ($prunedFiles) than the full store ($allFiles)")
+  }
+
+  test("IndexStore raw-key layout: one partition dir per key, probe prunes to probed keys") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivfstore").toString + "/idx"
+    val store = new graft.streaming.IndexStore(spark, dir, "cell", 0)
+    val codes = Seq((1L, 0, 0, 3), (2L, 1, 0, 4), (3L, 2, 0, 5), (4L, 3, 0, 6))
+      .toDF("nid", "cell", "m", "cid")
+    store.append(codes)
+    store.append(codes.withColumn("nid", col("nid") + 10))
+    // layout: per-cell directories (the prunable unit)
+    val parts = new java.io.File(dir).listFiles().count(_.getName.startsWith("cell="))
+    assert(parts == 4, "raw-key layout partitions by the key value itself")
+    // pruned read: only the probed cells' partitions are listed/scanned
+    val probed = store.read(codes.schema, Seq(0, 2))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"probe must prune partitions:\n$plan")
+    assert(probed.count() == 4, "two cells x two appends")
+    val prunedFiles = probed.select(input_file_name()).distinct().count()
+    val allFiles = store.read(codes.schema, Seq(0, 1, 2, 3))
+      .select(input_file_name()).distinct().count()
+    assert(prunedFiles < allFiles, "probed-cell read must touch fewer files")
+  }
+
+  test("IndexStore hash-bucket layout: append + pruned probe round-trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vecstore").toString + "/idx"
+    val store = new graft.streaming.IndexStore(spark, dir, "bkt", 8)
+    val rows = (1L to 64L).map(i => (i, i % 16)).toDF("nid", "bkt")
+    store.append(rows)
+    val schema = store.storeSchema(rows.schema)
+    // a probe key set restricted to two bkt values prunes to their buckets
+    val probeKeys = Seq(0L, 1L).toDF("bkt")
+    val parts = store.partsOf(probeKeys)
+    assert(parts.nonEmpty && parts.size <= 2)
+    val got = store.read(schema, parts)
+    // every row whose bkt hashes into the probed buckets is present —
+    // nothing from other buckets is read
+    assert(got.count() > 0 && got.count() < 64)
+    val full = store.readAll(schema)
+    assert(full.count() == 64)
   }
 }

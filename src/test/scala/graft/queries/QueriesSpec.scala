@@ -206,6 +206,61 @@ class QueriesSpec extends SparkTestBase {
     joined.unpersist()
   }
 
+  test("sim_ivf_pq_residual: well-formed ADC top-k over residual codes") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("sim_ivf_pq_residual")(spark, sf).persist()
+    assert(out.count() > 0)
+    assert(out.filter(col("rnk") < 1 || col("rnk") > 5).count() == 0)
+    assert(out.filter(col("adist") < 0).count() == 0,
+      "ADC distance is a sum of squares — never negative")
+    // per query: ranks are dense from 1 (no gaps), at most 5
+    val ranks = out.groupBy("qid")
+      .agg(count(lit(1)).as("n"), max("rnk").as("mx"))
+    assert(ranks.filter(col("n") =!= col("mx")).count() == 0,
+      "ranks must be dense 1..n per query")
+    out.unpersist()
+  }
+
+  test("dedup_exact_substring: a planted 12-token overlap is found with its exact span") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.SparkDialect
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"delta $shared epsilon zeta"),
+      (3L, "totally unrelated words only here nothing shared at all today"))
+    import spark.implicits._
+    rows.toDF("doc_id", "text").createOrReplaceTempView("documents")
+    try {
+      val g = spark.sql(
+        s"WITH ${Pipeline.exactSubGramCtes(SparkDialect)} SELECT doc_id, i, kg FROM g")
+      g.createOrReplaceTempView("graft_xsub_spec_g")
+      val out = spark.sql(Pipeline.exactSubBody("graft_xsub_spec_g")).collect()
+      assert(out.length == 1, s"exactly the planted pair: ${out.mkString(",")}")
+      val r = out.head
+      assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+      assert(r.getLong(2) == 12L,
+        s"maximal span must be the exact 12 shared tokens, got ${r.getLong(2)}")
+    } finally spark.catalog.dropTempView("documents")
+  }
+
+  test("dedup_exact_substring: spans are >= k and bounded by doc lengths") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("dedup_exact_substring")(spark, sf).persist()
+    assert(out.filter(col("max_span_tokens") < 8).count() == 0,
+      "every reported pair shares at least one exact 8-gram")
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("len"))
+    val checked = out
+      .join(lens.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("len", "len_a"), "doc_a")
+      .join(lens.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("len", "len_b"), "doc_b")
+    assert(checked.filter(col("max_span_tokens") > least(col("len_a"), col("len_b")))
+      .count() == 0, "a shared span can never exceed either document")
+    out.unpersist()
+  }
+
   test("sim_matryoshka_serve: full-dim re-rank recall >= truncated-only recall") {
     import org.apache.spark.sql.functions._
     // the serve shortlist is the truncated top-20; the truncated-only eval
