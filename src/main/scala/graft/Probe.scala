@@ -94,6 +94,44 @@ object Probe {
       spark.stop(); return
     }
 
+    // `sbt "runMain graft.Probe idxstore"` → streaming-index-store layout
+    // probe (round-10): the pruned serve's cost must track the PROBED
+    // partitions' volume, NOT the store size. Store A: 4 cells × 250k code
+    // rows. Store B: identical cell-0 content, cells 1–3 inflated 10×
+    // (7.75M rows total). A serve probing cell 0 must cost the same on
+    // both — the partition-pruned read never lists or scans the inflated
+    // partitions — while a full-store scan pays B's full size.
+    if (args.headOption.contains("idxstore")) {
+      val base = java.nio.file.Files.createTempDirectory("idxprobe").toString
+      // pseudo-random payload (defeats RLE/delta: the scan pays real decode
+      // + aggregate work per row, as a PQ-code store does)
+      val rowsOf = (c: Int, n: Long) => spark.range(n).select(
+        (col("id") * 2654435761L % 1000003L).as("nid"), lit(c).as("cell"),
+        ((col("id") * 19349663L) % 8).cast("int").as("m"),
+        ((col("id") * 40503L) % 8).cast("int").as("cid"))
+      def build(name: String, otherFactor: Int): graft.streaming.IndexStore = {
+        val store = new graft.streaming.IndexStore(spark, s"$base/$name", "cell", 0)
+        (0 to 3).foreach { c =>
+          store.append(rowsOf(c, if (c == 0) 2000000L else 2000000L * otherFactor))
+        }
+        store
+      }
+      val schema = rowsOf(0, 1L).schema
+      val a = build("a", 1)  //  8M rows, balanced
+      val b = build("b", 10) // 62M rows, non-probed cells inflated 10x
+      def consume(df: org.apache.spark.sql.DataFrame): Unit = {
+        val files = df.select(input_file_name()).distinct().count()
+        val agg = df.groupBy("m", "cid").agg(sum("nid")).count()
+        println(s"         files=$files groups=$agg")
+      }
+      (1 to 3).foreach { r =>
+        timed(s"[$r] probe cell0 | store A  8M rows")(consume(a.read(schema, Seq(0))))
+        timed(s"[$r] probe cell0 | store B 62M rows")(consume(b.read(schema, Seq(0))))
+        timed(s"[$r] FULL scan   | store B 62M rows")(consume(b.readAll(schema)))
+      }
+      spark.stop(); return
+    }
+
     // `sbt "runMain graft.Probe knn"` → sim_knn_graph_auto stage profile:
     // where does the build spend — the per-row plane-fold hashing, the
     // bucket self-join + rank, or the mutuality join?

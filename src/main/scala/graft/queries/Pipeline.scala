@@ -710,7 +710,25 @@ object Pipeline {
 
   private val GsBeam = 8
   private val GsHops = 2
-  private val GsEntryMod = 97
+
+  /** FLOOR of the entry-point modulus. The effective modulus AUTO-SCALES
+    * with the corpus — `max(97, 2^autoPlanes(n))` — so the expected entry
+    * set stays ~constant (n/mod ≈ 20-32 rows) as the corpus grows. A fixed
+    * modulus made entry scoring the search's hidden QUADRATIC: n/97
+    * entries × n/50 queries = n²/4850 exact-scored pairs (measured: the
+    * 100× probe spent its minute there while build and hops stayed
+    * beam/bucket-bounded). Reuses the exact-integer [[autoPlanes]]
+    * derivation, so both engines compute the identical modulus; at
+    * n ≤ ~6k (sf ≤ 0.1 fixtures) the floor keeps the historical 97. */
+  private val GsEntryModFloor = 97
+
+  private def gsEntryMod(n: Long): Long =
+    math.max(GsEntryModFloor.toLong, 1L << autoPlanes(n))
+
+  /** Oracle-side form over the `nv(planes)` relation — identical value by
+    * the autoPlanes exactness argument (shift of an exact integer). */
+  private def gsEntryModSql(d: Dialect): String =
+    s"GREATEST(CAST($GsEntryModFloor AS BIGINT), ${d.shiftLeft1("planes")})"
 
   // Measured on the synthetic corpus (sf0.01): recall@3 = 0.067, vs 0.0
   // for the LSH gate and 0.27 for raw IVF-PQ ADC. The corpus is planted
@@ -754,13 +772,16 @@ object Pipeline {
   private def gsQSelect(eRel: String): String =
     s"SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM $eRel WHERE vec_id % 50 = 0"
 
-  /** Entry candidates: an equi-join on the id residue — each query gets
-    * ~N/[[GsEntryMod]] deterministic pseudo-random entry points without a
-    * cross join.
+  /** Entry candidates: an equi-join on the id residue under the
+    * AUTO-SCALED modulus — each query gets a ~constant number of
+    * deterministic pseudo-random entry points (n/mod rows) without a
+    * cross join, at any corpus size. `modExpr` is a literal on the Spark
+    * side, the `nv.em` column on the oracle side (via `fromExtra`).
     */
-  private def gsEntryCand(eRel: String, qRel: String): String =
-    s"""SELECT q.qid, c.vec_id AS nid FROM $qRel q
-       |JOIN $eRel c ON c.vec_id % $GsEntryMod = q.qid % $GsEntryMod
+  private def gsEntryCand(eRel: String, qRel: String, modExpr: String,
+      fromExtra: String = ""): String =
+    s"""SELECT q.qid, c.vec_id AS nid FROM $qRel q$fromExtra
+       |JOIN $eRel c ON c.vec_id % $modExpr = q.qid % $modExpr
        |  AND c.vec_id <> q.qid""".stripMargin
 
   /** One hop's candidate set: the kept beam plus its out-neighbors. */
@@ -817,12 +838,14 @@ object Pipeline {
     val hops = (1 to GsHops).map { h =>
       s"""f$h AS (${gsScoreTop(d, gsHopCand(s"f${h - 1}", "edges"), "q", "e", GsBeam)})"""
     }.mkString(",\n")
-    s"""WITH nv AS (SELECT $autoPlanesSql AS planes FROM embeddings),
+    s"""WITH nv0 AS (SELECT $autoPlanesSql AS planes FROM embeddings),
+       |nv AS (SELECT planes, ${gsEntryModSql(d)} AS em FROM nv0),
        |e AS (${gsESelect(d, "nv.planes", "embeddings CROSS JOIN nv")}),
        |knn AS (${gsKnnSelect(d, "e")}),
        |edges AS (${gsEdgesSelect("knn")}),
        |q AS (${gsQSelect("e")}),
-       |f0 AS (${gsScoreTop(d, gsEntryCand("e", "q"), "q", "e", GsBeam)}),
+       |f0 AS (${gsScoreTop(d,
+            gsEntryCand("e", "q", "nv.em", " CROSS JOIN nv"), "q", "e", GsBeam)}),
        |$hops
        |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, score,
        |  CAST(rnk AS BIGINT) AS rnk
@@ -832,7 +855,8 @@ object Pipeline {
   private def gsSparkSearch(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     views(s, dir, "embeddings")
-    val planes = autoPlanes(s.table("embeddings").count())
+    val n = s.table("embeddings").count()
+    val planes = autoPlanes(n)
     val e = s.sql(gsESelect(SparkDialect, planes.toString, "embeddings"))
       .localCheckpoint()
     e.createOrReplaceTempView("graft_gs_e")
@@ -842,7 +866,7 @@ object Pipeline {
       .createOrReplaceTempView("graft_gs_edges")
     s.sql(gsQSelect("graft_gs_e")).createOrReplaceTempView("graft_gs_q")
     var frontier = s.sql(gsScoreTop(SparkDialect,
-        gsEntryCand("graft_gs_e", "graft_gs_q"),
+        gsEntryCand("graft_gs_e", "graft_gs_q", gsEntryMod(n).toString),
         "graft_gs_q", "graft_gs_e", GsBeam))
       .localCheckpoint()
     for (_ <- 1 to GsHops) {
