@@ -1874,6 +1874,54 @@ object Pipeline {
       s.sql(exactSubBody("graft_xsub_g"))
     }
 
+  /** Hot-anchor document-frequency cap for the capped variant: k-grams
+    * present in more than this many docs are dropped from the anchor set.
+    * 2 at fixture scale (the sf0.01 DF histogram is {1: 21564, 2: 944,
+    * 3: 71} — the cap provably filters); a production corpus sets this to
+    * its boilerplate threshold. */
+  private val ExactSubDfCap = 2
+
+  /** The anchor relation under the DF cap: `hot` is the capped k-gram set
+    * (an aggregate over the anchor relation), removed by anti-join. */
+  private def exactSubCappedSel(table: String): String =
+    s"""SELECT g.doc_id, g.i, g.kg FROM $table g
+       |LEFT JOIN (SELECT kg FROM $table
+       |  GROUP BY kg HAVING COUNT(DISTINCT doc_id) > $ExactSubDfCap) hot
+       |  ON hot.kg = g.kg
+       |WHERE hot.kg IS NULL""".stripMargin
+
+  /** CAPPED exact-substring dedup (round-10) — the documented skew guard
+    * of [[dedupExactSubstringDef]] as its own operator: k-gram anchors
+    * with document frequency above [[ExactSubDfCap]] (corpus boilerplate —
+    * headers, licenses, navigation chrome) are dropped BEFORE pairing, so
+    * the candidate join's per-key width is bounded by construction and the
+    * hot-key n² blowup (the one skew risk of the exact gate) cannot
+    * happen. The trade is explicit and part of the operator contract
+    * (replicated by the oracle): spans detectable only through capped
+    * anchors are missed — exactly the relaxation production suffix-array
+    * dedup deployments make (Lee et al. arXiv:2107.06499 cap candidate
+    * windows the same way).
+    *
+    * 100 TB shape: adds ONE aggregate on the anchor key (map-side
+    * combinable count-distinct via the (kg, doc) pre-distinct) + one
+    * anti-join, both on the same kg-hash exchange the pairing join
+    * already pays.
+    */
+  private def dedupExactSubstringCappedDef: QueryDef =
+    QueryDef("dedup_exact_substring_capped",
+      s"""WITH ${exactSubGramCtes(DuckDialect)},
+         |gc AS (${exactSubCappedSel("g")})
+         |${exactSubBody("gc")}""".stripMargin) { (s, dir) =>
+      views(s, dir, "documents")
+      val g = s.sql(
+        s"WITH ${exactSubGramCtes(SparkDialect)} SELECT doc_id, i, kg FROM g")
+        .localCheckpoint()
+      g.createOrReplaceTempView("graft_xsubc_g")
+      val gc = s.sql(exactSubCappedSel("graft_xsubc_g")).localCheckpoint()
+      gc.createOrReplaceTempView("graft_xsubc_gc")
+      s.sql(exactSubBody("graft_xsubc_gc"))
+    }
+
   /** REPEATED-SPAN REMOVAL — the substring-level dedup APPLY step
     * (ExactSubstr-style, Lee et al. arXiv:2107.06499): rewrite every
     * document with the non-canonical occurrences of cross-document
@@ -5333,6 +5381,7 @@ object Pipeline {
     docQuery("text_winnow_fingerprint", textWinnowFingerprint),
     dedupWinnowPairsDef,
     dedupExactSubstringDef,
+    dedupExactSubstringCappedDef,
     dedupSpanScrubDef,
     docQuery("text_inverted_index", textInvertedIndex),
     corpusSplitLeakageDef,

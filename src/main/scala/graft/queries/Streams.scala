@@ -319,6 +319,108 @@ object Streams {
     (slice, append)
   }
 
+  /** Versioned upsert-serve oracle — shared by stream_ann_upsert and its
+    * checkpoint-restart twin (exactly-once means identical final output):
+    * version v's index is exactly the vectors with `vec_id % 3 < v` (the
+    * staged arrival schedule, replayed relationally). */
+  private def annUpsertOracle: String = {
+    val dd = graft.functions.DuckDialect
+    val F = graft.functions.Formulas
+    val dim = 64
+    val cos = s"CASE WHEN qn * en > 0 THEN (${F.dot(dd, "qv", "ev", dim)}) / (qn * en) ELSE 0.0 END"
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    ${F.norm(dd, "embedding", dim)} AS nrm,
+       |    ${F.lshBucket(dd, "embedding", dim, 8)} AS bkt,
+       |    vec_id % 3 AS m FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn, bkt FROM e
+       |  WHERE vec_id % 50 = 0),
+       |vs AS (SELECT unnest(range(1, 4)) AS version),
+       |scored AS (SELECT vs.version, q.qid, e.nid, $cos AS score
+       |  FROM vs
+       |  JOIN (SELECT vec_id AS nid, embedding AS ev, nrm AS en, bkt, m FROM e) e
+       |    ON e.m < vs.version
+       |  JOIN q ON q.bkt = e.bkt AND e.nid <> q.qid)
+       |SELECT CAST(version AS BIGINT) AS version, CAST(qid AS BIGINT) AS qid,
+       |  CAST(nid AS BIGINT) AS nid, score, CAST(rnk AS BIGINT) AS rnk
+       |FROM (SELECT version, qid, nid, score,
+       |    ROW_NUMBER() OVER (PARTITION BY version, qid ORDER BY score DESC, nid) AS rnk
+       |  FROM scored) s
+       |WHERE rnk <= 3""".stripMargin
+  }
+
+  /** Static model-side state of the ANN upsert gates: the broadcast query
+    * set (computed once) and its store-bucket subset — the vector store is
+    * the shared IndexStore layout (256 raw bkt values hash-fold into 8
+    * partition dirs; direct partitionBy(bkt) would be the 256-tiny-file
+    * pathology at batch scale, a corpus-sized store raises the bucket
+    * count instead), and since the query set is STATIC the prunable bucket
+    * subset is known before the stream starts. */
+  private def annQueryState(s: SparkSession, dir: String,
+      idxDir: String): (DataFrame, Seq[Any]) = {
+    val F = graft.functions.Formulas
+    val d = graft.functions.SparkDialect
+    val queries = broadcast(Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .selectExpr("vec_id AS qid", "embedding AS qv",
+        s"${F.norm(d, "embedding", 64)} AS qn",
+        s"CAST(${F.lshBucket(d, "embedding", 64, 8)} AS LONG) AS bkt")
+      .localCheckpoint())
+    val qParts = new graft.streaming.IndexStore(s, idxDir, "bkt", 8)
+      .partsOf(queries.select("bkt"))
+    (queries, qParts)
+  }
+
+  /** One micro-batch of the streaming ANN upsert: fold the BATCH's
+    * bucket/norm rows into the store's bucket partitions (append-only),
+    * then re-serve the static queries against the refreshed index,
+    * partition-pruned to the queries' bucket subset. Shared by
+    * stream_ann_upsert and stream_ann_restart. */
+  private def annUpsertBatch(queries: DataFrame, qParts: Seq[Any],
+      idxDir: String, out: String)(bdf: DataFrame, batchId: Long): Unit = {
+    val F = graft.functions.Formulas
+    val d = graft.functions.SparkDialect
+    val vecStore = new graft.streaming.IndexStore(bdf.sparkSession, idxDir, "bkt", 8)
+    val rows = bdf.selectExpr("vec_id AS nid", "embedding AS ev",
+      s"${F.norm(d, "embedding", 64)} AS en",
+      s"CAST(${F.lshBucket(d, "embedding", 64, 8)} AS LONG) AS bkt")
+    vecStore.append(rows)
+    vecStore.read(vecStore.storeSchema(rows.schema), qParts)
+      .join(queries, "bkt")
+      .filter(col("nid") =!= col("qid"))
+      .select(lit(batchId + 1).cast("long").as("version"),
+        col("qid"), col("nid"),
+        when(col("qn") * col("en") > 0,
+          expr("graft_dot(qv, ev)") / (col("qn") * col("en")))
+          .otherwise(lit(0.0)).as("score"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("nid"))))
+      .filter(col("rnk") <= 3)
+      .write.mode("append").parquet(out)
+  }
+
+  private def annReadOut(s: SparkSession, out: String): DataFrame =
+    s.read.parquet(out)
+      .select(col("version").cast("long").as("version"),
+        col("qid").cast("long").as("qid"), col("nid").cast("long").as("nid"),
+        col("score"), col("rnk").cast("long").as("rnk"))
+
+  /** Copy the i-th arrival file (mtime order) of a staged stream directory
+    * into `src` under a deterministic name + strictly-increasing mtime, so
+    * the file source admits arrivals in the staged order on every pass —
+    * the staging half of the checkpoint-restart gates. */
+  private def landArrival(s: SparkSession, staged: String, src: String, i: Int): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(staged).getFileSystem(conf)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(staged))
+      .filter(st => st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getModificationTime)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+    val dst = new org.apache.hadoop.fs.Path(src, f"arrival-$i%02d.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, files(i).getPath, fs, dst, false, conf)
+    fs.setTimes(dst, 1000000000000L + i * 100000L, -1)
+  }
+
   /** One micro-batch of the production ingestion pipeline — quality gate →
     * accepted-band near-dup check against the compacted store → one status
     * row per doc ('quality' | 'dup' | 'ok') — shared by the single-run gate
@@ -1165,86 +1267,59 @@ object Streams {
     // per bucket partition (no rewrite of the existing index), serving
     // prunes to the query's bucket partition; per-batch bucket/norm folds
     // run over the BATCH only. ----
-    QueryDef("stream_ann_upsert", {
-      val dd = graft.functions.DuckDialect
-      val F = graft.functions.Formulas
-      val dim = 64
-      val cos = s"CASE WHEN qn * en > 0 THEN (${F.dot(dd, "qv", "ev", dim)}) / (qn * en) ELSE 0.0 END"
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |    ${F.norm(dd, "embedding", dim)} AS nrm,
-         |    ${F.lshBucket(dd, "embedding", dim, 8)} AS bkt,
-         |    vec_id % 3 AS m FROM embeddings),
-         |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn, bkt FROM e
-         |  WHERE vec_id % 50 = 0),
-         |vs AS (SELECT unnest(range(1, 4)) AS version),
-         |scored AS (SELECT vs.version, q.qid, e.nid, $cos AS score
-         |  FROM vs
-         |  JOIN (SELECT vec_id AS nid, embedding AS ev, nrm AS en, bkt, m FROM e) e
-         |    ON e.m < vs.version
-         |  JOIN q ON q.bkt = e.bkt AND e.nid <> q.qid)
-         |SELECT CAST(version AS BIGINT) AS version, CAST(qid AS BIGINT) AS qid,
-         |  CAST(nid AS BIGINT) AS nid, score, CAST(rnk AS BIGINT) AS rnk
-         |FROM (SELECT version, qid, nid, score,
-         |    ROW_NUMBER() OVER (PARTITION BY version, qid ORDER BY score DESC, nid) AS rnk
-         |  FROM scored) s
-         |WHERE rnk <= 3""".stripMargin
-    }) { (s, dir) =>
+    QueryDef("stream_ann_upsert", annUpsertOracle) { (s, dir) =>
       graft.functions.VectorExpressions.register(s)
-      val F = graft.functions.Formulas
-      val d = graft.functions.SparkDialect
-      val dim = 64
       val src = stagedEmbCorpusDir(s, dir)
       val ckpt = cleanScratch(s, s"stream_annu_ckpt_${dir.hashCode & 0x7fffffff}")
       val idxDir = cleanScratch(s, s"stream_annu_idx_${dir.hashCode & 0x7fffffff}")
       val out = cleanScratch(s, s"stream_annu_out_${dir.hashCode & 0x7fffffff}")
       val emb = Tables.load(s, dir, "embeddings")
-      // the query set is static model-side state: computed once, broadcast
-      val queries = broadcast(emb.filter(col("vec_id") % 50 === 0)
-        .selectExpr("vec_id AS qid", "embedding AS qv",
-          s"${F.norm(d, "embedding", dim)} AS qn",
-          s"CAST(${F.lshBucket(d, "embedding", dim, 8)} AS LONG) AS bkt")
-        .localCheckpoint())
-      // vector store on the shared IndexStore layout: 256 raw bkt values
-      // hash-fold into 8 partition dirs (direct partitionBy(bkt) would be
-      // the 256-tiny-file pathology at batch scale; a corpus-sized store
-      // raises the bucket count instead). The static query set's bucket
-      // subset is known once — every serve reads only those partitions.
-      val vecStore = new graft.streaming.IndexStore(s, idxDir, "bkt", 8)
-      val qParts = vecStore.partsOf(queries.select("bkt"))
+      val (queries, qParts) = annQueryState(s, dir, idxDir)
       val q = s.readStream.schema(emb.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
         .writeStream
-        .foreachBatch { (bdf: DataFrame, batchId: Long) =>
-          // 1. merge: bucket/norm folds over the BATCH only, appended into
-          //    the store's bucket partitions (no rewrite of prior versions)
-          val rows = bdf.selectExpr("vec_id AS nid", "embedding AS ev",
-            s"${F.norm(d, "embedding", dim)} AS en",
-            s"CAST(${F.lshBucket(d, "embedding", dim, 8)} AS LONG) AS bkt")
-          vecStore.append(rows)
-          // 2. serve: the static queries probe the refreshed index at this
-          //    version — partition-pruned to the queries' bucket subset,
-          //    then the bucket equi-join
-          val idx = vecStore.read(vecStore.storeSchema(rows.schema), qParts)
-          idx.join(queries, "bkt")
-            .filter(col("nid") =!= col("qid"))
-            .select(lit(batchId + 1).cast("long").as("version"),
-              col("qid"), col("nid"),
-              when(col("qn") * col("en") > 0,
-                expr("graft_dot(qv, ev)") / (col("qn") * col("en")))
-                .otherwise(lit(0.0)).as("score"))
-            .withColumn("rnk", row_number().over(
-              org.apache.spark.sql.expressions.Window.partitionBy("qid")
-                .orderBy(col("score").desc, col("nid"))))
-            .filter(col("rnk") <= 3)
-            .write.mode("append").parquet(out)
-        }
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          annUpsertBatch(queries, qParts, idxDir, out)(b, id) }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       await(q)
-      s.read.parquet(out)
-        .select(col("version").cast("long").as("version"),
-          col("qid").cast("long").as("qid"), col("nid").cast("long").as("nid"),
-          col("score"), col("rnk").cast("long").as("rnk"))
+      annReadOut(s, out)
+    },
+
+    // ---- ANN-UPSERT CHECKPOINT RESTART (round-10): exactly-once for the
+    // SECOND store family — the vector index. Pass 1 drains arrival file 0
+    // into the bucket-partitioned store and serves version 1; then files 1
+    // and 2 land (file 0 still present) and a NEW query restarts from the
+    // SAME checkpoint: no re-append of file 0's vectors (the store would
+    // double and every later version's top-k could tie-break differently),
+    // no replayed version-1 output. Oracle = stream_ann_upsert's verbatim
+    // (exactly-once means identical final output); the shared batch body
+    // guarantees both gates run the same per-batch plan. ----
+    QueryDef("stream_ann_restart", annUpsertOracle) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val staged = stagedEmbCorpusDir(s, dir)
+      val src = cleanScratch(s, s"stream_anr_src_${dir.hashCode & 0x7fffffff}")
+      val ckpt = cleanScratch(s, s"stream_anr_ckpt_${dir.hashCode & 0x7fffffff}")
+      val idxDir = cleanScratch(s, s"stream_anr_idx_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_anr_out_${dir.hashCode & 0x7fffffff}")
+      val emb = Tables.load(s, dir, "embeddings")
+      val (queries, qParts) = annQueryState(s, dir, idxDir)
+      def drainOnce(): Unit = {
+        val q = s.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            annUpsertBatch(queries, qParts, idxDir, out)(b, id) }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        await(q)
+      }
+      landArrival(s, staged, src, 0)
+      drainOnce()                            // version 1, then clean stop
+      landArrival(s, staged, src, 1)
+      landArrival(s, staged, src, 2)         // file 0 REMAINS present
+      drainOnce()                            // versions 2, 3 — no replay
+      annReadOut(s, out)
     },
 
     // ---- STREAMING INDEX DELETION (round-9): the right-to-be-forgotten
@@ -1739,21 +1814,7 @@ object Streams {
       val idxDir = cleanScratch(s, s"stream_irs_idx_${dir.hashCode & 0x7fffffff}")
       val out = cleanScratch(s, s"stream_irs_out_${dir.hashCode & 0x7fffffff}")
       val docs = Tables.load(s, dir, "documents")
-      // arrival files of the staged stream, in arrival (mtime) order
-      val fs = new org.apache.hadoop.fs.Path(staged)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val files = fs.listStatus(new org.apache.hadoop.fs.Path(staged))
-        .filter(st => st.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getModificationTime)
-      fs.mkdirs(new org.apache.hadoop.fs.Path(src))
-      // deterministic arrival: explicit, strictly-increasing mtimes so the
-      // file source admits them in the staged order on both passes
-      def land(i: Int): Unit = {
-        val dst = new org.apache.hadoop.fs.Path(src, f"arrival-$i%02d.parquet")
-        org.apache.hadoop.fs.FileUtil.copy(fs, files(i).getPath, fs, dst,
-          false, s.sparkContext.hadoopConfiguration)
-        fs.setTimes(dst, 1000000000000L + i * 100000L, -1)
-      }
+      def land(i: Int): Unit = landArrival(s, staged, src, i)
       def drainOnce(): Unit = {
         val q = s.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1).parquet(src)

@@ -332,6 +332,23 @@ class StreamingSpec extends SparkTestBase {
     Seq(single, restart, st1, st2).foreach(_.unpersist())
   }
 
+  test("stream_ann_restart: exactly-once for the vector store across a restart") {
+    val single = SparkEntry.queries("stream_ann_upsert")(spark, sf).persist()
+    val restart = SparkEntry.queries("stream_ann_restart")(spark, sf).persist()
+    assert(restart.exceptAll(single).isEmpty && single.exceptAll(restart).isEmpty,
+      "restarted upsert must serve exactly the single-run results")
+    val h = sf.hashCode & 0x7fffffff
+    val st1 = spark.read.parquet(
+      graft.sources.Tables.scratchDir(s"stream_annu_idx_$h")).select("nid").persist()
+    val st2 = spark.read.parquet(
+      graft.sources.Tables.scratchDir(s"stream_anr_idx_$h")).select("nid").persist()
+    assert(st2.count() == st2.distinct().count(),
+      "no vector appended twice across the restart")
+    assert(st1.exceptAll(st2).isEmpty && st2.exceptAll(st1).isEmpty,
+      "vector store after restart must equal the single-run store")
+    Seq(single, restart, st1, st2).foreach(_.unpersist())
+  }
+
   test("stream_ab_test: final version equals the batch A/B readout") {
     val full = SparkEntry.queries("events_ab_test")(spark, sf)
     val v3 = SparkEntry.queries("stream_ab_test")(spark, sf)

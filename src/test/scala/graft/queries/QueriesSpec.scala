@@ -261,6 +261,22 @@ class QueriesSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("dedup_exact_substring_capped: capped result is a dominated subset of the exact one") {
+    import org.apache.spark.sql.functions._
+    // removing anchors can only remove pairs or shorten spans — never add
+    val exact = SparkEntry.queries("dedup_exact_substring")(spark, sf)
+      .select(col("doc_a"), col("doc_b"), col("max_span_tokens").as("full_span"))
+      .persist()
+    val capped = SparkEntry.queries("dedup_exact_substring_capped")(spark, sf)
+      .persist()
+    val joined = capped.join(exact, Seq("doc_a", "doc_b"), "left")
+    assert(joined.filter(col("full_span").isNull).count() == 0,
+      "every capped pair must exist in the exact result")
+    assert(joined.filter(col("max_span_tokens") > col("full_span")).count() == 0,
+      "capping anchors can never lengthen a span")
+    exact.unpersist(); capped.unpersist()
+  }
+
   test("sim_matryoshka_serve: full-dim re-rank recall >= truncated-only recall") {
     import org.apache.spark.sql.functions._
     // the serve shortlist is the truncated top-20; the truncated-only eval
