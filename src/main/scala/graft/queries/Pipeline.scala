@@ -1651,6 +1651,52 @@ object Pipeline {
        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS rnk
        |  FROM adc) r WHERE rnk <= 5)""".stripMargin
 
+  /** Deterministic SIGNED LANE PERMUTATION — the exact-integer member of
+    * the orthogonal-rotation family OPQ draws from (Ge et al., "Optimized
+    * Product Quantization", CVPR 2013 §4 uses random rotation as the
+    * baseline/init): new lane i' = (i·45) mod 64 with a hash sign flip.
+    * A signed permutation is orthogonal, so every pairwise distance — and
+    * therefore the coarse k-means chain (assignments, truncating-integer
+    * centroid means under C-style %, probes) and the exact ground truth —
+    * is IDENTICAL to raw space, bit-for-bit, in int64. The ONLY thing that
+    * changes is the PQ SUBSPACE PARTITION: lanes are mixed across the 8
+    * codebooks, which is precisely the variance-balancing knob rotation
+    * exists to turn. 45·37 ≡ 1 (mod 64) — (i·45)%64 is a permutation.
+    */
+  private def ivfPqRotCte(xRef: String): String =
+    s"""xrot AS (SELECT vec_id, (i*45) % $DIM AS i,
+       |  CASE WHEN ((i*2654435761) % 7919) % 2 = 0 THEN x ELSE -x END AS x
+       |  FROM $xRef)""".stripMargin
+
+  private def simIvfPqRotated: QueryDef = {
+    val sel =
+      """SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+        |  adist, CAST(rnk AS BIGINT) AS rnk
+        |FROM pqtop""".stripMargin
+    QueryDef("sim_ivf_pq_rotated",
+      s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
+         |${ivfPqRotCte("x")},
+         |${ivfPqCtes(DuckDialect, "xrot")}
+         |$sel""".stripMargin)(
+      ivfPqSpark(xRef =>
+        s"""WITH ${ivfPqRotCte(xRef)},
+           |${ivfPqCtes(SparkDialect, "xrot")}
+           |$sel""".stripMargin))
+  }
+
+  /** Recall@5 of the rotated-subspace ADC vs the exact top-5 (identical
+    * ground truth to [[simIvfPqRecall]] — distances are invariant under
+    * the signed permutation): the delta vs raw isolates the subspace-
+    * partition effect at equal M/K/nprobe. */
+  private def simIvfPqRotatedRecall: QueryDef =
+    QueryDef("sim_ivf_pq_rotated_recall",
+      s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
+         |${ivfPqRotCte("x")},
+         |${ivfPqCtes(DuckDialect, "xrot")}${ivfPqRecallTail("xrot", "pqtop")}""".stripMargin)(
+      ivfPqSpark(xRef =>
+        s"""WITH ${ivfPqRotCte(xRef)},
+           |${ivfPqCtes(SparkDialect, "xrot")}${ivfPqRecallTail("xrot", "pqtop")}""".stripMargin))
+
   private def simIvfPqResidual: QueryDef = {
     val sel =
       """SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
@@ -5376,6 +5422,8 @@ object Pipeline {
     simIvfPqRefineRecall,
     simIvfPqResidual,
     simIvfPqResidualRecall,
+    simIvfPqRotated,
+    simIvfPqRotatedRecall,
     docQuery("corpus_pack", corpusPack),
     docQuery("corpus_pack_stats", corpusPackStats),
     docQuery("text_winnow_fingerprint", textWinnowFingerprint),

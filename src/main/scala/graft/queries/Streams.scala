@@ -1932,6 +1932,47 @@ object Streams {
       await(q)
       s.table("g_stream_dsv2")
     },
+
+    // ---- DSv2 SOURCE CHECKPOINT RESTART (round-10): exactly-once for the
+    // CUSTOM source's own offset implementation — file-NAME high-water
+    // marks (not indices), checkpointed and recovered across a query
+    // restart. Pass 1 drains f00.txt; f01/f02 then land (f00 still
+    // present) and a new query restarts from the same checkpoint: the
+    // recovered mark must skip f00 (no replay) and admit exactly the two
+    // new files. Oracle = the static SQL over the full corpus (the union
+    // across both passes is the whole filtered set iff no line is lost or
+    // doubled). ----
+    QueryDef("stream_dsv2_restart",
+      graft.sources.RdfBridge.oracleCte +
+        "SELECT Subject, Object FROM triples WHERE Predicate = -2") { (s, dir) =>
+      val staged = stagedTripleTextDir(s, dir)
+      val src = cleanScratch(s, s"stream_dsv2r_src_${dir.hashCode & 0x7fffffff}")
+      val ckpt = cleanScratch(s, s"stream_dsv2r_ckpt_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_dsv2r_out_${dir.hashCode & 0x7fffffff}")
+      new java.io.File(src).mkdirs()
+      def land(i: Int): Unit = {
+        val from = new java.io.File(staged, f"f$i%02d.txt")
+        java.nio.file.Files.copy(from.toPath,
+          new java.io.File(src, from.getName).toPath)
+      }
+      def drainOnce(): Unit = {
+        // memory sink refuses checkpoint recovery; foreachBatch supports it
+        val q = s.readStream.format("graft-triples").load(src)
+          .filter(col("Subject").isNotNull && col("Predicate") === -2)
+          .select("Subject", "Object")
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out) }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        await(q)
+      }
+      land(0)
+      drainOnce()                 // f00 only, then clean stop
+      land(1); land(2)            // f00 REMAINS present
+      drainOnce()                 // restart: marks skip f00, drain f01+f02
+      s.read.parquet(out)
+    },
   )
 
   /** Triple TEXT staging for the streaming DSv2 gate: the corpus split

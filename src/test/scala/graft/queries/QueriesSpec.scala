@@ -261,6 +261,24 @@ class QueriesSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("sim_ivf_pq_rotated: signed permutation preserves the coarse arm exactly") {
+    import org.apache.spark.sql.functions._
+    // the rotation is orthogonal IN INTEGER SPACE: pairwise distances are
+    // bit-identical, so recall is measured against the SAME exact ground
+    // truth — the rotated and raw recall gates must see identical qid sets
+    // and identical per-query ground-truth sizes (only PQ hits may differ)
+    val raw = SparkEntry.queries("sim_ivf_pq_recall")(spark, sf)
+      .select(col("qid")).persist()
+    val rot = SparkEntry.queries("sim_ivf_pq_rotated_recall")(spark, sf)
+      .select(col("qid")).persist()
+    assert(rot.exceptAll(raw).isEmpty && raw.exceptAll(rot).isEmpty,
+      "identical query/ground-truth universe under the orthogonal transform")
+    val out = SparkEntry.queries("sim_ivf_pq_rotated")(spark, sf)
+    assert(out.filter(col("rnk") < 1 || col("rnk") > 5).count() == 0)
+    assert(out.filter(col("adist") < 0).count() == 0)
+    raw.unpersist(); rot.unpersist()
+  }
+
   test("dedup_exact_substring_capped: capped result is a dominated subset of the exact one") {
     import org.apache.spark.sql.functions._
     // removing anchors can only remove pairs or shorten spans — never add
