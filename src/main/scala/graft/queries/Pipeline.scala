@@ -100,9 +100,10 @@ object Pipeline {
     * first: inlining `split(text)` into the shingle lambda would re-run the
     * regex split once per shingle (O(tokens^2) splits per document).
     */
-  private def shingleExplode(d: Dialect): String =
+  private[queries] def shingleExplode(d: Dialect,
+      src: String = "documents"): String =
     d.explodeSelect("doc_id",
-      s"(SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM documents) tw",
+      s"(SELECT doc_id, ${F.tokens(d, "text")} AS toks FROM $src) tw",
       F.shingles(d, "toks", 3), "s")
 
   /** Spark-side gates MATERIALIZE the exploded shingles once (persisted

@@ -1908,6 +1908,80 @@ object Streams {
           col("score_micro"), col("admitted"))
     },
 
+    // ---- STREAMING DECONTAMINATION (round-10): the third admission stage
+    // of a production ingest (after quality and near-dup) — flag arriving
+    // TRAINING docs that share any word-3-shingle with the static EVAL
+    // split. Model state = the eval split's distinct shingles + their
+    // bloom filter (benchmark-sized, disk-memoized like every trained
+    // model); per batch the arriving docs' shingles are bloom-prefiltered
+    // MAP-SIDE (graft_might_contain — no false negatives, so the exact
+    // join still sees every true hit and removes false positives), then
+    // exact-joined against the eval set. Per-doc hits are independent of
+    // other training docs, so each doc reports once, in its arrival
+    // version — the oracle replays versions relationally (doc_id % 3 + 1).
+    // 100 TB shape: the corpus-sized side is touched once per batch
+    // (batch-sized), shuffled only at the bloom's pass rate. ----
+    QueryDef("stream_decontaminate", {
+      val dd = graft.functions.DuckDialect
+      s"""WITH sh AS (${Pipeline.shingleExplode(dd)}),
+         |eval AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+         |hits AS (SELECT sh.doc_id, COUNT(DISTINCT sh.s) AS n_hits
+         |  FROM sh JOIN eval ON sh.s = eval.s
+         |  WHERE sh.doc_id % 20 <> 0
+         |  GROUP BY sh.doc_id)
+         |SELECT CAST(doc_id % 3 + 1 AS BIGINT) AS version,
+         |  CAST(doc_id AS BIGINT) AS doc_id,
+         |  CAST(n_hits AS BIGINT) AS n_eval_ngrams
+         |FROM hits""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val d = graft.functions.SparkDialect
+      val src = stagedDocsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_sdc_ckpt_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_sdc_out_${dir.hashCode & 0x7fffffff}")
+      val docs = Tables.load(s, dir, "documents")
+      docs.createOrReplaceTempView("documents")
+      stagedModel(s, dir, "sdcmodel") {
+        val evalSh = s.sql(
+          s"""SELECT DISTINCT s FROM (${Pipeline.shingleExplode(d)}) sh
+             |WHERE doc_id % 20 = 0""".stripMargin)
+        evalSh.createOrReplaceTempView("graft_sdc_eval_build")
+        val bloom = s.sql(
+          """SELECT graft_bloom_agg(xxhash64(s),
+            |    CAST(20000 AS BIGINT), CAST(400000 AS BIGINT)) AS bf
+            |FROM graft_sdc_eval_build""".stripMargin)
+        Seq("graft_sdc_eval" -> evalSh, "graft_sdc_bloom" -> bloom)
+      }
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+          val ss = bdf.sparkSession
+          bdf.createOrReplaceTempView("graft_sdc_b")
+          ss.sql(
+            s"""WITH sh AS (${Pipeline.shingleExplode(d, "graft_sdc_b")}),
+               |cand AS (SELECT doc_id, s FROM sh
+               |  WHERE doc_id % 20 <> 0
+               |    AND graft_might_contain((SELECT bf FROM graft_sdc_bloom),
+               |          xxhash64(s))),
+               |hits AS (SELECT cand.doc_id, COUNT(DISTINCT cand.s) AS n_hits
+               |  FROM cand JOIN graft_sdc_eval ev ON cand.s = ev.s
+               |  GROUP BY cand.doc_id)
+               |SELECT CAST(${batchId + 1} AS BIGINT) AS version,
+               |  CAST(doc_id AS BIGINT) AS doc_id,
+               |  CAST(n_hits AS BIGINT) AS n_eval_ngrams
+               |FROM hits""".stripMargin)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.read.parquet(out)
+        .select(col("version").cast("long").as("version"),
+          col("doc_id").cast("long").as("doc_id"),
+          col("n_eval_ngrams").cast("long").as("n_eval_ngrams"))
+    },
+
     // ---- STREAMING RDF: continuous BGP match over an arriving triple
     // stream. The streamed pattern (`?c :placed ?o`) filters each
     // micro-batch; the static pattern (`?c :in_nation ?n`) is the indexed

@@ -359,6 +359,14 @@ class StreamingSpec extends SparkTestBase {
       "cumulative streaming readout over all batches must equal the batch gate")
   }
 
+  test("stream_decontaminate: union across versions equals the batch gate") {
+    val batch = SparkEntry.queries("corpus_decontaminate")(spark, sf)
+    val strm = SparkEntry.queries("stream_decontaminate")(spark, sf)
+      .select(col("doc_id"), col("n_eval_ngrams"))
+    assert(strm.exceptAll(batch).isEmpty && batch.exceptAll(strm).isEmpty,
+      "per-doc hits are arrival-independent: the streamed union is the batch relation")
+  }
+
   test("stream_retention_cohorts: streamed cohort matrix equals the batch gate") {
     val batch = SparkEntry.queries("events_retention_cohorts")(spark, sf)
     val strm = SparkEntry.queries("stream_retention_cohorts")(spark, sf)
