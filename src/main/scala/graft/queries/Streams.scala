@@ -306,17 +306,35 @@ object Streams {
       idxDir: String, batchId: Long): (Option[DataFrame], () => Unit) = {
     val store = new graft.streaming.IndexStore(ss, idxDir, "bk", IngestStoreBuckets)
     val bkeys = store.bucketed(bands.select(col("bk")).distinct()).localCheckpoint()
+    // REPLAY SAFETY: the probe reads STRICTLY-EARLIER batches only, and the
+    // compacted append OVERWRITES this batch's own partition — so a
+    // replayed micro-batch (foreachBatch is at-least-once under mid-batch
+    // failure) sees exactly the state its first attempt saw and rewrites
+    // identical results instead of doubling keys or flagging its own docs.
     val slice =
       if (batchId == 0) None
-      else Some(store.read(bkeys.schema, store.partsOf(bkeys)))
+      else Some(store.readBefore(
+        store.batchSchema(bands.select(col("bk")).schema),
+        store.partsOf(bkeys), batchId))
     val append = () => {
       val newKeys = slice match {
         case None     => bkeys
         case Some(st) => bkeys.join(st.select("bk"), Seq("bk"), "left_anti")
       }
-      newKeys.write.partitionBy(store.bucketCol).mode("append").parquet(idxDir)
+      store.appendBatch(newKeys, batchId)
     }
     (slice, append)
+  }
+
+  /** Replay-idempotent micro-batch SINK: overwrite the batch's own
+    * `batch=<id>` partition instead of appending — foreachBatch is
+    * at-least-once under mid-batch failure, and a replayed batch must
+    * rewrite itself, not double the sink. Readers discover `batch` as a
+    * partition column and project it away with their explicit final
+    * selects. */
+  private implicit class BatchSink(private val df: DataFrame) {
+    def sinkBatch(out: String, batchId: Long): Unit =
+      df.write.mode("overwrite").parquet(s"$out/batch=$batchId")
   }
 
   /** Disk-memoized STATIC MODEL STATE (per session + dataset): built once,
@@ -407,8 +425,8 @@ object Streams {
     val rows = bdf.selectExpr("vec_id AS nid", "embedding AS ev",
       s"${F.norm(d, "embedding", 64)} AS en",
       s"CAST(${F.lshBucket(d, "embedding", 64, 8)} AS LONG) AS bkt")
-    vecStore.append(rows)
-    vecStore.read(vecStore.storeSchema(rows.schema), qParts)
+    vecStore.appendBatch(rows, batchId)
+    vecStore.readBatches(vecStore.batchSchema(rows.schema), qParts)
       .join(queries, "bkt")
       .filter(col("nid") =!= col("qid"))
       .select(lit(batchId + 1).cast("long").as("version"),
@@ -420,7 +438,7 @@ object Streams {
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("score").desc, col("nid"))))
       .filter(col("rnk") <= 3)
-      .write.mode("append").parquet(out)
+      .sinkBatch(out, batchId)
   }
 
   private def annReadOut(s: SparkSession, out: String): DataFrame =
@@ -481,7 +499,7 @@ object Streams {
         when(col("keep") === 0, lit("quality"))
           .when(col("__dup").isNotNull, lit("dup"))
           .otherwise(lit("ok")).as("status"))
-      .write.mode("append").parquet(out)
+      .sinkBatch(out, batchId)
     mergeStore()
   }
 
@@ -1264,12 +1282,12 @@ object Streams {
             expr("graft_dot(qv, ev)") / (col("qn") * col("en")))
             .otherwise(lit(0.0)).as("score"))
         .writeStream
-        .foreachBatch { (bdf: DataFrame, _: Long) =>
+        .foreachBatch { (bdf: DataFrame, batchId: Long) =>
           bdf.withColumn("rnk", row_number().over(
               org.apache.spark.sql.expressions.Window.partitionBy("qid")
                 .orderBy(col("score").desc, col("nid"))))
             .filter(col("rnk") <= 3)
-            .write.mode("append").parquet(out)
+            .sinkBatch(out, batchId)
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -1422,8 +1440,8 @@ object Streams {
         .writeStream
         .foreachBatch { (bdf: DataFrame, batchId: Long) =>
           // merge tombstones FIRST: a delete takes effect in its version
-          tombStore.append(bdf.select(col("vec_id")))
-          val tombs = tombStore.readAll(tombStore.storeSchema(delSchema))
+          tombStore.appendBatch(bdf.select(col("vec_id")), batchId)
+          val tombs = tombStore.readAll(tombStore.batchSchema(delSchema))
             .select(col("vec_id").as("__del"))
           scored.join(tombs, col("nid") === col("__del"), "left_anti")
             .withColumn("rnk", row_number().over(
@@ -1434,7 +1452,7 @@ object Streams {
               col("qid").cast("long").as("qid"),
               col("nid").cast("long").as("nid"),
               col("score"), col("rnk").cast("long").as("rnk"))
-            .write.mode("append").parquet(out)
+            .sinkBatch(out, batchId)
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -1546,12 +1564,12 @@ object Streams {
           //    handle binds to the BATCH session: the temp view below must
           //    land in the catalog the per-batch SQL resolves against.
           val codeStore = new graft.streaming.IndexStore(ss, idxDir, "cell", 0)
-          codeStore.append(codes)
+          codeStore.appendBatch(codes, batchId)
           // 3. serve: static probes × the refreshed store's PROBED CELLS
           //    ONLY (partition-pruned read — serve cost tracks probe-cell
           //    volume, not store size) — cell equi-join + M-lookup ADC,
           //    exactly the sim_ivf_pq scoring arithmetic
-          codeStore.read(codes.schema, probeCells)
+          codeStore.readBatches(codeStore.batchSchema(codes.schema), probeCells)
             .createOrReplaceTempView("graft_ipu_store")
           ss.sql(
             """SELECT p.qid, st.nid, CAST(SUM(l.pd) AS BIGINT) AS adist
@@ -1566,7 +1584,7 @@ object Streams {
             .select(lit(batchId + 1).cast("long").as("version"),
               col("qid").cast("long").as("qid"), col("nid").cast("long").as("nid"),
               col("adist"), col("rnk").cast("long").as("rnk"))
-            .write.mode("append").parquet(out)
+            .sinkBatch(out, batchId)
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -1662,7 +1680,7 @@ object Streams {
             s"""SELECT arm, ${Pipeline.abMomentAggs}
                |FROM (SELECT ${Pipeline.abArmSelect} FROM graft_sab_b) b
                |GROUP BY arm""".stripMargin)
-            .write.mode("append").parquet(pdir)
+            .sinkBatch(pdir, batchId)
           ss.read.parquet(pdir).createOrReplaceTempView("graft_sab_parts")
           ss.sql(
             s"""SELECT CAST(${batchId + 1} AS BIGINT) AS version,
@@ -1672,7 +1690,7 @@ object Streams {
                |      CAST(SUM(sx) AS BIGINT) AS sx,
                |      CAST(SUM(sxx) AS DECIMAL(25,0)) AS sxx
                |    FROM graft_sab_parts GROUP BY arm) m) w""".stripMargin)
-            .write.mode("append").parquet(out)
+            .sinkBatch(out, batchId)
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -1779,7 +1797,7 @@ object Streams {
             .select(lit(batchId + 1).cast("long").as("version"),
               col("doc_id").cast("long").as("doc_id"),
               coalesce(col("__dup"), lit(0L)).as("is_dup"))
-            .write.mode("append").parquet(out)
+            .sinkBatch(out, batchId)
           // store merge AFTER the check: a batch never dedups against itself
           // through the store (the within-batch rule handles that exactly)
           mergeStore()
@@ -1897,7 +1915,7 @@ object Streams {
             .select(lit(batchId + 1).cast("long").as("version"),
               col("doc_id").cast("long").as("doc_id"),
               col("score_micro"), col("admitted"))
-            .write.mode("append").parquet(out)
+            .sinkBatch(out, batchId)
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -1971,7 +1989,7 @@ object Streams {
                |  CAST(doc_id AS BIGINT) AS doc_id,
                |  CAST(n_hits AS BIGINT) AS n_eval_ngrams
                |FROM hits""".stripMargin)
-            .write.mode("append").parquet(out)
+            .sinkBatch(out, batchId)
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -2069,8 +2087,8 @@ object Streams {
           .filter(col("Subject").isNotNull && col("Predicate") === -2)
           .select("Subject", "Object")
           .writeStream
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            b.write.mode("append").parquet(out) }
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            b.sinkBatch(out, id) }
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
         await(q)
@@ -2079,7 +2097,7 @@ object Streams {
       drainOnce()                 // f00 only, then clean stop
       land(1); land(2)            // f00 REMAINS present
       drainOnce()                 // restart: marks skip f00, drain f01+f02
-      s.read.parquet(out)
+      s.read.parquet(out).select("Subject", "Object")
     },
   )
 
@@ -2224,7 +2242,7 @@ object Streams {
             .select(lit(batchId + 1).cast("long").as("version"),
               col("cid").cast("long").as("cid"),
               col("i").cast("long").as("i"), col("c").cast("long").as("c"))
-            .coalesce(1).write.mode("append").parquet(out)
+            .coalesce(1).sinkBatch(out, batchId)
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()

@@ -57,6 +57,36 @@ final class IndexStore(ss: SparkSession, val dir: String, keyCol: String,
     bucketed(rows).sortWithinPartitions(partCol)
       .write.partitionBy(partCol).mode("append").parquet(dir)
 
+  /** REPLAY-IDEMPOTENT append: the batch's rows land under their own
+    * `batch=<id>` partition via OVERWRITE, so a replayed micro-batch
+    * (foreachBatch is at-least-once under mid-batch failure) rewrites its
+    * own directory instead of doubling the store. Store layout becomes
+    * `batch=<id>/<bucket>=<v>/part-*`; reads discover both partition
+    * levels and prune on either. */
+  def appendBatch(rows: DataFrame, batchId: Long): Unit =
+    bucketed(rows).sortWithinPartitions(partCol)
+      .write.partitionBy(partCol).mode("overwrite")
+      .parquet(s"$dir/batch=$batchId")
+
+  /** Store schema of a batch-partitioned store (adds the `batch` column). */
+  def batchSchema(rows: StructType): StructType =
+    StructType(storeSchema(rows).fields :+
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType))
+
+  /** Pruned read over STRICTLY-EARLIER batches — the replay-safe probe:
+    * a replayed batch N sees exactly the state its first attempt saw
+    * (batches < N), so probe, compaction, and its own overwritten
+    * partition all reproduce bit-identically. */
+  def readBefore(schema: StructType, parts: Seq[Any], batchId: Long): DataFrame =
+    ss.read.schema(schema).parquet(dir)
+      .filter(col(partCol).isin(parts: _*) && col("batch") < batchId)
+
+  /** All-batch pruned read (the serve path: includes the batch just
+    * appended). */
+  def readBatches(schema: StructType, parts: Seq[Any]): DataFrame =
+    ss.read.schema(schema).parquet(dir).filter(col(partCol).isin(parts: _*))
+
   /** The partition values a key set hashes into — driver-side model state
     * (≤ `buckets` values, or the distinct raw keys), the input to a pruned
     * [[read]]. */

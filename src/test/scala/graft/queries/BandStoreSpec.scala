@@ -43,7 +43,8 @@ class BandStoreSpec extends SparkTestBase {
     val seed = bands((1L to 64L).map(i => i -> s"k$i"): _*)
     val (_, m0) = Streams.bandStoreProbe(spark, seed, idx, 0L)
     m0()
-    val nParts = new java.io.File(idx).listFiles().count(_.getName.startsWith("__sb="))
+    val nParts = new java.io.File(idx, "batch=0").listFiles()
+      .count(_.getName.startsWith("__sb="))
     assert(nParts > 1, "seed must span multiple bucket partitions")
     // a single-key batch hashes into exactly one bucket
     val (slice, _) = Streams.bandStoreProbe(spark, bands(99L -> "k1"), idx, 1L)
@@ -54,6 +55,44 @@ class BandStoreSpec extends SparkTestBase {
     val allFiles = spark.read.parquet(idx).select(input_file_name()).distinct().count()
     assert(prunedFiles < allFiles,
       s"pruned scan must read fewer files ($prunedFiles) than the full store ($allFiles)")
+  }
+
+  test("bandStoreProbe is replay-idempotent: re-running a batch changes nothing") {
+    val idx = Files.createTempDirectory("bandstore").toString + "/idx"
+    val (_, m0) = Streams.bandStoreProbe(spark, bands(1L -> "a", 2L -> "b"), idx, 0L)
+    m0()
+    // batch 1: run probe + merge, then REPLAY it (foreachBatch is
+    // at-least-once under mid-batch failure) — the probe must see the same
+    // strictly-earlier state and the merge must overwrite, not double
+    val b1 = bands(3L -> "b", 4L -> "c")
+    val (s1a, m1a) = Streams.bandStoreProbe(spark, b1, idx, 1L)
+    val probe1 = s1a.get.select("bk").collect().map(_.getString(0)).sorted.toSeq
+    m1a()
+    val afterFirst = spark.read.parquet(idx).select("bk")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val (s1b, m1b) = Streams.bandStoreProbe(spark, b1, idx, 1L)
+    assert(s1b.get.select("bk").collect().map(_.getString(0)).sorted.toSeq == probe1,
+      "a replayed batch must probe exactly the state its first attempt saw")
+    m1b()
+    val afterReplay = spark.read.parquet(idx).select("bk")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(afterReplay == afterFirst, "replayed merge must rewrite, not double")
+    assert(afterReplay == Seq("a", "b", "c"), "distinct-key invariant holds")
+  }
+
+  test("IndexStore batch append: a replayed appendBatch overwrites its own partition") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivfstore").toString + "/idx"
+    val store = new graft.streaming.IndexStore(spark, dir, "cell", 0)
+    val codes = Seq((1L, 0, 0, 3), (2L, 1, 0, 4)).toDF("nid", "cell", "m", "cid")
+    store.appendBatch(codes, 0L)
+    store.appendBatch(codes.withColumn("nid", col("nid") + 10), 1L)
+    store.appendBatch(codes.withColumn("nid", col("nid") + 10), 1L) // replay
+    val schema = store.batchSchema(codes.schema)
+    assert(store.readAll(schema).count() == 4,
+      "replayed batch must not double the store")
+    // strictly-earlier read excludes the in-flight batch
+    assert(store.readBefore(schema, Seq(0, 1), 1L).count() == 2)
   }
 
   test("IndexStore raw-key layout: one partition dir per key, probe prunes to probed keys") {
