@@ -161,7 +161,7 @@ object Multimodal {
     * byte `(id + 7x + 13y) mod 251`, dimensions
     * `(1 + id mod 64) × (1 + id mod 48)`. Shared by [[imageTable]] and the
     * mixed-modality [[mediaTable]]. */
-  private def pngBytes(id: Long): Array[Byte] = {
+  private[graft] def pngBytes(id: Long): Array[Byte] = {
     val w = (1 + id % 64).toInt
     val h = (1 + id % 48).toInt
     val img = new java.awt.image.BufferedImage(

@@ -957,6 +957,37 @@ object Pipeline {
   def debugEmbeddingCandidateCountSql: String =
     embeddingCosineSql(SparkDialect, scored = false)
 
+  /** SEMANTIC decontamination — the embedding-space twin of
+    * corpus_decontaminate: lexical n-gram overlap misses paraphrased or
+    * translated eval leakage, so production corpora ALSO flag training
+    * items whose embedding sits too close to any eval item (the SemDeDup
+    * observation applied at the train/eval boundary). Eval split =
+    * vec_id % 20 = 0 (the lexical gate's convention); candidate pairs are
+    * LSH-bucket-blocked (never all-pairs — the sim_ann_lsh invariant), and
+    * a training vector is contaminated iff some same-bucket eval vector
+    * has cosine >= 0.3. Output: per training vector, the eval-hit count,
+    * the max offending cosine (NULL when clean), and the keep verdict.
+    * 100 TB shape: the eval side is benchmark-sized (broadcast); the train
+    * side's bucket hash is map-side; the join is a broadcast equi-join on
+    * the bucket key — one pass over the corpus. */
+  private[queries] def semanticDecontaminate(d: Dialect): String = {
+    val cos = s"CASE WHEN tr.nrm * ev.nrm > 0 THEN (${F.dot(d, "tr.embedding", "ev.embedding", DIM)}) / (tr.nrm * ev.nrm) ELSE 0.0 END"
+    s"""WITH en AS (SELECT vec_id, embedding,
+       |    ${F.norm(d, "embedding", DIM)} AS nrm,
+       |    ${F.lshBucket(d, "embedding", DIM, 8)} AS bkt FROM embeddings),
+       |ev AS (SELECT * FROM en WHERE vec_id % 20 = 0),
+       |tr AS (SELECT * FROM en WHERE vec_id % 20 <> 0),
+       |pairs AS (SELECT tr.vec_id, $cos AS score
+       |  FROM tr JOIN ev ON tr.bkt = ev.bkt),
+       |hits AS (SELECT vec_id, COUNT(*) AS n_hits, MAX(score) AS max_score
+       |  FROM pairs WHERE score >= 0.3 GROUP BY vec_id)
+       |SELECT CAST(t.vec_id AS BIGINT) AS vec_id,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_eval_hits,
+       |  h.max_score AS max_eval_cos,
+       |  CAST(CASE WHEN h.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM tr t LEFT JOIN hits h ON t.vec_id = h.vec_id""".stripMargin
+  }
+
   /** IVF ANN through the gate: with nprobe = k the probe set covers every
     * cell, so the result is EXACTLY the brute-force top-k — which is the
     * oracle (the coarse quantizer affects only which cells are skipped,
@@ -3785,13 +3816,21 @@ object Pipeline {
     * Mirrors [[graft.operators.Multimodal.imagePHash]] integer for
     * integer (floor divisions, degenerate-block clamp).
     */
-  private def phashOracleCtes: String =
-    """dims AS (SELECT doc_id, 1 + doc_id % 64 AS w, 1 + doc_id % 48 AS h FROM documents),
+  private def phashOracleCtes: String = phashOracleCtesFor("doc_id")
+
+  /** The aHash oracle CTEs with the image CONTENT id decoupled from the
+    * arrival key: `content` is the id the pixel generator runs on (the
+    // streaming image-ingest gate re-crawls content under many doc_ids).
+    */
+  private[queries] def phashOracleCtesFor(content: String): String =
+    s"""dims AS (SELECT doc_id, $content AS cid, 1 + ($content) % 64 AS w,
+      |    1 + ($content) % 48 AS h FROM documents),""".stripMargin +
+    """
       |g8 AS (SELECT unnest(range(0, 8)) AS b),
       |xs AS (SELECT unnest(range(0, 64)) AS x),
       |ys AS (SELECT unnest(range(0, 48)) AS y),
       |blk AS (SELECT d.doc_id, d.w, d.h, gy.b AS by, gx.b AS bx,
-      |    SUM(CAST((d.doc_id + 7*xs.x + 13*ys.y) % 251 AS BIGINT)) AS s,
+      |    SUM(CAST((d.cid + 7*xs.x + 13*ys.y) % 251 AS BIGINT)) AS s,
       |    COUNT(*) AS n
       |  FROM dims d
       |  JOIN g8 gy ON 1=1 JOIN g8 gx ON 1=1
@@ -5351,6 +5390,7 @@ object Pipeline {
     embQuery("sim_ann_lsh", simAnnLsh),
     embQuery("sim_knn_graph", simKnnGraph),
     embQuery("dedup_embedding_cosine", dedupEmbeddingCosine),
+    embQuery("corpus_semantic_decontaminate", semanticDecontaminate),
     simIvfExhaustive,
     embKmeansLloyd,
     corpusBloomDecontaminate,

@@ -1073,6 +1073,42 @@ object Relational {
             .otherwise(0).cast("int").as("approx_rank_ok"))
     },
 
+    // ---- OBSERVED METRICS (round-10): `df.observe` — pipeline health
+    // counters collected ON the production pass itself. The filtered
+    // write runs ONCE, and the Observation aggregates (rows seen / rows
+    // kept / kept value) ride that same job as accumulator-backed
+    // metrics: at 100 TB this is the only affordable audit shape — a
+    // separate COUNT(*) audit query would re-read the corpus. The gate
+    // returns the observed metrics themselves, and the oracle computes
+    // the same aggregates directly — observed == recomputed is the
+    // correctness claim. Sum arithmetic goes through DECIMAL(18,2) (the
+    // QueryDef float discipline) so the one double cast at the end is
+    // bit-identical. ----
+    QueryDef("q65_observe_metrics",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_seen,
+        |  CAST(SUM(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN l_quantity < 10
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS kept_price
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val obs = org.apache.spark.sql.Observation()
+      val kept = li.observe(obs,
+          count(lit(1)).as("n_seen"),
+          sum(when(col("l_quantity") < 10, lit(1L)).otherwise(lit(0L)))
+            .as("n_kept"),
+          sum(when(col("l_quantity") < 10,
+              col("l_extendedprice").cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).as("kept_price"))
+        .filter(col("l_quantity") < 10)
+      kept.write.mode("overwrite").parquet(Tables.scratchDir("observe_metrics"))
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_seen").asInstanceOf[Long], m("n_kept").asInstanceOf[Long],
+          m("kept_price").asInstanceOf[java.math.BigDecimal].doubleValue))
+        .toDF("n_seen", "n_kept", "kept_price")
+    },
+
     // ---- GROUP BY ALL / ORDER BY ALL (the modern analyst idiom, same
     // SQL text verbatim on BOTH engines): every non-aggregate select item
     // becomes a grouping key, the full select list becomes the sort key —

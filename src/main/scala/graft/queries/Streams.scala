@@ -326,6 +326,45 @@ object Streams {
     (slice, append)
   }
 
+  /** Count-min row hash — the cell of key `u` in sketch row `r` (3 rows ×
+    * 64 cells): one multiplicative round per row mod the Mersenne prime
+    * 2^31−1, then mod the width. Every intermediate stays below 2^62
+    * (DuckDB errors on BIGINT overflow, Java wraps — so the arithmetic
+    * must never overflow to be identical), and the text is dialect-free.
+    */
+  private def cmsCell(u: String, r: String): String =
+    s"((((abs($u) % 2147483647) * (CASE WHEN $r = 0 THEN 1000003 " +
+      s"WHEN $r = 1 THEN 754974721 ELSE 998244353 END) + $r) " +
+      "% 2147483647) % 64)"
+
+  /** HLL readout constant alpha_64 · m² · 2^25, pre-folded in Scala and
+    * emitted in E-notation — BOTH engines parse a bare decimal literal as
+    * DECIMAL (different division semantics), but E-notation is DOUBLE in
+    * both, so the readout's one float op is a single double division. */
+  private val HllAlphaScale: Double =
+    0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * 33554432.0
+
+  /** HLL key hash: two multiplicative rounds mod 2^31−1 — 31 bits of
+    * dialect-free exact BIGINT mixing (low 6 bits pick the register, the
+    * next 24 feed the rank statistic). */
+  private def hllHash(u: String): String =
+    s"((((abs($u) % 2147483647) * 1000003) % 2147483647) * 48271) % 2147483647"
+
+  /** HLL rank of a 24-bit window column `w` (a COLUMN name, not an inline
+    * expression — the smear repeats it 32×): rho = 25 − bit_length(w),
+    * where bit_length is an exact shift-OR smear + popcount — no float
+    * log2 (the autoPlanes lesson: integer-exact both engines). w = 0 (no
+    * bits) yields the max rank 25. */
+  private def hllRho(d: graft.functions.Dialect, w: String): String = {
+    def smear(e: String, sh: Int) = s"($e | ${d.shiftRight(e, sh.toString)})"
+    val s1 = smear(w, 1)
+    val s2 = smear(s1, 2)
+    val s3 = smear(s2, 4)
+    val s4 = smear(s3, 8)
+    val s5 = smear(s4, 16)
+    s"(25 - ${d.bitCount(s5)})"
+  }
+
   /** Replay-idempotent micro-batch SINK: overwrite the batch's own
     * `batch=<id>` partition instead of appending — foreachBatch is
     * at-least-once under mid-batch failure, and a replayed batch must
@@ -1463,6 +1502,76 @@ object Streams {
           col("score"), col("rnk").cast("long").as("rnk"))
     },
 
+    // ---- TOMBSTONE GC (round-10): the offline compaction job that closes
+    // the deletion story — stream_ann_delete's tombstones are LOGICAL (an
+    // anti-join at every serve, forever); right-to-be-forgotten is only
+    // discharged when the bytes are physically gone. The store is built
+    // through the SAME appendBatch path the upsert stream uses (identical
+    // batch=i/bucket=v layout), tombstones accumulate, then ONE GC pass
+    // rewrites ONLY the tombstoned keys' bucket partitions (survivors
+    // materialized read-before-delete, older generations of those buckets
+    // dropped, one compacted generation written) — untouched buckets'
+    // files are never read or rewritten, so GC cost tracks the deleted-key
+    // subset, not the store size. The serve afterwards needs NO anti-join:
+    // oracle = plain LSH top-3 over the survivor corpus. StreamingSpec
+    // pins the physical claims (store row count = N − deleted, zero
+    // deleted ids on disk, untouched buckets byte-identical, post-GC serve
+    // == pre-GC tombstone-anti-join serve). ----
+    QueryDef("stream_ann_gc", {
+      val dd = graft.functions.DuckDialect
+      val F = graft.functions.Formulas
+      val dim = 64
+      val cos = s"CASE WHEN qn * en > 0 THEN (${F.dot(dd, "qv", "ev", dim)}) / (qn * en) ELSE 0.0 END"
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    ${F.norm(dd, "embedding", dim)} AS nrm,
+         |    ${F.lshBucket(dd, "embedding", dim, 8)} AS bkt FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn, bkt FROM e
+         |  WHERE vec_id % 50 = 0),
+         |scored AS (SELECT q.qid, e.nid, $cos AS score
+         |  FROM q
+         |  JOIN (SELECT vec_id AS nid, embedding AS ev, nrm AS en, bkt FROM e
+         |        WHERE vec_id % 97 <> 0) e
+         |    ON q.bkt = e.bkt AND e.nid <> q.qid)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+         |  score, CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT qid, nid, score,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+         |  FROM scored) s
+         |WHERE rnk <= 3""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val F = graft.functions.Formulas
+      val d = graft.functions.SparkDialect
+      val idxDir = cleanScratch(s, s"stream_agc_idx_${dir.hashCode & 0x7fffffff}")
+      val emb = Tables.load(s, dir, "embeddings")
+      val store = new graft.streaming.IndexStore(s, idxDir, "bkt", 8)
+      val rows = emb.selectExpr("vec_id AS nid", "embedding AS ev",
+        s"${F.norm(d, "embedding", 64)} AS en",
+        s"CAST(${F.lshBucket(d, "embedding", 64, 8)} AS LONG) AS bkt")
+      Seq(0, 1, 2).foreach { i =>
+        store.appendBatch(rows.filter(col("nid") % 3 === i), i.toLong)
+      }
+      val tombs = emb.filter(col("vec_id") % 97 === 0)
+        .selectExpr("vec_id AS nid",
+          s"CAST(${F.lshBucket(d, "embedding", 64, 8)} AS LONG) AS bkt")
+      store.gcCompact(tombs, "nid", rows.schema, gcBatchId = 3L)
+      val (queries, qParts) = annQueryState(s, dir, idxDir)
+      store.readBatches(store.batchSchema(rows.schema), qParts)
+        .join(queries, "bkt")
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          when(col("qn") * col("en") > 0,
+            expr("graft_dot(qv, ev)") / (col("qn") * col("en")))
+            .otherwise(lit(0.0)).as("score"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("score").desc, col("nid"))))
+        .filter(col("rnk") <= 3)
+        .select(col("qid").cast("long").as("qid"),
+          col("nid").cast("long").as("nid"),
+          col("score"), col("rnk").cast("long").as("rnk"))
+    },
+
     // ---- STREAMING IVF-PQ INDEX MAINTENANCE (round-9): the upsert path
     // for the SECOND index family — at 100 TB you retrain centroids rarely
     // but upsert PQ codes constantly. The model (coarse centroids + PQ
@@ -1744,6 +1853,168 @@ object Streams {
       }
     },
 
+    // ---- STREAMING FREQUENCY SKETCH (round-10): count-min over the event
+    // stream — the 100 TB way to track per-key frequencies WITHOUT
+    // per-key state. The sketch is a fixed 3×64 integer counter matrix
+    // whose update is an associative sum — mergeable across batches,
+    // executors, and days — so the maintained state is model-sized no
+    // matter how many distinct keys flow past (per-key exact counts would
+    // be key-cardinality state, the thing that dies first at scale). Each
+    // micro-batch folds its own (row, cell) counts into the partials
+    // store; the STATIC probe set (user_id % 37 = 0) then reads its
+    // point-frequency estimates: est = MIN over the 3 rows' accumulated
+    // cells — an upper bound on the true count, exact when no key
+    // collides with the probe in all 3 rows. Exact BIGINT arithmetic in
+    // both engines; the oracle replays the prefix-batch recurrence
+    // relationally. ----
+    QueryDef("stream_cms_freq",
+      s"""WITH ev AS (SELECT user_id,
+         |    ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+         |    COUNT(*) OVER () AS nn FROM events),
+         |vs AS (SELECT CAST(1 AS BIGINT) AS version
+         |  UNION ALL SELECT 2 UNION ALL SELECT 3),
+         |rr AS (SELECT CAST(0 AS BIGINT) AS r
+         |  UNION ALL SELECT 1 UNION ALL SELECT 2),
+         |cells AS (SELECT vs.version, rr.r,
+         |    ${cmsCell("ev.user_id", "rr.r")} AS cell, COUNT(*) AS c
+         |  FROM vs JOIN ev ON ev.rn <= (vs.version * ev.nn) // 3
+         |  CROSS JOIN rr GROUP BY 1, 2, 3),
+         |probes AS (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0),
+         |pc AS (SELECT user_id, rr.r, ${cmsCell("user_id", "rr.r")} AS cell
+         |  FROM probes CROSS JOIN rr)
+         |SELECT vs.version, CAST(pc.user_id AS BIGINT) AS user_id,
+         |  CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est
+         |FROM vs CROSS JOIN pc
+         |LEFT JOIN cells c
+         |  ON c.version = vs.version AND c.r = pc.r AND c.cell = pc.cell
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val src = stagedEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_cms_ckpt_${dir.hashCode & 0x7fffffff}")
+      val pdir = cleanScratch(s, s"stream_cms_m_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_cms_out_${dir.hashCode & 0x7fffffff}")
+      Tables.load(s, dir, "events").createOrReplaceTempView("events")
+      // static probe set + its 3 sketch cells per key — broadcast model state
+      val probes = s.sql(
+        s"""SELECT user_id, r, ${cmsCell("user_id", "r")} AS cell
+           |FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0) p
+           |CROSS JOIN (SELECT explode(array(CAST(0 AS BIGINT), 1, 2)) AS r) rr"""
+          .stripMargin).localCheckpoint()
+      probes.createOrReplaceTempView("graft_cms_probes")
+      val schema = s.read.parquet(src).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+          val ss = bdf.sparkSession
+          bdf.createOrReplaceTempView("graft_cms_b")
+          ss.sql(
+            s"""SELECT r, ${cmsCell("user_id", "r")} AS cell, COUNT(*) AS c
+               |FROM graft_cms_b
+               |CROSS JOIN (SELECT explode(array(CAST(0 AS BIGINT), 1, 2)) AS r) rr
+               |GROUP BY 1, 2""".stripMargin)
+            .sinkBatch(pdir, batchId)
+          ss.read.parquet(pdir).createOrReplaceTempView("graft_cms_parts")
+          ss.sql(
+            s"""SELECT CAST(${batchId + 1} AS BIGINT) AS version,
+               |  CAST(p.user_id AS BIGINT) AS user_id,
+               |  CAST(MIN(COALESCE(sk.c, 0)) AS BIGINT) AS est
+               |FROM graft_cms_probes p
+               |LEFT JOIN (SELECT r, cell, SUM(c) AS c FROM graft_cms_parts
+               |           GROUP BY r, cell) sk
+               |  ON sk.r = p.r AND sk.cell = p.cell
+               |GROUP BY p.user_id""".stripMargin)
+            .sinkBatch(out, batchId)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.read.parquet(out)
+        .select(col("version").cast("long").as("version"),
+          col("user_id").cast("long").as("user_id"),
+          col("est").cast("long").as("est"))
+    },
+
+    // ---- STREAMING CARDINALITY SKETCH (round-10): HyperLogLog-shaped
+    // distinct-user count as maintained state — 64 registers, each the MAX
+    // of a rank statistic, so the per-batch update is an associative MAX
+    // (the mergeability that makes HLL THE distinct-count at 100 TB:
+    // register vectors union across batches, partitions, and datasets
+    // with no key state). Hash = two multiplicative rounds mod the
+    // Mersenne prime 2^31−1 (exact BIGINT in both engines); register j =
+    // low 6 bits, rank = 25 − bit_length of the next 24 bits (bit_length
+    // via an exact shift-OR smear + bit_count — no float log anywhere).
+    // The readout keeps the harmonic sum EXACT: Z = Σ 2^(25−M[j]) as
+    // BIGINT, and the only float op is one final literal-constant
+    // multiply/divide — bit-identical cross-engine. Oracle replays the
+    // prefix-batch recurrence. ----
+    QueryDef("stream_hll_distinct", {
+      val d = graft.functions.DuckDialect
+      s"""WITH ev AS (SELECT user_id,
+         |    ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+         |    COUNT(*) OVER () AS nn FROM events),
+         |vs AS (SELECT CAST(1 AS BIGINT) AS version
+         |  UNION ALL SELECT 2 UNION ALL SELECT 3),
+         |hh AS (SELECT rn, nn, ${hllHash("user_id")} AS h FROM ev),
+         |hw AS (SELECT rn, nn, h % 64 AS j,
+         |    ${d.shiftRight("h", "6")} % 16777216 AS w FROM hh),
+         |hr AS (SELECT rn, nn, j, ${hllRho(d, "w")} AS rho FROM hw),
+         |regs AS (SELECT vs.version, hr.j, MAX(hr.rho) AS m
+         |  FROM vs JOIN hr ON hr.rn <= (vs.version * hr.nn) // 3
+         |  GROUP BY 1, 2),
+         |js AS (SELECT unnest(range(0, 64)) AS j),
+         |full0 AS (SELECT vs.version, js.j, COALESCE(r.m, 0) AS m
+         |  FROM vs CROSS JOIN js
+         |  LEFT JOIN regs r ON r.version = vs.version AND r.j = js.j)
+         |SELECT version,
+         |  CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+         |  CAST(SUM(${d.shiftLeft1("25 - m")}) AS BIGINT) AS z_sum,
+         |  $HllAlphaScale
+         |    / CAST(SUM(${d.shiftLeft1("25 - m")}) AS DOUBLE) AS hll_est
+         |FROM full0 GROUP BY version""".stripMargin
+    }) { (s, dir) =>
+      val d = graft.functions.SparkDialect
+      val src = stagedEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_hll_ckpt_${dir.hashCode & 0x7fffffff}")
+      val pdir = cleanScratch(s, s"stream_hll_m_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_hll_out_${dir.hashCode & 0x7fffffff}")
+      val schema = s.read.parquet(src).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+          val ss = bdf.sparkSession
+          bdf.createOrReplaceTempView("graft_hll_b")
+          ss.sql(
+            s"""WITH hh AS (SELECT ${hllHash("user_id")} AS h FROM graft_hll_b),
+               |hw AS (SELECT h % 64 AS j,
+               |    ${d.shiftRight("h", "6")} % 16777216 AS w FROM hh)
+               |SELECT j, MAX(${hllRho(d, "w")}) AS m
+               |FROM hw GROUP BY j""".stripMargin)
+            .sinkBatch(pdir, batchId)
+          ss.read.parquet(pdir).createOrReplaceTempView("graft_hll_parts")
+          ss.sql(
+            s"""WITH regs AS (SELECT j, MAX(m) AS m FROM graft_hll_parts
+               |    GROUP BY j),
+               |full0 AS (SELECT js.j, COALESCE(r.m, 0) AS m
+               |  FROM (SELECT explode(sequence(0, 63)) AS j) js
+               |  LEFT JOIN regs r ON r.j = js.j)
+               |SELECT CAST(${batchId + 1} AS BIGINT) AS version,
+               |  CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+               |  CAST(SUM(${d.shiftLeft1("25 - m")}) AS BIGINT) AS z_sum,
+               |  $HllAlphaScale
+               |    / CAST(SUM(${d.shiftLeft1("25 - m")}) AS DOUBLE) AS hll_est
+               |FROM full0""".stripMargin)
+            .sinkBatch(out, batchId)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.read.parquet(out)
+        .select(col("version").cast("long").as("version"),
+          col("n_active").cast("long").as("n_active"),
+          col("z_sum").cast("long").as("z_sum"), col("hll_est"))
+    },
+
     // ---- STREAMING INGESTION DEDUP (round-8): near-dup detection AT THE
     // INGESTION BOUNDARY — the shape a pipeline actually runs (dedup
     // against everything already accepted, not a batch re-scan). Each
@@ -1998,6 +2269,128 @@ object Streams {
         .select(col("version").cast("long").as("version"),
           col("doc_id").cast("long").as("doc_id"),
           col("n_eval_ngrams").cast("long").as("n_eval_ngrams"))
+    },
+
+    // ---- MULTIMODAL INGESTION BOUNDARY (round-10): image near-dup
+    // screening AT INGEST — the pipeline shape a vision corpus actually
+    // runs: every arriving image is decoded ONCE (real PNG codec,
+    // executor-side), aHashed, band-keyed (4×16-bit bands of the 64-bit
+    // hash), checked against the accumulated band STORE (everything
+    // already seen) plus lower-id same-batch arrivals with a Hamming ≤ 10
+    // verify, then its own bands merge into the store. The fixture
+    // re-crawls content under many arrival ids (pixels keyed by
+    // doc_id % 97), so genuine exact and near duplicates arrive in later
+    // batches. Oracle replays arrival relationally (batch = doc_id % 3)
+    // with every hash bit rebuilt from the pixel generator formula. 100 TB
+    // shape: decode + hash are one executor pass over the BATCH, the dup
+    // check is a band equi-join against the store's partition-pruned
+    // bucket slice, and the store is bucket-partitioned appends — per-batch
+    // cost tracks the batch, never the corpus. ----
+    QueryDef("stream_image_ingest", {
+      val dd = graft.functions.DuckDialect
+      val ham = s"(${dd.bitCount(dd.xor("x.phash_hi", "y.phash_hi"))} + " +
+        s"${dd.bitCount(dd.xor("x.phash_lo", "y.phash_lo"))})"
+      s"""WITH ${Pipeline.phashOracleCtesFor("doc_id % 97")},
+         |pv AS (SELECT doc_id, doc_id % 3 AS m, phash_hi, phash_lo FROM ph
+         |  WHERE phash_hi >= 0),
+         |pb AS (
+         |  SELECT doc_id, m, phash_hi, phash_lo,
+         |    ${dd.shiftRight("phash_hi", "16")} AS bk FROM pv
+         |  UNION ALL SELECT doc_id, m, phash_hi, phash_lo,
+         |    65536 + phash_hi % 65536 FROM pv
+         |  UNION ALL SELECT doc_id, m, phash_hi, phash_lo,
+         |    131072 + ${dd.shiftRight("phash_lo", "16")} FROM pv
+         |  UNION ALL SELECT doc_id, m, phash_hi, phash_lo,
+         |    196608 + phash_lo % 65536 FROM pv),
+         |dup AS (SELECT DISTINCT x.doc_id
+         |  FROM pb x JOIN pb y ON x.bk = y.bk
+         |    AND (y.m < x.m OR (y.m = x.m AND y.doc_id < x.doc_id))
+         |  WHERE $ham <= 10)
+         |SELECT CAST(p.m + 1 AS BIGINT) AS version,
+         |  CAST(p.doc_id AS BIGINT) AS doc_id,
+         |  CASE WHEN d.doc_id IS NULL THEN 'ok' ELSE 'dup' END AS status
+         |FROM pv p LEFT JOIN dup d ON p.doc_id = d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val d = graft.functions.SparkDialect
+      val src = stagedDocsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_img_ckpt_${dir.hashCode & 0x7fffffff}")
+      val idxDir = cleanScratch(s, s"stream_img_idx_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_img_out_${dir.hashCode & 0x7fffffff}")
+      val docs = Tables.load(s, dir, "documents")
+      // batch 0 probes BEFORE the first append: an empty store is a valid
+      // state, but the directory must exist for the explicit-schema read
+      new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .mkdirs(new org.apache.hadoop.fs.Path(idxDir))
+      val storeSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bk",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ah",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("al",
+          org.apache.spark.sql.types.LongType)))
+      val ham = s"(${d.bitCount(d.xor("x.ah", "y.ah"))} + " +
+        s"${d.bitCount(d.xor("x.al", "y.al"))})"
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+          val ss = bdf.sparkSession
+          import ss.implicits._
+          // the store handle must live on the BATCH session: temp views
+          // and reads resolve in the micro-batch clone's catalog
+          val store = new graft.streaming.IndexStore(ss, idxDir, "bk", 8)
+          // decode + hash ONCE per arriving image, executor-side
+          val imgs = bdf.select(col("doc_id")).as[Long].mapPartitions(_.map(
+            id => graft.operators.Multimodal.ImageRow(
+              id, graft.operators.Multimodal.pngBytes(id % 97))))
+          graft.operators.Multimodal.imagePHash(imgs)
+            .filter(col("phash_hi") >= 0)
+            .localCheckpoint()
+            .createOrReplaceTempView("graft_img_ph")
+          val bands = ss.sql(
+            s"""SELECT doc_id, CAST(bk AS BIGINT) AS bk,
+               |  phash_hi AS ah, phash_lo AS al FROM (
+               |  SELECT doc_id, phash_hi, phash_lo,
+               |    ${d.shiftRight("phash_hi", "16")} AS bk FROM graft_img_ph
+               |  UNION ALL SELECT doc_id, phash_hi, phash_lo,
+               |    65536 + phash_hi % 65536 FROM graft_img_ph
+               |  UNION ALL SELECT doc_id, phash_hi, phash_lo,
+               |    131072 + ${d.shiftRight("phash_lo", "16")} FROM graft_img_ph
+               |  UNION ALL SELECT doc_id, phash_hi, phash_lo,
+               |    196608 + phash_lo % 65536 FROM graft_img_ph) b""".stripMargin)
+            .localCheckpoint()
+          bands.createOrReplaceTempView("graft_img_bands")
+          // rivals: the store's pruned slice (strictly earlier batches —
+          // replay-safe) plus lower-id same-batch arrivals
+          val parts = store.partsOf(bands.select("bk"))
+          store.readBefore(store.batchSchema(storeSchema), parts, batchId)
+            .select("bk", "ah", "al")
+            .createOrReplaceTempView("graft_img_store")
+          ss.sql(
+            s"""WITH riv AS (
+               |  SELECT bk, ah, al, CAST(-1 AS BIGINT) AS rid
+               |  FROM graft_img_store
+               |  UNION ALL SELECT bk, ah, al, doc_id AS rid
+               |  FROM graft_img_bands),
+               |dup AS (SELECT DISTINCT x.doc_id
+               |  FROM graft_img_bands x JOIN riv y ON x.bk = y.bk
+               |    AND (y.rid = -1 OR y.rid < x.doc_id)
+               |  WHERE $ham <= 10)
+               |SELECT CAST(${batchId + 1} AS BIGINT) AS version,
+               |  CAST(p.doc_id AS BIGINT) AS doc_id,
+               |  CASE WHEN d.doc_id IS NULL THEN 'ok' ELSE 'dup' END AS status
+               |FROM graft_img_ph p LEFT JOIN dup d ON p.doc_id = d.doc_id"""
+              .stripMargin)
+            .sinkBatch(out, batchId)
+          store.appendBatch(bands.selectExpr("bk", "ah", "al"), batchId)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.read.parquet(out)
+        .select(col("version").cast("long").as("version"),
+          col("doc_id").cast("long").as("doc_id"), col("status"))
     },
 
     // ---- STREAMING RDF: continuous BGP match over an arriving triple

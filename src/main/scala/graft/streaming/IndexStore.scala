@@ -103,4 +103,42 @@ final class IndexStore(ss: SparkSession, val dir: String, keyCol: String,
     * must go through the pruned [[read]]). */
   def readAll(schema: StructType): DataFrame =
     ss.read.schema(schema).parquet(dir)
+
+  /** PHYSICAL tombstone GC — the offline compaction job that turns the
+    * streaming delete path's logical tombstones into real deletion
+    * (right-to-be-forgotten is only discharged when the bytes are gone):
+    *
+    *  1. prune to the tombstones' own partitions (`tombs` carries the
+    *     store key column, so the affected-partition set is known without
+    *     touching the store),
+    *  2. materialize those partitions' SURVIVORS (anti-join on `idCol`)
+    *     BEFORE any file is removed (read-before-delete),
+    *  3. drop the affected partitions from every existing `batch=`
+    *     generation, and
+    *  4. fold the survivors back as one compacted `batch=<gcBatchId>`
+    *     generation.
+    *
+    * Untouched partitions' files are never listed, read, or rewritten —
+    * GC cost tracks the tombstoned key subset, not the store size. After
+    * GC the serve path needs NO tombstone anti-join. Returns the rewritten
+    * partition values. */
+  def gcCompact(tombs: DataFrame, idCol: String, rowSchema: StructType,
+      gcBatchId: Long): Seq[Any] = {
+    val parts = partsOf(tombs)
+    val dels = tombs.select(col(idCol).as("__gcdel")).distinct()
+    val survivors = readBatches(batchSchema(rowSchema), parts)
+      .join(dels, col(idCol) === col("__gcdel"), "left_anti")
+      .select(rowSchema.fieldNames.map(col).toSeq: _*)
+      .localCheckpoint()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.getPath.getName.startsWith("batch=")).foreach { b =>
+      parts.foreach { v =>
+        val bp = new org.apache.hadoop.fs.Path(b.getPath, s"$partCol=$v")
+        if (fs.exists(bp)) fs.delete(bp, true)
+      }
+    }
+    appendBatch(survivors, gcBatchId)
+    parts
+  }
 }

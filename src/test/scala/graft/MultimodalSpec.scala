@@ -244,4 +244,39 @@ class MultimodalSpec extends SparkTestBase {
     val sr = Multimodal.videoFrameHashes(bad).collect().head
     assert(sr.getInt(1) == -1 && sr.getLong(2) == -1L)
   }
+
+  test("stream_image_ingest: statuses equal an independent replay of band+Hamming dedup") {
+    import spark.implicits._
+    val out = SparkEntry.queries("stream_image_ingest")(spark, sf).persist()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.count() == nDocs, "one status per arrival")
+    assert(out.filter(col("version") =!= col("doc_id") % 3 + 1).count() == 0,
+      "version is the arrival batch")
+    assert(out.filter(col("status") === "ok").count() > 0,
+      "first arrivals survive")
+    // independent replay: hash every arrival through the REAL codec path,
+    // band-join against earlier arrivals, Hamming <= 10 verify
+    val ph = Multimodal.imagePHash(
+        spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"))
+          .as[Long].map(id => Multimodal.ImageRow(id, Multimodal.pngBytes(id % 97))))
+      .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+        (col("doc_id") % 3).as("m"))
+    val pb = ph.select(col("doc_id"), col("m"),
+      col("phash_hi").as("h1"), col("phash_lo").as("h2"),
+      explode(array(
+        shiftright(col("phash_hi"), 16),
+        col("phash_hi") % 65536 + 65536,
+        shiftright(col("phash_lo"), 16) + 131072,
+        col("phash_lo") % 65536 + 196608)).as("bk"))
+    val expect = pb.as("x").join(pb.as("y"),
+        col("x.bk") === col("y.bk") && (col("y.m") < col("x.m") ||
+          (col("y.m") === col("x.m") && col("y.doc_id") < col("x.doc_id"))))
+      .filter(expr("bit_count(x.h1 ^ y.h1) + bit_count(x.h2 ^ y.h2)") <= 10)
+      .select(col("x.doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val got = out.filter(col("status") === "dup")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect, s"dup set mismatch: extra=${got -- expect}, missing=${expect -- got}")
+    out.unpersist()
+  }
 }

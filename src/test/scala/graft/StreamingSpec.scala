@@ -393,4 +393,51 @@ class StreamingSpec extends SparkTestBase {
     assert(moved > 0, "at least one centroid lane must move across versions")
     df.unpersist()
   }
+
+  test("stream_cms_freq: estimates dominate the true prefix counts, monotonically") {
+    val est = SparkEntry.queries("stream_cms_freq")(spark, sf).persist()
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val n = ev.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy("ts", "event_id")
+    val rn = ev.withColumn("rn", row_number().over(w))
+    val truth = spark.range(1, 4).select(col("id").as("version"))
+      .join(rn, expr(s"rn <= version * $n div 3"))
+      .filter(col("user_id") % 37 === 0)
+      .groupBy("version", "user_id").agg(count(lit(1)).as("truecnt"))
+    // one estimate per probe key per version, even before its first event
+    val probes = ev.filter(col("user_id") % 37 === 0)
+      .select("user_id").distinct().count()
+    assert(probes > 0 && est.count() == probes * 3)
+    // count-min NEVER undercounts (it only adds collisions)
+    val j = est.join(truth, Seq("version", "user_id"), "left")
+      .withColumn("truecnt", coalesce(col("truecnt"), lit(0L)))
+    assert(j.filter(col("est") < col("truecnt")).count() == 0,
+      "the sketch estimate is an upper bound on the true count")
+    // per-key estimates are non-decreasing in the version (sums only grow)
+    val mono = est.as("a").join(est.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.version") + 1 === col("b.version"))
+      .filter(col("b.est") < col("a.est")).count()
+    assert(mono == 0, "accumulated cell sums can only grow")
+    est.unpersist()
+  }
+
+  test("stream_hll_distinct: registers saturate monotonically; readout is one exact division") {
+    val out = SparkEntry.queries("stream_hll_distinct")(spark, sf)
+      .orderBy("version").collect()
+    assert(out.length == 3)
+    val zs = out.map(_.getAs[Long]("z_sum"))
+    val act = out.map(_.getAs[Long]("n_active"))
+    assert(zs.sliding(2).forall(p => p(1) <= p(0)),
+      "registers only grow, so the harmonic sum only shrinks")
+    assert(act.sliding(2).forall(p => p(1) >= p(0)),
+      "a register never empties")
+    // the only float op is alpha·m²·2^25 / z — recompute it exactly
+    val alpha = 0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * 33554432.0
+    out.foreach { r =>
+      assert(r.getAs[Double]("hll_est") == alpha / r.getAs[Long]("z_sum").toDouble,
+        "estimate must be exactly the one-division readout of the integer sum")
+    }
+  }
 }

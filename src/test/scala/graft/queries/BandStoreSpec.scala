@@ -135,4 +135,47 @@ class BandStoreSpec extends SparkTestBase {
     val full = store.readAll(schema)
     assert(full.count() == 64)
   }
+
+  test("IndexStore.gcCompact: tombstoned bytes gone, untouched buckets byte-identical") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("gcstore").toString + "/idx"
+    val store = new graft.streaming.IndexStore(spark, idx, "bkt", 4)
+    val rows = (1L to 32L).map(i => (i, i % 8)).toDF("id", "bkt")
+    store.appendBatch(rows.filter(col("id") <= 16), 0L)
+    store.appendBatch(rows.filter(col("id") > 16), 1L)
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(idx)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.length()).toMap
+    }
+    val before = files()
+    val pre = store.readAll(store.batchSchema(rows.schema))
+      .select("id").as[Long].collect().sorted.toSeq
+    // both tombstones carry bkt = 3 — exactly one affected hash bucket
+    val tombs = Seq((3L, 3L), (11L, 3L)).toDF("id", "bkt")
+    val parts = store.gcCompact(tombs, "id", rows.schema, gcBatchId = 99L)
+    val after = files()
+    val post = store.readAll(store.batchSchema(rows.schema)).persist()
+    // physical deletion: the rows are gone from disk, not masked
+    assert(post.count() == 30)
+    assert(post.filter(col("id").isin(3L, 11L)).count() == 0,
+      "tombstoned ids must be physically absent")
+    // GC cost tracks the tombstoned subset: untouched buckets' files are
+    // the same paths with the same bytes
+    val affected = parts.map(v => s"${store.bucketCol}=$v").toSet
+    def untouched(m: Map[String, Long]) =
+      m.filterNot { case (p, _) => affected.exists(p.contains) }
+    assert(untouched(before) == untouched(after),
+      "untouched buckets must not be listed, read, or rewritten")
+    // the affected bucket survives only in the compacted generation
+    assert(after.keys.filter(p => affected.exists(p.contains))
+      .forall(_.contains("batch=99")),
+      "older generations of the affected bucket must be dropped")
+    // serve equality with NO anti-join: post-GC store == pre-GC minus tombs
+    assert(post.select("id").as[Long].collect().sorted.toSeq ==
+      pre.filterNot(Set(3L, 11L)),
+      "post-GC plain serve equals the pre-GC tombstone-anti-join serve")
+    post.unpersist()
+  }
 }

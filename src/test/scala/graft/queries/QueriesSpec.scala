@@ -328,6 +328,40 @@ class QueriesSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("corpus_semantic_decontaminate: train-only coverage; verdicts match the evidence") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("corpus_semantic_decontaminate")(spark, sf).persist()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    assert(out.count() == emb.filter(col("vec_id") % 20 =!= 0).count(),
+      "one verdict per TRAINING vector")
+    assert(out.filter(col("vec_id") % 20 === 0).count() == 0,
+      "eval vectors are the contamination source, never subjects")
+    assert(out.filter((col("keep") === 1) =!= (col("n_eval_hits") === 0)).count() == 0,
+      "keep verdict is exactly the zero-hits predicate")
+    assert(out.filter(col("n_eval_hits") > 0 && col("max_eval_cos") < lit(0.3)).count() == 0,
+      "every flagged vector carries an offending cosine >= threshold")
+    assert(out.filter(col("keep") === 1 && col("max_eval_cos").isNotNull).count() == 0,
+      "clean vectors carry no offending cosine")
+    out.unpersist()
+    // planted leakage: a training vector IDENTICAL to an eval vector lands
+    // in the same LSH bucket with cosine 1 and must be flagged
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val base = (0 until 40).map(i => (i.toLong, vec(), i % 3))
+    val planted = base.map { case (id, v, l) =>
+      if (id == 21L) (id, base(20)._2, l) else (id, v, l) }
+    planted.toDF("vec_id", "embedding", "label")
+      .createOrReplaceTempView("embeddings")
+    val flagged = spark.sql(
+        Pipeline.semanticDecontaminate(graft.functions.SparkDialect))
+      .filter(col("vec_id") === 21L).collect()
+    assert(flagged.length == 1 && flagged(0).getAs[Long]("keep") == 0 &&
+      flagged(0).getAs[Long]("n_eval_hits") >= 1 &&
+      flagged(0).getAs[Double]("max_eval_cos") > 0.999,
+      "a copy of eval vector 20 must be caught as contamination")
+  }
+
   test("stream_ann_upsert: index versions only serve vectors that have arrived") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("stream_ann_upsert")(spark, sf).persist()
