@@ -2362,17 +2362,24 @@ object Streams {
             .localCheckpoint()
           bands.createOrReplaceTempView("graft_img_bands")
           // rivals: the store's pruned slice (strictly earlier batches —
-          // replay-safe) plus lower-id same-batch arrivals
+          // replay-safe) plus lower-id same-batch arrivals. Both sides are
+          // compressed to DISTINCT hash triples (Hamming depends on the
+          // hash values, never the rival's identity): a batch with k copies
+          // of one image contributes ONE rival group carrying its min id,
+          // not k²/2 candidate pairs, and the store stays bounded by the
+          // distinct-image set instead of the arrival count — the
+          // bandStoreProbe compaction lesson generalized to keyed rows.
           val parts = store.partsOf(bands.select("bk"))
-          store.readBefore(store.batchSchema(storeSchema), parts, batchId)
-            .select("bk", "ah", "al")
-            .createOrReplaceTempView("graft_img_store")
+          val slice = store
+            .readBefore(store.batchSchema(storeSchema), parts, batchId)
+            .select("bk", "ah", "al").localCheckpoint()
+          slice.createOrReplaceTempView("graft_img_store")
           ss.sql(
             s"""WITH riv AS (
                |  SELECT bk, ah, al, CAST(-1 AS BIGINT) AS rid
                |  FROM graft_img_store
-               |  UNION ALL SELECT bk, ah, al, doc_id AS rid
-               |  FROM graft_img_bands),
+               |  UNION ALL SELECT bk, ah, al, MIN(doc_id) AS rid
+               |  FROM graft_img_bands GROUP BY bk, ah, al),
                |dup AS (SELECT DISTINCT x.doc_id
                |  FROM graft_img_bands x JOIN riv y ON x.bk = y.bk
                |    AND (y.rid = -1 OR y.rid < x.doc_id)
@@ -2383,7 +2390,9 @@ object Streams {
                |FROM graft_img_ph p LEFT JOIN dup d ON p.doc_id = d.doc_id"""
               .stripMargin)
             .sinkBatch(out, batchId)
-          store.appendBatch(bands.selectExpr("bk", "ah", "al"), batchId)
+          store.appendBatch(
+            bands.select(col("bk"), col("ah"), col("al")).distinct()
+              .join(slice, Seq("bk", "ah", "al"), "left_anti"), batchId)
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
