@@ -206,4 +206,47 @@ object Formulas {
         d.transform(d.seq("1", dim.toString), "i",
           s"CAST(${d.elem(v, "i")} AS DOUBLE) * (${planeComponent("j", "i")})"),
         "CAST(0.0 AS DOUBLE)", "a2", "x", "a2 + x")}) > 0 THEN 1 ELSE 0 END)")
+
+  // ---- sketch formulas (count-min, HyperLogLog) — exact BIGINT
+  // arithmetic shared by the streaming sketch-state gates and the batch
+  // set-operations gate; every intermediate stays below 2^62 (DuckDB
+  // errors on BIGINT overflow, Java wraps — the arithmetic must never
+  // overflow to be identical). ----
+
+  /** Count-min row hash — the cell of key `u` in sketch row `r` (3 rows ×
+    * 64 cells): one multiplicative round per row mod 2^31−1, then mod the
+    * width. Dialect-free text. */
+  def cmsCell(u: String, r: String): String =
+    s"((((abs($u) % $P) * (CASE WHEN $r = 0 THEN 1000003 " +
+      s"WHEN $r = 1 THEN 754974721 ELSE 998244353 END) + $r) " +
+      s"% $P) % 64)"
+
+  /** HLL key hash: two multiplicative rounds mod 2^31−1 — 31 bits of
+    * dialect-free exact BIGINT mixing (low 6 bits pick the register, the
+    * next 24 feed the rank statistic). */
+  def hllHash(u: String): String =
+    s"((((abs($u) % $P) * 1000003) % $P) * 48271) % $P"
+
+  /** HLL rank of a 24-bit window column `w` (a COLUMN name, not an inline
+    * expression — the smear repeats it 32×): rho = 25 − bit_length(w),
+    * where bit_length is an exact shift-OR smear + popcount — no float
+    * log2. w = 0 (no bits) yields the max rank 25. */
+  def hllRho(d: Dialect, w: String): String = {
+    def smear(e: String, sh: Int) = s"($e | ${d.shiftRight(e, sh.toString)})"
+    val s5 = smear(smear(smear(smear(smear(w, 1), 2), 4), 8), 16)
+    s"(25 - ${d.bitCount(s5)})"
+  }
+
+  /** HLL readout constant alpha_64 · m² · 2^25, pre-folded in Scala and
+    * emitted in E-notation — BOTH engines parse a bare decimal literal as
+    * DECIMAL (different division semantics), but E-notation is DOUBLE in
+    * both, so the readout's one float op is a single double division. */
+  val hllAlphaScale64: Double =
+    0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * 33554432.0
+
+  /** A 0..n−1 integer relation (`SELECT ... AS alias`), per dialect. */
+  def intRows(d: Dialect, n: Int, alias: String): String = d match {
+    case SparkDialect => s"SELECT explode(sequence(0, ${n - 1})) AS $alias"
+    case DuckDialect  => s"SELECT unnest(range(0, $n)) AS $alias"
+  }
 }

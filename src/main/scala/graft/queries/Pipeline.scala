@@ -3221,6 +3221,89 @@ object Pipeline {
       views(s, dir, "events"); s.sql(sql(SparkDialect))
     }
 
+  /** HLL SET OPERATIONS — the reason sketches win at 100 TB is not one
+    * count but the ALGEBRA: register vectors built over DIFFERENT datasets
+    * or periods merge by per-register MAX (union), and inclusion–exclusion
+    * prices the overlap without re-scanning either side (the "returning
+    * users across periods" question over sketch state alone). Sets =
+    * distinct users active in the first vs second half of the event
+    * timeline. Register sums stay exact BIGINT (Σ 2^(25−M[j])); each
+    * estimate is one double division over them.
+    *
+    * 100 TB shape: each side is one aggregate to 64 registers (map-side
+    * combinable MAX); the set algebra is over model-sized register
+    * vectors only.
+    */
+  private def eventsHllSetops(d: Dialect): String = {
+    val a = F.hllAlphaScale64
+    s"""WITH ev AS (SELECT user_id, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+       |    COUNT(*) OVER () AS nn FROM events),
+       |hh AS (SELECT CASE WHEN rn * 2 <= nn THEN 0 ELSE 1 END AS part,
+       |    ${F.hllHash("user_id")} AS h FROM ev),
+       |hw AS (SELECT part, h % 64 AS j,
+       |    ${d.shiftRight("h", "6")} % 16777216 AS w FROM hh),
+       |hr AS (SELECT part, j, ${F.hllRho(d, "w")} AS rho FROM hw),
+       |regs AS (SELECT part, j, MAX(rho) AS m FROM hr GROUP BY part, j),
+       |js AS (${F.intRows(d, 64, "j")}),
+       |parts AS (SELECT 0 AS part UNION ALL SELECT 1),
+       |zp AS (SELECT p.part, js.j, COALESCE(r.m, 0) AS m
+       |  FROM parts p CROSS JOIN js
+       |  LEFT JOIN regs r ON r.part = p.part AND r.j = js.j),
+       |zur AS (SELECT js.j, COALESCE(u.m, 0) AS m
+       |  FROM js LEFT JOIN (SELECT j, MAX(m) AS m FROM regs GROUP BY j) u
+       |    ON u.j = js.j),
+       |zs AS (SELECT
+       |    CAST(SUM(CASE WHEN part = 0 THEN ${d.shiftLeft1("25 - m")}
+       |      ELSE 0 END) AS BIGINT) AS za,
+       |    CAST(SUM(CASE WHEN part = 1 THEN ${d.shiftLeft1("25 - m")}
+       |      ELSE 0 END) AS BIGINT) AS zb
+       |  FROM zp),
+       |zus AS (SELECT CAST(SUM(${d.shiftLeft1("25 - m")}) AS BIGINT) AS zu
+       |  FROM zur)
+       |SELECT za, zb, zu AS z_union,
+       |  $a / CAST(za AS DOUBLE) AS est_a,
+       |  $a / CAST(zb AS DOUBLE) AS est_b,
+       |  $a / CAST(zu AS DOUBLE) AS est_union,
+       |  $a / CAST(za AS DOUBLE) + $a / CAST(zb AS DOUBLE)
+       |    - $a / CAST(zu AS DOUBLE) AS est_intersect
+       |FROM zs CROSS JOIN zus""".stripMargin
+  }
+
+  /** ANOMALY DETECTION over a metric stream — per-user rolling z-score
+    * against the TRAILING 5-event window (the streaming-monitoring shape:
+    * "this event is k sigmas off this user's recent behavior"). All window
+    * moments are exact integers (cents; DECIMAL squares), the z readout is
+    * one double chain over exact inputs (sqrt is correctly rounded IEEE in
+    * both engines), and the trailing window excludes the current row so
+    * the subject never contaminates its own baseline. Flag |z| >= 2 on a
+    * full window with positive variance.
+    *
+    * 100 TB shape: ONE window exchange on user_id (the sessionize
+    * partitioning), no self-joins; per-row state is the 5-row frame.
+    */
+  private def eventsAnomaly(d: Dialect): String =
+    s"""WITH ev AS (SELECT event_id, user_id, ts,
+       |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+       |w AS (SELECT event_id, user_id, x,
+       |    COUNT(x) OVER win AS n,
+       |    SUM(x) OVER win AS sx,
+       |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) OVER win AS sxx
+       |  FROM ev
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
+       |z AS (SELECT event_id, user_id, x, n,
+       |    CAST(x * n - sx AS DOUBLE)
+       |      / sqrt(CAST(n * (CAST(n AS DECIMAL(25,0)) * sxx
+       |          - CAST(sx AS DECIMAL(25,0)) * CAST(sx AS DECIMAL(25,0)))
+       |          AS DOUBLE) / (n - 1)) AS zscore
+       |  FROM w
+       |  WHERE n = 5 AND CAST(n AS DECIMAL(25,0)) * sxx
+       |    > CAST(sx AS DECIMAL(25,0)) * CAST(sx AS DECIMAL(25,0)))
+       |SELECT CAST(event_id AS BIGINT) AS event_id,
+       |  CAST(user_id AS BIGINT) AS user_id,
+       |  CAST(x AS BIGINT) AS value_cents, zscore
+       |FROM z WHERE abs(zscore) >= CAST(2 AS DOUBLE)""".stripMargin
+
   /** RETENTION COHORTS (round-9) — the product-analytics triangle: users
     * cohorted by the DAY of their first event (relative to the corpus
     * epoch), counted distinct per (cohort_day, days-since-first-event).
@@ -5408,6 +5491,8 @@ object Pipeline {
     docQuery("text_cms_heavy_hitters", textCmsHeavyHitters),
     docQuery("text_zipf_slope", textZipfSlope),
     docQuery("corpus_merge_upsert", corpusMergeUpsert),
+    eventsQuery("events_anomaly", eventsAnomaly),
+    eventsQuery("events_hll_setops", eventsHllSetops),
     eventsQuery("events_funnel", eventsFunnel),
     eventsQuery("events_funnel_windowed", eventsFunnelWindowed),
     eventsQuery("events_scd2", eventsScd2),

@@ -326,44 +326,15 @@ object Streams {
     (slice, append)
   }
 
-  /** Count-min row hash — the cell of key `u` in sketch row `r` (3 rows ×
-    * 64 cells): one multiplicative round per row mod the Mersenne prime
-    * 2^31−1, then mod the width. Every intermediate stays below 2^62
-    * (DuckDB errors on BIGINT overflow, Java wraps — so the arithmetic
-    * must never overflow to be identical), and the text is dialect-free.
-    */
+  /** Sketch formulas — shared with the batch set-operations gate via
+    * [[graft.functions.Formulas]]. */
   private def cmsCell(u: String, r: String): String =
-    s"((((abs($u) % 2147483647) * (CASE WHEN $r = 0 THEN 1000003 " +
-      s"WHEN $r = 1 THEN 754974721 ELSE 998244353 END) + $r) " +
-      "% 2147483647) % 64)"
-
-  /** HLL readout constant alpha_64 · m² · 2^25, pre-folded in Scala and
-    * emitted in E-notation — BOTH engines parse a bare decimal literal as
-    * DECIMAL (different division semantics), but E-notation is DOUBLE in
-    * both, so the readout's one float op is a single double division. */
-  private val HllAlphaScale: Double =
-    0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * 33554432.0
-
-  /** HLL key hash: two multiplicative rounds mod 2^31−1 — 31 bits of
-    * dialect-free exact BIGINT mixing (low 6 bits pick the register, the
-    * next 24 feed the rank statistic). */
+    graft.functions.Formulas.cmsCell(u, r)
   private def hllHash(u: String): String =
-    s"((((abs($u) % 2147483647) * 1000003) % 2147483647) * 48271) % 2147483647"
-
-  /** HLL rank of a 24-bit window column `w` (a COLUMN name, not an inline
-    * expression — the smear repeats it 32×): rho = 25 − bit_length(w),
-    * where bit_length is an exact shift-OR smear + popcount — no float
-    * log2 (the autoPlanes lesson: integer-exact both engines). w = 0 (no
-    * bits) yields the max rank 25. */
-  private def hllRho(d: graft.functions.Dialect, w: String): String = {
-    def smear(e: String, sh: Int) = s"($e | ${d.shiftRight(e, sh.toString)})"
-    val s1 = smear(w, 1)
-    val s2 = smear(s1, 2)
-    val s3 = smear(s2, 4)
-    val s4 = smear(s3, 8)
-    val s5 = smear(s4, 16)
-    s"(25 - ${d.bitCount(s5)})"
-  }
+    graft.functions.Formulas.hllHash(u)
+  private def hllRho(d: graft.functions.Dialect, w: String): String =
+    graft.functions.Formulas.hllRho(d, w)
+  private val HllAlphaScale: Double = graft.functions.Formulas.hllAlphaScale64
 
   /** Replay-idempotent micro-batch SINK: overwrite the batch's own
     * `batch=<id>` partition instead of appending — foreachBatch is

@@ -200,4 +200,50 @@ class CurationSpec extends SparkTestBase {
     assert(byB.filter(col("head") <= col("tail")).count() == 0,
       "mean head lm score must exceed mean tail lm score in every language")
   }
+
+  test("events_anomaly: flags equal an independent Scala replay of the trailing window") {
+    val out = SparkEntry.queries("events_anomaly")(spark, sf)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("zscore")).toMap
+    // replay: per user in (ts, event_id) order, trailing-5 exact moments
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("x"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getLong(3)))
+    val expect = scala.collection.mutable.Map[Long, Double]()
+    ev.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3.toString, r._1))
+      for (i <- ordered.indices) {
+        val win = ordered.slice(math.max(0, i - 5), i).map(_._4)
+        if (win.length == 5) {
+          val n = 5L
+          val sx = win.sum
+          val sxx = win.map(v => v * v).sum
+          val x = ordered(i)._4
+          val d = n * (n * sxx - sx * sx)
+          if (n * sxx > sx * sx) {
+            val z = (x * n - sx).toDouble / math.sqrt(d.toDouble / (n - 1))
+            if (math.abs(z) >= 2.0) expect(ordered(i)._1) = z
+          }
+        }
+      }
+    }
+    assert(out.keySet == expect.keySet,
+      s"flag set mismatch: extra=${out.keySet -- expect.keySet}, missing=${expect.keySet -- out.keySet}")
+    out.foreach { case (id, z) => assert(z == expect(id), s"z mismatch for $id") }
+  }
+
+  test("events_hll_setops: union registers dominate; intersection is inclusion-exclusion") {
+    val r = SparkEntry.queries("events_hll_setops")(spark, sf).collect().head
+    val (za, zb, zu) = (r.getAs[Long]("za"), r.getAs[Long]("zb"),
+      r.getAs[Long]("z_union"))
+    assert(zu <= math.min(za, zb),
+      "union registers are per-j maxima, so the harmonic sum can only shrink")
+    val (ea, eb, eu, ei) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+      r.getAs[Double]("est_union"), r.getAs[Double]("est_intersect"))
+    assert(eu >= math.max(ea, eb) && eu <= ea + eb,
+      "union estimate sits between the larger side and the sum")
+    assert(ei == ea + eb - eu, "intersection is exactly inclusion-exclusion")
+  }
 }
