@@ -3281,7 +3281,7 @@ object Pipeline {
     * 100 TB shape: ONE window exchange on user_id (the sessionize
     * partitioning), no self-joins; per-row state is the 5-row frame.
     */
-  private def eventsAnomaly(d: Dialect): String =
+  private[queries] def eventsAnomaly(d: Dialect): String =
     s"""WITH ev AS (SELECT event_id, user_id, ts,
        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
        |w AS (SELECT event_id, user_id, x,

@@ -1824,6 +1824,41 @@ object Streams {
       }
     },
 
+    // ---- STREAMING ANOMALY DETECTION (round-10): the events_anomaly
+    // rolling z-score as per-user transformWithState — state is a 6-long
+    // ring (the trailing 5 cents values), O(1) per key regardless of
+    // history; each batch folds its rows in (ts, event_id) order and
+    // emits the >= 2-sigma flags with the batch gate's exact arithmetic.
+    // Globally time-ordered staging makes the fold order the global order,
+    // so the emitted relation is batch-equivalent by construction: oracle
+    // = the batch SQL verbatim. ----
+    QueryDef("stream_anomaly",
+      Pipeline.eventsAnomaly(graft.functions.DuckDialect)) { (s, dir) =>
+      withStatePartitions(s, 2) {
+      import s.implicits._
+      val src = stagedEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_anm_ckpt_${dir.hashCode & 0x7fffffff}")
+      withRocksDb(s) {
+        val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+          .as[EventStreams.Event]
+          .groupByKey(_.user_id)
+          .transformWithState(
+            new EventStreams.AnomalyProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF()
+          .writeStream.format("memory").queryName("g_stream_anom")
+          .outputMode("update").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        await(q)
+      }
+      s.table("g_stream_anom")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("value_cents").cast("long").as("value_cents"), col("zscore"))
+      }
+    },
+
     // ---- STREAMING FREQUENCY SKETCH (round-10): count-min over the event
     // stream — the 100 TB way to track per-key frequencies WITHOUT
     // per-key state. The sketch is a fixed 3×64 integer counter matrix

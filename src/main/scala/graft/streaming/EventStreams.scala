@@ -295,6 +295,64 @@ object EventStreams {
     }
   }
 
+  /** Trailing-5-value ring for the anomaly processor: O(1) state per user
+    * regardless of history — x1 oldest … x5 newest, n = values held. */
+  final case class AnomState(n: Long, x1: Long, x2: Long, x3: Long,
+      x4: Long, x5: Long)
+
+  /** An event flagged >= 2 sigmas off its user's trailing window. */
+  final case class AnomHit(event_id: Long, user_id: Long,
+      value_cents: Long, zscore: Double)
+
+  /** STREAMING anomaly detection (round-10): the events_anomaly rolling
+    * z-score as transformWithState — per-user state is a 6-long ring (the
+    * trailing 5 cents values), folded in (ts, event_id) order. The z
+    * arithmetic is the batch gate's exact chain (integer moments, one
+    * double division after one sqrt), so with globally time-ordered
+    * staging the emitted flags are batch-equivalent BY CONSTRUCTION —
+    * the oracle is the batch SQL verbatim. 100 TB shape: O(1) state per
+    * key, one shuffle on user_id per batch, flags-only output.
+    */
+  final class AnomalyProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, AnomHit] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[AnomState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[AnomState]("anom",
+        org.apache.spark.sql.Encoders.product[AnomState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[AnomHit] = {
+      val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+      var st = if (state.exists()) state.get() else AnomState(0, 0, 0, 0, 0, 0)
+      val out = Seq.newBuilder[AnomHit]
+      sorted.foreach { e =>
+        // the batch gate's cents projection: Spark SQL round(double) goes
+        // through BigDecimal.valueOf (shortest decimal string) + HALF_UP —
+        // math.round (floor(x+0.5)) differs on negative halves
+        val x = java.math.BigDecimal.valueOf(e.value * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        if (st.n == 5) {
+          val sx = st.x1 + st.x2 + st.x3 + st.x4 + st.x5
+          val sxx = st.x1 * st.x1 + st.x2 * st.x2 + st.x3 * st.x3 +
+            st.x4 * st.x4 + st.x5 * st.x5
+          if (5 * sxx > sx * sx) {
+            // identical IEEE chain to the SQL readout: exact-int inputs,
+            // one double division after one sqrt
+            val z = (x * 5 - sx).toDouble /
+              math.sqrt((5 * (5 * sxx - sx * sx)).toDouble / 4)
+            if (math.abs(z) >= 2.0) out += AnomHit(e.event_id, key, x, z)
+          }
+        }
+        st = AnomState(math.min(st.n + 1, 5), st.x2, st.x3, st.x4, st.x5, x)
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
   /** Exact-cents session state for the timer processor. */
   final case class TimerSessState(startMicros: Long, lastMicros: Long,
       n: Long, cents: Long)

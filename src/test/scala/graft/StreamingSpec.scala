@@ -394,6 +394,15 @@ class StreamingSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("stream_anomaly: streamed flags equal the batch gate exactly (values included)") {
+    val batch = SparkEntry.queries("events_anomaly")(spark, sf)
+    val strm = SparkEntry.queries("stream_anomaly")(spark, sf)
+      .select(batch.columns.map(col): _*)
+    assert(strm.count() > 0, "the fixture must flag some anomalies")
+    assert(strm.exceptAll(batch).isEmpty && batch.exceptAll(strm).isEmpty,
+      "O(1)-ring streaming state replays the batch window exactly")
+  }
+
   test("stream_cms_freq: estimates dominate the true prefix counts, monotonically") {
     val est = SparkEntry.queries("stream_cms_freq")(spark, sf).persist()
     val ev = spark.read.parquet(s"$sf/events.parquet")
