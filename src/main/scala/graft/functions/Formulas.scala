@@ -35,6 +35,8 @@ sealed trait Dialect {
   def regexpReplaceAll(e: String, pat: String, rep: String): String
   def shiftRight(e: String, i: String): String
   def shiftLeft1(i: String): String
+  /** General left shift by an expression amount. */
+  def shiftLeft(e: String, i: String): String
   def xor(a: String, b: String): String
   def bitCount(e: String): String
   def sort(l: String): String
@@ -67,6 +69,7 @@ object SparkDialect extends Dialect {
     s"regexp_replace($e, '$pat', '$rep')"
   def shiftRight(e: String, i: String) = s"shiftright($e, $i)"
   def shiftLeft1(i: String) = s"shiftleft(CAST(1 AS BIGINT), $i)"
+  def shiftLeft(e: String, i: String) = s"shiftleft($e, $i)"
   def xor(a: String, b: String) = s"($a ^ $b)"
   def bitCount(e: String) = s"bit_count($e)"
   def sort(l: String) = s"array_sort($l)"
@@ -97,6 +100,7 @@ object DuckDialect extends Dialect {
     s"regexp_replace($e, '$pat', '$rep', 'g')"
   def shiftRight(e: String, i: String) = s"($e >> ($i))"
   def shiftLeft1(i: String) = s"(CAST(1 AS BIGINT) << ($i))"
+  def shiftLeft(e: String, i: String) = s"($e << ($i))"
   def xor(a: String, b: String) = s"xor($a, $b)"
   def bitCount(e: String) = s"bit_count(CAST($e AS BIGINT))"
   def sort(l: String) = s"list_sort($l)"
@@ -248,5 +252,29 @@ object Formulas {
   def intRows(d: Dialect, n: Int, alias: String): String = d match {
     case SparkDialect => s"SELECT explode(sequence(0, ${n - 1})) AS $alias"
     case DuckDialect  => s"SELECT unnest(range(0, $n)) AS $alias"
+  }
+
+  /** Fixed-point log2 with 16 fractional bits over a positive BIGINT
+    * COLUMN `c` (< 2^31): integer part = bit_length − 1 (exact shift-OR
+    * smear + popcount), fractional part = a 64-entry literal table of
+    * round(log2(1 + i/64)·2^16) indexed by the 6 mantissa bits below the
+    * msb. Both engines evaluate the identical integer expression over the
+    * identical literal table — the "no libm log" discipline for scores
+    * that only need a deterministic monotone log, not 53-bit precision.
+    */
+  def log2Micro(d: Dialect, c: String): String = {
+    def smear(e: String, sh: Int) = s"($e | ${d.shiftRight(e, sh.toString)})"
+    val s5 = smear(smear(smear(smear(smear(c, 1), 2), 4), 8), 16)
+    val msb = s"(${d.bitCount(s5)} - 1)"
+    val frac = (0 until 64).map(i =>
+      Math.round(Math.log(1.0 + i / 64.0) / Math.log(2.0) * 65536.0))
+      .mkString(", ")
+    val arr = d match {
+      case SparkDialect => s"array($frac)"
+      case DuckDialect  => s"[$frac]"
+    }
+    val m = s"(CASE WHEN $msb >= 6 THEN ${d.shiftRight(c, s"($msb - 6)")} - 64 " +
+      s"ELSE ${d.shiftLeft(c, s"(6 - $msb)")} - 64 END)"
+    s"(CAST($msb AS BIGINT) * 65536 + ${d.elem(arr, s"CAST($m + 1 AS INTEGER)")})"
   }
 }

@@ -2294,6 +2294,198 @@ object Pipeline {
     * time). Oracle = one CTE chain; Spark = the iterative runner over the
     * same round SQL.
     */
+  /** UNIGRAM-LM TOKENIZER, one hard-EM round (Kudo, arXiv:1804.10959 —
+    * the SentencePiece default; trainer #2 beside the BPE chain): seed
+    * vocabulary = every 1–4-char substring of the (≤ 8-char) word
+    * vocabulary, all single chars kept for coverage plus the top-64
+    * multi-char pieces; piece cost = log2μ(T) − log2μ(count) in exact
+    * fixed-point (16 fractional bits, [[graft.functions.Formulas.log2Micro]]
+    * — no libm log anywhere); E-step = per-word VITERBI segmentation as a
+    * bounded relational DP (8 min-cost relax rounds over the in-vocab
+    * occurrence edges, then an 8-round deterministic backtrack walk —
+    * ties by (piece length, piece)); M-step = piece recount over the
+    * chosen segmentations, token-frequency-weighted.
+    *
+    * Both engines run the IDENTICAL round SQL (the text_bpe_train
+    * discipline): the oracle unrolls it as one CTE chain, Spark runs it
+    * as an iterative localCheckpoint loop — each DP round references the
+    * previous one TWICE (keep + relax), so a single inlined statement
+    * doubles the plan per round (2^8 subtrees; measured: analysis alone
+    * stalls the driver). Integer-exact throughout, so counts, costs, and
+    * chosen segmentations match bit-for-bit. 100 TB shape: every relation
+    * after `toks` is keyed by the DISTINCT-WORD vocabulary
+    * (corpus-size-independent after the one token-count aggregate); DP
+    * state is words × ≤ 9 positions; the corpus is touched exactly once.
+    */
+  private def unigramHead(d: Dialect): String = {
+    val tok = d.explodeSelect("doc_id", "documents", F.tokens(d, "text"), "w")
+    s"""toks AS ($tok),
+       |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f,
+       |    CAST(MAX(length(w)) AS BIGINT) AS wlen
+       |  FROM toks WHERE length(w) >= 1 AND length(w) <= 8 GROUP BY w),
+       |ii AS (${F.intRows(d, 8, "i0")}),
+       |ll AS (${F.intRows(d, 4, "l0")}),
+       |sub AS (SELECT wf.w, wf.f, ii.i0 + 1 AS i, ll.l0 + 1 AS l,
+       |    substring(wf.w, ii.i0 + 1, ll.l0 + 1) AS p
+       |  FROM wf CROSS JOIN ii CROSS JOIN ll
+       |  WHERE ii.i0 + ll.l0 + 1 <= wf.wlen),
+       |pc AS (SELECT p, CAST(SUM(f) AS BIGINT) AS c FROM sub GROUP BY p),
+       |voc AS (SELECT p, c FROM pc WHERE length(p) = 1
+       |  UNION ALL
+       |  SELECT p, c FROM (SELECT p, c,
+       |      ROW_NUMBER() OVER (ORDER BY c DESC, p) AS rn
+       |    FROM pc WHERE length(p) > 1 AND c >= 2) vm WHERE rn <= 64),
+       |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM voc),
+       |pcost AS (SELECT voc.p, voc.c,
+       |    CAST(${F.log2Micro(d, "tt.t")} - ${F.log2Micro(d, "voc.c")}
+       |      AS BIGINT) AS pcost
+       |  FROM voc CROSS JOIN tt),
+       |occ AS (SELECT s.w, CAST(s.i - 1 AS BIGINT) AS j0,
+       |    CAST(s.i + s.l - 1 AS BIGINT) AS j1, CAST(s.l AS BIGINT) AS l,
+       |    s.p, c.pcost
+       |  FROM (SELECT DISTINCT w, i, l, p FROM sub) s
+       |  JOIN pcost c ON s.p = c.p)""".stripMargin
+  }
+
+  /** One min-cost relax round of the Viterbi DP — identical text both
+    * engines; `prev`/`occRef` name the previous-round and edge relations. */
+  private def uniDpRound(prev: String, occRef: String): String =
+    s"""SELECT w, j, MIN(cost) AS cost FROM (
+       |    SELECT w, j, cost FROM $prev
+       |    UNION ALL
+       |    SELECT o.w, o.j1 AS j, d.cost + o.pcost AS cost
+       |    FROM $prev d JOIN $occRef o ON o.w = d.w AND o.j0 = d.j) u
+       |  GROUP BY w, j""".stripMargin
+
+  /** The optimal-edge relation + per-position deterministic backpointer. */
+  private def uniBedge(dpRef: String, occRef: String): String =
+    s"""SELECT w, j0, j1, l, p FROM (SELECT e.w, e.j0, e.j1, e.l, e.p,
+       |    ROW_NUMBER() OVER (PARTITION BY e.w, e.j1 ORDER BY e.l, e.p) AS rn
+       |  FROM (SELECT o.w, o.j0, o.j1, o.l, o.p
+       |    FROM $occRef o
+       |    JOIN $dpRef a ON a.w = o.w AND a.j = o.j0
+       |    JOIN $dpRef b ON b.w = o.w AND b.j = o.j1
+       |    WHERE a.cost + o.pcost = b.cost) e) r
+       |WHERE rn = 1""".stripMargin
+
+  /** One backtrack step: follow the chosen edge into the current position. */
+  private def uniWalkRound(prev: String, bedgeRef: String): String =
+    s"""SELECT b.w, b.j0 AS pos, b.p
+       |  FROM $prev k JOIN $bedgeRef b ON b.w = k.w AND b.j1 = k.pos
+       |  WHERE k.pos > 0""".stripMargin
+
+  /** The full DuckDB-side chain: head + 8 unrolled DP rounds + backtrack
+    * + recount, ending at relations `pcost`, `segc`, `newc`, `toks`. */
+  private def unigramOracleCtes(d: Dialect): String = {
+    val dpRounds = (1 to 8).map(r =>
+      s"dp$r AS (${uniDpRound(s"dp${r - 1}", "occ")})").mkString(",\n")
+    val wkRounds = (1 to 8).map(r =>
+      s"wk$r AS (${uniWalkRound(s"wk${r - 1}", "bedge")})").mkString(",\n")
+    val segUnion = (1 to 8).map(r => s"SELECT w, p FROM wk$r")
+      .mkString("\n  UNION ALL ")
+    s"""${unigramHead(d)},
+       |dp0 AS (SELECT w, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS cost
+       |  FROM wf),
+       |$dpRounds,
+       |bedge AS (${uniBedge("dp8", "occ")}),
+       |wk0 AS (SELECT w, wlen AS pos FROM wf),
+       |$wkRounds,
+       |seg AS ($segUnion),
+       |segc AS (SELECT w, p, CAST(COUNT(*) AS BIGINT) AS k FROM seg
+       |  GROUP BY w, p),
+       |newc AS (SELECT sc.p, CAST(SUM(sc.k * wf.f) AS BIGINT) AS em_count
+       |  FROM segc sc JOIN wf ON wf.w = sc.w GROUP BY sc.p)""".stripMargin
+  }
+
+  private def uniTrainTail(pcostRef: String, segcRef: String,
+      wfRef: String): String =
+    s"""SELECT c2.p AS piece, c2.c AS seed_count,
+       |  CAST(COALESCE(n.em_count, 0) AS BIGINT) AS em_count,
+       |  c2.pcost AS cost_mu
+       |FROM $pcostRef c2 LEFT JOIN
+       |  (SELECT sc.p, CAST(SUM(sc.k * wf.f) AS BIGINT) AS em_count
+       |   FROM $segcRef sc JOIN $wfRef wf ON wf.w = sc.w GROUP BY sc.p) n
+       |  ON n.p = c2.p""".stripMargin
+
+  private def uniEncodeTail(segcRef: String, toksRef: String): String =
+    s"""WITH pw AS (SELECT w, CAST(SUM(k) AS BIGINT) AS n_pieces,
+       |    CAST(SUM(k * length(p)) AS BIGINT) AS n_chars
+       |  FROM $segcRef GROUP BY w),
+       |dt AS (SELECT doc_id, w FROM $toksRef
+       |  WHERE length(w) >= 1 AND length(w) <= 8)
+       |SELECT CAST(dt.doc_id AS BIGINT) AS doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(pw.n_pieces) AS BIGINT) AS n_subwords,
+       |  CAST(SUM(pw.n_chars) AS BIGINT) AS n_chars
+       |FROM dt JOIN pw ON pw.w = dt.w
+       |GROUP BY dt.doc_id""".stripMargin
+
+  /** Spark-side runner: the SAME round SQL as the oracle, executed as an
+    * iterative localCheckpoint loop (truncated lineage per round — the
+    * text_bpe_train runner discipline). Registers graft_uni_{toks, wf,
+    * pcost, segc} temp views for the gate tails. */
+  private[queries] def unigramViews(s: SparkSession, dir: String): Unit = {
+    val d = SparkDialect
+    views(s, dir, "documents")
+    val head = unigramHead(d)
+    def mat(sel: String, view: String): Unit =
+      s.sql(s"WITH $head $sel").localCheckpoint()
+        .createOrReplaceTempView(view)
+    mat("SELECT doc_id, w FROM toks", "graft_uni_toks")
+    mat("SELECT w, f, wlen FROM wf", "graft_uni_wf")
+    mat("SELECT p, c, pcost FROM pcost", "graft_uni_pcost")
+    mat("SELECT w, j0, j1, l, p, pcost FROM occ", "graft_uni_occ")
+    s.sql("SELECT w, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS cost " +
+        "FROM graft_uni_wf")
+      .localCheckpoint().createOrReplaceTempView("graft_uni_dp")
+    (1 to 8).foreach { _ =>
+      s.sql(uniDpRound("graft_uni_dp", "graft_uni_occ"))
+        .localCheckpoint().createOrReplaceTempView("graft_uni_dp")
+    }
+    s.sql(uniBedge("graft_uni_dp", "graft_uni_occ"))
+      .localCheckpoint().createOrReplaceTempView("graft_uni_bedge")
+    s.sql("SELECT w, wlen AS pos FROM graft_uni_wf")
+      .localCheckpoint().createOrReplaceTempView("graft_uni_wk")
+    val pieces = (1 to 8).map { _ =>
+      val step = s.sql(uniWalkRound("graft_uni_wk", "graft_uni_bedge"))
+        .localCheckpoint()
+      step.createOrReplaceTempView("graft_uni_wk")
+      step.select(org.apache.spark.sql.functions.col("w"),
+        org.apache.spark.sql.functions.col("p"))
+    }.reduceLeft(_.unionAll(_))
+    pieces.createOrReplaceTempView("graft_uni_seg")
+    s.sql("SELECT w, p, CAST(COUNT(*) AS BIGINT) AS k FROM graft_uni_seg " +
+        "GROUP BY w, p")
+      .localCheckpoint().createOrReplaceTempView("graft_uni_segc")
+  }
+
+  /** DuckDB inlines every CTE per REFERENCE — the 8 self-referencing DP
+    * rounds then expand 2^8 copies of the whole upstream tree (measured:
+    * "Too many open files" from thousands of duplicated parquet scans).
+    * Forcing each CTE MATERIALIZED makes the oracle evaluate the chain
+    * once per relation, exactly like Spark's iterative runner. */
+  private def duckMaterialized(sql: String): String =
+    sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
+
+  private def textUnigramTrainDef: QueryDef =
+    QueryDef("text_unigram_train",
+      duckMaterialized(
+        s"""WITH ${unigramOracleCtes(DuckDialect)}
+           |${uniTrainTail("pcost", "segc", "wf")}""".stripMargin)) { (s, dir) =>
+      unigramViews(s, dir)
+      s.sql(uniTrainTail("graft_uni_pcost", "graft_uni_segc", "graft_uni_wf"))
+    }
+
+  private def textUnigramEncodeDef: QueryDef =
+    QueryDef("text_unigram_encode",
+      duckMaterialized(
+        s"""WITH ${unigramOracleCtes(DuckDialect)},
+           |${uniEncodeTail("segc", "toks").stripPrefix("WITH ")}"""
+          .stripMargin)) { (s, dir) =>
+      unigramViews(s, dir)
+      s.sql(uniEncodeTail("graft_uni_segc", "graft_uni_toks"))
+    }
+
   private def textBpeTrainDef: QueryDef = {
     val steps = (1 to BpeRounds)
       .map(r => s"SELECT $r AS step, replace(pair, chr(1), '') AS pair, cnt FROM t$r")
@@ -5480,6 +5672,8 @@ object Pipeline {
     docQuery("text_token_stats", textTokenStats),
     docQuery("text_quality", textQuality),
     docQuery("text_langid", textLangid),
+    textUnigramTrainDef,
+    textUnigramEncodeDef,
     textFingerprintDef,
     docQuery("text_normalize", textNormalize),
     docQuery("corpus_split_hash", sampleSplit),

@@ -469,6 +469,54 @@ class QueriesSpec extends SparkTestBase {
     assert(out(10L) == (2L, 1L), "within-batch copy flagged against the lower id")
   }
 
+  test("unigram trainer: chosen segmentations tile each word at the exact DP optimum") {
+    Pipeline.unigramViews(spark, sf)
+    val cost = spark.table("graft_uni_pcost").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val segs = spark.table("graft_uni_segc").collect()
+      .groupBy(_.getString(0))
+      .map { case (w, rows) =>
+        w -> rows.map(r => (r.getString(1), r.getLong(2))).toSeq }
+    val words = spark.table("graft_uni_wf").collect().map(_.getString(0))
+    assert(words.nonEmpty && segs.nonEmpty)
+    words.foreach { w =>
+      val n = w.length
+      // independent Scala DP over the SAME piece costs
+      val best = Array.fill(n + 1)(Long.MaxValue); best(0) = 0L
+      for (j <- 1 to n; l <- 1 to math.min(4, j)) {
+        val p = w.substring(j - l, j)
+        if (cost.contains(p) && best(j - l) != Long.MaxValue)
+          best(j) = math.min(best(j), best(j - l) + cost(p))
+      }
+      val seg = segs(w)
+      assert(seg.map { case (p, k) => p.length * k }.sum == n,
+        s"'$w': chosen pieces must tile the word exactly")
+      assert(seg.map { case (p, k) => cost(p) * k }.sum == best(n),
+        s"'$w': chosen segmentation cost must equal the DP optimum")
+    }
+    // the trainer actually uses multi-char pieces (compression is real)
+    assert(segs.values.flatten.exists(_._1.length > 1),
+      "at least one multi-char piece must be chosen corpus-wide")
+  }
+
+  test("unigram encode: token and char conservation against a direct recompute") {
+    import org.apache.spark.sql.functions._
+    val enc = SparkEntry.queries("text_unigram_encode")(spark, sf).persist()
+    val truth = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")).between(1, 8))
+      .groupBy("doc_id").agg(count(lit(1)).as("t_tokens"),
+        sum(length(col("w"))).as("t_chars"))
+    val j = enc.join(truth, "doc_id")
+    assert(j.filter(col("n_tokens") =!= col("t_tokens")).count() == 0)
+    assert(j.filter(col("n_chars") =!= col("t_chars")).count() == 0,
+      "subword segmentation must conserve characters")
+    assert(enc.filter(col("n_subwords") < col("n_tokens") ||
+      col("n_subwords") > col("n_chars")).count() == 0,
+      "pieces per token sit between 1 and the token length")
+    enc.unpersist()
+  }
+
   test("bpe trainer: greedy leftmost tiling, f-weighted argmax, symbol growth") {
     import spark.implicits._
     // hand-computed merge sequence: wf = {aaa: 3, ab: 1};
