@@ -1073,6 +1073,33 @@ object Relational {
             .otherwise(0).cast("int").as("approx_rank_ok"))
     },
 
+    // ---- SCHEMA EVOLUTION (round-10): a dataset directory whose files
+    // were written by DIFFERENT pipeline generations — the normal state of
+    // any long-lived 100 TB corpus (columns get added; history is never
+    // rewritten). Generation 1 lacks the o_flag column; generation 2
+    // carries it. mergeSchema=true reconciles the footers at read time:
+    // old files surface NULL for the new column, and both generations
+    // scan as one relation. The oracle replays the generation split
+    // relationally. ----
+    QueryDef("q66_schema_evolution",
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS INTEGER) AS o_flag
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, CAST(o_orderkey % 7 AS INTEGER) AS o_flag
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+      val tmp = Tables.scratchDir("schema_evolution")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_orderkey") % 7).cast("int").as("o_flag"))
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/gen=1", s"$tmp/gen=2")
+        .select("o_orderkey", "o_totalprice", "o_flag")
+    },
+
     // ---- OBSERVED METRICS (round-10): `df.observe` — pipeline health
     // counters collected ON the production pass itself. The filtered
     // write runs ONCE, and the Observation aggregates (rows seen / rows

@@ -596,6 +596,22 @@ object Streams {
       dir
     })
 
+  /** The events table staged OUT OF TIME ORDER (split by user_id % 3, each
+    * file spanning the full time range) — the late-data fixture: once
+    * batch 0 has advanced the watermark to its own max event time, most of
+    * batches 1–2 arrive behind it. */
+  private def stagedEventsByUserDir(spark: SparkSession, sfDir: String): String =
+    stageCache.computeIfAbsent(seedKey(spark, sfDir, "byuser"), { _ =>
+      val dir = cleanScratch(spark,
+        s"events_stream_byuser_${sfDir.hashCode & 0x7fffffff}")
+      val all = Tables.load(spark, sfDir, "events")
+      Seq(0, 1, 2).foreach { i =>
+        all.filter(col("user_id") % 3 === i)
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      dir
+    })
+
   private def stagedTriplesDir(spark: SparkSession, sfDir: String): String =
     stageCache.computeIfAbsent(seedKey(spark, sfDir, "triples"), { _ =>
       val dir = cleanScratch(spark,
@@ -1822,6 +1838,68 @@ object Streams {
           |CROSS JOIN (SELECT MIN(t0_us) AS g0 FROM graft_ret_hits) g
           |GROUP BY 1, 2""".stripMargin)
       }
+    },
+
+    // ---- LATE-DATA ROUTING / DEAD-LETTER QUEUE (round-10): the
+    // production answer to out-of-order data that a watermark would
+    // silently DROP — route it to a side sink instead, so nothing is
+    // lost and the backfill job has an input. The fixture stages events
+    // OUT of time order (split by user, each file spanning the full
+    // range); state is ONE value (the max event time over strictly
+    // earlier batches — the watermark at delay 0, replay-safe via the
+    // batch-partitioned store); each arriving row routes 'late' when it
+    // sits behind that mark, 'ok' otherwise, and the two routes land in
+    // separate sinks. Oracle replays the arrival split relationally.
+    // 100 TB shape: O(1) state, one scalar read + one map-side routing
+    // predicate per batch — no shuffle at all. ----
+    QueryDef("stream_late_dlq",
+      """WITH ev AS (SELECT event_id, ts, user_id % 3 AS m FROM events),
+        |wm AS (SELECT m, MAX(ts) AS mx FROM ev GROUP BY m),
+        |prior AS (SELECT a.m, MAX(b.mx) AS wm FROM wm a
+        |  JOIN wm b ON b.m < a.m GROUP BY a.m)
+        |SELECT CAST(ev.m + 1 AS BIGINT) AS version,
+        |  CAST(ev.event_id AS BIGINT) AS event_id,
+        |  CASE WHEN p.wm IS NOT NULL AND ev.ts < p.wm
+        |    THEN 'late' ELSE 'ok' END AS route
+        |FROM ev LEFT JOIN prior p ON p.m = ev.m""".stripMargin) { (s, dir) =>
+      val src = stagedEventsByUserDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_dlq_ckpt_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_dlq_out_${dir.hashCode & 0x7fffffff}")
+      val dlq = cleanScratch(s, s"stream_dlq_side_${dir.hashCode & 0x7fffffff}")
+      val okd = cleanScratch(s, s"stream_dlq_ok_${dir.hashCode & 0x7fffffff}")
+      val wmd = cleanScratch(s, s"stream_dlq_wm_${dir.hashCode & 0x7fffffff}")
+      val schema = s.read.parquet(src).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+          val ss = bdf.sparkSession
+          // the watermark state: ONE value — max event time of strictly
+          // earlier batches (replay-safe: a replayed batch recomputes the
+          // identical mark)
+          val prior: Option[Any] =
+            if (batchId == 0) None
+            else Option(ss.read.parquet(wmd).filter(col("batch") < batchId)
+              .agg(max("mx")).collect()(0).get(0))
+          val routed = bdf.withColumn("route",
+            prior.map(w => when(col("ts") < lit(w), "late").otherwise("ok"))
+              .getOrElse(lit("ok")))
+            .localCheckpoint()
+          routed.filter(col("route") === "late").drop("route")
+            .sinkBatch(dlq, batchId)
+          routed.filter(col("route") === "ok").drop("route")
+            .sinkBatch(okd, batchId)
+          routed.select(lit(batchId + 1).cast("long").as("version"),
+            col("event_id").cast("long").as("event_id"), col("route"))
+            .sinkBatch(out, batchId)
+          bdf.agg(max("ts").as("mx")).sinkBatch(wmd, batchId)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      await(q)
+      s.read.parquet(out)
+        .select(col("version").cast("long").as("version"),
+          col("event_id").cast("long").as("event_id"), col("route"))
     },
 
     // ---- STREAMING ANOMALY DETECTION (round-10): the events_anomaly

@@ -394,6 +394,25 @@ class StreamingSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("stream_late_dlq: first batch never late; side sinks hold exactly the routed rows") {
+    val out = SparkEntry.queries("stream_late_dlq")(spark, sf).persist()
+    assert(out.filter(col("version") === 1 && col("route") === "late").count() == 0,
+      "no watermark exists before the first batch")
+    val late = out.filter(col("route") === "late").count()
+    val ok = out.filter(col("route") === "ok").count()
+    assert(late > 0, "out-of-order staging must produce late rows")
+    val tag = sf.hashCode & 0x7fffffff
+    val dlq = spark.read.parquet(
+      graft.sources.Tables.scratchDir(s"stream_dlq_side_$tag"))
+    val okd = spark.read.parquet(
+      graft.sources.Tables.scratchDir(s"stream_dlq_ok_$tag"))
+    assert(dlq.count() == late && okd.count() == ok,
+      "each route's sink holds exactly its rows")
+    assert(late + ok == spark.read.parquet(s"$sf/events.parquet").count(),
+      "routing loses nothing — that is the point of a DLQ")
+    out.unpersist()
+  }
+
   test("stream_anomaly: streamed flags equal the batch gate exactly (values included)") {
     val batch = SparkEntry.queries("events_anomaly")(spark, sf)
     val strm = SparkEntry.queries("stream_anomaly")(spark, sf)

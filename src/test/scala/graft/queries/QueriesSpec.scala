@@ -469,6 +469,18 @@ class QueriesSpec extends SparkTestBase {
     assert(out(10L) == (2L, 1L), "within-batch copy flagged against the lower id")
   }
 
+  test("q66_schema_evolution: old-generation rows surface NULL for the new column") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q66_schema_evolution")(spark, sf).persist()
+    assert(out.count() == spark.read.parquet(s"$sf/orders.parquet").count(),
+      "both generations scan as one relation")
+    assert(out.filter(col("o_flag").isNull =!= (col("o_orderkey") % 2 === 0))
+      .count() == 0, "NULL o_flag iff the row came from generation 1")
+    assert(out.filter(col("o_flag").isNotNull &&
+      col("o_flag") =!= (col("o_orderkey") % 7).cast("int")).count() == 0)
+    out.unpersist()
+  }
+
   test("unigram trainer: chosen segmentations tile each word at the exact DP optimum") {
     Pipeline.unigramViews(spark, sf)
     val cost = spark.table("graft_uni_pcost").collect()
