@@ -1840,6 +1840,63 @@ object Streams {
       }
     },
 
+    // ---- STREAMING SCD2 MAINTENANCE as CDC (round-10): the warehouse
+    // dimension-history loop — each arriving event closes its user's open
+    // row (emit valid_to) and opens its own (emit the insert). State =
+    // ONE open row per user (transformWithState); the emitted change
+    // stream, applied close-over-open, reconstructs the batch events_scd2
+    // relation exactly (spec-pinned). Oracle replays opens (= all events)
+    // and closes (= events with a successor) relationally. 100 TB shape:
+    // O(1) state/key, one user_id shuffle per batch, changes-only output
+    // (the CDC contract: downstream applies deltas, never rescans). ----
+    QueryDef("stream_scd2_cdc",
+      """WITH ev AS (SELECT user_id, event_id, event_type, value,
+        |    epoch_us(ts) AS tus,
+        |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT 'open' AS op, CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(event_id AS BIGINT) AS event_id, event_type, value,
+        |  CAST(tus AS BIGINT) AS valid_from_us,
+        |  CAST(NULL AS BIGINT) AS valid_to_us
+        |FROM ev
+        |UNION ALL
+        |SELECT 'close', CAST(user_id AS BIGINT), CAST(event_id AS BIGINT),
+        |  event_type, value, CAST(tus AS BIGINT), CAST(nxt AS BIGINT)
+        |FROM ev WHERE nxt IS NOT NULL""".stripMargin) { (s, dir) =>
+      withStatePartitions(s, 2) {
+      import s.implicits._
+      val src = stagedEventsDir(s, dir)
+      val ckpt = cleanScratch(s, s"stream_scd_ckpt_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_scd_out_${dir.hashCode & 0x7fffffff}")
+      withRocksDb(s) {
+        // changes land in a batch-partitioned parquet sink (the replay-
+        // idempotent sinkBatch), NOT a memory sink: the change stream is
+        // corpus-sized, and a driver-materialized sink was the measured
+        // 10× bottleneck (2.6 → 16.9s; parquet sink: tracks batch volume)
+        val q = EventStreams.readEventStream(s, src, maxFilesPerTrigger = 1)
+          .as[EventStreams.Event]
+          .groupByKey(_.user_id)
+          .transformWithState(
+            new EventStreams.ScdCdcProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF()
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) => b.sinkBatch(out, id) }
+          .outputMode("update").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        await(q)
+      }
+      s.read.parquet(out)
+        .select(col("op"), col("user_id").cast("long").as("user_id"),
+          col("event_id").cast("long").as("event_id"),
+          col("event_type"), col("value"),
+          col("valid_from_us").cast("long").as("valid_from_us"),
+          col("valid_to_us").cast("long").as("valid_to_us"))
+      }
+    },
+
     // ---- LATE-DATA ROUTING / DEAD-LETTER QUEUE (round-10): the
     // production answer to out-of-order data that a watermark would
     // silently DROP — route it to a side sink instead, so nothing is

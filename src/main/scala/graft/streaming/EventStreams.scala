@@ -295,6 +295,54 @@ object EventStreams {
     }
   }
 
+  /** The open SCD2 row per user — O(1) state for the CDC processor. */
+  final case class ScdState(event_id: Long, event_type: String,
+      value: Double, tus: Long)
+
+  /** One change record: 'open' inserts a current row, 'close' stamps the
+    * superseded row's valid_to. */
+  final case class ScdChange(op: String, user_id: Long, event_id: Long,
+      event_type: String, value: Double, valid_from_us: Long,
+      valid_to_us: Option[Long])
+
+  /** STREAMING SCD2 as a CDC stream (round-10): the warehouse
+    * slowly-changing-dimension maintenance loop — each arriving event for
+    * a user CLOSES the user's open row (emit its valid_to) and OPENS its
+    * own (emit the insert). State is the single open row per user; the
+    * emitted change stream, applied (close overrides open), reconstructs
+    * the batch events_scd2 relation exactly — spec-pinned. Every change
+    * is emitted exactly once; micros arithmetic end-to-end.
+    */
+  final class ScdCdcProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, ScdChange] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[ScdState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ScdState]("scd",
+        org.apache.spark.sql.Encoders.product[ScdState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[ScdChange] = {
+      val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+      val out = Seq.newBuilder[ScdChange]
+      var prev = if (state.exists()) Option(state.get()) else None
+      sorted.foreach { e =>
+        val t = toMicros(e.ts)
+        prev.foreach { p =>
+          out += ScdChange("close", key, p.event_id, p.event_type,
+            p.value, p.tus, Some(t))
+        }
+        out += ScdChange("open", key, e.event_id, e.event_type,
+          e.value, t, None)
+        prev = Some(ScdState(e.event_id, e.event_type, e.value, t))
+      }
+      prev.foreach(state.update)
+      out.result().iterator
+    }
+  }
+
   /** Trailing-5-value ring for the anomaly processor: O(1) state per user
     * regardless of history — x1 oldest … x5 newest, n = values held. */
   final case class AnomState(n: Long, x1: Long, x2: Long, x3: Long,

@@ -394,6 +394,31 @@ class StreamingSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("stream_scd2_cdc: applying the change stream reconstructs the batch SCD2 table") {
+    val cdc = SparkEntry.queries("stream_scd2_cdc")(spark, sf).persist()
+    // exactly-once changes: one open per event, at most one close
+    assert(cdc.filter(col("op") === "open").groupBy("event_id").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(cdc.filter(col("op") === "close").groupBy("event_id").count()
+      .filter(col("count") > 1).count() == 0)
+    val opens = cdc.filter(col("op") === "open")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("valid_from_us"))
+    val closes = cdc.filter(col("op") === "close")
+      .select(col("event_id").as("ce"), col("valid_to_us").as("vt"))
+    val applied = opens.join(closes, col("event_id") === col("ce"), "left")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("valid_from_us"), col("vt").as("valid_to_us"),
+        when(col("vt").isNull, 1).otherwise(0).cast("int").as("is_current"))
+    val batch = SparkEntry.queries("events_scd2")(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        expr("unix_micros(valid_from)").as("valid_from_us"),
+        expr("unix_micros(valid_to)").as("valid_to_us"), col("is_current"))
+    assert(applied.exceptAll(batch).isEmpty && batch.exceptAll(applied).isEmpty,
+      "close-over-open application must equal the batch SCD2 relation")
+    cdc.unpersist()
+  }
+
   test("stream_late_dlq: first batch never late; side sinks hold exactly the routed rows") {
     val out = SparkEntry.queries("stream_late_dlq")(spark, sf).persist()
     assert(out.filter(col("version") === 1 && col("route") === "late").count() == 0,
