@@ -248,6 +248,27 @@ object Formulas {
   val hllAlphaScale64: Double =
     0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * 33554432.0
 
+  /** HLL readout WITH the small-range correction (Flajolet et al. §4,
+    * the branch every real HLL ships): when the raw estimate sits below
+    * 2.5·m and empty registers remain, switch to LinearCounting
+    * m·ln(m/V) — the ln values come from a 64-entry LITERAL table
+    * precomputed here (E-notation, parsed DOUBLE by both engines), so no
+    * libm call happens inside either engine. `zCol`/`activeCol` are the
+    * exact integer register sum and the non-empty register count. */
+  def hllEstimateCorrected(d: Dialect, zCol: String, activeCol: String): String = {
+    val raw = s"($hllAlphaScale64 / CAST($zCol AS DOUBLE))"
+    val lc = (0 to 64).map(v =>
+      if (v == 0) "0.0E0" else "%.17E".format(64.0 * Math.log(64.0 / v)))
+      .mkString(", ")
+    val arr = d match {
+      case SparkDialect => s"array($lc)"
+      case DuckDialect  => s"[$lc]"
+    }
+    s"(CASE WHEN 64 - $activeCol > 0 AND $raw <= 160.0E0 " +
+      s"THEN ${d.elem(arr, s"CAST(64 - $activeCol + 1 AS INTEGER)")} " +
+      s"ELSE $raw END)"
+  }
+
   /** A 0..n−1 integer relation (`SELECT ... AS alias`), per dialect. */
   def intRows(d: Dialect, n: Int, alias: String): String = d match {
     case SparkDialect => s"SELECT explode(sequence(0, ${n - 1})) AS $alias"

@@ -2105,13 +2105,15 @@ object Streams {
          |js AS (SELECT unnest(range(0, 64)) AS j),
          |full0 AS (SELECT vs.version, js.j, COALESCE(r.m, 0) AS m
          |  FROM vs CROSS JOIN js
-         |  LEFT JOIN regs r ON r.version = vs.version AND r.j = js.j)
-         |SELECT version,
+         |  LEFT JOIN regs r ON r.version = vs.version AND r.j = js.j),
+         |agg AS (SELECT version,
          |  CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
-         |  CAST(SUM(${d.shiftLeft1("25 - m")}) AS BIGINT) AS z_sum,
-         |  $HllAlphaScale
-         |    / CAST(SUM(${d.shiftLeft1("25 - m")}) AS DOUBLE) AS hll_est
-         |FROM full0 GROUP BY version""".stripMargin
+         |  CAST(SUM(${d.shiftLeft1("25 - m")}) AS BIGINT) AS z_sum
+         |FROM full0 GROUP BY version)
+         |SELECT version, n_active, z_sum,
+         |  $HllAlphaScale / CAST(z_sum AS DOUBLE) AS hll_est,
+         |  ${graft.functions.Formulas.hllEstimateCorrected(d, "z_sum", "n_active")} AS hll_corrected
+         |FROM agg""".stripMargin
     }) { (s, dir) =>
       val d = graft.functions.SparkDialect
       val src = stagedEventsDir(s, dir)
@@ -2138,13 +2140,16 @@ object Streams {
                |    GROUP BY j),
                |full0 AS (SELECT js.j, COALESCE(r.m, 0) AS m
                |  FROM (SELECT explode(sequence(0, 63)) AS j) js
-               |  LEFT JOIN regs r ON r.j = js.j)
-               |SELECT CAST(${batchId + 1} AS BIGINT) AS version,
+               |  LEFT JOIN regs r ON r.j = js.j),
+               |agg AS (SELECT
                |  CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
-               |  CAST(SUM(${d.shiftLeft1("25 - m")}) AS BIGINT) AS z_sum,
-               |  $HllAlphaScale
-               |    / CAST(SUM(${d.shiftLeft1("25 - m")}) AS DOUBLE) AS hll_est
-               |FROM full0""".stripMargin)
+               |  CAST(SUM(${d.shiftLeft1("25 - m")}) AS BIGINT) AS z_sum
+               |FROM full0)
+               |SELECT CAST(${batchId + 1} AS BIGINT) AS version,
+               |  n_active, z_sum,
+               |  $HllAlphaScale / CAST(z_sum AS DOUBLE) AS hll_est,
+               |  ${graft.functions.Formulas.hllEstimateCorrected(d, "z_sum", "n_active")} AS hll_corrected
+               |FROM agg""".stripMargin)
             .sinkBatch(out, batchId)
         }
         .option("checkpointLocation", ckpt)
@@ -2153,7 +2158,8 @@ object Streams {
       s.read.parquet(out)
         .select(col("version").cast("long").as("version"),
           col("n_active").cast("long").as("n_active"),
-          col("z_sum").cast("long").as("z_sum"), col("hll_est"))
+          col("z_sum").cast("long").as("z_sum"), col("hll_est"),
+          col("hll_corrected"))
     },
 
     // ---- STREAMING INGESTION DEDUP (round-8): near-dup detection AT THE

@@ -489,8 +489,19 @@ class StreamingSpec extends SparkTestBase {
     // the only float op is alpha·m²·2^25 / z — recompute it exactly
     val alpha = 0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * 33554432.0
     out.foreach { r =>
-      assert(r.getAs[Double]("hll_est") == alpha / r.getAs[Long]("z_sum").toDouble,
+      val raw = alpha / r.getAs[Long]("z_sum").toDouble
+      assert(r.getAs[Double]("hll_est") == raw,
         "estimate must be exactly the one-division readout of the integer sum")
+      // small-range branch: LinearCounting from the literal ln table
+      val v = 64 - r.getAs[Long]("n_active")
+      val expected = if (v > 0 && raw <= 160.0)
+        "%.17E".format(64.0 * Math.log(64.0 / v)).toDouble else raw
+      assert(r.getAs[Double]("hll_corrected") == expected,
+        "corrected readout must follow the Flajolet small-range rule exactly")
     }
+    // the sf0.001 fixture (15 users) actually exercises the correction
+    assert(out.forall(r => r.getAs[Double]("hll_corrected") <
+      r.getAs[Double]("hll_est")),
+      "with most registers empty, LinearCounting must pull the estimate down")
   }
 }
