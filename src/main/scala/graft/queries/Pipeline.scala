@@ -5537,6 +5537,44 @@ object Pipeline {
     }
   }
 
+  /** RELIABILITY BINS over the distilled classifier — the calibration
+    * readout every deployed quality filter needs (Guo et al., ICML 2017:
+    * modern classifiers are systematically mis-calibrated; a threshold
+    * chosen from raw scores filters the wrong mass): docs ranked into
+    * score deciles (deterministic NTILE over (score, doc_id)), per bin
+    * the exact positive count against the ground-truth label and one
+    * double division for the rate. A monotone rate curve = the score
+    * ORDERS quality correctly even where its absolute value lies.
+    */
+  private def qcCalibrationSql(d: Dialect, scoreRel: String): String =
+    s"""b AS (SELECT doc_id, score_micro, label,
+       |    NTILE(10) OVER (ORDER BY score_micro, doc_id) AS bin
+       |  FROM ($scoreRel) sc)
+       |SELECT CAST(bin AS BIGINT) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(label) AS BIGINT) AS n_positive,
+       |  CAST(MIN(score_micro) AS BIGINT) AS score_lo,
+       |  CAST(MAX(score_micro) AS BIGINT) AS score_hi,
+       |  CAST(SUM(label) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS positive_rate
+       |FROM b GROUP BY bin""".stripMargin
+
+  private def textQualityCalibrationDef: QueryDef = {
+    val dd = DuckDialect
+    val oracle =
+      s"""WITH qcc AS (${qcFeatSql(dd)}),
+         |qcy AS ($qcLabelSql),
+         |${qcOracleRounds(dd)},
+         |${qcCalibrationSql(dd, qcScoreSql(dd, "SELECT doc_id, bkt, cnt FROM qcc",
+            "SELECT doc_id, y FROM qcy", s"SELECT bkt, w FROM w$QcRounds"))}"""
+        .stripMargin
+    QueryDef("text_quality_calibration", oracle) { (s, dir) =>
+      qcTrainWeights(s, dir)
+      s.sql("WITH " + qcCalibrationSql(SparkDialect,
+        qcScoreSql(SparkDialect, "SELECT doc_id, bkt, cnt FROM graft_qc_cc",
+          "SELECT doc_id, y FROM graft_qc_y", "SELECT bkt, w FROM graft_qc_w")))
+    }
+  }
+
   /** Batch-insensitive oracle for stream_learned_filter: weights come from
     * the FULL-corpus GD chain (training is offline — arrival order cannot
     * affect them), scoring is per-doc, version = the `doc_id % 3` arrival
@@ -5772,6 +5810,7 @@ object Pipeline {
     embQuery("sim_binary_hamming_recall", simBinaryHammingRecall),
     corpusDsirSelectDef,
     textQualityClassifierDef,
+    textQualityCalibrationDef,
     textHybridRrfDef,
     embHardNegativesDef,
     docQuery("text_gopher_rules", textGopherRules),

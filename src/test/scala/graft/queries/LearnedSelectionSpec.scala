@@ -94,4 +94,26 @@ class LearnedSelectionSpec extends SparkTestBase {
     }
     df.unpersist()
   }
+
+  test("text_quality_calibration: deciles partition the corpus; the score orders quality") {
+    val out = SparkEntry.queries("text_quality_calibration")(spark, sf)
+      .orderBy("bin").collect()
+    assert(out.length == 10, "ten reliability bins")
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.map(_.getAs[Long]("n")).sum == nDocs, "bins partition the corpus")
+    out.foreach { r =>
+      assert(r.getAs[Double]("positive_rate") ==
+        r.getAs[Long]("n_positive").toDouble / r.getAs[Long]("n").toDouble)
+      assert(r.getAs[Long]("score_lo") <= r.getAs[Long]("score_hi"))
+    }
+    // score boundaries are non-decreasing across bins (NTILE over score)
+    out.sliding(2).foreach { p =>
+      assert(p(0).getAs[Long]("score_hi") <= p(1).getAs[Long]("score_lo") ||
+        p(0).getAs[Long]("score_hi") <= p(1).getAs[Long]("score_hi"))
+    }
+    // discrimination: the top decile's positive rate dominates the bottom's
+    assert(out.last.getAs[Double]("positive_rate") >
+      out.head.getAs[Double]("positive_rate"),
+      "a working classifier's rate curve must rise from bottom to top decile")
+  }
 }
