@@ -1073,6 +1073,45 @@ object Relational {
             .otherwise(0).cast("int").as("approx_rank_ok"))
     },
 
+    // ---- CO-BUCKETED JOIN (round-10): both sides written as bucketed +
+    // sorted catalog tables on the join key — at 100 TB this is THE fact-
+    // to-fact join shape: the bucket layout IS the exchange, paid once at
+    // write time, and every later join on the key runs a SortMergeJoin
+    // with NO shuffle of either side (ScaleTechniquesSpec pins the
+    // no-Exchange plan for the layout API; this gate puts the catalog-
+    // table read-back path on the oracle board). merge hints force SMJ so
+    // the bucket co-location, not a broadcast, carries the join. ----
+    QueryDef("q67_bucketed_join",
+      """SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+        |  CAST(c.c_nationkey AS INTEGER) AS c_nationkey,
+        |  CAST(o.o_orderkey AS BIGINT) AS o_orderkey, o.o_totalprice
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey"""
+        .stripMargin) { (s, dir) =>
+      // a managed table's location can survive a previous JVM while the
+      // fresh catalog has no entry — drop both the entry and the dir
+      Seq("graft_bkt_customer", "graft_bkt_orders").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + s"/$t")
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("graft_bkt_customer")
+      Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("graft_bkt_orders")
+      s.table("graft_bkt_customer").hint("merge")
+        .join(s.table("graft_bkt_orders").hint("merge"),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_nationkey").cast("int").as("c_nationkey"),
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_totalprice"))
+    },
+
     // ---- SCHEMA EVOLUTION (round-10): a dataset directory whose files
     // were written by DIFFERENT pipeline generations — the normal state of
     // any long-lived 100 TB corpus (columns get added; history is never

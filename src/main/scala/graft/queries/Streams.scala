@@ -1559,6 +1559,65 @@ object Streams {
           col("score"), col("rnk").cast("long").as("rnk"))
     },
 
+    // ---- STORE GENERATION COMPACTION (round-10): the small-files half
+    // of streaming-store maintenance (stream_ann_gc is the deletion
+    // half). Per-batch appends are the right WRITE shape (no rewrite of
+    // prior state) but the wrong READ shape after enough batches: every
+    // probe opens one file per generation per bucket. The offline
+    // compaction folds all generations into one (content bit-identical,
+    // spec-pinned file-count drop); the serve afterwards is the plain
+    // bucket-pruned LSH top-3 — oracle = the full-corpus serve relation.
+    QueryDef("stream_store_compact", {
+      val dd = graft.functions.DuckDialect
+      val F = graft.functions.Formulas
+      val dim = 64
+      val cos = s"CASE WHEN qn * en > 0 THEN (${F.dot(dd, "qv", "ev", dim)}) / (qn * en) ELSE 0.0 END"
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    ${F.norm(dd, "embedding", dim)} AS nrm,
+         |    ${F.lshBucket(dd, "embedding", dim, 8)} AS bkt FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn, bkt FROM e
+         |  WHERE vec_id % 50 = 0),
+         |scored AS (SELECT q.qid, e.nid, $cos AS score
+         |  FROM q
+         |  JOIN (SELECT vec_id AS nid, embedding AS ev, nrm AS en, bkt FROM e) e
+         |    ON q.bkt = e.bkt AND e.nid <> q.qid)
+         |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid,
+         |  score, CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT qid, nid, score,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+         |  FROM scored) s
+         |WHERE rnk <= 3""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val F = graft.functions.Formulas
+      val d = graft.functions.SparkDialect
+      val idxDir = cleanScratch(s, s"stream_cmp_idx_${dir.hashCode & 0x7fffffff}")
+      val emb = Tables.load(s, dir, "embeddings")
+      val store = new graft.streaming.IndexStore(s, idxDir, "bkt", 8)
+      val rows = emb.selectExpr("vec_id AS nid", "embedding AS ev",
+        s"${F.norm(d, "embedding", 64)} AS en",
+        s"CAST(${F.lshBucket(d, "embedding", 64, 8)} AS LONG) AS bkt")
+      Seq(0, 1, 2).foreach { i =>
+        store.appendBatch(rows.filter(col("nid") % 3 === i), i.toLong)
+      }
+      store.compactGenerations(rows.schema, gcBatchId = 3L)
+      val (queries, qParts) = annQueryState(s, dir, idxDir)
+      store.readBatches(store.batchSchema(rows.schema), qParts)
+        .join(queries, "bkt")
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          when(col("qn") * col("en") > 0,
+            expr("graft_dot(qv, ev)") / (col("qn") * col("en")))
+            .otherwise(lit(0.0)).as("score"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("score").desc, col("nid"))))
+        .filter(col("rnk") <= 3)
+        .select(col("qid").cast("long").as("qid"),
+          col("nid").cast("long").as("nid"),
+          col("score"), col("rnk").cast("long").as("rnk"))
+    },
+
     // ---- STREAMING IVF-PQ INDEX MAINTENANCE (round-9): the upsert path
     // for the SECOND index family — at 100 TB you retrain centroids rarely
     // but upsert PQ codes constantly. The model (coarse centroids + PQ

@@ -141,4 +141,24 @@ final class IndexStore(ss: SparkSession, val dir: String, keyCol: String,
     appendBatch(survivors, gcBatchId)
     parts
   }
+
+  /** GENERATION COMPACTION — the small-files half of store maintenance
+    * (gcCompact is the deletion half): every micro-batch append creates
+    * its own `batch=<id>` generation, so after N batches each bucket's
+    * rows are spread across N small files and every probe opens N footers.
+    * Fold ALL generations into ONE compacted generation: materialize the
+    * whole store (read-before-delete), drop the old generation dirs,
+    * rewrite as `batch=<gcBatchId>`. Content is bit-identical; the file
+    * count drops to one generation's worth. Run it offline on a cadence —
+    * probes and replay-idempotent appends keep working throughout (the
+    * compacted generation is just another batch). */
+  def compactGenerations(rowSchema: StructType, gcBatchId: Long): Unit = {
+    val all = readAll(batchSchema(rowSchema))
+      .select(rowSchema.fieldNames.map(col).toSeq: _*).localCheckpoint()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.getPath.getName.startsWith("batch="))
+      .foreach(b => fs.delete(b.getPath, true))
+    appendBatch(all, gcBatchId)
+  }
 }

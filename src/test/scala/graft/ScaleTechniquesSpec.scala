@@ -54,6 +54,15 @@ class ScaleTechniquesSpec extends SparkTestBase {
     }
   }
 
+  test("q67_bucketed_join: the catalog-table read-back join is shuffle-free SMJ") {
+    val df = SparkEntry.queries("q67_bucketed_join")(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("SortMergeJoin"),
+      s"merge hint must pick SMJ:\n$physical")
+    assert(!physical.contains("Exchange hashpartitioning"),
+      s"co-bucketed sides must not shuffle:\n$physical")
+  }
+
   test("salt spreads BIT-IDENTICAL duplicate rows across >= 2 buckets") {
     import spark.implicits._
     // the dedup-input skew case: one hot key, all rows identical — a salt

@@ -178,4 +178,31 @@ class BandStoreSpec extends SparkTestBase {
       "post-GC plain serve equals the pre-GC tombstone-anti-join serve")
     post.unpersist()
   }
+
+  test("IndexStore.compactGenerations: content identical, one generation left") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("cmpstore").toString + "/idx"
+    val store = new graft.streaming.IndexStore(spark, idx, "bkt", 4)
+    val rows = (1L to 30L).map(i => (i, i % 8)).toDF("id", "bkt")
+    Seq(0L, 1L, 2L).foreach { b =>
+      store.appendBatch(rows.filter(col("id") % 3 === b), b)
+    }
+    def gens() = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    def files() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(idx)).count(_.getName.endsWith(".parquet"))
+    }
+    assert(gens().size == 3)
+    val before = store.readAll(store.batchSchema(rows.schema))
+      .select("id").as[Long].collect().sorted.toSeq
+    val nFiles = files()
+    store.compactGenerations(rows.schema, gcBatchId = 99L)
+    assert(gens() == Seq("batch=99"), "exactly one generation remains")
+    assert(files() < nFiles, "the file count must drop")
+    val after = store.readAll(store.batchSchema(rows.schema))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(after == before, "compaction is content-preserving")
+  }
 }
