@@ -3991,6 +3991,61 @@ object Pipeline {
         col("n_bigrams"), col("lm_score_micro"))
   }
 
+  /** KNESER-NEY smoothed bigram LM (Kneser & Ney 1995; the smoothing
+    * production n-gram quality scorers actually use — add-one, the
+    * text_lm_score baseline, systematically over-weights unseen mass):
+    * absolute discount D = 0.75 off every seen bigram, the freed mass
+    * re-allocated by CONTINUATION probability (how many distinct contexts
+    * a word follows — the "San Francisco" correction: 'Francisco' is
+    * frequent but predicts almost nothing). All probabilities are exact
+    * integer micro-units with floored divisions in a defined order —
+    * identical in both engines; per-doc score = mean bigram p_KN.
+    *
+    * 100 TB shape: three count aggregates over the bigram relation
+    * (vocabulary-bounded model state) + one broadcast-join scoring pass.
+    */
+  private[queries] def knCtes(d: Dialect): String = {
+    val idiv = if (d == SparkDialect) "div" else "//"
+    s"""tk AS (${d.explodeSelect("doc_id", "documents",
+         F.shingles(d, F.tokens(d, "text"), 2), "s")}),
+       |bi AS (SELECT doc_id, ${d.elem(d.splitWs("s"), "1")} AS w1,
+       |    ${d.elem(d.splitWs("s"), "2")} AS w2 FROM tk),
+       |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi
+       |  GROUP BY w1, w2),
+       |cx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+       |    CAST(COUNT(*) AS BIGINT) AS nfwd FROM cb GROUP BY w1),
+       |cc AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont FROM cb
+       |  GROUP BY w2),
+       |ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM cb),
+       |pkn AS (SELECT cb.w1, cb.w2,
+       |    (CASE WHEN cb.c12 * 1000000 - 750000 > 0
+       |       THEN cb.c12 * 1000000 - 750000 ELSE 0 END) $idiv cx.c1
+       |    + (((750000 * cx.nfwd) $idiv cx.c1)
+       |       * ((cc.ncont * 1000000) $idiv ct.ntypes)) $idiv 1000000
+       |      AS p_micro
+       |  FROM cb JOIN cx ON cx.w1 = cb.w1 JOIN cc ON cc.w2 = cb.w2
+       |  CROSS JOIN ct)""".stripMargin
+  }
+
+  private def textKnScoreDef: QueryDef = {
+    def sql(d: Dialect): String = {
+      val idiv = if (d == SparkDialect) "div" else "//"
+      // pkn is vocabulary-bounded model state — broadcast it so the
+      // corpus-sized bigram side never shuffles (Spark can't infer the
+      // CTE's size through the aggregate chain; DuckDB needs no hint)
+      val hint = if (d == SparkDialect) "/*+ BROADCAST(p) */ " else ""
+      s"""WITH ${knCtes(d)}
+         |SELECT $hint CAST(bi.doc_id AS BIGINT) AS doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(p.p_micro) $idiv COUNT(*) AS BIGINT) AS kn_score_micro
+         |FROM bi JOIN pkn p ON p.w1 = bi.w1 AND p.w2 = bi.w2
+         |GROUP BY bi.doc_id""".stripMargin
+    }
+    QueryDef("text_kn_score", sql(DuckDialect)) { (s, dir) =>
+      views(s, dir, "documents"); s.sql(sql(SparkDialect))
+    }
+  }
+
   private def textLmScore: QueryDef =
     QueryDef("text_lm_score",
       s"""WITH $lmScoreDuckCtes
@@ -5755,6 +5810,7 @@ object Pipeline {
     multimodalImageHistogram,
     multimodalDecodeVideo,
     textLmScore,
+    textKnScoreDef,
     eventsLatestState,
     corpusDecontaminate,
     embQuery("emb_label_centroids", embCentroids),

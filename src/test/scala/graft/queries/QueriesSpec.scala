@@ -469,6 +469,26 @@ class QueriesSpec extends SparkTestBase {
     assert(out(10L) == (2L, 1L), "within-batch copy flagged against the lower id")
   }
 
+  test("kneser-ney: seen-bigram mass per context stays within the probability budget") {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sf/documents.parquet")
+      .createOrReplaceTempView("documents")
+    val p = spark.sql(
+      s"WITH ${Pipeline.knCtes(graft.functions.SparkDialect)} " +
+        "SELECT w1, w2, p_micro FROM pkn").persist()
+    assert(p.count() > 0)
+    assert(p.filter(col("p_micro") <= 0).count() == 0,
+      "every seen bigram keeps positive probability after discounting")
+    // floored divisions only LOSE mass: per context the seen mass <= 1
+    val mass = p.groupBy("w1").agg(sum("p_micro").as("m"))
+    assert(mass.filter(col("m") > 1000000L).count() == 0,
+      "sum of seen-bigram probabilities per context must not exceed 1")
+    // discounting frees real mass: no context's seen sum equals exactly 1
+    assert(mass.filter(col("m") === 1000000L).count() == 0,
+      "the discount must reserve mass for unseen continuations")
+    p.unpersist()
+  }
+
   test("q66_schema_evolution: old-generation rows surface NULL for the new column") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("q66_schema_evolution")(spark, sf).persist()
