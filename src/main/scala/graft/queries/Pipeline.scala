@@ -4004,13 +4004,17 @@ object Pipeline {
     * 100 TB shape: three count aggregates over the bigram relation
     * (vocabulary-bounded model state) + one broadcast-join scoring pass.
     */
-  private[queries] def knCtes(d: Dialect): String = {
-    val idiv = if (d == SparkDialect) "div" else "//"
+  private[queries] def knBiCtes(d: Dialect): String =
     s"""tk AS (${d.explodeSelect("doc_id", "documents",
          F.shingles(d, F.tokens(d, "text"), 2), "s")}),
        |bi AS (SELECT doc_id, ${d.elem(d.splitWs("s"), "1")} AS w1,
-       |    ${d.elem(d.splitWs("s"), "2")} AS w2 FROM tk),
-       |cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi
+       |    ${d.elem(d.splitWs("s"), "2")} AS w2 FROM tk)""".stripMargin
+
+  /** The vocabulary-bounded KN model chain over a bigram relation
+    * `biRef` — ends at `pkn(w1, w2, p_micro)`. */
+  private[queries] def knModelCtes(d: Dialect, biRef: String): String = {
+    val idiv = if (d == SparkDialect) "div" else "//"
+    s"""cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM $biRef
        |  GROUP BY w1, w2),
        |cx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
        |    CAST(COUNT(*) AS BIGINT) AS nfwd FROM cb GROUP BY w1),
@@ -4027,24 +4031,38 @@ object Pipeline {
        |  CROSS JOIN ct)""".stripMargin
   }
 
-  private def textKnScoreDef: QueryDef = {
-    def sql(d: Dialect): String = {
-      val idiv = if (d == SparkDialect) "div" else "//"
-      // pkn is vocabulary-bounded model state — broadcast it so the
-      // corpus-sized bigram side never shuffles (Spark can't infer the
-      // CTE's size through the aggregate chain; DuckDB needs no hint)
-      val hint = if (d == SparkDialect) "/*+ BROADCAST(p) */ " else ""
-      s"""WITH ${knCtes(d)}
-         |SELECT $hint CAST(bi.doc_id AS BIGINT) AS doc_id,
-         |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         |  CAST(SUM(p.p_micro) $idiv COUNT(*) AS BIGINT) AS kn_score_micro
-         |FROM bi JOIN pkn p ON p.w1 = bi.w1 AND p.w2 = bi.w2
-         |GROUP BY bi.doc_id""".stripMargin
-    }
-    QueryDef("text_kn_score", sql(DuckDialect)) { (s, dir) =>
-      views(s, dir, "documents"); s.sql(sql(SparkDialect))
-    }
+  private[queries] def knCtes(d: Dialect): String =
+    s"${knBiCtes(d)},\n${knModelCtes(d, "bi")}"
+
+  private def knTail(d: Dialect, biRef: String, pknRef: String): String = {
+    val idiv = if (d == SparkDialect) "div" else "//"
+    // pkn is vocabulary-bounded model state — broadcast it so the
+    // corpus-sized bigram side never shuffles (Spark can't infer the
+    // relation's size through the aggregate chain; DuckDB needs no hint)
+    val hint = if (d == SparkDialect) "/*+ BROADCAST(p) */ " else ""
+    s"""SELECT $hint CAST(b.doc_id AS BIGINT) AS doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(p.p_micro) $idiv COUNT(*) AS BIGINT) AS kn_score_micro
+       |FROM $biRef b JOIN $pknRef p ON p.w1 = b.w1 AND p.w2 = b.w2
+       |GROUP BY b.doc_id""".stripMargin
   }
+
+  private def textKnScoreDef: QueryDef =
+    QueryDef("text_kn_score",
+      s"""WITH ${knCtes(DuckDialect)}
+         |${knTail(DuckDialect, "bi", "pkn")}""".stripMargin) { (s, dir) =>
+      views(s, dir, "documents")
+      val d = SparkDialect
+      // every model CTE re-inlines its inputs per reference in Spark —
+      // the one-statement form re-ran the token explode 10x (measured
+      // 6.5s at sf0.1); materialize the bigram relation and the
+      // vocabulary-sized model once
+      s.sql(s"WITH ${knBiCtes(d)} SELECT doc_id, w1, w2 FROM bi")
+        .localCheckpoint().createOrReplaceTempView("graft_kn_bi")
+      s.sql(s"WITH ${knModelCtes(d, "graft_kn_bi")} SELECT w1, w2, p_micro FROM pkn")
+        .localCheckpoint().createOrReplaceTempView("graft_kn_p")
+      s.sql(knTail(d, "graft_kn_bi", "graft_kn_p"))
+    }
 
   private def textLmScore: QueryDef =
     QueryDef("text_lm_score",
