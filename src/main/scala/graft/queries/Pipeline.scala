@@ -3416,10 +3416,11 @@ object Pipeline {
   /** HLL SET OPERATIONS — the reason sketches win at 100 TB is not one
     * count but the ALGEBRA: register vectors built over DIFFERENT datasets
     * or periods merge by per-register MAX (union), and inclusion–exclusion
-    * prices the overlap without re-scanning either side (the "returning
-    * users across periods" question over sketch state alone). Sets =
-    * distinct users active in the first vs second half of the event
-    * timeline. Register sums stay exact BIGINT (Σ 2^(25−M[j])); each
+    * prices the overlap without re-scanning either side (the overlap-of-
+    * cohorts question over sketch state alone). Sets = two overlapping
+    * user cohorts (user_id % 3 <> 0 vs % 2 <> 0 — true sizes 2/3 n,
+    * 1/2 n, overlap 1/3 n), so union and intersection are genuinely
+    * distinct from either side. Register sums stay exact BIGINT (Σ 2^(25−M[j])); each
     * estimate is one double division over them.
     *
     * 100 TB shape: each side is one aggregate to 64 registers (map-side
@@ -3428,10 +3429,12 @@ object Pipeline {
     */
   private def eventsHllSetops(d: Dialect): String = {
     val a = F.hllAlphaScale64
-    s"""WITH ev AS (SELECT user_id, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
-       |    COUNT(*) OVER () AS nn FROM events),
-       |hh AS (SELECT CASE WHEN rn * 2 <= nn THEN 0 ELSE 1 END AS part,
-       |    ${F.hllHash("user_id")} AS h FROM ev),
+    s"""WITH ev AS (SELECT user_id FROM events),
+       |hh AS (SELECT 0 AS part, ${F.hllHash(d, "user_id")} AS h FROM ev
+       |    WHERE user_id % 3 <> 0
+       |  UNION ALL
+       |  SELECT 1 AS part, ${F.hllHash(d, "user_id")} AS h FROM ev
+       |    WHERE user_id % 2 <> 0),
        |hw AS (SELECT part, h % 64 AS j,
        |    ${d.shiftRight("h", "6")} % 16777216 AS w FROM hh),
        |hr AS (SELECT part, j, ${F.hllRho(d, "w")} AS rho FROM hw),
@@ -3448,16 +3451,27 @@ object Pipeline {
        |    CAST(SUM(CASE WHEN part = 0 THEN ${d.shiftLeft1("25 - m")}
        |      ELSE 0 END) AS BIGINT) AS za,
        |    CAST(SUM(CASE WHEN part = 1 THEN ${d.shiftLeft1("25 - m")}
-       |      ELSE 0 END) AS BIGINT) AS zb
+       |      ELSE 0 END) AS BIGINT) AS zb,
+       |    CAST(SUM(CASE WHEN part = 0 AND m > 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS aa,
+       |    CAST(SUM(CASE WHEN part = 1 AND m > 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ab
        |  FROM zp),
-       |zus AS (SELECT CAST(SUM(${d.shiftLeft1("25 - m")}) AS BIGINT) AS zu
+       |zus AS (SELECT CAST(SUM(${d.shiftLeft1("25 - m")}) AS BIGINT) AS zu,
+       |    CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS au
        |  FROM zur)
        |SELECT za, zb, zu AS z_union,
        |  $a / CAST(za AS DOUBLE) AS est_a,
        |  $a / CAST(zb AS DOUBLE) AS est_b,
        |  $a / CAST(zu AS DOUBLE) AS est_union,
        |  $a / CAST(za AS DOUBLE) + $a / CAST(zb AS DOUBLE)
-       |    - $a / CAST(zu AS DOUBLE) AS est_intersect
+       |    - $a / CAST(zu AS DOUBLE) AS est_intersect,
+       |  ${F.hllEstimateCorrected(d, "za", "aa")} AS est_a_corrected,
+       |  ${F.hllEstimateCorrected(d, "zb", "ab")} AS est_b_corrected,
+       |  ${F.hllEstimateCorrected(d, "zu", "au")} AS est_union_corrected,
+       |  ${F.hllEstimateCorrected(d, "za", "aa")}
+       |    + ${F.hllEstimateCorrected(d, "zb", "ab")}
+       |    - ${F.hllEstimateCorrected(d, "zu", "au")} AS est_intersect_corrected
        |FROM zs CROSS JOIN zus""".stripMargin
   }
 

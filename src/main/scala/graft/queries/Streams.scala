@@ -330,8 +330,8 @@ object Streams {
     * [[graft.functions.Formulas]]. */
   private def cmsCell(u: String, r: String): String =
     graft.functions.Formulas.cmsCell(u, r)
-  private def hllHash(u: String): String =
-    graft.functions.Formulas.hllHash(u)
+  private def hllHash(d: graft.functions.Dialect, u: String): String =
+    graft.functions.Formulas.hllHash(d, u)
   private def hllRho(d: graft.functions.Dialect, w: String): String =
     graft.functions.Formulas.hllRho(d, w)
   private val HllAlphaScale: Double = graft.functions.Formulas.hllAlphaScale64
@@ -2154,7 +2154,7 @@ object Streams {
          |    COUNT(*) OVER () AS nn FROM events),
          |vs AS (SELECT CAST(1 AS BIGINT) AS version
          |  UNION ALL SELECT 2 UNION ALL SELECT 3),
-         |hh AS (SELECT rn, nn, ${hllHash("user_id")} AS h FROM ev),
+         |hh AS (SELECT rn, nn, ${hllHash(d, "user_id")} AS h FROM ev),
          |hw AS (SELECT rn, nn, h % 64 AS j,
          |    ${d.shiftRight("h", "6")} % 16777216 AS w FROM hh),
          |hr AS (SELECT rn, nn, j, ${hllRho(d, "w")} AS rho FROM hw),
@@ -2187,7 +2187,7 @@ object Streams {
           val ss = bdf.sparkSession
           bdf.createOrReplaceTempView("graft_hll_b")
           ss.sql(
-            s"""WITH hh AS (SELECT ${hllHash("user_id")} AS h FROM graft_hll_b),
+            s"""WITH hh AS (SELECT ${hllHash(d, "user_id")} AS h FROM graft_hll_b),
                |hw AS (SELECT h % 64 AS j,
                |    ${d.shiftRight("h", "6")} % 16777216 AS w FROM hh)
                |SELECT j, MAX(${hllRho(d, "w")}) AS m
