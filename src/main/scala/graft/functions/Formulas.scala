@@ -218,12 +218,13 @@ object Formulas {
   // overflow to be identical). ----
 
   /** Count-min row hash — the cell of key `u` in sketch row `r` (3 rows ×
-    * 64 cells): one multiplicative round per row mod 2^31−1, then mod the
-    * width. Dialect-free text. */
-  def cmsCell(u: String, r: String): String =
-    s"((((abs($u) % $P) * (CASE WHEN $r = 0 THEN 1000003 " +
-      s"WHEN $r = 1 THEN 754974721 ELSE 998244353 END) + $r) " +
-      s"% $P) % 64)"
+    * 256 cells): disjoint bytes of ONE md5-backed [[strHash62]] per key
+    * (structured sequential ids alias a multiplicative hash — the HLL
+    * lesson; and one md5 serves all three rows). Width 256 keeps the
+    * per-row collision mass at N/256 — the sketch error budget scales by
+    * widening, never by keying state. */
+  def cmsCell(d: Dialect, u: String, r: String): String =
+    s"(${d.shiftRight(s"(${strHash62(d, s"CAST($u AS STRING)")})", s"(8 * ($r))")} % 256)"
 
   /** HLL key hash — md5-backed [[strHash62]] over the key's decimal
     * string (both engines accept CAST(x AS STRING) and md5 is

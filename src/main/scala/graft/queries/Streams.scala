@@ -328,8 +328,8 @@ object Streams {
 
   /** Sketch formulas — shared with the batch set-operations gate via
     * [[graft.functions.Formulas]]. */
-  private def cmsCell(u: String, r: String): String =
-    graft.functions.Formulas.cmsCell(u, r)
+  private def cmsCell(d: graft.functions.Dialect, u: String, r: String): String =
+    graft.functions.Formulas.cmsCell(d, u, r)
   private def hllHash(d: graft.functions.Dialect, u: String): String =
     graft.functions.Formulas.hllHash(d, u)
   private def hllRho(d: graft.functions.Dialect, w: String): String =
@@ -2055,7 +2055,7 @@ object Streams {
 
     // ---- STREAMING FREQUENCY SKETCH (round-10): count-min over the event
     // stream — the 100 TB way to track per-key frequencies WITHOUT
-    // per-key state. The sketch is a fixed 3×64 integer counter matrix
+    // per-key state. The sketch is a fixed 3×256 integer counter matrix
     // whose update is an associative sum — mergeable across batches,
     // executors, and days — so the maintained state is model-sized no
     // matter how many distinct keys flow past (per-key exact counts would
@@ -2076,11 +2076,11 @@ object Streams {
          |rr AS (SELECT CAST(0 AS BIGINT) AS r
          |  UNION ALL SELECT 1 UNION ALL SELECT 2),
          |cells AS (SELECT vs.version, rr.r,
-         |    ${cmsCell("ev.user_id", "rr.r")} AS cell, COUNT(*) AS c
+         |    ${cmsCell(graft.functions.DuckDialect, "ev.user_id", "rr.r")} AS cell, COUNT(*) AS c
          |  FROM vs JOIN ev ON ev.rn <= (vs.version * ev.nn) // 3
          |  CROSS JOIN rr GROUP BY 1, 2, 3),
          |probes AS (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0),
-         |pc AS (SELECT user_id, rr.r, ${cmsCell("user_id", "rr.r")} AS cell
+         |pc AS (SELECT user_id, rr.r, ${cmsCell(graft.functions.DuckDialect, "user_id", "rr.r")} AS cell
          |  FROM probes CROSS JOIN rr)
          |SELECT vs.version, CAST(pc.user_id AS BIGINT) AS user_id,
          |  CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est
@@ -2095,7 +2095,7 @@ object Streams {
       Tables.load(s, dir, "events").createOrReplaceTempView("events")
       // static probe set + its 3 sketch cells per key — broadcast model state
       val probes = s.sql(
-        s"""SELECT user_id, r, ${cmsCell("user_id", "r")} AS cell
+        s"""SELECT user_id, r, ${cmsCell(graft.functions.SparkDialect, "user_id", "r")} AS cell
            |FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0) p
            |CROSS JOIN (SELECT explode(array(CAST(0 AS BIGINT), 1, 2)) AS r) rr"""
           .stripMargin).localCheckpoint()
@@ -2108,7 +2108,7 @@ object Streams {
           val ss = bdf.sparkSession
           bdf.createOrReplaceTempView("graft_cms_b")
           ss.sql(
-            s"""SELECT r, ${cmsCell("user_id", "r")} AS cell, COUNT(*) AS c
+            s"""SELECT r, ${cmsCell(graft.functions.SparkDialect, "user_id", "r")} AS cell, COUNT(*) AS c
                |FROM graft_cms_b
                |CROSS JOIN (SELECT explode(array(CAST(0 AS BIGINT), 1, 2)) AS r) rr
                |GROUP BY 1, 2""".stripMargin)
