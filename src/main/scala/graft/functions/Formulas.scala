@@ -224,17 +224,29 @@ object Formulas {
     * per-row collision mass at N/256 — the sketch error budget scales by
     * widening, never by keying state. */
   def cmsCell(d: Dialect, u: String, r: String): String =
-    s"(${d.shiftRight(s"(${strHash62(d, s"CAST($u AS STRING)")})", s"(8 * ($r))")} % 256)"
+    cmsCellFromHash(d, s"(${cmsHash(d, u)})", r)
 
-  /** HLL key hash — md5-backed [[strHash62]] over the key's decimal
+  /** HLL key hash — md5-backed single-fold [[strHash]] over the key's decimal
     * string (both engines accept CAST(x AS STRING) and md5 is
     * bit-identical everywhere): low 6 bits pick the register, the next
-    * 24 feed the rank statistic. A multiplicative-congruential hash here
-    * measured 77% high on sequential-id cohorts (lattice artifacts in
-    * the register bits); md5 mixing restored the ~13%/√m accuracy HLL
-    * promises. */
+    * 24 feed the rank statistic (30 bits needed — one 31-bit fold
+    * suffices; the 62-bit double fold doubled the cost for nothing). A
+    * multiplicative-congruential hash here measured 77% high on
+    * sequential-id cohorts (lattice artifacts in the register bits); md5
+    * mixing restored the ~13%/√m accuracy HLL promises. */
   def hllHash(d: Dialect, u: String): String =
-    strHash62(d, s"CAST($u AS STRING)")
+    strHash(d, s"CAST($u AS STRING)")
+
+  /** One md5-backed key hash serving all three count-min rows — hash ONCE
+    * per row and derive cells from the COLUMN (the 32-step fold per
+    * (row × reference) was the measured cost, not the sketch math). */
+  def cmsHash(d: Dialect, u: String): String =
+    strHash(d, s"CAST($u AS STRING)")
+
+  /** Count-min cell of row `r` from a precomputed hash COLUMN: disjoint
+    * bytes, width 256. */
+  def cmsCellFromHash(d: Dialect, h: String, r: String): String =
+    s"(${d.shiftRight(h, s"(8 * ($r))")} % 256)"
 
   /** HLL rank of a 24-bit window column `w` (a COLUMN name, not an inline
     * expression — the smear repeats it 32×): rho = 25 − bit_length(w),

@@ -3429,12 +3429,11 @@ object Pipeline {
     */
   private def eventsHllSetops(d: Dialect): String = {
     val a = F.hllAlphaScale64
-    s"""WITH ev AS (SELECT user_id FROM events),
-       |hh AS (SELECT 0 AS part, ${F.hllHash(d, "user_id")} AS h FROM ev
-       |    WHERE user_id % 3 <> 0
+    s"""WITH du AS (SELECT user_id, ${F.hllHash(d, "user_id")} AS h
+       |  FROM (SELECT DISTINCT user_id FROM events) k),
+       |hh AS (SELECT 0 AS part, h FROM du WHERE user_id % 3 <> 0
        |  UNION ALL
-       |  SELECT 1 AS part, ${F.hllHash(d, "user_id")} AS h FROM ev
-       |    WHERE user_id % 2 <> 0),
+       |  SELECT 1 AS part, h FROM du WHERE user_id % 2 <> 0),
        |hw AS (SELECT part, h % 64 AS j,
        |    ${d.shiftRight("h", "6")} % 16777216 AS w FROM hh),
        |hr AS (SELECT part, j, ${F.hllRho(d, "w")} AS rho FROM hw),

@@ -328,8 +328,7 @@ object Streams {
 
   /** Sketch formulas — shared with the batch set-operations gate via
     * [[graft.functions.Formulas]]. */
-  private def cmsCell(d: graft.functions.Dialect, u: String, r: String): String =
-    graft.functions.Formulas.cmsCell(d, u, r)
+  private val F2 = graft.functions.Formulas
   private def hllHash(d: graft.functions.Dialect, u: String): String =
     graft.functions.Formulas.hllHash(d, u)
   private def hllRho(d: graft.functions.Dialect, w: String): String =
@@ -2068,19 +2067,23 @@ object Streams {
     // both engines; the oracle replays the prefix-batch recurrence
     // relationally. ----
     QueryDef("stream_cms_freq",
-      s"""WITH ev AS (SELECT user_id,
-         |    ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
-         |    COUNT(*) OVER () AS nn FROM events),
+      s"""WITH kh AS (SELECT user_id,
+         |    ${F2.cmsHash(graft.functions.DuckDialect, "user_id")} AS h
+         |  FROM (SELECT DISTINCT user_id FROM events) k),
+         |ev AS (SELECT e.user_id, kh.h,
+         |    ROW_NUMBER() OVER (ORDER BY e.ts, e.event_id) AS rn,
+         |    COUNT(*) OVER () AS nn
+         |  FROM events e JOIN kh ON kh.user_id = e.user_id),
          |vs AS (SELECT CAST(1 AS BIGINT) AS version
          |  UNION ALL SELECT 2 UNION ALL SELECT 3),
          |rr AS (SELECT CAST(0 AS BIGINT) AS r
          |  UNION ALL SELECT 1 UNION ALL SELECT 2),
          |cells AS (SELECT vs.version, rr.r,
-         |    ${cmsCell(graft.functions.DuckDialect, "ev.user_id", "rr.r")} AS cell, COUNT(*) AS c
+         |    ${F2.cmsCellFromHash(graft.functions.DuckDialect, "ev.h", "rr.r")} AS cell, COUNT(*) AS c
          |  FROM vs JOIN ev ON ev.rn <= (vs.version * ev.nn) // 3
          |  CROSS JOIN rr GROUP BY 1, 2, 3),
-         |probes AS (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0),
-         |pc AS (SELECT user_id, rr.r, ${cmsCell(graft.functions.DuckDialect, "user_id", "rr.r")} AS cell
+         |probes AS (SELECT user_id, h FROM kh WHERE user_id % 37 = 0),
+         |pc AS (SELECT user_id, rr.r, ${F2.cmsCellFromHash(graft.functions.DuckDialect, "h", "rr.r")} AS cell
          |  FROM probes CROSS JOIN rr)
          |SELECT vs.version, CAST(pc.user_id AS BIGINT) AS user_id,
          |  CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est
@@ -2095,8 +2098,9 @@ object Streams {
       Tables.load(s, dir, "events").createOrReplaceTempView("events")
       // static probe set + its 3 sketch cells per key — broadcast model state
       val probes = s.sql(
-        s"""SELECT user_id, r, ${cmsCell(graft.functions.SparkDialect, "user_id", "r")} AS cell
-           |FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0) p
+        s"""SELECT user_id, r, ${F2.cmsCellFromHash(graft.functions.SparkDialect, "h", "r")} AS cell
+           |FROM (SELECT user_id, ${F2.cmsHash(graft.functions.SparkDialect, "user_id")} AS h
+           |      FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0) p0) p
            |CROSS JOIN (SELECT explode(array(CAST(0 AS BIGINT), 1, 2)) AS r) rr"""
           .stripMargin).localCheckpoint()
       probes.createOrReplaceTempView("graft_cms_probes")
@@ -2107,9 +2111,14 @@ object Streams {
         .foreachBatch { (bdf: DataFrame, batchId: Long) =>
           val ss = bdf.sparkSession
           bdf.createOrReplaceTempView("graft_cms_b")
+          // hash the batch's DISTINCT keys (key-cardinality work), then
+          // join back — the md5 fold per EVENT row was the measured cost
           ss.sql(
-            s"""SELECT r, ${cmsCell(graft.functions.SparkDialect, "user_id", "r")} AS cell, COUNT(*) AS c
-               |FROM graft_cms_b
+            s"""WITH kh AS (SELECT user_id,
+               |    ${F2.cmsHash(graft.functions.SparkDialect, "user_id")} AS h
+               |  FROM (SELECT DISTINCT user_id FROM graft_cms_b) k)
+               |SELECT r, ${F2.cmsCellFromHash(graft.functions.SparkDialect, "h", "r")} AS cell, COUNT(*) AS c
+               |FROM graft_cms_b e JOIN kh ON kh.user_id = e.user_id
                |CROSS JOIN (SELECT explode(array(CAST(0 AS BIGINT), 1, 2)) AS r) rr
                |GROUP BY 1, 2""".stripMargin)
             .sinkBatch(pdir, batchId)
@@ -2139,8 +2148,7 @@ object Streams {
     // of a rank statistic, so the per-batch update is an associative MAX
     // (the mergeability that makes HLL THE distinct-count at 100 TB:
     // register vectors union across batches, partitions, and datasets
-    // with no key state). Hash = two multiplicative rounds mod the
-    // Mersenne prime 2^31−1 (exact BIGINT in both engines); register j =
+    // with no key state). Hash = one md5-backed 31-bit fold; register j =
     // low 6 bits, rank = 25 − bit_length of the next 24 bits (bit_length
     // via an exact shift-OR smear + bit_count — no float log anywhere).
     // The readout keeps the harmonic sum EXACT: Z = Σ 2^(25−M[j]) as
@@ -2154,13 +2162,14 @@ object Streams {
          |    COUNT(*) OVER () AS nn FROM events),
          |vs AS (SELECT CAST(1 AS BIGINT) AS version
          |  UNION ALL SELECT 2 UNION ALL SELECT 3),
-         |hh AS (SELECT rn, nn, ${hllHash(d, "user_id")} AS h FROM ev),
-         |hw AS (SELECT rn, nn, h % 64 AS j,
-         |    ${d.shiftRight("h", "6")} % 16777216 AS w FROM hh),
-         |hr AS (SELECT rn, nn, j, ${hllRho(d, "w")} AS rho FROM hw),
-         |regs AS (SELECT vs.version, hr.j, MAX(hr.rho) AS m
-         |  FROM vs JOIN hr ON hr.rn <= (vs.version * hr.nn) // 3
+         |du AS (SELECT vs.version, ev.user_id
+         |  FROM vs JOIN ev ON ev.rn <= (vs.version * ev.nn) // 3
          |  GROUP BY 1, 2),
+         |hh AS (SELECT version, ${hllHash(d, "user_id")} AS h FROM du),
+         |hw AS (SELECT version, h % 64 AS j,
+         |    ${d.shiftRight("h", "6")} % 16777216 AS w FROM hh),
+         |regs AS (SELECT version, j, MAX(${hllRho(d, "w")}) AS m
+         |  FROM hw GROUP BY 1, 2),
          |js AS (SELECT unnest(range(0, 64)) AS j),
          |full0 AS (SELECT vs.version, js.j, COALESCE(r.m, 0) AS m
          |  FROM vs CROSS JOIN js
@@ -2186,8 +2195,11 @@ object Streams {
         .foreachBatch { (bdf: DataFrame, batchId: Long) =>
           val ss = bdf.sparkSession
           bdf.createOrReplaceTempView("graft_hll_b")
+          // MAX over registers is idempotent — hash the batch's DISTINCT
+          // keys only (key-cardinality work, never per-event)
           ss.sql(
-            s"""WITH hh AS (SELECT ${hllHash(d, "user_id")} AS h FROM graft_hll_b),
+            s"""WITH hh AS (SELECT ${hllHash(d, "user_id")} AS h
+               |  FROM (SELECT DISTINCT user_id FROM graft_hll_b) k),
                |hw AS (SELECT h % 64 AS j,
                |    ${d.shiftRight("h", "6")} % 16777216 AS w FROM hh)
                |SELECT j, MAX(${hllRho(d, "w")}) AS m
