@@ -659,6 +659,112 @@ object Streams {
     }
   }
 
+  /** The image-ingest oracle (shared verbatim by the single-run gate and
+    * the checkpoint-restart gate — exactly-once means identical output). */
+  private def imageIngestOracle: String = {
+    val dd = graft.functions.DuckDialect
+    val ham = s"(${dd.bitCount(dd.xor("x.phash_hi", "y.phash_hi"))} + " +
+      s"${dd.bitCount(dd.xor("x.phash_lo", "y.phash_lo"))})"
+    s"""WITH ${Pipeline.phashOracleCtesFor("doc_id % 97")},
+       |pv AS (SELECT doc_id, doc_id % 3 AS m, phash_hi, phash_lo FROM ph
+       |  WHERE phash_hi >= 0),
+       |pb AS (
+       |  SELECT doc_id, m, phash_hi, phash_lo,
+       |    ${dd.shiftRight("phash_hi", "16")} AS bk FROM pv
+       |  UNION ALL SELECT doc_id, m, phash_hi, phash_lo,
+       |    65536 + phash_hi % 65536 FROM pv
+       |  UNION ALL SELECT doc_id, m, phash_hi, phash_lo,
+       |    131072 + ${dd.shiftRight("phash_lo", "16")} FROM pv
+       |  UNION ALL SELECT doc_id, m, phash_hi, phash_lo,
+       |    196608 + phash_lo % 65536 FROM pv),
+       |dup AS (SELECT DISTINCT x.doc_id
+       |  FROM pb x JOIN pb y ON x.bk = y.bk
+       |    AND (y.m < x.m OR (y.m = x.m AND y.doc_id < x.doc_id))
+       |  WHERE $ham <= 10)
+       |SELECT CAST(p.m + 1 AS BIGINT) AS version,
+       |  CAST(p.doc_id AS BIGINT) AS doc_id,
+       |  CASE WHEN d.doc_id IS NULL THEN 'ok' ELSE 'dup' END AS status
+       |FROM pv p LEFT JOIN dup d ON p.doc_id = d.doc_id""".stripMargin
+  }
+
+  private val imageStoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("bk",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ah",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("al",
+      org.apache.spark.sql.types.LongType)))
+
+  /** One micro-batch of the image ingestion boundary — decode + aHash,
+    * band-store near-dup check, status sink, compacted store merge.
+    * Shared by stream_image_ingest and stream_image_restart (the shared
+    * body is what makes exactly-once-across-restart meaningful). */
+  private def imageIngestBatch(idxDir: String, out: String)(
+      bdf: DataFrame, batchId: Long): Unit = {
+    val d = graft.functions.SparkDialect
+    val ss = bdf.sparkSession
+    import ss.implicits._
+    val ham = s"(${d.bitCount(d.xor("x.ah", "y.ah"))} + " +
+      s"${d.bitCount(d.xor("x.al", "y.al"))})"
+    // the store handle must live on the BATCH session: temp views
+    // and reads resolve in the micro-batch clone's catalog
+    val store = new graft.streaming.IndexStore(ss, idxDir, "bk", 8)
+    // decode + hash ONCE per arriving image, executor-side
+    val imgs = bdf.select(col("doc_id")).as[Long].mapPartitions(_.map(
+      id => graft.operators.Multimodal.ImageRow(
+        id, graft.operators.Multimodal.pngBytes(id % 97))))
+    graft.operators.Multimodal.imagePHash(imgs)
+      .filter(col("phash_hi") >= 0)
+      .localCheckpoint()
+      .createOrReplaceTempView("graft_img_ph")
+    val bands = ss.sql(
+      s"""SELECT doc_id, CAST(bk AS BIGINT) AS bk,
+         |  phash_hi AS ah, phash_lo AS al FROM (
+         |  SELECT doc_id, phash_hi, phash_lo,
+         |    ${d.shiftRight("phash_hi", "16")} AS bk FROM graft_img_ph
+         |  UNION ALL SELECT doc_id, phash_hi, phash_lo,
+         |    65536 + phash_hi % 65536 FROM graft_img_ph
+         |  UNION ALL SELECT doc_id, phash_hi, phash_lo,
+         |    131072 + ${d.shiftRight("phash_lo", "16")} FROM graft_img_ph
+         |  UNION ALL SELECT doc_id, phash_hi, phash_lo,
+         |    196608 + phash_lo % 65536 FROM graft_img_ph) b""".stripMargin)
+      .localCheckpoint()
+    bands.createOrReplaceTempView("graft_img_bands")
+    // rivals: the store's pruned slice (strictly earlier batches —
+    // replay-safe) plus lower-id same-batch arrivals. Both sides are
+    // compressed to DISTINCT hash triples (Hamming depends on the
+    // hash values, never the rival's identity): a batch with k copies
+    // of one image contributes ONE rival group carrying its min id,
+    // not k²/2 candidate pairs, and the store stays bounded by the
+    // distinct-image set instead of the arrival count — the
+    // bandStoreProbe compaction lesson generalized to keyed rows.
+    val parts = store.partsOf(bands.select("bk"))
+    val slice = store
+      .readBefore(store.batchSchema(imageStoreSchema), parts, batchId)
+      .select("bk", "ah", "al").localCheckpoint()
+    slice.createOrReplaceTempView("graft_img_store")
+    ss.sql(
+      s"""WITH riv AS (
+         |  SELECT bk, ah, al, CAST(-1 AS BIGINT) AS rid
+         |  FROM graft_img_store
+         |  UNION ALL SELECT bk, ah, al, MIN(doc_id) AS rid
+         |  FROM graft_img_bands GROUP BY bk, ah, al),
+         |dup AS (SELECT DISTINCT x.doc_id
+         |  FROM graft_img_bands x JOIN riv y ON x.bk = y.bk
+         |    AND (y.rid = -1 OR y.rid < x.doc_id)
+         |  WHERE $ham <= 10)
+         |SELECT CAST(${batchId + 1} AS BIGINT) AS version,
+         |  CAST(p.doc_id AS BIGINT) AS doc_id,
+         |  CASE WHEN d.doc_id IS NULL THEN 'ok' ELSE 'dup' END AS status
+         |FROM graft_img_ph p LEFT JOIN dup d ON p.doc_id = d.doc_id"""
+        .stripMargin)
+      .sinkBatch(out, batchId)
+    store.appendBatch(
+      bands.select(col("bk"), col("ah"), col("al")).distinct()
+        .join(slice, Seq("bk", "ah", "al"), "left_anti"), batchId)
+  }
+
+
   def defs: Seq[QueryDef] = Seq(
 
     // ---- stream source → filter → parquet STREAMING SINK → read back:
@@ -2504,32 +2610,7 @@ object Streams {
     // check is a band equi-join against the store's partition-pruned
     // bucket slice, and the store is bucket-partitioned appends — per-batch
     // cost tracks the batch, never the corpus. ----
-    QueryDef("stream_image_ingest", {
-      val dd = graft.functions.DuckDialect
-      val ham = s"(${dd.bitCount(dd.xor("x.phash_hi", "y.phash_hi"))} + " +
-        s"${dd.bitCount(dd.xor("x.phash_lo", "y.phash_lo"))})"
-      s"""WITH ${Pipeline.phashOracleCtesFor("doc_id % 97")},
-         |pv AS (SELECT doc_id, doc_id % 3 AS m, phash_hi, phash_lo FROM ph
-         |  WHERE phash_hi >= 0),
-         |pb AS (
-         |  SELECT doc_id, m, phash_hi, phash_lo,
-         |    ${dd.shiftRight("phash_hi", "16")} AS bk FROM pv
-         |  UNION ALL SELECT doc_id, m, phash_hi, phash_lo,
-         |    65536 + phash_hi % 65536 FROM pv
-         |  UNION ALL SELECT doc_id, m, phash_hi, phash_lo,
-         |    131072 + ${dd.shiftRight("phash_lo", "16")} FROM pv
-         |  UNION ALL SELECT doc_id, m, phash_hi, phash_lo,
-         |    196608 + phash_lo % 65536 FROM pv),
-         |dup AS (SELECT DISTINCT x.doc_id
-         |  FROM pb x JOIN pb y ON x.bk = y.bk
-         |    AND (y.m < x.m OR (y.m = x.m AND y.doc_id < x.doc_id))
-         |  WHERE $ham <= 10)
-         |SELECT CAST(p.m + 1 AS BIGINT) AS version,
-         |  CAST(p.doc_id AS BIGINT) AS doc_id,
-         |  CASE WHEN d.doc_id IS NULL THEN 'ok' ELSE 'dup' END AS status
-         |FROM pv p LEFT JOIN dup d ON p.doc_id = d.doc_id""".stripMargin
-    }) { (s, dir) =>
-      val d = graft.functions.SparkDialect
+    QueryDef("stream_image_ingest", imageIngestOracle) { (s, dir) =>
       val src = stagedDocsDir(s, dir)
       val ckpt = cleanScratch(s, s"stream_img_ckpt_${dir.hashCode & 0x7fffffff}")
       val idxDir = cleanScratch(s, s"stream_img_idx_${dir.hashCode & 0x7fffffff}")
@@ -2540,81 +2621,54 @@ object Streams {
       new org.apache.hadoop.fs.Path(idxDir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
         .mkdirs(new org.apache.hadoop.fs.Path(idxDir))
-      val storeSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("bk",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ah",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("al",
-          org.apache.spark.sql.types.LongType)))
-      val ham = s"(${d.bitCount(d.xor("x.ah", "y.ah"))} + " +
-        s"${d.bitCount(d.xor("x.al", "y.al"))})"
       val q = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
         .writeStream
-        .foreachBatch { (bdf: DataFrame, batchId: Long) =>
-          val ss = bdf.sparkSession
-          import ss.implicits._
-          // the store handle must live on the BATCH session: temp views
-          // and reads resolve in the micro-batch clone's catalog
-          val store = new graft.streaming.IndexStore(ss, idxDir, "bk", 8)
-          // decode + hash ONCE per arriving image, executor-side
-          val imgs = bdf.select(col("doc_id")).as[Long].mapPartitions(_.map(
-            id => graft.operators.Multimodal.ImageRow(
-              id, graft.operators.Multimodal.pngBytes(id % 97))))
-          graft.operators.Multimodal.imagePHash(imgs)
-            .filter(col("phash_hi") >= 0)
-            .localCheckpoint()
-            .createOrReplaceTempView("graft_img_ph")
-          val bands = ss.sql(
-            s"""SELECT doc_id, CAST(bk AS BIGINT) AS bk,
-               |  phash_hi AS ah, phash_lo AS al FROM (
-               |  SELECT doc_id, phash_hi, phash_lo,
-               |    ${d.shiftRight("phash_hi", "16")} AS bk FROM graft_img_ph
-               |  UNION ALL SELECT doc_id, phash_hi, phash_lo,
-               |    65536 + phash_hi % 65536 FROM graft_img_ph
-               |  UNION ALL SELECT doc_id, phash_hi, phash_lo,
-               |    131072 + ${d.shiftRight("phash_lo", "16")} FROM graft_img_ph
-               |  UNION ALL SELECT doc_id, phash_hi, phash_lo,
-               |    196608 + phash_lo % 65536 FROM graft_img_ph) b""".stripMargin)
-            .localCheckpoint()
-          bands.createOrReplaceTempView("graft_img_bands")
-          // rivals: the store's pruned slice (strictly earlier batches —
-          // replay-safe) plus lower-id same-batch arrivals. Both sides are
-          // compressed to DISTINCT hash triples (Hamming depends on the
-          // hash values, never the rival's identity): a batch with k copies
-          // of one image contributes ONE rival group carrying its min id,
-          // not k²/2 candidate pairs, and the store stays bounded by the
-          // distinct-image set instead of the arrival count — the
-          // bandStoreProbe compaction lesson generalized to keyed rows.
-          val parts = store.partsOf(bands.select("bk"))
-          val slice = store
-            .readBefore(store.batchSchema(storeSchema), parts, batchId)
-            .select("bk", "ah", "al").localCheckpoint()
-          slice.createOrReplaceTempView("graft_img_store")
-          ss.sql(
-            s"""WITH riv AS (
-               |  SELECT bk, ah, al, CAST(-1 AS BIGINT) AS rid
-               |  FROM graft_img_store
-               |  UNION ALL SELECT bk, ah, al, MIN(doc_id) AS rid
-               |  FROM graft_img_bands GROUP BY bk, ah, al),
-               |dup AS (SELECT DISTINCT x.doc_id
-               |  FROM graft_img_bands x JOIN riv y ON x.bk = y.bk
-               |    AND (y.rid = -1 OR y.rid < x.doc_id)
-               |  WHERE $ham <= 10)
-               |SELECT CAST(${batchId + 1} AS BIGINT) AS version,
-               |  CAST(p.doc_id AS BIGINT) AS doc_id,
-               |  CASE WHEN d.doc_id IS NULL THEN 'ok' ELSE 'dup' END AS status
-               |FROM graft_img_ph p LEFT JOIN dup d ON p.doc_id = d.doc_id"""
-              .stripMargin)
-            .sinkBatch(out, batchId)
-          store.appendBatch(
-            bands.select(col("bk"), col("ah"), col("al")).distinct()
-              .join(slice, Seq("bk", "ah", "al"), "left_anti"), batchId)
-        }
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          imageIngestBatch(idxDir, out)(b, id) }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       await(q)
+      s.read.parquet(out)
+        .select(col("version").cast("long").as("version"),
+          col("doc_id").cast("long").as("doc_id"), col("status"))
+    },
+
+    // ---- IMAGE-INGEST CHECKPOINT RESTART (round-10): exactly-once for
+    // the MULTIMODAL store family — the fourth restart gate. Pass 1
+    // drains arrival file 0 (decode + hash + store merge), then files 1
+    // and 2 land with file 0 still present and a NEW query restarts from
+    // the SAME checkpoint: no re-decode or re-append of file 0's bands
+    // (the compacted store would stay correct — the anti-join — but the
+    // version-1 statuses must not replay), and the later batches dedup
+    // against exactly the state the single run saw. Oracle =
+    // stream_image_ingest's verbatim; the shared batch body guarantees
+    // both gates run the same per-batch plan. ----
+    QueryDef("stream_image_restart", imageIngestOracle) { (s, dir) =>
+      val staged = stagedDocsDir(s, dir)
+      val src = cleanScratch(s, s"stream_imr_src_${dir.hashCode & 0x7fffffff}")
+      val ckpt = cleanScratch(s, s"stream_imr_ckpt_${dir.hashCode & 0x7fffffff}")
+      val idxDir = cleanScratch(s, s"stream_imr_idx_${dir.hashCode & 0x7fffffff}")
+      val out = cleanScratch(s, s"stream_imr_out_${dir.hashCode & 0x7fffffff}")
+      val docs = Tables.load(s, dir, "documents")
+      new org.apache.hadoop.fs.Path(idxDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .mkdirs(new org.apache.hadoop.fs.Path(idxDir))
+      def drainOnce(): Unit = {
+        val q = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            imageIngestBatch(idxDir, out)(b, id) }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        await(q)
+      }
+      landArrival(s, staged, src, 0)
+      drainOnce()                            // version 1, then clean stop
+      landArrival(s, staged, src, 1)
+      landArrival(s, staged, src, 2)         // file 0 REMAINS present
+      drainOnce()                            // versions 2, 3 — no replay
       s.read.parquet(out)
         .select(col("version").cast("long").as("version"),
           col("doc_id").cast("long").as("doc_id"), col("status"))

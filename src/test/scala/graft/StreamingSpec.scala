@@ -394,6 +394,25 @@ class StreamingSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("stream_image_restart: exactly-once — statuses and store equal the single run") {
+    val single = SparkEntry.queries("stream_image_ingest")(spark, sf)
+    val restarted = SparkEntry.queries("stream_image_restart")(spark, sf)
+    assert(restarted.exceptAll(single).isEmpty &&
+      single.exceptAll(restarted).isEmpty,
+      "no replayed version-1 statuses, no lost arrivals")
+    val tag = sf.hashCode & 0x7fffffff
+    val s1 = spark.read.parquet(
+      graft.sources.Tables.scratchDir(s"stream_img_idx_$tag"))
+      .select("bk", "ah", "al")
+    val s2 = spark.read.parquet(
+      graft.sources.Tables.scratchDir(s"stream_imr_idx_$tag"))
+      .select("bk", "ah", "al")
+    assert(s2.exceptAll(s1).isEmpty && s1.exceptAll(s2).isEmpty,
+      "the compacted band store equals the single run's")
+    assert(s2.count() == s2.distinct().count(),
+      "no band triple appended twice across the restart")
+  }
+
   test("stream_scd2_cdc: applying the change stream reconstructs the batch SCD2 table") {
     val cdc = SparkEntry.queries("stream_scd2_cdc")(spark, sf).persist()
     // exactly-once changes: one open per event, at most one close
