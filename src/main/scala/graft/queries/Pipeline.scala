@@ -2467,6 +2467,119 @@ object Pipeline {
   private def duckMaterialized(sql: String): String =
     sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
 
+  /** ROUND-2 CTEs (hard-EM iteration 2): prune multi-char pieces the
+    * round-1 Viterbi never chose (single chars always stay — coverage),
+    * re-score costs from the EM counts (floored at 1 for kept-but-unused
+    * coverage pieces), and re-run the identical DP + backtrack over the
+    * surviving occurrence edges. Appended after [[unigramOracleCtes]];
+    * occ2 derives from occ by an inner join on the pruned cost table. */
+  private def unigramRound2Ctes(d: Dialect, occRef: String, wfRef: String,
+      pcostRef: String, newcRef: String): String = {
+    val dpRounds = (1 to 8).map(r =>
+      s"dp${r}b AS (${uniDpRound(s"dp${r - 1}b", "occ2")})").mkString(",\n")
+    val wkRounds = (1 to 8).map(r =>
+      s"wk${r}b AS (${uniWalkRound(s"wk${r - 1}b", "bedge2")})").mkString(",\n")
+    val segUnion = (1 to 8).map(r => s"SELECT w, p FROM wk${r}b")
+      .mkString("\n  UNION ALL ")
+    s"""voc2 AS (SELECT pc.p,
+       |    GREATEST(COALESCE(n.em_count, 0), 1) AS c2,
+       |    COALESCE(n.em_count, 0) AS emc
+       |  FROM $pcostRef pc LEFT JOIN $newcRef n ON n.p = pc.p
+       |  WHERE length(pc.p) = 1 OR COALESCE(n.em_count, 0) > 0),
+       |tt2 AS (SELECT CAST(SUM(c2) AS BIGINT) AS t FROM voc2),
+       |pcost2 AS (SELECT voc2.p, voc2.c2, voc2.emc,
+       |    CAST(${F.log2Micro(d, "tt2.t")} - ${F.log2Micro(d, "voc2.c2")}
+       |      AS BIGINT) AS pcost
+       |  FROM voc2 CROSS JOIN tt2),
+       |occ2 AS (SELECT o.w, o.j0, o.j1, o.l, o.p, c.pcost
+       |  FROM $occRef o JOIN pcost2 c ON c.p = o.p),
+       |dp0b AS (SELECT w, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS cost
+       |  FROM $wfRef),
+       |$dpRounds,
+       |bedge2 AS (${uniBedge("dp8b", "occ2")}),
+       |wk0b AS (SELECT w, wlen AS pos FROM $wfRef),
+       |$wkRounds,
+       |seg2 AS ($segUnion),
+       |segc2 AS (SELECT w, p, CAST(COUNT(*) AS BIGINT) AS k FROM seg2
+       |  GROUP BY w, p),
+       |newc2 AS (SELECT sc.p, CAST(SUM(sc.k * wf.f) AS BIGINT) AS em2_count
+       |  FROM segc2 sc JOIN $wfRef wf ON wf.w = sc.w GROUP BY sc.p)"""
+      .stripMargin
+  }
+
+  private def uniTrain2Tail(pcost2Ref: String, newc2Ref: String): String =
+    s"""SELECT c2.p AS piece, c2.emc AS em1_count,
+       |  CAST(COALESCE(n.em2_count, 0) AS BIGINT) AS em2_count,
+       |  c2.pcost AS cost2_mu
+       |FROM $pcost2Ref c2 LEFT JOIN $newc2Ref n ON n.p = c2.p"""
+      .stripMargin
+
+  /** Round-2 Spark runner: round 1's views, then the pruned/re-scored
+    * model and a second iterative DP — same localCheckpoint discipline.
+    * Registers graft_uni2_{pcost, segc}. */
+  private[queries] def unigram2Views(s: SparkSession, dir: String): Unit = {
+    unigramViews(s, dir)
+    s.sql(
+      """SELECT sc.p, CAST(SUM(sc.k * wf.f) AS BIGINT) AS em_count
+        |FROM graft_uni_segc sc JOIN graft_uni_wf wf ON wf.w = sc.w
+        |GROUP BY sc.p""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView("graft_uni_newc")
+    val d = SparkDialect
+    s.sql(
+      s"""WITH voc2 AS (SELECT pc.p,
+         |    GREATEST(COALESCE(n.em_count, 0), 1) AS c2,
+         |    COALESCE(n.em_count, 0) AS emc
+         |  FROM graft_uni_pcost pc
+         |  LEFT JOIN graft_uni_newc n ON n.p = pc.p
+         |  WHERE length(pc.p) = 1 OR COALESCE(n.em_count, 0) > 0),
+         |tt2 AS (SELECT CAST(SUM(c2) AS BIGINT) AS t FROM voc2)
+         |SELECT voc2.p, voc2.c2, voc2.emc,
+         |  CAST(${F.log2Micro(d, "tt2.t")} - ${F.log2Micro(d, "voc2.c2")}
+         |    AS BIGINT) AS pcost
+         |FROM voc2 CROSS JOIN tt2""".stripMargin)
+      .localCheckpoint().createOrReplaceTempView("graft_uni2_pcost")
+    s.sql(
+      """SELECT o.w, o.j0, o.j1, o.l, o.p, c.pcost
+        |FROM graft_uni_occ o JOIN graft_uni2_pcost c ON c.p = o.p"""
+        .stripMargin)
+      .localCheckpoint().createOrReplaceTempView("graft_uni2_occ")
+    s.sql("SELECT w, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS cost " +
+        "FROM graft_uni_wf")
+      .localCheckpoint().createOrReplaceTempView("graft_uni2_dp")
+    (1 to 8).foreach { _ =>
+      s.sql(uniDpRound("graft_uni2_dp", "graft_uni2_occ"))
+        .localCheckpoint().createOrReplaceTempView("graft_uni2_dp")
+    }
+    s.sql(uniBedge("graft_uni2_dp", "graft_uni2_occ"))
+      .localCheckpoint().createOrReplaceTempView("graft_uni2_bedge")
+    s.sql("SELECT w, wlen AS pos FROM graft_uni_wf")
+      .localCheckpoint().createOrReplaceTempView("graft_uni2_wk")
+    val pieces = (1 to 8).map { _ =>
+      val step = s.sql(uniWalkRound("graft_uni2_wk", "graft_uni2_bedge"))
+        .localCheckpoint()
+      step.createOrReplaceTempView("graft_uni2_wk")
+      step.select(org.apache.spark.sql.functions.col("w"),
+        org.apache.spark.sql.functions.col("p"))
+    }.reduceLeft(_.unionAll(_))
+    pieces.createOrReplaceTempView("graft_uni2_seg")
+    s.sql("SELECT w, p, CAST(COUNT(*) AS BIGINT) AS k FROM graft_uni2_seg " +
+        "GROUP BY w, p")
+      .localCheckpoint().createOrReplaceTempView("graft_uni2_segc")
+  }
+
+  private def textUnigramEm2Def: QueryDef =
+    QueryDef("text_unigram_em2",
+      duckMaterialized(
+        s"""WITH ${unigramOracleCtes(DuckDialect)},
+           |${unigramRound2Ctes(DuckDialect, "occ", "wf", "pcost", "newc")}
+           |${uniTrain2Tail("pcost2", "newc2")}""".stripMargin)) { (s, dir) =>
+      unigram2Views(s, dir)
+      s.sql(uniTrain2Tail("graft_uni2_pcost",
+        """(SELECT sc.p, CAST(SUM(sc.k * wf.f) AS BIGINT) AS em2_count
+          |FROM graft_uni2_segc sc JOIN graft_uni_wf wf ON wf.w = sc.w
+          |GROUP BY sc.p)""".stripMargin))
+    }
+
   private def textUnigramTrainDef: QueryDef =
     QueryDef("text_unigram_train",
       duckMaterialized(
@@ -5798,6 +5911,7 @@ object Pipeline {
     docQuery("text_langid", textLangid),
     textUnigramTrainDef,
     textUnigramEncodeDef,
+    textUnigramEm2Def,
     textFingerprintDef,
     docQuery("text_normalize", textNormalize),
     docQuery("corpus_split_hash", sampleSplit),

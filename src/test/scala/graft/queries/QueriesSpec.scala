@@ -531,6 +531,37 @@ class QueriesSpec extends SparkTestBase {
       "at least one multi-char piece must be chosen corpus-wide")
   }
 
+  test("unigram EM round 2: pruned vocab, coverage kept, segmentations at the new optimum") {
+    Pipeline.unigram2Views(spark, sf)
+    val cost1 = spark.table("graft_uni_pcost").collect()
+      .map(r => r.getString(0)).toSet
+    val cost2 = spark.table("graft_uni2_pcost").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(cost2.keySet.subsetOf(cost1), "round 2 only prunes, never invents")
+    assert(cost1.filter(_.length == 1).subsetOf(cost2.keySet),
+      "single chars survive pruning — coverage is non-negotiable")
+    assert(cost2.size < cost1.size, "round 1's unused pieces must be pruned")
+    // round-2 segmentations hit the Scala-DP optimum under the NEW costs
+    val segs = spark.table("graft_uni2_segc").collect()
+      .groupBy(_.getString(0))
+      .map { case (w, rows) =>
+        w -> rows.map(r => (r.getString(1), r.getLong(2))).toSeq }
+    val words = spark.table("graft_uni_wf").collect().map(_.getString(0))
+    words.foreach { w =>
+      val n = w.length
+      val best = Array.fill(n + 1)(Long.MaxValue); best(0) = 0L
+      for (j <- 1 to n; l <- 1 to math.min(4, j)) {
+        val p = w.substring(j - l, j)
+        if (cost2.contains(p) && best(j - l) != Long.MaxValue)
+          best(j) = math.min(best(j), best(j - l) + cost2(p))
+      }
+      val seg = segs(w)
+      assert(seg.map { case (p, k) => p.length * k }.sum == n)
+      assert(seg.map { case (p, k) => cost2(p) * k }.sum == best(n),
+        s"'$w': round-2 segmentation must be optimal under re-scored costs")
+    }
+  }
+
   test("unigram encode: token and char conservation against a direct recompute") {
     import org.apache.spark.sql.functions._
     val enc = SparkEntry.queries("text_unigram_encode")(spark, sf).persist()
