@@ -218,11 +218,13 @@ object Formulas {
   // overflow to be identical). ----
 
   /** Count-min row hash — the cell of key `u` in sketch row `r` (3 rows ×
-    * 256 cells): disjoint bytes of ONE md5-backed [[strHash62]] per key
-    * (structured sequential ids alias a multiplicative hash — the HLL
-    * lesson; and one md5 serves all three rows). Width 256 keeps the
-    * per-row collision mass at N/256 — the sketch error budget scales by
-    * widening, never by keying state. */
+    * 256 cells): disjoint bytes of ONE md5-backed [[strHash]] per key
+    * (31 bits — rows 0..2 consume bits 0..23, so 3 rows × 256 cells is
+    * the CEILING this hash supports; widening past 3 rows requires
+    * [[strHash62]]). Structured sequential ids alias a multiplicative
+    * hash — the HLL lesson; and one md5 serves all three rows. Width 256
+    * keeps the per-row collision mass at N/256 — the sketch error budget
+    * scales by widening, never by keying state. */
   def cmsCell(d: Dialect, u: String, r: String): String =
     cmsCellFromHash(d, s"(${cmsHash(d, u)})", r)
 
@@ -261,9 +263,13 @@ object Formulas {
   /** HLL readout constant alpha_64 · m² · 2^25, pre-folded in Scala and
     * emitted in E-notation — BOTH engines parse a bare decimal literal as
     * DECIMAL (different division semantics), but E-notation is DOUBLE in
-    * both, so the readout's one float op is a single double division. */
+    * both, so the readout's one float op is a single double division.
+    * alpha_64 = 0.709 is the PINNED small-m constant (Flajolet et al. §4
+    * tabulates alpha_16/32/64 explicitly; the asymptotic
+    * 0.7213/(1+1.079/m) formula applies only from m = 128 and at m = 64
+    * reads ~0.05% high). */
   val hllAlphaScale64: Double =
-    0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * 33554432.0
+    0.709 * 64.0 * 64.0 * 33554432.0
 
   /** HLL readout WITH the small-range correction (Flajolet et al. §4,
     * the branch every real HLL ships): when the raw estimate sits below

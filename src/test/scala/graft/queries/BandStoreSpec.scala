@@ -179,6 +179,62 @@ class BandStoreSpec extends SparkTestBase {
     post.unpersist()
   }
 
+  test("IndexStore.gcCompact: live-generation gcBatchId refused loudly") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("gccoll").toString + "/idx"
+    val store = new graft.streaming.IndexStore(spark, idx, "bkt", 4)
+    val rows = (1L to 8L).map(i => (i, i % 4)).toDF("id", "bkt")
+    store.appendBatch(rows, 0L)
+    val tombs = Seq((3L, 3L)).toDF("id", "bkt")
+    val e = intercept[IllegalArgumentException] {
+      store.gcCompact(tombs, "id", rows.schema, gcBatchId = 0L)
+    }
+    assert(e.getMessage.contains("collides"),
+      "reusing a live generation id must be refused, not silently clobbered")
+    // the refused call must not have touched the store
+    assert(store.readAll(store.batchSchema(rows.schema)).count() == 8)
+  }
+
+  test("IndexStore.gcCompact: crash between delete and publish is recoverable") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("gccrash").toString + "/idx"
+    val store = new graft.streaming.IndexStore(spark, idx, "bkt", 4)
+    val rows = (1L to 32L).map(i => (i, i % 8)).toDF("id", "bkt")
+    store.appendBatch(rows.filter(col("id") <= 16), 0L)
+    store.appendBatch(rows.filter(col("id") > 16), 1L)
+    val tombs = Seq((3L, 3L), (11L, 3L)).toDF("id", "bkt")
+    val parts = store.partsOf(tombs)
+    // SIMULATED CRASH STATE: the durable temp write completed (_SUCCESS
+    // present) and the delete loop ran, but the process died before the
+    // rename published the compacted generation
+    val survivors = store.readBatches(store.batchSchema(rows.schema), parts)
+      .filter(!col("id").isin(3L, 11L))
+      .select("id", "bkt")
+    store.bucketed(survivors).write.partitionBy(store.bucketCol)
+      .mode("overwrite").parquet(s"$idx/.gc-tmp-99")
+    val root = new java.io.File(idx)
+    root.listFiles().filter(_.getName.startsWith("batch=")).foreach { b =>
+      parts.foreach { v =>
+        val d = new java.io.File(b, s"${store.bucketCol}=$v")
+        if (d.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+          }
+          rm(d)
+        }
+      }
+    }
+    // the re-run must NOT recompute survivors (the store is partially
+    // deleted) — it finishes the idempotent delete + publish from the temp
+    store.gcCompact(tombs, "id", rows.schema, gcBatchId = 99L)
+    val post = store.readAll(store.batchSchema(rows.schema))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(post == (1L to 32L).filterNot(Set(3L, 11L)),
+      "recovery must publish exactly the pre-crash survivors")
+    assert(!new java.io.File(idx, ".gc-tmp-99").exists(),
+      "the temp generation must be renamed away")
+  }
+
   test("IndexStore.compactGenerations: content identical, one generation left") {
     import spark.implicits._
     val idx = Files.createTempDirectory("cmpstore").toString + "/idx"

@@ -624,11 +624,12 @@ class QueriesSpec extends SparkTestBase {
 
   test("sim_graph_search: beam reaches the true NN two hops from an entry point") {
     import spark.implicits._
-    // entry points for query 0 are ids ≡ 0 (mod 97) → {97, 194}. The true
-    // nearest neighbor 55 is NOT an entry, but is a within-bucket kNN
-    // neighbor of entry 97 (all u-family vectors are near-identical →
-    // same LSH bucket, mutual top-3 edges) — the beam must surface it at
-    // rank 1 after the hop expansion. Fillers point along a different
+    // layer modulus = ceil(√6) = 3 → layer-1 nodes {0, 300} (ids ≡ 0 mod
+    // 3); every node is assigned to its nearest layer node, query 0
+    // routes to its top cells, and the posting-list members seed the
+    // beam. The true nearest neighbor 55 is not a layer node — it must
+    // surface at rank 1 through its cell's posting list (assigned to cell
+    // 0: the u-family is near-identical). Fillers point along a different
     // axis and never outrank the family.
     def vec(axis: Int, eps: Float, at: Int): Array[Float] = {
       val a = Array.fill(64)(0.0f); a(axis) = 1.0f; a(at) = a(at) + eps; a
