@@ -1895,6 +1895,7 @@ object Streams {
     // batch lanes + one map-side-combinable aggregate; assignment work is
     // batch-bounded. ----
     streamKmeansUpdateDef,
+    streamTopkHhDef,
 
     // ---- STREAMING CEP (round-8): the view→click→purchase within-window
     // pattern as per-key transformWithState — two longs of state per user,
@@ -2824,6 +2825,124 @@ object Streams {
       }
       dir
     })
+
+  // -------------------------------------------- streaming top-k heavy hitters
+
+  /** Misra-Gries summary capacity — the bounded state size. The MERGE
+    * guarantee (Agarwal et al., Mergeable Summaries, PODS 2012 §3): after
+    * any sequence of merges, every key's summary count undercounts its
+    * true prefix frequency by at most n/(cap+1), so every key with
+    * f > n/(cap+1) is PRESENT with a positive count — the SpaceSaving
+    * guarantee, as a deterministic associative recurrence both engines
+    * can replay. */
+  private val MgCap = 8
+
+  /** One Misra-Gries MERGE step as CTEs: fold the batch's exact counts
+    * `bRel(user_id, c)` into the summary `sRel(user_id, c)` — sum by key,
+    * subtract the (cap+1)-th largest combined count (0 when ≤ cap keys
+    * remain), keep strictly positive survivors. Emits `${p}s(user_id, c)`
+    * with ≤ cap rows. Model-sized relational algebra: the summary never
+    * exceeds cap rows, the batch side is its distinct-key counts, and the
+    * subtraction threshold is one window rank over ≤ cap + |batch keys|
+    * rows — at 100 TB the per-batch fold is a map-side-combinable count
+    * plus a broadcast-sized merge, no key-cardinality state anywhere. */
+  private def mgStepCtes(bRel: String, sRel: String, p: String): String =
+    s"""${p}m AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS c
+       |  FROM (SELECT user_id, c FROM $sRel
+       |        UNION ALL SELECT user_id, c FROM $bRel) z GROUP BY user_id),
+       |${p}d AS (SELECT COALESCE(MAX(CASE WHEN rn = ${MgCap + 1} THEN c END),
+       |      CAST(0 AS BIGINT)) AS d
+       |  FROM (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS rn
+       |        FROM ${p}m) r),
+       |${p}s AS (SELECT user_id, c - ${p}d.d AS c FROM ${p}m CROSS JOIN ${p}d
+       |  WHERE c - ${p}d.d > 0)""".stripMargin
+
+  /** STREAMING TOP-K HEAVY HITTERS (round-11): "what ARE the hot keys" —
+    * the question stream_cms_freq (point estimates over a STATIC probe
+    * set) cannot answer. A Misra-Gries summary of capacity [[MgCap]] is
+    * maintained across micro-batches via the PODS-2012 merge rule
+    * (sum counts → subtract the (cap+1)-th largest → drop non-positive):
+    * deterministic, associative, and state-bounded, so a replayed batch
+    * reproduces its version bit-for-bit and the summary never grows past
+    * cap entries no matter how many distinct keys flow by. Each version
+    * emits the surviving entries ranked by summary count (a LOWER bound
+    * on true frequency — the MG deduction is the documented error, at
+    * most prefix_n/(cap+1)). The oracle replays the three-batch
+    * recurrence relationally over the staged time-ordered thirds.
+    */
+  private def streamTopkHhDef: QueryDef = {
+    val oracle = {
+      val b = (v: Int) =>
+        s"""b$v AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM ev
+           |  WHERE rn > ((${v - 1} * nn) // 3) AND rn <= (($v * nn) // 3)
+           |  GROUP BY user_id)""".stripMargin
+      s"""WITH ev AS (SELECT user_id,
+         |    ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+         |    COUNT(*) OVER () AS nn FROM events),
+         |${b(1)}, ${b(2)}, ${b(3)},
+         |s0 AS (SELECT CAST(NULL AS BIGINT) AS user_id,
+         |    CAST(NULL AS BIGINT) AS c WHERE 1 = 0),
+         |${mgStepCtes("b1", "s0", "g1")},
+         |${mgStepCtes("b2", "g1s", "g2")},
+         |${mgStepCtes("b3", "g2s", "g3")}
+         |SELECT CAST(v AS BIGINT) AS version, CAST(user_id AS BIGINT) AS user_id,
+         |  CAST(c AS BIGINT) AS mg_count,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, user_id)
+         |    AS BIGINT) AS rnk
+         |FROM (SELECT 1 AS v, user_id, c FROM g1s
+         |      UNION ALL SELECT 2, user_id, c FROM g2s
+         |      UNION ALL SELECT 3, user_id, c FROM g3s) u""".stripMargin
+    }
+    QueryDef("stream_topk_hh", oracle) { (s, dir) =>
+      withStatePartitions(s, 8) {
+        val src = stagedEventsDir(s, dir)
+        val ckpt = cleanScratch(s, s"stream_hh_ckpt_${dir.hashCode & 0x7fffffff}")
+        val stateDir = cleanScratch(s, s"stream_hh_state_${dir.hashCode & 0x7fffffff}")
+        val out = cleanScratch(s, s"stream_hh_out_${dir.hashCode & 0x7fffffff}")
+        val schema = s.read.parquet(src).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .writeStream
+          .foreachBatch { (bdf: DataFrame, batchId: Long) =>
+            val ss = bdf.sparkSession
+            bdf.createOrReplaceTempView("graft_hh_b")
+            // replay-safe state read: version v{batchId} is strictly
+            // earlier state — a replayed batch sees what its first
+            // attempt saw and overwrites its own outputs
+            val prev =
+              if (batchId == 0)
+                ss.sql("""SELECT CAST(NULL AS BIGINT) AS user_id,
+                         |  CAST(NULL AS BIGINT) AS c WHERE 1 = 0""".stripMargin)
+              else ss.read.parquet(s"$stateDir/v$batchId")
+            prev.createOrReplaceTempView("graft_hh_s")
+            ss.sql(
+              s"""WITH bc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+                 |  FROM graft_hh_b GROUP BY user_id),
+                 |${mgStepCtes("bc", "graft_hh_s", "g")}
+                 |SELECT user_id, c FROM gs""".stripMargin)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$stateDir/v${batchId + 1}")
+            ss.read.parquet(s"$stateDir/v${batchId + 1}")
+              .createOrReplaceTempView("graft_hh_sn")
+            ss.sql(
+              s"""SELECT CAST(${batchId + 1} AS BIGINT) AS version,
+                 |  CAST(user_id AS BIGINT) AS user_id,
+                 |  CAST(c AS BIGINT) AS mg_count,
+                 |  CAST(ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS BIGINT) AS rnk
+                 |FROM graft_hh_sn""".stripMargin)
+              .coalesce(1).sinkBatch(out, batchId)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        await(q)
+        s.read.parquet(out)
+          .select(col("version").cast("long").as("version"),
+            col("user_id").cast("long").as("user_id"),
+            col("mg_count").cast("long").as("mg_count"),
+            col("rnk").cast("long").as("rnk"))
+      }
+    }
+  }
 
   // -------------------------------------------- streaming mini-batch kmeans
 

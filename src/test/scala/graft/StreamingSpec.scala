@@ -495,6 +495,47 @@ class StreamingSpec extends SparkTestBase {
     est.unpersist()
   }
 
+  test("stream_topk_hh: Misra-Gries guarantee — every key with prefix f > n/(cap+1) is present") {
+    val cap = 8
+    val out = SparkEntry.queries("stream_topk_hh")(spark, sf).persist()
+    // bounded state: no version ever exceeds the capacity
+    val sizes = out.groupBy("version").count().collect()
+    assert(sizes.forall(_.getAs[Long]("count") <= cap),
+      "the summary must never exceed its capacity")
+    // true prefix frequencies per version (thirds in global (ts, event_id)
+    // order — the staged batch boundaries)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy("ts", "event_id")
+    val ranked = ev.withColumn("rn", row_number().over(w))
+      .withColumn("nn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select("user_id", "rn", "nn").persist()
+    val nn = ranked.head().getAs[Long]("nn")
+    (1 to 3).foreach { v =>
+      val pn = v * nn / 3
+      val truth = ranked.filter(col("rn") <= pn)
+        .groupBy("user_id").count().collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+      val got = out.filter(col("version") === v).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("mg_count")).toMap
+      val bound = pn / (cap + 1)
+      truth.filter(_._2 > bound).foreach { case (k, f) =>
+        assert(got.contains(k),
+          s"v$v: key $k with f=$f > $bound must survive the MG summary")
+        // summary counts are lower bounds with bounded error
+        assert(got(k) <= f && got(k) >= f - bound,
+          s"v$v: key $k mg_count=${got(k)} must be in [f - n/(cap+1), f] = [${f - bound}, $f]")
+      }
+      // every reported count is a valid lower bound
+      got.foreach { case (k, c) =>
+        assert(c <= truth.getOrElse(k, 0L),
+          s"v$v: mg_count for $k must never exceed the true count")
+      }
+    }
+    ranked.unpersist(); out.unpersist()
+  }
+
   test("stream_hll_distinct: registers saturate monotonically; readout is one exact division") {
     val out = SparkEntry.queries("stream_hll_distinct")(spark, sf)
       .orderBy("version").collect()
