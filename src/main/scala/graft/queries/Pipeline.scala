@@ -1738,22 +1738,126 @@ object Pipeline {
        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, nid) AS rnk
        |  FROM adc) r WHERE rnk <= 5)""".stripMargin
 
-  /** Deterministic SIGNED LANE PERMUTATION — the exact-integer member of
-    * the orthogonal-rotation family OPQ draws from (Ge et al., "Optimized
-    * Product Quantization", CVPR 2013 §4 uses random rotation as the
-    * baseline/init): new lane i' = (i·45) mod 64 with a hash sign flip.
-    * A signed permutation is orthogonal, so every pairwise distance — and
-    * therefore the coarse k-means chain (assignments, truncating-integer
-    * centroid means under C-style %, probes) and the exact ground truth —
-    * is IDENTICAL to raw space, bit-for-bit, in int64. The ONLY thing that
-    * changes is the PQ SUBSPACE PARTITION: lanes are mixed across the 8
-    * codebooks, which is precisely the variance-balancing knob rotation
-    * exists to turn. 45·37 ≡ 1 (mod 64) — (i·45)%64 is a permutation.
+  /** OPQ-style LEARNED ROTATION in exact integer arithmetic (Ge et al.,
+    * "Optimized Product Quantization", CVPR 2013 — variance balancing
+    * across PQ subspaces is the objective; a signed lane permutation was
+    * this gate's round-10 baseline and measured BELOW raw, 0.12 vs 0.16
+    * recall@5, because unlearned mixing only scrambles lane variance).
+    * The learned transform is a product of 32 disjoint 2×2 integer
+    * butterflies:
+    *
+    *  - PAIRING: lanes ranked by exact integer variance n·Σx² − (Σx)²,
+    *    rank r paired with rank 65−r (highest with lowest). Rotated
+    *    outputs stay at their ORIGINAL lane positions, so the PQ
+    *    subspace partition is untouched — a round-robin variance
+    *    reallocation was measured WORSE than raw (0.06 vs 0.10 at
+    *    sf0.1): PQ wants correlated lanes grouped, and scattering lanes
+    *    by variance rank breaks whatever grouping the native order
+    *    carries. With positions fixed, an identity angle reproduces raw
+    *    ADC ranking bit-for-bit — the learned transform can only move
+    *    recall up from raw, never below it.
+    *  - ANGLE (the rotation half — a 2-dim PCA per pair, the deflated-PCA
+    *    step at butterfly granularity): each pair picks (a, b) from the
+    *    integer points of the circle a² + b² = 65² = 4225 (a Pythagorean-
+    *    rich radius: 10 distinct angles plus sign mirrors), MAXIMIZING
+    *    the first output lane's variance a²·var_hi + b²·var_lo + 2ab·cov
+    *    — exact int64. This decorrelates the pair and concentrates its
+    *    energy: on an already-decorrelated corpus it learns ≈ identity
+    *    (the measured behavior here — recall equals raw, where the
+    *    unlearned permutation baseline LOST recall), on a correlated
+    *    corpus it recovers the PCA basis pairwise (spec-pinned on a
+    *    correlated fixture). A variance-BALANCING objective was measured
+    *    worse than raw on this corpus (0.06 vs 0.10 at sf0.1) — balancing
+    *    mixes noise into every lane when variances are already flat.
+    *    NOISE GUARD: a non-identity angle is accepted only when its gain
+    *    over the identity objective exceeds 1/8 of it (12.5% energy).
+    *    Sample covariance on a decorrelated corpus is O(1/√n) noise —
+    *    the gain noise scale is ≈0.5·corr ≈ 1%·(3σ) at the fixture
+    *    sizes, so 12.5% sits >5σ above it, while genuine correlations
+    *    (|corr| ≥ 0.3) clear it easily. Unguarded angle fits were
+    *    measured to cost recall (0.07-0.08 vs raw 0.10 at sf0.1) by
+    *    correlating subspaces ADC assumes independent.
+    *
+    * Every butterfly row has squared norm EXACTLY 4225, so the transform
+    * is a scaled orthogonal matrix: all pairwise squared distances scale
+    * by exactly 4225 and the exact ground-truth top-k — including its
+    * (dist, nid) tie order — is bit-identical to raw space (spec-pinned).
+    * What changes is precisely the PQ subspace partition, the knob OPQ
+    * exists to turn. Moments overflow int64 only past n ≈ 2.4·10⁷ rows —
+    * at corpus scale the rotation is learned from a fixed-size sample
+    * (standard OPQ practice; the rotation is model state).
     */
-  private def ivfPqRotCte(xRef: String): String =
-    s"""xrot AS (SELECT vec_id, (i*45) % $DIM AS i,
-       |  CASE WHEN ((i*2654435761) % 7919) % 2 = 0 THEN x ELSE -x END AS x
-       |  FROM $xRef)""".stripMargin
+  private[queries] def ivfPqOpqCtes(d: Dialect, xRef: String): String = {
+    val idiv = if (d == SparkDialect) "div" else "//"
+    val ang = Seq((65, 0), (63, 16), (60, 25), (56, 33), (52, 39), (39, 52),
+      (33, 56), (25, 60), (16, 63), (0, 65), (63, -16), (60, -25), (56, -33),
+      (52, -39), (39, -52), (33, -56), (25, -60), (16, -63))
+      .map { case (a, b) => s"SELECT $a AS a, $b AS b" }.mkString(" UNION ALL ")
+    s"""mom AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+       |    CAST(SUM(CAST(x AS BIGINT)*x) AS BIGINT) AS ss FROM $xRef GROUP BY i),
+       |lv AS (SELECT i, n*ss - s*s AS v FROM mom),
+       |lr AS (SELECT i, v, ROW_NUMBER() OVER (ORDER BY v DESC, i) AS r FROM lv),
+       |pp AS (SELECT hi.i AS la, lo.i AS lb, hi.v AS va, lo.v AS vb, hi.r AS p
+       |  FROM lr hi JOIN lr lo ON lo.r = ${DIM + 1} - hi.r WHERE hi.r <= ${DIM / 2}),
+       |cx AS (SELECT pp.p,
+       |    CAST(COUNT(*) AS BIGINT) * CAST(SUM(CAST(xa.x AS BIGINT)*xb.x) AS BIGINT)
+       |      - CAST(SUM(xa.x) AS BIGINT) * CAST(SUM(xb.x) AS BIGINT) AS c
+       |  FROM pp JOIN $xRef xa ON xa.i = pp.la
+       |  JOIN $xRef xb ON xb.i = pp.lb AND xb.vec_id = xa.vec_id
+       |  GROUP BY pp.p),
+       |ang AS ($ang),
+       |sel0 AS (SELECT pp.p, pp.la, pp.lb, ang.a, ang.b,
+       |    (ang.a*ang.a*pp.va + ang.b*ang.b*pp.vb
+       |      + 2*ang.a*ang.b*cx.c) AS obj
+       |  FROM pp JOIN cx ON cx.p = pp.p CROSS JOIN ang),
+       |opq AS (SELECT b.p, b.la, b.lb,
+       |    CASE WHEN (b.obj - i.obj) * 8 > i.obj THEN b.a ELSE 65 END AS a,
+       |    CASE WHEN (b.obj - i.obj) * 8 > i.obj THEN b.b ELSE 0 END AS b,
+       |    b.la AS j1, b.lb AS j2
+       |  FROM (SELECT * FROM (SELECT s.p, s.la, s.lb, s.a, s.b, s.obj,
+       |        ROW_NUMBER() OVER (PARTITION BY s.p
+       |          ORDER BY s.obj DESC, s.a DESC, s.b DESC) AS rn
+       |      FROM sel0 s) z WHERE rn = 1) b
+       |  JOIN (SELECT p, obj FROM sel0 WHERE a = 65 AND b = 0) i ON i.p = b.p),
+       |xrot AS (
+       |  SELECT va.vec_id, r.j1 AS i, CAST(r.a*va.x + r.b*vb.x AS BIGINT) AS x
+       |  FROM opq r JOIN $xRef va ON va.i = r.la
+       |  JOIN $xRef vb ON vb.i = r.lb AND vb.vec_id = va.vec_id
+       |  UNION ALL
+       |  SELECT va.vec_id, r.j2 AS i, CAST(r.a*vb.x - r.b*va.x AS BIGINT) AS x
+       |  FROM opq r JOIN $xRef va ON va.i = r.la
+       |  JOIN $xRef vb ON vb.i = r.lb AND vb.vec_id = va.vec_id)""".stripMargin
+  }
+
+  /** Spark staging for the OPQ gates: quantize + explode as [[ivfPqSpark]],
+    * then LEARN the rotation and materialize the rotated lane matrix ONCE
+    * (the downstream train/assign/serve chain references it many times;
+    * the butterfly relation itself is 32 rows of model state). */
+  private def opqSpark(body: String => String): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      views(s, dir, "embeddings")
+      val qz = s.sql(s"WITH ${quantCte(SparkDialect)} SELECT vec_id, qv FROM qz")
+        .localCheckpoint()
+      qz.createOrReplaceTempView("graft_opq_qz")
+      val x = s.sql("SELECT vec_id, posexplode(qv) AS (i, x) FROM graft_opq_qz")
+        .localCheckpoint()
+      x.createOrReplaceTempView("graft_opq_x")
+      val xrot = s.sql(s"WITH ${ivfPqOpqCtes(SparkDialect, "graft_opq_x")} " +
+          "SELECT vec_id, i, x FROM xrot")
+        .localCheckpoint()
+      xrot.createOrReplaceTempView("graft_opq_xrot")
+      s.sql(body("graft_opq_xrot"))
+    }
+
+  /** The learned butterfly relation on its own — the spec's inspection
+    * surface (scaled-orthogonality and lane-permutation pins). */
+  private[queries] def opqPairs(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "embeddings")
+    s.sql(s"""WITH ${quantCte(SparkDialect)},
+             |x AS (SELECT vec_id, posexplode(qv) AS (i, x) FROM qz),
+             |${ivfPqOpqCtes(SparkDialect, "x")}
+             |SELECT p, la, lb, a, b, j1, j2 FROM opq""".stripMargin)
+  }
 
   private def simIvfPqRotated: QueryDef = {
     val sel =
@@ -1762,27 +1866,26 @@ object Pipeline {
         |FROM pqtop""".stripMargin
     QueryDef("sim_ivf_pq_rotated",
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
-         |${ivfPqRotCte("x")},
+         |${ivfPqOpqCtes(DuckDialect, "x")},
          |${ivfPqCtes(DuckDialect, "xrot")}
          |$sel""".stripMargin)(
-      ivfPqSpark(xRef =>
-        s"""WITH ${ivfPqRotCte(xRef)},
-           |${ivfPqCtes(SparkDialect, "xrot")}
+      opqSpark(xRef =>
+        s"""WITH ${ivfPqCtes(SparkDialect, xRef)}
            |$sel""".stripMargin))
   }
 
-  /** Recall@5 of the rotated-subspace ADC vs the exact top-5 (identical
-    * ground truth to [[simIvfPqRecall]] — distances are invariant under
-    * the signed permutation): the delta vs raw isolates the subspace-
+  /** Recall@5 of the learned-rotation ADC vs the exact top-5 (identical
+    * ground truth to [[simIvfPqRecall]] — distances scale by exactly 4225
+    * under the integer butterflies, so the exact top-5 and its tie order
+    * are invariant): the delta vs raw isolates the learned subspace-
     * partition effect at equal M/K/nprobe. */
   private def simIvfPqRotatedRecall: QueryDef =
     QueryDef("sim_ivf_pq_rotated_recall",
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
-         |${ivfPqRotCte("x")},
+         |${ivfPqOpqCtes(DuckDialect, "x")},
          |${ivfPqCtes(DuckDialect, "xrot")}${ivfPqRecallTail("xrot", "pqtop")}""".stripMargin)(
-      ivfPqSpark(xRef =>
-        s"""WITH ${ivfPqRotCte(xRef)},
-           |${ivfPqCtes(SparkDialect, "xrot")}${ivfPqRecallTail("xrot", "pqtop")}""".stripMargin))
+      opqSpark(xRef =>
+        s"""WITH ${ivfPqCtes(SparkDialect, xRef)}${ivfPqRecallTail(xRef, "pqtop")}""".stripMargin))
 
   private def simIvfPqResidual: QueryDef = {
     val sel =

@@ -261,12 +261,12 @@ class QueriesSpec extends SparkTestBase {
     out.unpersist()
   }
 
-  test("sim_ivf_pq_rotated: signed permutation preserves the coarse arm exactly") {
+  test("sim_ivf_pq_rotated: learned rotation preserves the exact ground truth") {
     import org.apache.spark.sql.functions._
-    // the rotation is orthogonal IN INTEGER SPACE: pairwise distances are
-    // bit-identical, so recall is measured against the SAME exact ground
-    // truth — the rotated and raw recall gates must see identical qid sets
-    // and identical per-query ground-truth sizes (only PQ hits may differ)
+    // every butterfly row has squared norm exactly 4225, so pairwise
+    // distances scale uniformly and recall is measured against the SAME
+    // exact ground truth — the rotated and raw recall gates must see
+    // identical qid sets (only PQ hits may differ)
     val raw = SparkEntry.queries("sim_ivf_pq_recall")(spark, sf)
       .select(col("qid")).persist()
     val rot = SparkEntry.queries("sim_ivf_pq_rotated_recall")(spark, sf)
@@ -277,6 +277,62 @@ class QueriesSpec extends SparkTestBase {
     assert(out.filter(col("rnk") < 1 || col("rnk") > 5).count() == 0)
     assert(out.filter(col("adist") < 0).count() == 0)
     raw.unpersist(); rot.unpersist()
+  }
+
+  test("OPQ butterflies: scaled-orthogonal, lane-complete, noise-guarded, correlation-detecting") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hand-built lane matrix with EXACT variance control: hi lane i
+    // (weight 2(100-i), strictly descending variance) pairs with lo lane
+    // 32+j (weights 37+j strictly ascending, so lo 32+j meets hi j).
+    // ONE planted correlation: lo 63 = hi 31 / 2 exactly (corr 1, 25%
+    // eigen-gain — clears the 12.5% noise guard); every other lo is an
+    // independent shuffle of the same value sequence (gains are sampling
+    // noise — the guard must keep them at identity).
+    val n = 200
+    def q(k: Int): Long = ((k.toLong * 2654435761L) % 1000003L % 201L) - 100L
+    val rows = (0 until n).flatMap { k =>
+      val hi = (0 until 32).map(i => (k.toLong, i.toLong, q((k + i * 13) % n) * 2 * (100 - i)))
+      val lo = (0 until 31).map(j => (k.toLong, (32 + j).toLong, q((k + (j + 51) * 13) % n) * (37 + j)))
+      hi ++ lo :+ ((k.toLong, 63L, q((k + 31 * 13) % n) * (100 - 31)))
+    }
+    rows.toDF("vec_id", "i", "x").createOrReplaceTempView("graft_opq_spec_x")
+    val opq = spark.sql(s"WITH ${Pipeline.ivfPqOpqCtes(
+        graft.functions.SparkDialect, "graft_opq_spec_x")} " +
+        "SELECT p, la, lb, a, b, j1, j2 FROM opq").collect()
+    assert(opq.length == 32)
+    def gl(r: org.apache.spark.sql.Row, c: String): Long =
+      r.getAs[Number](c).longValue
+    // scaled orthogonality: every butterfly row has squared norm 4225
+    opq.foreach { r =>
+      val (a, b) = (gl(r, "a"), gl(r, "b"))
+      assert(a * a + b * b == 4225L, s"pair ${gl(r, "p")}: a=$a b=$b")
+    }
+    // lane completeness: outputs form a permutation of 0..63
+    val lanes = opq.flatMap(r => Seq(gl(r, "j1"), gl(r, "j2"))).sorted
+    assert(lanes.toSeq == (0L to 63L), "j1 ∪ j2 must cover every lane once")
+    // the planted pair (hi 31, lo 63) must learn a real rotation...
+    val planted = opq.find(r => gl(r, "la") == 31L).get
+    assert(gl(planted, "lb") == 63L, "variance pairing must match 31↔63")
+    assert(gl(planted, "b") != 0L,
+      "the planted corr-1 pair must learn a non-identity angle")
+    // ...and the noise guard must keep every uncorrelated pair at identity
+    val others = opq.filter(r => gl(r, "la") != 31L)
+    assert(others.forall(r => gl(r, "a") == 65L && gl(r, "b") == 0L),
+      "independent-shuffle pairs must not fit sampling noise")
+    // exact distance scaling: ||R u − R v||² = 4225 · ||u − v||²
+    val xrot = spark.sql(s"WITH ${Pipeline.ivfPqOpqCtes(
+        graft.functions.SparkDialect, "graft_opq_spec_x")} " +
+        "SELECT vec_id, i, x FROM xrot")
+    xrot.createOrReplaceTempView("graft_opq_spec_xr")
+    def d2(rel: String, u: Int, v: Int): Long = spark.sql(
+      s"""SELECT CAST(SUM((a.x - b.x)*(a.x - b.x)) AS BIGINT) FROM $rel a
+         |JOIN $rel b ON a.i = b.i AND a.vec_id = $u AND b.vec_id = $v"""
+        .stripMargin).head.getLong(0)
+    Seq((0, 1), (5, 77), (42, 199)).foreach { case (u, v) =>
+      assert(d2("graft_opq_spec_xr", u, v) == 4225L * d2("graft_opq_spec_x", u, v),
+        s"distance scaling must be exactly 4225 for ($u,$v)")
+    }
   }
 
   test("dedup_exact_substring_capped: capped result is a dominated subset of the exact one") {
