@@ -4355,6 +4355,88 @@ object Pipeline {
       s.sql(knTail(d, "graft_kn_bi", "graft_kn_p"))
     }
 
+  /** Trigram relation (doc_id, w1, w2, w3) from 3-token shingles — the
+    * [[knBiCtes]] shape one order up. */
+  private[queries] def kn3TriCtes(d: Dialect): String =
+    s"""tk3 AS (${d.explodeSelect("doc_id", "documents",
+         F.shingles(d, F.tokens(d, "text"), 3), "s")}),
+       |tri AS (SELECT doc_id, ${d.elem(d.splitWs("s"), "1")} AS w1,
+       |    ${d.elem(d.splitWs("s"), "2")} AS w2,
+       |    ${d.elem(d.splitWs("s"), "3")} AS w3 FROM tk3)""".stripMargin
+
+  /** The RECURSIVE Kneser-Ney trigram backoff chain (Kneser & Ney 1995;
+    * Chen & Goodman 1999 interpolated form) over `triRef` — three model
+    * levels under the bigram gate's exact-integer micro-unit discipline:
+    *
+    *  - trigram level: RAW counts c(w1w2w3), discount D = 0.75, backoff
+    *    weight D·N1+(w1w2·)/c(w1w2);
+    *  - bigram level: CONTINUATION counts N1+(·w2w3) (how many distinct
+    *    left contexts the bigram completes — the "San Francisco"
+    *    correction applied mid-chain), discounted the same way, backoff
+    *    D·N1+c(w2·)/N1+(·w2·);
+    *  - unigram level: continuation probability N1+(·w3)/|bigram types|.
+    *
+    * All divisions floored in a defined order (micro-units) — identical
+    * in both engines. Ends at `pkn3(w1, w2, w3, p_micro)`. Vocabulary-
+    * bounded model state at every level: c3/n1l are n-gram-type-sized,
+    * the scoring pass below is one broadcast join.
+    */
+  private[queries] def kn3ModelCtes(d: Dialect, triRef: String): String = {
+    val idiv = if (d == SparkDialect) "div" else "//"
+    s"""c3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123 FROM $triRef
+       |  GROUP BY w1, w2, w3),
+       |c12 AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+       |    CAST(COUNT(*) AS BIGINT) AS nfwd12 FROM c3 GROUP BY w1, w2),
+       |n1l AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS nl23 FROM c3
+       |  GROUP BY w2, w3),
+       |n1m AS (SELECT w2, CAST(SUM(nl23) AS BIGINT) AS nm2,
+       |    CAST(COUNT(*) AS BIGINT) AS nfwd2 FROM n1l GROUP BY w2),
+       |ncw AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS nc3 FROM n1l GROUP BY w3),
+       |nt2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM n1l),
+       |pknm AS (SELECT l.w2, l.w3,
+       |    (CASE WHEN l.nl23 * 1000000 - 750000 > 0
+       |       THEN l.nl23 * 1000000 - 750000 ELSE 0 END) $idiv m.nm2
+       |    + (((750000 * m.nfwd2) $idiv m.nm2)
+       |       * ((u.nc3 * 1000000) $idiv t.ntypes)) $idiv 1000000 AS p_micro
+       |  FROM n1l l JOIN n1m m ON m.w2 = l.w2 JOIN ncw u ON u.w3 = l.w3
+       |  CROSS JOIN nt2 t),
+       |pkn3 AS (SELECT c3.w1, c3.w2, c3.w3,
+       |    (CASE WHEN c3.c123 * 1000000 - 750000 > 0
+       |       THEN c3.c123 * 1000000 - 750000 ELSE 0 END) $idiv x.c12
+       |    + (((750000 * x.nfwd12) $idiv x.c12) * pm.p_micro) $idiv 1000000
+       |      AS p_micro
+       |  FROM c3 JOIN c12 x ON x.w1 = c3.w1 AND x.w2 = c3.w2
+       |  JOIN pknm pm ON pm.w2 = c3.w2 AND pm.w3 = c3.w3)""".stripMargin
+  }
+
+  private def kn3Tail(d: Dialect, triRef: String, pknRef: String): String = {
+    val idiv = if (d == SparkDialect) "div" else "//"
+    val hint = if (d == SparkDialect) "/*+ BROADCAST(p) */ " else ""
+    s"""SELECT $hint CAST(b.doc_id AS BIGINT) AS doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       |  CAST(SUM(p.p_micro) $idiv COUNT(*) AS BIGINT) AS kn3_score_micro
+       |FROM $triRef b JOIN $pknRef p
+       |  ON p.w1 = b.w1 AND p.w2 = b.w2 AND p.w3 = b.w3
+       |GROUP BY b.doc_id""".stripMargin
+  }
+
+  private def textKn3ScoreDef: QueryDef =
+    QueryDef("text_kn3_score",
+      s"""WITH ${kn3TriCtes(DuckDialect)},
+         |${kn3ModelCtes(DuckDialect, "tri")}
+         |${kn3Tail(DuckDialect, "tri", "pkn3")}""".stripMargin) { (s, dir) =>
+      views(s, dir, "documents")
+      val d = SparkDialect
+      // the bigram gate's materialization discipline: one token explode,
+      // one model build, each checkpointed once
+      s.sql(s"WITH ${kn3TriCtes(d)} SELECT doc_id, w1, w2, w3 FROM tri")
+        .localCheckpoint().createOrReplaceTempView("graft_kn3_tri")
+      s.sql(s"WITH ${kn3ModelCtes(d, "graft_kn3_tri")} " +
+          "SELECT w1, w2, w3, p_micro FROM pkn3")
+        .localCheckpoint().createOrReplaceTempView("graft_kn3_p")
+      s.sql(kn3Tail(d, "graft_kn3_tri", "graft_kn3_p"))
+    }
+
   private def textLmScore: QueryDef =
     QueryDef("text_lm_score",
       s"""WITH $lmScoreDuckCtes
@@ -6121,6 +6203,7 @@ object Pipeline {
     multimodalDecodeVideo,
     textLmScore,
     textKnScoreDef,
+    textKn3ScoreDef,
     eventsLatestState,
     corpusDecontaminate,
     embQuery("emb_label_centroids", embCentroids),

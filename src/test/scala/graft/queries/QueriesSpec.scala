@@ -545,6 +545,37 @@ class QueriesSpec extends SparkTestBase {
     p.unpersist()
   }
 
+  test("kneser-ney trigram: per-context probability budgets hold at both backoff levels") {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sf/documents.parquet")
+      .createOrReplaceTempView("documents")
+    val d = graft.functions.SparkDialect
+    spark.sql(s"WITH ${Pipeline.kn3TriCtes(d)} SELECT doc_id, w1, w2, w3 FROM tri")
+      .localCheckpoint().createOrReplaceTempView("graft_kn3_spec_tri")
+    val p3 = spark.sql(s"WITH ${Pipeline.kn3ModelCtes(d, "graft_kn3_spec_tri")} " +
+        "SELECT w1, w2, w3, p_micro FROM pkn3").persist()
+    assert(p3.count() > 0)
+    assert(p3.filter(col("p_micro") <= 0).count() == 0,
+      "every seen trigram keeps positive probability after discounting")
+    // floored divisions only LOSE mass: per (w1, w2) context the seen
+    // trigram mass stays within the budget, and the discount reserves
+    // real mass for unseen continuations
+    val m3 = p3.groupBy("w1", "w2").agg(sum("p_micro").as("m"))
+    assert(m3.filter(col("m") > 1000000L).count() == 0,
+      "sum of seen-trigram probabilities per context must not exceed 1")
+    assert(m3.filter(col("m") === 1000000L).count() == 0,
+      "the trigram discount must reserve mass for unseen continuations")
+    // the MIDDLE level (continuation-count bigram model) obeys the same
+    // budget per w2 context — the recursion is KN at every order
+    val pm = spark.sql(s"WITH ${Pipeline.kn3ModelCtes(d, "graft_kn3_spec_tri")} " +
+        "SELECT w2, w3, p_micro FROM pknm").persist()
+    assert(pm.filter(col("p_micro") <= 0).count() == 0)
+    val mm = pm.groupBy("w2").agg(sum("p_micro").as("m"))
+    assert(mm.filter(col("m") > 1000000L).count() == 0,
+      "mid-level seen mass per w2 context must not exceed 1")
+    p3.unpersist(); pm.unpersist()
+  }
+
   test("q66_schema_evolution: old-generation rows surface NULL for the new column") {
     import org.apache.spark.sql.functions._
     val out = SparkEntry.queries("q66_schema_evolution")(spark, sf).persist()
