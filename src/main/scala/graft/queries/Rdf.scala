@@ -1079,6 +1079,29 @@ object Rdf {
         .agg(count(lit(1)).as("n"))
     },
 
+    // ---- SPARQL 1.1 COMBINED MODIFY (round-11): one
+    // `DELETE {tpl} INSERT {tpl} WHERE {bgp}` operation rewrites triples
+    // atomically from a SINGLE pre-update binding pass — the gate inverts
+    // every :in_nation edge into :nation_has. A sequential
+    // delete-then-insert would find zero bindings (the DELETE template
+    // removes exactly what the WHERE matches); the oracle's :nation_has
+    // count equals the customer count, proving the insert saw the
+    // pre-delete bindings. ----
+    QueryDef("rdf_sparql_update_modify",
+      """SELECT ':placed' AS pred, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        |UNION ALL SELECT ':contains', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT ':supplied_by', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT ':nation_has', CAST(COUNT(*) AS BIGINT) FROM customer"""
+        .stripMargin) { (s, dir) =>
+      import graft.sparql.SparqlUpdate
+      val u = SparqlUpdate(s, RdfBridge.triples(s, dir), RdfBridge.dictionary(s, dir),
+        "DELETE { ?c ':in_nation' ?n } INSERT { ?n ':nation_has' ?c } " +
+          "WHERE { ?c :in_nation ?n }")
+      u.dict.decode(u.triples, Seq(graft.core.TripleSchema.predicate))
+        .groupBy(col(graft.core.TripleSchema.predicate).as("pred"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ---- SPARQL 1.1 subquery (SubSelect as a group graph pattern): the
     // inner SELECT aggregates per-customer order counts; the outer BGP
     // joins it on the shared ?c — planned as a derived aggregate relation

@@ -44,14 +44,19 @@ object SparqlUpdate {
     val deleteDataRe = "(?is)^\\s*DELETE\\s+DATA\\s*\\{(.*)\\}\\s*$".r
     val deleteWhereRe = "(?is)^\\s*DELETE\\s+WHERE\\s*\\{(.*)\\}\\s*$".r
     val insertWhereRe = "(?is)^\\s*INSERT\\s*\\{(.*?)\\}\\s*WHERE\\s*\\{(.*)\\}\\s*$".r
+    val modifyRe =
+      "(?is)^\\s*DELETE\\s*\\{(.*?)\\}\\s*INSERT\\s*\\{(.*?)\\}\\s*WHERE\\s*\\{(.*)\\}\\s*$".r
     update match {
       case insertDataRe(body) => insertData(spark, triples, dict, body)
       case deleteDataRe(body) => deleteGround(spark, triples, dict, body)
       case deleteWhereRe(body) => deleteWhere(triples, dict, body)
+      case modifyRe(dtpl, itpl, body) =>
+        deleteInsertWhere(spark, triples, dict, dtpl, itpl, body)
       case insertWhereRe(tpl, body) => insertWhere(spark, triples, dict, tpl, body)
       case other => throw new IllegalArgumentException(
         "unsupported update (subset is INSERT DATA, DELETE DATA, " +
-          s"DELETE WHERE, INSERT {tpl} WHERE {bgp}): $other")
+          s"DELETE WHERE, INSERT {tpl} WHERE {bgp}, " +
+          s"DELETE {tpl} INSERT {tpl} WHERE {bgp}): $other")
     }
   }
 
@@ -149,6 +154,59 @@ object SparqlUpdate {
         .map { case Seq(a, b) => a === b }.reduce(_ && _)).toSeq
     val matchCond = (constConds ++ varConds).reduceOption(_ && _).getOrElse(lit(true))
     UpdatedStore(triples.filter(!matchCond), dict)
+  }
+
+  /** `DELETE { tplD } INSERT { tplI } WHERE { bgp }` — SPARQL 1.1's
+    * combined modify (spec §3.1.3): ONE binding pass over the PRE-UPDATE
+    * snapshot feeds both templates atomically. The WHERE solutions are
+    * planned once (`SELECT *`) and checkpointed; each template
+    * instantiates over that shared relation, then the store transforms as
+    * `(triples ANTI-JOIN deletions) UNION insertions`. Atomicity falls
+    * out of immutability: a sequential delete-then-re-match would find
+    * ZERO bindings whenever the DELETE template removes the very triples
+    * the WHERE matched (the canonical predicate-rename), while the spec —
+    * and this plan — inserts from the pre-delete bindings. Deletion
+    * removes every copy of each instantiated triple (the bag-store
+    * discipline of DELETE DATA); insertion appends the distinct
+    * instantiations (CONSTRUCT semantics). Scale shape: one BGP join
+    * pass, one hash anti-join on (s,p,o), one union — no per-solution
+    * driver work.
+    */
+  private def deleteInsertWhere(spark: SparkSession, triples: DataFrame,
+      dict: Dictionary, dtpl: String, itpl: String, body: String): UpdatedStore = {
+    val dPats = splitTriples(dtpl).map(SparqlParser.parsePattern)
+    val iPats = splitTriples(itpl).map(SparqlParser.parsePattern)
+    require(dPats.nonEmpty && iPats.nonEmpty,
+      "modify takes non-empty DELETE and INSERT templates")
+    // mint ids for BOTH templates' constants before planning (a fresh
+    // term in the DELETE template matches nothing — the anti-join no-ops)
+    val consts = (dPats ++ iPats).flatMap(p => Seq(p.s, p.p, p.o))
+      .collect { case Constant(l) => l }
+    val (enc, newDict) = encodeMinting(spark, dict, consts)
+    val bindings = new QueryEngine(spark, newDict)
+      .registerSplitTables(triples)
+      .sparql(s"SELECT * WHERE { $body }")
+      .localCheckpoint()
+    val vars = (dPats ++ iPats).flatMap(p => Seq(p.s, p.p, p.o))
+      .collect { case Variable(v) => v }.distinct
+    vars.foreach(v => require(bindings.columns.contains(v),
+      s"modify template variable ?$v is not bound by the WHERE group"))
+    def instantiate(pats: Seq[TriplePattern]): DataFrame =
+      pats.map { t =>
+        def termCol(term: Term): Column = term match {
+          case Variable(v) => col(v)
+          case Constant(l) => lit(enc(l))
+        }
+        bindings.select(
+          termCol(t.s).cast("int").as(TripleSchema.subject),
+          termCol(t.p).cast("int").as(TripleSchema.predicate),
+          termCol(t.o).cast("int").as(TripleSchema.objekt))
+      }.reduceLeft(_.unionAll(_)).distinct()
+    val key = Seq(TripleSchema.subject, TripleSchema.predicate, TripleSchema.objekt)
+    UpdatedStore(
+      triples.join(instantiate(dPats), key, "left_anti")
+        .unionAll(instantiate(iPats)),
+      newDict)
   }
 
   private def insertWhere(spark: SparkSession, triples: DataFrame,

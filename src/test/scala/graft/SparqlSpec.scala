@@ -212,6 +212,25 @@ class SparqlSpec extends SparkTestBase {
     assert(rows(iw.triples).contains((-5, hop2, -7)) &&
       rows(iw.triples).contains((6, hop2, -8)) &&
       iw.triples.count() == triples.count() + 2)
+
+    // DELETE..INSERT..WHERE: ONE pre-update binding pass feeds both
+    // templates — inverting :p2 deletes exactly what the WHERE matched,
+    // so a sequential delete-then-re-match would insert NOTHING; the
+    // atomic modify must insert every inverted edge
+    val mod = SparqlUpdate(spark, triples, dict,
+      "DELETE { ?x ':p2' ?y } INSERT { ?y ':p2inv' ?x } WHERE { ?x :p2 ?y }")
+    val p2inv = mod.dict.encodeTerm("':p2inv'").get
+    val p2 = dict.encodeTerm("':p2'").get
+    assert(rows(mod.triples).contains((-7, p2inv, 10)) &&
+      rows(mod.triples).contains((-8, p2inv, 11)),
+      "insert must instantiate from the PRE-delete bindings")
+    assert(!rows(mod.triples).exists(_._2 == p2),
+      "every matched :p2 triple must be deleted")
+    assert(mod.triples.count() == triples.count(),
+      "rename-shape modify preserves the triple count")
+    // unbound template variable fails loudly
+    intercept[IllegalArgumentException](SparqlUpdate(spark, triples, dict,
+      "DELETE { ?x ':p2' ?y } INSERT { ?y ':p2inv' ?zz } WHERE { ?x :p2 ?y }"))
   }
 
   test("BGP: 3-hop chain join across sign-split tables") {
