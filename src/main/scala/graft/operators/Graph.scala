@@ -165,6 +165,13 @@ object Graph {
     dist
   }
 
+  /** Default [[reachablePairs]] closure budget: 10⁸ (root, node) pairs
+    * (~1.6 GB of closure state). Dense graphs make the full pairwise
+    * closure O(|V|·avg-reach) — the budget turns "silently pays the
+    * closure's true size at 100×" into a loud, measured failure long
+    * before the job is hopeless. */
+  val DefaultClosureBudget: Long = 100000000L
+
   /** PAIRWISE transitive closure — (root, node) for every node reachable
     * from `root` in ≥1 step — the provenance-carrying BFS that backs
     * both-ends-variable property paths (`?s :p+ ?o`). Same semi-naive
@@ -173,25 +180,47 @@ object Graph {
     * already reached. State size is the closure itself (bounded by
     * |V|·avg-reach); the per-round shapes are hash equi-joins on `node`,
     * nothing driver-side. O(longest path) rounds.
+    *
+    * `budgetRows ≥ 0` bounds the CLOSURE SIZE: the fixpoint aborts with
+    * the measured per-round frontier growth the moment the accumulated
+    * pair count exceeds the budget — a dense graph's closure is paid for
+    * knowingly (raise the budget) instead of discovered by a stuck job.
+    * The per-round count reads a checkpointed frontier — no extra
+    * computation beyond the emptiness probe it replaces.
     */
-  def reachablePairs(triples: DataFrame, maxIters: Int = -1): DataFrame = {
+  def reachablePairs(triples: DataFrame, maxIters: Int = -1,
+      budgetRows: Long = -1L): DataFrame = {
     val edges = triples
       .select(col(TripleSchema.subject).as("src"), col(TripleSchema.objekt).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var reached = edges.select(col("src").as("root"), col("dst").as("node"))
       .distinct().localCheckpoint()
+    var total = reached.count()
+    val growth = scala.collection.mutable.ArrayBuffer(total)
     var frontier = reached
     var iter = 0
     var done = false
     while (!done && (maxIters < 0 || iter < maxIters)) {
+      if (budgetRows >= 0 && total > budgetRows) {
+        edges.unpersist()
+        throw new IllegalStateException(
+          s"reachablePairs closure budget exceeded: $total pairs > " +
+            s"$budgetRows after ${iter + 1} round(s); per-round growth: " +
+            s"${growth.mkString(", ")} — the pairwise closure is " +
+            "O(|V|·avg-reach) on dense graphs; raise the budget or bound " +
+            "the path's hop count")
+      }
       val next = frontier
         .join(edges, frontier("node") === edges("src"))
         .select(col("root"), col("dst").as("node"))
         .distinct()
         .join(reached, Seq("root", "node"), "left_anti")
         .localCheckpoint()
-      if (next.isEmpty) done = true
+      val n = next.count()
+      if (n == 0) done = true
       else {
+        total += n
+        growth += n
         reached = reached.unionAll(next)
         frontier = next
         iter += 1

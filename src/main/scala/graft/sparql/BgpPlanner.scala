@@ -1080,7 +1080,8 @@ object BgpPlanner {
           if (mod == '?')
             edges0.select(col(TripleSchema.subject).as("root"),
               col(TripleSchema.objekt).as("node")).distinct()
-          else graft.operators.Graph.reachablePairs(edges0)
+          else graft.operators.Graph.reachablePairs(edges0,
+            budgetRows = graft.operators.Graph.DefaultClosureBudget)
         val withZero =
           if (!zeroStep) oneOrMore
           else {
@@ -1190,7 +1191,8 @@ object BgpPlanner {
         if (hi.isEmpty) {
           val pn = (if (lo <= 1) p1 else level).localCheckpoint()
           val beyond = pn.join(
-              graft.operators.Graph.reachablePairs(edges0)
+              graft.operators.Graph.reachablePairs(edges0,
+                  budgetRows = graft.operators.Graph.DefaultClosureBudget)
                 .select(col("root").as("node"), col("node").as("__far")), "node")
             .select(col("root"), col("__far").as("node"))
           acc = pn.unionAll(beyond)

@@ -23,6 +23,21 @@ class GraphSpec extends SparkTestBase {
     assert(r.sameElements(Array(1, 2, 3)))
   }
 
+  test("reachablePairs closure budget: loud failure with measured growth; unbudgeted unchanged") {
+    // chain 1→2→…→6: full closure = 15 pairs, round growth 5, 4, 3, 2, 1
+    val t = triples((1 to 5).map(i => i -> (i + 1)))
+    val full = Graph.reachablePairs(t)
+    assert(full.count() == 15)
+    // budget below the closure size must fail LOUDLY, naming the growth
+    val e = intercept[IllegalStateException](
+      Graph.reachablePairs(t, budgetRows = 10))
+    assert(e.getMessage.contains("closure budget exceeded") &&
+      e.getMessage.contains("per-round growth"),
+      s"diagnostic must carry the measured growth: ${e.getMessage}")
+    // a budget the closure fits under changes nothing
+    assert(Graph.reachablePairs(t, budgetRows = 15).count() == 15)
+  }
+
   test("shortest hop distances: BFS levels, min over alternative paths") {
     import spark.implicits._
     // 1->2->3->4 chain plus shortcut 1->3: dist(3) must be 1, not 2;
