@@ -112,18 +112,35 @@ object Bench {
     // re-measure rather than a verdict session. Numbers come from a
     // possibly different VM boot, so require BOTH >25% relative and
     // >0.4s absolute regression before burning a re-run.
+    // The band RATCHETS: the report carries a "bands" map = per-gate MIN
+    // across all boards so far, so one wear-inflated board cannot raise
+    // the bar future runs are judged against (this board's own numbers
+    // land in "queries"; "bands" only ever goes down while the gate's
+    // code is unchanged — a real regression shows up as a persistent
+    // queries-vs-bands gap, which is exactly the signal wanted).
     val prevQueries: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")), "UTF-8")
-      val tag = "\"queries\":{"
-      val i = txt.indexOf(tag)
+      def section(tag: String): Map[String, Double] = {
+        val i = txt.indexOf(tag)
+        if (i < 0) Map.empty
+        else {
+          val body = txt.substring(i + tag.length, txt.indexOf('}', i + tag.length))
+          "\"([^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
       // sf guard: a prior report from a DIFFERENT scale factor (e.g. an
       // sf0.001 smoke run that clobbered the file) would flag every gate.
-      if (i < 0 || !txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+      if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
       else {
-        val body = txt.substring(i + tag.length, txt.indexOf('}', i + tag.length))
-        "\"([^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val q = section("\"queries\":{")
+        val b = section("\"bands\":{")
+        // per-gate min of the last board and the ratcheted bands
+        (q.keySet ++ b.keySet).map { k =>
+          k -> math.min(q.getOrElse(k, Double.MaxValue),
+            b.getOrElse(k, Double.MaxValue))
+        }.toMap
       }
     } catch { case _: Throwable => Map.empty }
     // Outlier re-run protocol: the warmup pass pays every one-time cost, so
@@ -193,9 +210,9 @@ object Bench {
       else {
         val suspects = results.filter { case (n, t) =>
           prevQueries.get(n).exists(p => t > 1.5 * p && t - p > 0.4) }
-        if (suspects.length > 8)
-          System.err.println(s"[bench] ${suspects.length} fresh-JVM suspects; capping at 8")
-        val fixed = suspects.take(8).flatMap { case (n, t) =>
+        if (suspects.length > 12)
+          System.err.println(s"[bench] ${suspects.length} fresh-JVM suspects; capping at 12")
+        val fixed = suspects.take(12).flatMap { case (n, t) =>
           freshJvmTime(n).map { ft =>
             freshReruns(n) = (t, ft)
             n -> math.min(t, ft)
@@ -243,7 +260,11 @@ object Bench {
         }.mkString("{", ",", "}")
       inSession + fresh
     }
-    val fullLine = envelope(mapJson(finalResults), rerunJson)
+    val bandsJson =
+      if (prefixes.nonEmpty) ""
+      else "," + "\"bands\":" + mapJson(finalResults.map { case (n, t) =>
+        n -> math.min(t, prevQueries.getOrElse(n, Double.MaxValue)) })
+    val fullLine = envelope(mapJson(finalResults), rerunJson + bandsJson)
     // prefix-filtered runs must not clobber the committed full-board
     // report: they default to a scratch path unless explicitly redirected
     val defaultOut =
