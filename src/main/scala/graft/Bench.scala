@@ -59,10 +59,37 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!before.contains(id)) rdd.unpersist(blocking = false)
       }
+    // Per-gate plan fingerprint (round-12): an 8-hex hash of the gate's
+    // canonicalized logical plan, written next to "bands" in the report.
+    // Purpose: the band ratchet is only valid "while the gate's code is
+    // unchanged" — a deliberate slow-down (e.g. a correctness fix) used to
+    // exceed its frozen band forever, burning a fresh-JVM fork on every
+    // future board. A fingerprint mismatch now RESETS that gate's prior
+    // instead. Canonicalized plans normalize exprIds, and every staged
+    // fixture lives at a deterministic /tmp/graft_scratch path, so the hash
+    // is stable across sessions for unchanged code.
+    def planFp(df: org.apache.spark.sql.DataFrame): String = try {
+      // ANALYZED (not raw logical: canonicalized throws on unresolved
+      // nodes), with JVM-session identity tokens stripped — typed
+      // operators (mapPartitions codecs, collected-model literals) print
+      // `$$Lambda$NNN/0xADDR@HASH` names that differ every boot and would
+      // reset those gates' bands each board.
+      val s = df.queryExecution.analyzed.canonicalized.toString
+        .replaceAll("\\$\\$Lambda\\$[0-9]+/0x[0-9a-f]+", "\\$\\$Lambda")
+        .replaceAll("@[0-9a-f]{4,}", "@id")
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+      d.take(4).map(b => f"$b%02x").mkString
+    } catch { case _: Throwable => "na" }
+    val fps = scala.collection.mutable.LinkedHashMap[String, String]()
     val warmupSecs = picked.map { case (name, fn) =>
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try {
+        val df = fn(spark, sfDir)
+        fps(name) = planFp(df)
+        df.write.format("noop").mode("overwrite").save()
+      }
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name: $e") }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
@@ -118,31 +145,49 @@ object Bench {
     // land in "queries"; "bands" only ever goes down while the gate's
     // code is unchanged — a real regression shows up as a persistent
     // queries-vs-bands gap, which is exactly the signal wanted).
-    val prevQueries: Map[String, Double] = try {
+    val hostFp = try {
+      java.net.InetAddress.getLocalHost.getHostName + "/" + cpus
+    } catch { case _: Throwable => "unknown/" + cpus }
+    val (prevQueries: Map[String, Double], prevSameHost: Boolean) = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")), "UTF-8")
-      def section(tag: String): Map[String, Double] = {
+      def section(tag: String): Map[String, String] = {
         val i = txt.indexOf(tag)
         if (i < 0) Map.empty
         else {
           val body = txt.substring(i + tag.length, txt.indexOf('}', i + tag.length))
-          "\"([^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          "\"([^\"]+)\":\"?([0-9a-zA-Z._/+-]+)\"?".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2)).toMap
         }
       }
+      def nums(tag: String): Map[String, Double] =
+        section(tag).flatMap { case (k, v) => v.toDoubleOption.map(k -> _) }
       // sf guard: a prior report from a DIFFERENT scale factor (e.g. an
       // sf0.001 smoke run that clobbered the file) would flag every gate.
-      if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+      if (!txt.contains("\"sf\":\"" + sfDir + "\"")) (Map.empty[String, Double], true)
       else {
-        val q = section("\"queries\":{")
-        val b = section("\"bands\":{")
+        val q = nums("\"queries\":{")
+        val b = nums("\"bands\":{")
+        val prevFps = section("\"fps\":{")
+        // Band reset on gate change: a fingerprint recorded for this gate
+        // that no longer matches means the gate's plan changed — its prior
+        // band is stale by construction, so drop it (re-bases this board).
+        def unchanged(k: String): Boolean =
+          prevFps.get(k).forall(pf => pf == "na" || fps.get(k).forall(_ == pf))
         // per-gate min of the last board and the ratcheted bands
-        (q.keySet ++ b.keySet).map { k =>
+        val merged = (q.keySet ++ b.keySet).filter(unchanged).map { k =>
           k -> math.min(q.getOrElse(k, Double.MaxValue),
             b.getOrElse(k, Double.MaxValue))
         }.toMap
+        // Host guard: bands measured on a different host/core-count are not
+        // comparable run-to-run — a merely machine-slower gate would become
+        // a fresh-JVM suspect. Keep the priors for the ratchet, but flag the
+        // mismatch so the fork path can stand down.
+        val prevHost = "\"host\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+        val sameHost = prevHost.forall(_ == hostFp)
+        (merged, sameHost)
       }
-    } catch { case _: Throwable => Map.empty }
+    } catch { case _: Throwable => (Map.empty[String, Double], true) }
     // Outlier re-run protocol: the warmup pass pays every one-time cost, so
     // a steady-state median far ABOVE its own warmup is physically
     // impossible absent interference (GC stall, cleaner backlog, external
@@ -180,7 +225,7 @@ object Bench {
     // committed number becomes session-age-independent. Only the full
     // board forks (children are prefix runs, so no recursion); forks are
     // capped to bound worst-case wall clock.
-    def freshJvmTime(name: String): Option[Double] = try {
+    def freshJvmTime(name: String, waitSecs: Long): Option[Double] = try {
       val javaBin = sys.props("java.home") + "/bin/java"
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
         .getInputArguments.toArray.map(_.toString)
@@ -194,7 +239,7 @@ object Bench {
       pb.redirectErrorStream(true)
       pb.redirectOutput(new java.io.File("/dev/null"))
       val proc = pb.start()
-      if (!proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
+      if (!proc.waitFor(waitSecs, java.util.concurrent.TimeUnit.SECONDS)) {
         proc.destroyForcibly(); return None
       }
       val txt = new String(java.nio.file.Files.readAllBytes(outFile), "UTF-8")
@@ -204,16 +249,42 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] fresh-JVM rerun $name: $e"); None
     }
+    // Round-12 protocol fixes (the r11 board died rc=124 on exactly this
+    // path): (a) suspects are severity-ordered (worst t/prev first) before
+    // any cap, so the budget goes to the worst offenders instead of the
+    // alphabetically first; (b) a TOTAL fork wall-clock budget (default
+    // 600 s, env-tunable) bounds the whole protocol — each fork gets at
+    // most min(300 s, remaining budget) and the loop stops when the budget
+    // is spent; (c) SPARK_GRAFT_FRESH_JVM=0 disables forking outright so a
+    // budget-constrained run degrades to the in-session protocol instead of
+    // timing out; (d) forks stand down when the committed band file came
+    // from a different host/core-count, where "slower than the band" mostly
+    // measures the machine, not the gate.
+    val freshJvmEnabled = sys.env.getOrElse("SPARK_GRAFT_FRESH_JVM", "1") != "0"
+    val forkBudgetSecs = sys.env.get("SPARK_GRAFT_FRESH_JVM_BUDGET_SECS")
+      .flatMap(_.toLongOption).getOrElse(600L)
+    val perForkCapSecs = 300L
     val freshReruns = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val finalResults =
-      if (prefixes.nonEmpty || prevQueries.isEmpty) results
+      if (prefixes.nonEmpty || prevQueries.isEmpty || !freshJvmEnabled || !prevSameHost) {
+        if (prefixes.isEmpty && prevQueries.nonEmpty && (!freshJvmEnabled || !prevSameHost))
+          System.err.println(s"[bench] fresh-JVM forks disabled " +
+            s"(enabled=$freshJvmEnabled sameHost=$prevSameHost) — in-session protocol only")
+        results
+      }
       else {
         val suspects = results.filter { case (n, t) =>
           prevQueries.get(n).exists(p => t > 1.5 * p && t - p > 0.4) }
-        if (suspects.length > 12)
-          System.err.println(s"[bench] ${suspects.length} fresh-JVM suspects; capping at 12")
-        val fixed = suspects.take(12).flatMap { case (n, t) =>
-          freshJvmTime(n).map { ft =>
+          .sortBy { case (n, t) => -(t / prevQueries(n)) }
+        if (suspects.nonEmpty)
+          System.err.println(s"[bench] ${suspects.length} fresh-JVM suspects; " +
+            s"budget ${forkBudgetSecs}s, severity order: " +
+            suspects.take(5).map(_._1).mkString(","))
+        val deadline = System.nanoTime() + forkBudgetSecs * 1000000000L
+        val fixed = suspects.flatMap { case (n, t) =>
+          val remainingSecs = (deadline - System.nanoTime()) / 1000000000L
+          if (remainingSecs < 30L) None
+          else freshJvmTime(n, math.min(perForkCapSecs, remainingSecs)).map { ft =>
             freshReruns(n) = (t, ft)
             n -> math.min(t, ft)
           }
@@ -263,7 +334,11 @@ object Bench {
     val bandsJson =
       if (prefixes.nonEmpty) ""
       else "," + "\"bands\":" + mapJson(finalResults.map { case (n, t) =>
-        n -> math.min(t, prevQueries.getOrElse(n, Double.MaxValue)) })
+        n -> math.min(t, prevQueries.getOrElse(n, Double.MaxValue)) }) +
+        ",\"fps\":" + finalResults.map { case (n, _) =>
+          "\"" + n + "\":\"" + fps.getOrElse(n, "na") + "\""
+        }.mkString("{", ",", "}") +
+        ",\"host\":\"" + hostFp + "\""
     val fullLine = envelope(mapJson(finalResults), rerunJson + bandsJson)
     // prefix-filtered runs must not clobber the committed full-board
     // report: they default to a scratch path unless explicitly redirected

@@ -735,6 +735,15 @@ object Pipeline {
   private def gsLayerModSql: String =
     "GREATEST(CAST(1 AS BIGINT), CAST(CEIL(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))"
 
+  /** Second-level thinning factor m2 = ceil(√lmod): l2 = every m2-th l1
+    * node, ~n^(1/4) nodes. Same IEEE-exact sqrt discipline as
+    * [[gsLayerMod]] — both engines evaluate the identical double chain. */
+  private def gsLayerMod2(n: Long): Long =
+    math.max(1L, math.ceil(math.sqrt(gsLayerMod(n).toDouble)).toLong)
+
+  private def gsLayerMod2Sql: String =
+    s"GREATEST(CAST(1 AS BIGINT), CAST(CEIL(SQRT(CAST($gsLayerModSql AS DOUBLE))) AS BIGINT))"
+
   // Measured on the synthetic corpus: recall@3 with the single-layer
   // modulus-random entries was 0.067 (coverage-bound: the corpus is
   // planted near-dups over a RANDOM background, within-label mean cos
@@ -796,26 +805,73 @@ object Pipeline {
   private def gsLayerCos(d: Dialect, vCol: String, nCol: String): String =
     s"CASE WHEN $nCol * cn > 0 THEN (${F.dot(d, vCol, "cv", DIM)}) / ($nCol * cn) ELSE 0.0 END"
 
-  /** SPANN-style posting-list assignment: every base vector is owned by
-    * its nearest layer node (ties to the smaller cid). The layer side is
-    * model-sized — Spark broadcasts it (hint), so the corpus never
-    * shuffles for the assignment; the per-vector argmax reduces n×√n
-    * scored pairs to n (vec_id, cid) rows. At 100 TB the assignment
-    * itself routes hierarchically (score only the query-side top cells'
-    * sub-layers) — here the layer is one level, so the direct n×√n
-    * build-time pass is the contract, exactly as IVF encode is. */
-  private def gsAssignSelect(d: Dialect, eRel: String, lRel: String): String = {
-    val hint = if (d == SparkDialect) "/*+ BROADCAST(l) */ " else ""
-    // The n·√n COSINE EVALUATION dominates this build step (measured: a
-    // max-join rewrite that avoided the rn=1 window shuffle but scored
-    // the pairs twice ran 1.7× SLOWER at the 100× probe — the window
-    // shuffle of (id, cid, score) triples is cheap next to the dot
-    // products), so the single-scoring window form is the right plan.
-    s"""SELECT vec_id, cid FROM (
-       |  SELECT $hint b.vec_id, l.cid,
+  /** Route width for the HIERARCHICAL build assignment: each base vector
+    * scores the l1 members of its top-[[GsAsgProbes]] l2 cells only.
+    * 6 measured at recall parity with the flat assignment on both fixture
+    * scales (4 lost ~2 hits of 120 at sf0.1); the width is a constant, so
+    * the build stays Θ(n^(5/4)). */
+  private val GsAsgProbes = 6
+
+  /** The layer over the layer: every m2-th l1 node. The modulus lmod·m2
+    * is a MULTIPLE of lmod, so l2 ⊆ l1 by construction and every l2 node
+    * self-routes (cos = 1) — which guarantees every probed cell is
+    * non-empty and every base vector gets assigned. ~n^(1/4) nodes. */
+  private def gsL2Select(l1Rel: String, lmod2Expr: String,
+      fromExtra: String = ""): String =
+    s"""SELECT cid AS c2id, cv AS c2v, cn AS c2n
+       |FROM $l1Rel$fromExtra WHERE cid % $lmod2Expr = 0""".stripMargin
+
+  private def gsL2Cos(d: Dialect, vCol: String, nCol: String): String =
+    s"CASE WHEN $nCol * c2n > 0 THEN (${F.dot(d, vCol, "c2v", DIM)}) / ($nCol * c2n) ELSE 0.0 END"
+
+  /** l1 nodes grouped under their nearest l2 node — |l1|·|l2| ≈ n^(3/4)
+    * scored pairs, model-sized output (one row per l1 node). */
+  private def gsL1RouteSelect(d: Dialect, l1Rel: String, l2Rel: String): String = {
+    val hint = if (d == SparkDialect) "/*+ BROADCAST(t) */ " else ""
+    s"""SELECT cid, c2id FROM (
+       |  SELECT $hint l.cid, t.c2id,
+       |    ROW_NUMBER() OVER (PARTITION BY l.cid
+       |      ORDER BY ${gsL2Cos(d, "l.cv", "l.cn")} DESC, t.c2id) AS rn
+       |  FROM $l1Rel l CROSS JOIN $l2Rel t) a WHERE rn = 1""".stripMargin
+  }
+
+  /** Each base vector's top-[[GsAsgProbes]] l2 cells (n·|l2| ≈ n^(5/4)
+    * scored pairs — the first routing hop of the build assignment). */
+  private def gsBaseRouteSelect(d: Dialect, eRel: String, l2Rel: String): String = {
+    val hint = if (d == SparkDialect) "/*+ BROADCAST(t) */ " else ""
+    s"""SELECT vec_id, c2id FROM (
+       |  SELECT $hint b.vec_id, t.c2id,
        |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
-       |      ORDER BY ${gsLayerCos(d, "b.embedding", "b.nrm")} DESC, l.cid) AS rn
-       |  FROM $eRel b CROSS JOIN $lRel l) a WHERE rn = 1""".stripMargin
+       |      ORDER BY ${gsL2Cos(d, "b.embedding", "b.nrm")} DESC, t.c2id) AS rn
+       |  FROM $eRel b CROSS JOIN $l2Rel t) a WHERE rn <= $GsAsgProbes""".stripMargin
+  }
+
+  /** SPANN-style posting-list assignment, HIERARCHICAL (round-12): every
+    * base vector is owned by its nearest layer node AMONG the members of
+    * its routed top-[[GsAsgProbes]] l2 cells (ties to the smaller cid) —
+    * the SCALE.md-named fix for the flat n·√n build pass that dominated
+    * the 100× probe (106.7 s, Θ(n^1.5) total). Per base vector the scored
+    * candidates are |l2| + GsAsgProbes·m2 ≈ n^(1/4) instead of √n, so the
+    * build is Θ(n^(5/4)). The routing relations are model-sized — Spark
+    * broadcasts them (hints), so the corpus never shuffles for the
+    * assignment. The n-side COSINE EVALUATION still dominates (measured
+    * round-10: a max-join rewrite that avoided the rn=1 window shuffle
+    * but scored pairs twice ran 1.7× SLOWER at 100×), so fewer scored
+    * pairs is exactly the lever this pulls. Layer nodes still self-assign:
+    * a node's own l2 owner is ALSO its top-1 route as a base vector (the
+    * same argmax over the same scores), so its own cid is always among
+    * the candidates and wins at cos = 1. */
+  private def gsAssignHierSelect(d: Dialect, eRel: String, l1Rel: String,
+      brRel: String, lrRel: String): String = {
+    val hint = if (d == SparkDialect) "/*+ BROADCAST(lr, l) */ " else ""
+    s"""SELECT vec_id, cid FROM (
+       |  SELECT $hint b.vec_id, lr.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |      ORDER BY ${gsLayerCos(d, "b.embedding", "b.nrm")} DESC, lr.cid) AS rn
+       |  FROM $brRel bc
+       |  JOIN $lrRel lr ON lr.c2id = bc.c2id
+       |  JOIN $l1Rel l ON l.cid = lr.cid
+       |  JOIN $eRel b ON b.vec_id = bc.vec_id) a WHERE rn = 1""".stripMargin
   }
 
   /** Layer routing: each query's top-[[GsProbes]] entry cells by exact
@@ -889,14 +945,18 @@ object Pipeline {
     val hops = (1 to GsHops).map { h =>
       s"""f$h AS (${gsScoreTop(d, gsHopCand(s"f${h - 1}", "edges"), "q", "e", GsBeam)})"""
     }.mkString(",\n")
-    s"""WITH nv AS (SELECT $autoPlanesSql AS planes, $gsLayerModSql AS lmod
+    s"""WITH nv AS (SELECT $autoPlanesSql AS planes, $gsLayerModSql AS lmod,
+       |  $gsLayerMod2Sql AS m2
        |  FROM embeddings),
        |e AS (${gsESelect(d, "nv.planes", "embeddings CROSS JOIN nv")}),
        |knn AS (${gsKnnSelect(d, "e")}),
        |edges AS (${gsEdgesSelect("knn")}),
        |q AS (${gsQSelect("e")}),
        |l1 AS (${gsLayerSelect("e", "nv.lmod", " CROSS JOIN nv")}),
-       |asg AS (${gsAssignSelect(d, "e", "l1")}),
+       |l2 AS (${gsL2Select("l1", "(nv.lmod * nv.m2)", " CROSS JOIN nv")}),
+       |l1r AS (${gsL1RouteSelect(d, "l1", "l2")}),
+       |basr AS (${gsBaseRouteSelect(d, "e", "l2")}),
+       |asg AS (${gsAssignHierSelect(d, "e", "l1", "basr", "l1r")}),
        |qc AS (${gsQProbeSelect(d, "q", "l1")}),
        |f0 AS (${gsScoreTop(d, gsEntryCand("qc", "asg"), "q", "e", GsBeam)}),
        |$hops
@@ -922,7 +982,14 @@ object Pipeline {
     // reuses one materialization), posting-list assignment, query routing
     s.sql(gsLayerSelect("graft_gs_e", gsLayerMod(n).toString))
       .localCheckpoint().createOrReplaceTempView("graft_gs_l1")
-    s.sql(gsAssignSelect(SparkDialect, "graft_gs_e", "graft_gs_l1"))
+    s.sql(gsL2Select("graft_gs_l1", (gsLayerMod(n) * gsLayerMod2(n)).toString))
+      .localCheckpoint().createOrReplaceTempView("graft_gs_l2")
+    s.sql(gsL1RouteSelect(SparkDialect, "graft_gs_l1", "graft_gs_l2"))
+      .localCheckpoint().createOrReplaceTempView("graft_gs_l1r")
+    s.sql(gsBaseRouteSelect(SparkDialect, "graft_gs_e", "graft_gs_l2"))
+      .localCheckpoint().createOrReplaceTempView("graft_gs_basr")
+    s.sql(gsAssignHierSelect(SparkDialect, "graft_gs_e", "graft_gs_l1",
+        "graft_gs_basr", "graft_gs_l1r"))
       .localCheckpoint().createOrReplaceTempView("graft_gs_asg")
     s.sql(gsQProbeSelect(SparkDialect, "graft_gs_q", "graft_gs_l1"))
       .localCheckpoint().createOrReplaceTempView("graft_gs_qc")
@@ -1452,7 +1519,12 @@ object Pipeline {
     * gates run the same single inline chain as the oracle.
     */
   private[queries] def pqTrainCtes(d: Dialect, xRef: String, p: String,
-      subDim: Int, k: Int, scale: Int = 1000): String = {
+      subDim: Int, k: Int): String = pqTrainCtes(d, xRef, p, subDim, k.toString)
+
+  /** String-`k` form: the seed count may be a SQL expression (the oracle's
+    * scalar subquery over the auto-K `nv` CTE) instead of a literal. */
+  private[queries] def pqTrainCtes(d: Dialect, xRef: String, p: String,
+      subDim: Int, k: String, scale: Int = 1000): String = {
     val idiv = if (d == SparkDialect) "div" else "//"
     s"""${p}c0 AS (SELECT vec_id AS cid, i $idiv $subDim AS m, i,
        |    CAST(x*$scale AS BIGINT) AS c
@@ -1467,8 +1539,9 @@ object Pipeline {
   }
 
   /** IVF-PQ with asymmetric-distance scoring, the operator a 100 TB
-    * embedding store actually serves from: a coarse quantizer (1 subspace
-    * of all DIM lanes, K=4 cells) prunes the corpus to the query's
+    * embedding store actually serves from: the two-level AUTO-K coarse
+    * quantizer ([[ivf2CoarseCtes]], K = k₀² leaf cells with k₀ =
+    * [[autoCoarseCells]](n)) prunes the corpus to the query's
     * `nprobe = 3` nearest cells; 8 product-quantizer codebooks (8 lanes ×
     * K=8 codes each) compress every corpus vector to 4 code ids; and each
     * query scores candidates by ADC — one lookup table of (query ×
@@ -1495,6 +1568,130 @@ object Pipeline {
     * and `lut` once (broadcast-sized: nq×3 and nq×M×K rows) and re-serves
     * them against the growing code store every micro-batch.
     */
+  /** AUTO-SCALED per-level fanout for the two-level coarse quantizer
+    * (round-12): the [[autoPlanes]] treatment applied to the IVF cell
+    * count. With K = 4 cells FIXED, candidates/query = nprobe·n/K was
+    * linear in n and queries scale with n, so serving measured Θ(n²) at
+    * the 100× probe (SCALE.md round-11). k₀ = smallest power of two with
+    * k₀³ ≥ ceil(n/256), clamped to ≥ 2 — so the leaf cell count K = k₀²
+    * grows ~n^(2/3) and the leaf width n/K ~ 10-40·n^(1/3):
+    *  - corpus assignment is HIERARCHICAL (super then sub): ~4·n·k₀·DIM
+    *    join tuples = Θ(n^(4/3)), never n·K;
+    *  - serve candidates/query = nprobe·n/K = Θ(n^(1/3)) — within the
+    *    ~2×-per-decade budget;
+    *  - the query-side probe scores all K leaf centroids flat (nq·K·DIM);
+    *    with nq = n/100 that term crosses the assignment cost only past
+    *    k₀ ≈ 200, i.e. n ≈ 2·10⁹ vectors — at that scale the probe
+    *    routes through the supers exactly like the corpus side.
+    * EXACT-INTEGER in both engines ([[autoPlanes]] lesson): Scala uses bit
+    * arithmetic; the oracle's LOG2/POWER doubles are exact at the integer
+    * points they are evaluated at (integer inputs, power-of-two outputs,
+    * L/3.0 with L ≤ 55 exact whenever it lands on an integer).
+    */
+  private[queries] def autoCoarseCells(n: Long): Int = {
+    val q = math.max(1L, (n + 255) >> 8) // ceil(n/256)
+    val l = if (q <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+    val j = (l + 2) / 3 // smallest j with 8^j >= q
+    math.max(2, 1 << j)
+  }
+
+  /** DuckDB twin of [[autoCoarseCells]] as an aggregate over the exploded
+    * lane relation (COUNT(DISTINCT vec_id) = corpus size). */
+  private def autoCoarseCellsSql(xRef: String): String =
+    s"""nv AS (SELECT GREATEST(2, CAST(POWER(2, CEIL(CEIL(LOG2(CAST(
+       |    GREATEST(1, (COUNT(DISTINCT vec_id)+255)//256) AS DOUBLE)))/3.0)) AS BIGINT)) AS k0
+       |  FROM $xRef)""".stripMargin
+
+  /** TWO-LEVEL AUTO-K COARSE QUANTIZER (round-12): replaces the fixed
+    * K = 4 coarse chain of the sim_ivf_pq family. Level 1 is the shared
+    * Lloyd recurrence ([[pqTrainCtes]], one subspace of all DIM lanes)
+    * with k₀ = [[autoCoarseCells]](n) super-cells; level 2 trains k₀
+    * sub-cells WITHIN each super — seeds are each super's k₀ lowest
+    * member vec_ids, every assignment join is keyed (super, i) so a
+    * vector only ever scores its own super's sub-centroids: the n-side
+    * work is Θ(n·k₀·DIM) per step, never n·K. Same exact-int64 milli-unit
+    * arithmetic and (dist, id) argmin tie-breaks as the flat chain.
+    *
+    * Emits `cvc2` (leaf centroids, composite cid = scid·1024 + sub, m=0)
+    * and `cva2` (final per-vector leaf assignment) — the exact relation
+    * shapes the downstream serve/ADC CTEs already consume, so probe,
+    * candidate generation, residual formation and index stats are
+    * unchanged. Requires k₀ ≤ 1024 (n ≤ ~2.7·10¹¹) for composite-id
+    * disjointness. Spark passes the k₀ literal (one count job up front);
+    * the oracle derives the identical value in the `nv` CTE.
+    */
+  private[queries] def ivf2CoarseCtes(d: Dialect, xRef: String,
+      k0Lit: String = ""): String = {
+    val idiv = if (d == SparkDialect) "div" else "//"
+    val (nvCte, k0) =
+      if (d == SparkDialect) {
+        require(k0Lit.nonEmpty, "Spark side must pass the auto-K literal")
+        ("", k0Lit)
+      } else (autoCoarseCellsSql(xRef) + ",\n", "(SELECT k0 FROM nv)")
+    s"""$nvCte${pqTrainCtes(d, xRef, "s1", DIM, k0)},
+       |${pqAssignCtes(d, xRef, "s1", 2, "s1c2")},
+       |s2seed AS (SELECT vec_id, cid AS scid,
+       |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) - 1 AS sub
+       |  FROM s1a2),
+       |s2c0 AS (SELECT sd.scid, sd.sub, x.i, CAST(x.x*1000 AS BIGINT) AS c
+       |  FROM $xRef x JOIN s2seed sd ON sd.vec_id = x.vec_id
+       |  WHERE sd.sub < $k0),
+       |s2d1 AS (SELECT x.vec_id, c.scid, c.sub,
+       |    CAST(SUM((x.x*1000 - c.c)*(x.x*1000 - c.c)) AS BIGINT) AS dist
+       |  FROM $xRef x JOIN s1a2 a ON a.vec_id = x.vec_id
+       |  JOIN s2c0 c ON c.scid = a.cid AND c.i = x.i
+       |  GROUP BY x.vec_id, c.scid, c.sub),
+       |s2a1 AS (SELECT vec_id, scid, sub FROM (
+       |    SELECT vec_id, scid, sub,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sub) AS rn
+       |    FROM s2d1) r WHERE rn = 1),
+       |s2c2 AS (SELECT a.scid, a.sub, x.i,
+       |    (CAST(SUM(x.x) AS BIGINT)*1000
+       |      - ((CAST(SUM(x.x) AS BIGINT)*1000) % COUNT(*))) $idiv COUNT(*) AS c
+       |  FROM $xRef x JOIN s2a1 a ON x.vec_id = a.vec_id
+       |  GROUP BY a.scid, a.sub, x.i),
+       |s2d2 AS (SELECT x.vec_id, c.scid, c.sub,
+       |    CAST(SUM((x.x*1000 - c.c)*(x.x*1000 - c.c)) AS BIGINT) AS dist
+       |  FROM $xRef x JOIN s1a2 a ON a.vec_id = x.vec_id
+       |  JOIN s2c2 c ON c.scid = a.cid AND c.i = x.i
+       |  GROUP BY x.vec_id, c.scid, c.sub),
+       |s2a2 AS (SELECT vec_id, scid, sub FROM (
+       |    SELECT vec_id, scid, sub,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sub) AS rn
+       |    FROM s2d2) r WHERE rn = 1),
+       |cvc2 AS (SELECT scid*1024 + sub AS cid, 0 AS m, i, c FROM s2c2),
+       |cva2 AS (SELECT vec_id, 0 AS m, scid*1024 + sub AS cid FROM s2a2)""".stripMargin
+  }
+
+  /** Hierarchical ENCODE against an already-trained two-level model
+    * (super centroids `s1c2Ref`, leaf centroids `cvc2Ref` with composite
+    * cids): nearest super first (k₀ candidates), then nearest leaf WITHIN
+    * that super (k₀ candidates, `cid div 1024` recovers the super) —
+    * bit-identical to the training chain's own final assignment for the
+    * same inputs, which is what makes the streaming per-batch encode and
+    * the batch gate's corpus-wide encode interchangeable. Emits `cva2`.
+    */
+  private[queries] def ivf2EncodeCtes(d: Dialect, xRef: String,
+      s1c2Ref: String, cvc2Ref: String): String = {
+    val idiv = if (d == SparkDialect) "div" else "//"
+    s"""e1d AS (SELECT x.vec_id, c.cid,
+       |    CAST(SUM((x.x*1000 - c.c)*(x.x*1000 - c.c)) AS BIGINT) AS dist
+       |  FROM $xRef x JOIN $s1c2Ref c ON c.i = x.i GROUP BY x.vec_id, c.cid),
+       |e1a AS (SELECT vec_id, cid AS scid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM e1d) r WHERE rn = 1),
+       |e2d AS (SELECT x.vec_id, c.cid,
+       |    CAST(SUM((x.x*1000 - c.c)*(x.x*1000 - c.c)) AS BIGINT) AS dist
+       |  FROM $xRef x JOIN e1a a ON a.vec_id = x.vec_id
+       |  JOIN $cvc2Ref c ON c.i = x.i AND c.cid $idiv 1024 = a.scid
+       |  GROUP BY x.vec_id, c.cid),
+       |cva2 AS (SELECT vec_id, 0 AS m, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM e2d) r WHERE rn = 1)""".stripMargin
+  }
+
   private[queries] def ivfPqServeStaticCtes(d: Dialect, xRef: String,
       cvc2Ref: String, pqc2Ref: String): String =
     s"""q AS (SELECT vec_id AS qid, i, CAST(x*1000 AS BIGINT) AS qx
@@ -1511,8 +1708,7 @@ object Pipeline {
 
   private def ivfPqPostCtes(d: Dialect, xRef: String,
       cvc2Ref: String, pqc2Ref: String): String =
-    s"""${pqAssignCtes(d, xRef, "cv", 2, cvc2Ref)},
-       |${pqAssignCtes(d, xRef, "pq", 2, pqc2Ref)},
+    s"""${pqAssignCtes(d, xRef, "pq", 2, pqc2Ref)},
        |${ivfPqServeStaticCtes(d, xRef, cvc2Ref, pqc2Ref)},
        |cand AS (SELECT p.qid, a.vec_id AS nid
        |  FROM probe p JOIN cva2 a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
@@ -1527,8 +1723,8 @@ object Pipeline {
 
   /** The full inline CTE chain (oracle form): both training fronts plus
     * the post-training pipeline over their `c2` relations. */
-  private def ivfPqCtes(d: Dialect, xRef: String): String =
-    s"""${pqTrainCtes(d, xRef, "cv", DIM, KM)},
+  private def ivfPqCtes(d: Dialect, xRef: String, k0Lit: String = ""): String =
+    s"""${ivf2CoarseCtes(d, xRef, k0Lit)},
        |${pqTrainCtes(d, xRef, "pq", 8, 8)},
        |${ivfPqPostCtes(d, xRef, "cvc2", "pqc2")}""".stripMargin
 
@@ -1537,7 +1733,7 @@ object Pipeline {
     * recompute/LUT stage, and re-running its quantize fold per reference
     * would dominate.
     */
-  private def ivfPqSpark(body: String => String): (SparkSession, String) => DataFrame =
+  private def ivfPqSpark(body: (String, String) => String): (SparkSession, String) => DataFrame =
     (s, dir) => {
       views(s, dir, "embeddings")
       val qz = s.sql(s"WITH ${quantCte(SparkDialect)} SELECT vec_id, qv FROM qz")
@@ -1546,7 +1742,10 @@ object Pipeline {
       val x = s.sql("SELECT vec_id, posexplode(qv) AS (i, x) FROM graft_pq_qz")
         .localCheckpoint()
       x.createOrReplaceTempView("graft_pq_x")
-      s.sql(body("graft_pq_x"))
+      // auto-K literal: one count job over the checkpointed per-vector
+      // relation (the oracle's nv CTE computes the identical value)
+      val k0 = autoCoarseCells(qz.count()).toString
+      s.sql(body("graft_pq_x", k0))
     }
 
   private[queries] val duckPqX =
@@ -1568,10 +1767,9 @@ object Pipeline {
     * index-sized output (KM rows).
     */
   private def simIndexStats: QueryDef = {
-    def tail(d: Dialect, xRef: String): String =
-      s"""${pqTrainCtes(d, xRef, "cv", DIM, KM)},
+    def tail(d: Dialect, xRef: String, k0Lit: String = ""): String =
+      s"""${ivf2CoarseCtes(d, xRef, k0Lit)},
          |${pqTrainCtes(d, xRef, "pq", 8, 8)},
-         |${pqAssignCtes(d, xRef, "cv", 2, "cvc2")},
          |${pqAssignCtes(d, xRef, "pq", 2, "pqc2")},
          |pd AS (SELECT d.vec_id, CAST(SUM(d.dist) AS BIGINT) AS dd
          |  FROM pqd2 d JOIN pqa2 a
@@ -1585,7 +1783,7 @@ object Pipeline {
     QueryDef("sim_index_stats",
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
          |${tail(DuckDialect, "x")}""".stripMargin)(
-      ivfPqSpark(xRef => s"WITH ${tail(SparkDialect, xRef)}"))
+      ivfPqSpark((xRef, k0) => s"WITH ${tail(SparkDialect, xRef, k0)}"))
   }
 
   private def simIvfPq: QueryDef = {
@@ -1597,8 +1795,8 @@ object Pipeline {
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
          |${ivfPqCtes(DuckDialect, "x")}
          |$sel""".stripMargin)(
-      ivfPqSpark(xRef =>
-        s"""WITH ${ivfPqCtes(SparkDialect, xRef)}
+      ivfPqSpark((xRef, k0) =>
+        s"""WITH ${ivfPqCtes(SparkDialect, xRef, k0)}
            |$sel""".stripMargin))
   }
 
@@ -1637,8 +1835,8 @@ object Pipeline {
     QueryDef("sim_ivf_pq_recall",
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
          |${ivfPqCtes(DuckDialect, "x")}${ivfPqRecallTail("x", "pqtop")}""".stripMargin)(
-      ivfPqSpark(xRef =>
-        s"""WITH ${ivfPqCtes(SparkDialect, xRef)}${ivfPqRecallTail(xRef, "pqtop")}""".stripMargin))
+      ivfPqSpark((xRef, k0) =>
+        s"""WITH ${ivfPqCtes(SparkDialect, xRef, k0)}${ivfPqRecallTail(xRef, "pqtop")}""".stripMargin))
 
   /** TWO-STAGE REFINE — the production IVF-PQ serving shape: the ADC pass
     * produces a cheap top-`$RefineN` SHORTLIST (code lookups only), then
@@ -1677,8 +1875,8 @@ object Pipeline {
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
          |${ivfPqCtes(DuckDialect, "x")}${ivfPqRefineCtes("x")}
          |$sel""".stripMargin)(
-      ivfPqSpark(xRef =>
-        s"""WITH ${ivfPqCtes(SparkDialect, xRef)}${ivfPqRefineCtes(xRef)}
+      ivfPqSpark((xRef, k0) =>
+        s"""WITH ${ivfPqCtes(SparkDialect, xRef, k0)}${ivfPqRefineCtes(xRef)}
            |$sel""".stripMargin))
   }
 
@@ -1686,8 +1884,8 @@ object Pipeline {
     QueryDef("sim_ivf_pq_refine_recall",
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
          |${ivfPqCtes(DuckDialect, "x")}${ivfPqRefineCtes("x")}${ivfPqRecallTail("x", "rtop")}""".stripMargin)(
-      ivfPqSpark(xRef =>
-        s"""WITH ${ivfPqCtes(SparkDialect, xRef)}${ivfPqRefineCtes(xRef)}${ivfPqRecallTail(xRef, "rtop")}""".stripMargin))
+      ivfPqSpark((xRef, k0) =>
+        s"""WITH ${ivfPqCtes(SparkDialect, xRef, k0)}${ivfPqRefineCtes(xRef)}${ivfPqRecallTail(xRef, "rtop")}""".stripMargin))
 
   /** IVF-PQ with RESIDUAL encoding (round-10): the PQ codebooks are
     * trained on — and the codes encode — the residual
@@ -1709,13 +1907,12 @@ object Pipeline {
     * sim_ivf_pq plus one (vec_id, i) equi-join to form residual lanes;
     * candidates stay cell-pruned, ADC stays M lookups per candidate.
     */
-  private def ivfPqResidualCtes(d: Dialect, xRef: String): String =
-    s"""${pqTrainCtes(d, xRef, "cv", DIM, KM)},
-       |${pqAssignCtes(d, xRef, "cv", 2, "cvc2")},
+  private def ivfPqResidualCtes(d: Dialect, xRef: String, k0Lit: String = ""): String =
+    s"""${ivf2CoarseCtes(d, xRef, k0Lit)},
        |xr AS (SELECT x.vec_id, x.i, x.x*1000 - c.c AS x
        |  FROM $xRef x JOIN cva2 a ON a.vec_id = x.vec_id
        |  JOIN cvc2 c ON c.cid = a.cid AND c.i = x.i),
-       |${pqTrainCtes(d, "xr", "pq", 8, 8, 1)},
+       |${pqTrainCtes(d, "xr", "pq", 8, "8", 1)},
        |${pqAssignCtes(d, "xr", "pq", 2, "pqc2", 1)},
        |q AS (SELECT vec_id AS qid, i, CAST(x*1000 AS BIGINT) AS qx
        |  FROM $xRef WHERE vec_id % 100 = 0),
@@ -1793,7 +1990,6 @@ object Pipeline {
     * (standard OPQ practice; the rotation is model state).
     */
   private[queries] def ivfPqOpqCtes(d: Dialect, xRef: String): String = {
-    val idiv = if (d == SparkDialect) "div" else "//"
     val ang = Seq((65, 0), (63, 16), (60, 25), (56, 33), (52, 39), (39, 52),
       (33, 56), (25, 60), (16, 63), (0, 65), (63, -16), (60, -25), (56, -33),
       (52, -39), (39, -52), (33, -56), (25, -60), (16, -63))
@@ -1838,7 +2034,7 @@ object Pipeline {
     * then LEARN the rotation and materialize the rotated lane matrix ONCE
     * (the downstream train/assign/serve chain references it many times;
     * the butterfly relation itself is 32 rows of model state). */
-  private def opqSpark(body: String => String): (SparkSession, String) => DataFrame =
+  private def opqSpark(body: (String, String) => String): (SparkSession, String) => DataFrame =
     (s, dir) => {
       views(s, dir, "embeddings")
       val qz = s.sql(s"WITH ${quantCte(SparkDialect)} SELECT vec_id, qv FROM qz")
@@ -1851,7 +2047,8 @@ object Pipeline {
           "SELECT vec_id, i, x FROM xrot")
         .localCheckpoint()
       xrot.createOrReplaceTempView("graft_opq_xrot")
-      s.sql(body("graft_opq_xrot"))
+      val k0 = autoCoarseCells(qz.count()).toString
+      s.sql(body("graft_opq_xrot", k0))
     }
 
   /** The learned butterfly relation on its own — the spec's inspection
@@ -1874,8 +2071,8 @@ object Pipeline {
          |${ivfPqOpqCtes(DuckDialect, "x")},
          |${ivfPqCtes(DuckDialect, "xrot")}
          |$sel""".stripMargin)(
-      opqSpark(xRef =>
-        s"""WITH ${ivfPqCtes(SparkDialect, xRef)}
+      opqSpark((xRef, k0) =>
+        s"""WITH ${ivfPqCtes(SparkDialect, xRef, k0)}
            |$sel""".stripMargin))
   }
 
@@ -1889,8 +2086,8 @@ object Pipeline {
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
          |${ivfPqOpqCtes(DuckDialect, "x")},
          |${ivfPqCtes(DuckDialect, "xrot")}${ivfPqRecallTail("xrot", "pqtop")}""".stripMargin)(
-      opqSpark(xRef =>
-        s"""WITH ${ivfPqCtes(SparkDialect, xRef)}${ivfPqRecallTail(xRef, "pqtop")}""".stripMargin))
+      opqSpark((xRef, k0) =>
+        s"""WITH ${ivfPqCtes(SparkDialect, xRef, k0)}${ivfPqRecallTail(xRef, "pqtop")}""".stripMargin))
 
   private def simIvfPqResidual: QueryDef = {
     val sel =
@@ -1901,8 +2098,8 @@ object Pipeline {
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
          |${ivfPqResidualCtes(DuckDialect, "x")}
          |$sel""".stripMargin)(
-      ivfPqSpark(xRef =>
-        s"""WITH ${ivfPqResidualCtes(SparkDialect, xRef)}
+      ivfPqSpark((xRef, k0) =>
+        s"""WITH ${ivfPqResidualCtes(SparkDialect, xRef, k0)}
            |$sel""".stripMargin))
   }
 
@@ -1914,8 +2111,8 @@ object Pipeline {
     QueryDef("sim_ivf_pq_residual_recall",
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
          |${ivfPqResidualCtes(DuckDialect, "x")}${ivfPqRecallTail("x", "pqtop")}""".stripMargin)(
-      ivfPqSpark(xRef =>
-        s"""WITH ${ivfPqResidualCtes(SparkDialect, xRef)}${ivfPqRecallTail(xRef, "pqtop")}""".stripMargin))
+      ivfPqSpark((xRef, k0) =>
+        s"""WITH ${ivfPqResidualCtes(SparkDialect, xRef, k0)}${ivfPqRecallTail(xRef, "pqtop")}""".stripMargin))
 
   /** SEQUENCE PACKING (round-7): the concat-and-chunk layout a pretraining
     * dataloader feeds the model — documents are concatenated in doc_id

@@ -1764,9 +1764,8 @@ object Streams {
     QueryDef("stream_ivfpq_upsert", {
       val dd = graft.functions.DuckDialect
       s"""WITH ${Pipeline.quantCte(dd)}, x AS (${Pipeline.duckPqX}),
-         |${Pipeline.pqTrainCtes(dd, "x", "cv", Pipeline.DIM, Pipeline.KM)},
+         |${Pipeline.ivf2CoarseCtes(dd, "x")},
          |${Pipeline.pqTrainCtes(dd, "x", "pq", 8, 8)},
-         |${Pipeline.pqAssignCtes(dd, "x", "cv", 2, "cvc2")},
          |${Pipeline.pqAssignCtes(dd, "x", "pq", 2, "pqc2")},
          |${Pipeline.ivfPqServeStaticCtes(dd, "x", "cvc2", "pqc2")},
          |cand AS (SELECT p.qid, a.vec_id AS nid
@@ -1800,7 +1799,14 @@ object Streams {
           .localCheckpoint().createOrReplaceTempView("graft_ipu_qz")
         s.sql("SELECT vec_id, posexplode(qv) AS (i, x) FROM graft_ipu_qz")
           .localCheckpoint().createOrReplaceTempView("graft_ipu_x")
-        val cvc2 = s.sql(s"WITH ${Pipeline.pqTrainCtes(d, "graft_ipu_x", "cv", Pipeline.DIM, Pipeline.KM)} SELECT cid, m, i, c FROM cvc2")
+        // two-level auto-K coarse model: BOTH levels' centroids are model
+        // state (the per-batch encode routes super-then-sub)
+        val k0 = Pipeline.autoCoarseCells(s.table("graft_ipu_qz").count()).toString
+        val coarse = Pipeline.ivf2CoarseCtes(d, "graft_ipu_x", k0)
+        val s1c2 = s.sql(s"WITH $coarse SELECT cid, m, i, c FROM s1c2")
+          .localCheckpoint()
+        s1c2.createOrReplaceTempView("graft_ipu_s1c2")
+        val cvc2 = s.sql(s"WITH $coarse SELECT cid, m, i, c FROM cvc2")
           .localCheckpoint()
         cvc2.createOrReplaceTempView("graft_ipu_cvc2")
         val pqc2 = s.sql(s"WITH ${Pipeline.pqTrainCtes(d, "graft_ipu_x", "pq", 8, 8)} SELECT cid, m, i, c FROM pqc2")
@@ -1811,6 +1817,7 @@ object Streams {
         val serveCtes = Pipeline.ivfPqServeStaticCtes(
           d, "graft_ipu_x", "graft_ipu_cvc2", "graft_ipu_pqc2")
         Seq(
+          "graft_ipu_s1c2" -> s1c2,
           "graft_ipu_cvc2" -> cvc2,
           "graft_ipu_pqc2" -> pqc2,
           "graft_ipu_probe" -> s.sql(s"WITH $serveCtes SELECT qid, cid FROM probe"),
@@ -1837,7 +1844,8 @@ object Streams {
                |SELECT vec_id, posexplode(qv) AS (i, x) FROM qz""".stripMargin)
             .localCheckpoint().createOrReplaceTempView("graft_ipu_bx")
           val codes = ss.sql(
-            s"""WITH ${Pipeline.pqAssignCtes(d, "graft_ipu_bx", "cv", 2, "graft_ipu_cvc2")},
+            s"""WITH ${Pipeline.ivf2EncodeCtes(d, "graft_ipu_bx",
+                  "graft_ipu_s1c2", "graft_ipu_cvc2")},
                |${Pipeline.pqAssignCtes(d, "graft_ipu_bx", "pq", 2, "graft_ipu_pqc2")}
                |SELECT c.vec_id AS nid, c.cid AS cell, p.m, p.cid
                |FROM cva2 c JOIN pqa2 p ON p.vec_id = c.vec_id""".stripMargin)

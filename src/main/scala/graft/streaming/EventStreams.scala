@@ -380,14 +380,19 @@ object EventStreams {
         // the batch gate's cents projection: Spark SQL round(double) goes
         // through BigDecimal.valueOf (shortest decimal string) + HALF_UP —
         // math.round (floor(x+0.5)) differs on negative halves
-        // magnitude bound: the Long moment chain below is exact while
-        // |x| < ~1.3e9 cents (~$13M) — then sx² < 2^63 and 5·sxx < 2^63;
-        // the batch SQL's DECIMAL widths allow up to 10^12 cents, so the
-        // streaming twin is the narrower contract (assert, don't wrap)
+        // magnitude bound: with |x| < B the WHOLE Long chain below is
+        // exact — sxx ≤ 5B², the intermediates 5·sxx and sx² ≤ 25B², and
+        // the worst term 5·(5·sxx − sx²) ≤ 125B² (since sx² ≥ 0), so
+        // 125B² < 2^63 requires B ≤ 2.71e8 cents (~$2.7M). The previous
+        // 1.3e9 bound only covered the FIRST products: sx reaches 6.5e9 so
+        // sx² ≈ 4.2e19 > Long.MaxValue — a silent wraparound while the
+        // batch DECIMAL oracle stayed exact. The batch SQL allows up to
+        // 10^12 cents, so the streaming twin is the narrower contract
+        // (assert, don't wrap).
         val x = java.math.BigDecimal.valueOf(e.value * 100)
           .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-        require(math.abs(x) < 1300000000L,
-          s"anomaly cents $x exceeds the exact-Long moment bound (~1.3e9)")
+        require(math.abs(x) < 270000000L,
+          s"anomaly cents $x exceeds the exact-Long moment bound (125*B*B < 2^63, B=2.7e8)")
         if (st.n == 5) {
           val sx = st.x1 + st.x2 + st.x3 + st.x4 + st.x5
           val sxx = st.x1 * st.x1 + st.x2 * st.x2 + st.x3 * st.x3 +

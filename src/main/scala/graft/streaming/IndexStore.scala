@@ -132,13 +132,23 @@ final class IndexStore(ss: SparkSession, val dir: String, keyCol: String,
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(ss.sparkContext.hadoopConfiguration)
     val gen = new org.apache.hadoop.fs.Path(dir, s"batch=$gcBatchId")
-    // Reusing a live generation id would make the final publish silently
-    // clobber that generation's untouched buckets — refuse loudly.
+    val parts = partsOf(tombs)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".gc-tmp-$gcBatchId")
+    // (gen exists, temp absent) = the publish rename already happened — a
+    // crash landed between the rename and the caller recording success.
+    // The documented recovery contract is "re-run with the SAME gcBatchId",
+    // so this re-run must complete successfully as a no-op; throwing the
+    // collision error here would invite recomputing survivors against an
+    // already-GC'd store under a fresh id (double-deleting nothing, but
+    // re-reading and re-writing every affected partition for no reason).
+    if (fs.exists(gen) && !fs.exists(tmp)) return parts
+    // Reusing a LIVE generation id (gen exists while this id's temp is
+    // also still present, i.e. not our own completed publish) would make
+    // the final rename silently clobber that generation's untouched
+    // buckets — refuse loudly.
     require(!fs.exists(gen),
       s"gcBatchId=$gcBatchId collides with an existing generation at $gen; " +
         "pick a fresh id")
-    val parts = partsOf(tombs)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".gc-tmp-$gcBatchId")
     // Crash protocol: survivors are made DURABLE (parquet under a
     // dot-hidden temp dir, invisible to partition discovery) before any
     // store file is deleted. _SUCCESS marks the temp as complete; if it is
@@ -160,7 +170,11 @@ final class IndexStore(ss: SparkSession, val dir: String, keyCol: String,
         if (fs.exists(bp)) fs.delete(bp, true)
       }
     }
-    fs.rename(tmp, gen)
+    // Hadoop rename signals failure by RETURNING FALSE, not throwing; an
+    // unchecked failure here would leave survivors only in the dot-hidden
+    // temp (invisible to readers) after the delete loop already ran —
+    // silent data loss for the affected partitions.
+    require(fs.rename(tmp, gen), s"gc publish rename failed: $tmp -> $gen")
     parts
   }
 
@@ -191,6 +205,9 @@ final class IndexStore(ss: SparkSession, val dir: String, keyCol: String,
     }
     fs.listStatus(p).filter(_.getPath.getName.startsWith("batch="))
       .foreach(b => fs.delete(b.getPath, true))
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, s"batch=$gcBatchId"))
+    val gen = new org.apache.hadoop.fs.Path(dir, s"batch=$gcBatchId")
+    // rename returns false on failure (see gcCompact) — unchecked, the
+    // whole store would survive only in the dot-hidden temp.
+    require(fs.rename(tmp, gen), s"compaction publish rename failed: $tmp -> $gen")
   }
 }
