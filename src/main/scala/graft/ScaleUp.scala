@@ -82,6 +82,46 @@ object ScaleUp {
       spark.stop(); return
     }
 
+    // `randtext` mode: documents ONLY, with a HEAPS-LAW vocabulary — the
+    // honest fixture for the tokenizer-trainer claims. Key-shift
+    // replication keeps the word-TYPE set constant (SCALE.md round-11
+    // caveat: "trainer cost is type-bounded" was demonstrated only on a
+    // constant-vocab corpus), so this mode grows types ~√factor instead:
+    // replica 0 keeps the original text; in replica i > 0 a token is kept
+    // VERBATIM when its hash lands in the shared head (1 in 4 types — the
+    // stopword/common-word head real corpora share) and otherwise becomes
+    // the replica-family variant `w~(i mod K)`, K = ceil(√factor). Types
+    // grow ≈ V0·(1/4 + 3/4·min(factor, K)) ~ Heaps with β ≈ 0.5 while
+    // token counts grow ×factor. Deterministic (Murmur3 token hash).
+    if (args.length > 3 && args(3) == "randtext") {
+      val df = spark.read.parquet(s"$src/documents.parquet")
+      val k = math.ceil(math.sqrt(factor.toDouble)).toLong
+      val out = (0 until factor).map { i =>
+        if (i == 0) df
+        else {
+          val withText = df.withColumn("doc_id", col("doc_id") + lit(i * docStride))
+            .withColumn("text", expr(
+              s"""array_join(transform(split(text, ' '), w ->
+                 |  CASE WHEN w = '' OR abs(hash(w)) % 4 = 0 THEN w
+                 |  ELSE concat(w, '~', CAST(${i % k} AS STRING)) END), ' ')"""
+                .stripMargin))
+          if (withText.columns.contains("n_chars"))
+            withText.withColumn("n_chars", length(col("text")).cast("long"))
+          else withText
+        }
+      }.reduceLeft(_.unionAll(_))
+      out.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      val types = spark.read.parquet(s"$dst/documents.parquet")
+        .selectExpr("explode(split(text, ' ')) AS w").filter(col("w") =!= "")
+        .distinct().count()
+      val baseTypes = df
+        .selectExpr("explode(split(text, ' ')) AS w").filter(col("w") =!= "")
+        .distinct().count()
+      println(f"[scaleup] documents(randtext): types $baseTypes -> $types " +
+        f"(x${types.toDouble / baseTypes}%.1f), K=$k")
+      spark.stop(); return
+    }
+
     copy("region"); copy("nation")
     replicate("customer", Map("c_custkey" -> custStride))
     replicate("supplier", Map("s_suppkey" -> suppStride))

@@ -1102,6 +1102,72 @@ object Rdf {
         .agg(count(lit(1)).as("n"))
     },
 
+    // ---- SPARQL 1.1 modify with the InsertClause OMITTED (round-12):
+    // `DELETE {tpl} WHERE {bgp}` — unlike DELETE WHERE, the template is
+    // decoupled from the pattern, so the WHERE can constrain with extra
+    // patterns and filters the template does not mention: only nation-3
+    // customers WITH at least one order lose their :in_nation edge.
+    // Remaining :in_nation count = everyone else. ----
+    QueryDef("rdf_sparql_update_modify_delete",
+      """SELECT ':placed' AS pred, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        |UNION ALL SELECT ':contains', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT ':supplied_by', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT ':in_nation', CAST(COUNT(*) AS BIGINT) FROM customer
+        |  WHERE NOT (c_nationkey = 3
+        |    AND c_custkey IN (SELECT o_custkey FROM orders))"""
+        .stripMargin) { (s, dir) =>
+      import graft.sparql.SparqlUpdate
+      val u = SparqlUpdate(s, RdfBridge.triples(s, dir), RdfBridge.dictionary(s, dir),
+        "DELETE { ?c ':in_nation' ?n } WHERE { ?c :in_nation ?n . ?c :placed ?o " +
+          "FILTER(?n = 'nation_3') }")
+      u.dict.decode(u.triples, Seq(graft.core.TripleSchema.predicate))
+        .groupBy(col(graft.core.TripleSchema.predicate).as("pred"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- SPARQL 1.1 modify with an EMPTY DELETE template (round-12):
+    // `DELETE {} INSERT {tpl} WHERE {bgp}` — grammatically a modify, not
+    // an INSERT..WHERE, and must route through the same one-binding-pass
+    // core with zero deletions. ----
+    QueryDef("rdf_sparql_update_modify_insert",
+      """SELECT ':placed' AS pred, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        |UNION ALL SELECT ':contains', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT ':supplied_by', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT ':in_nation', CAST(COUNT(*) AS BIGINT) FROM customer
+        |UNION ALL SELECT ':nation_of', CAST(COUNT(*) AS BIGINT) FROM customer"""
+        .stripMargin) { (s, dir) =>
+      import graft.sparql.SparqlUpdate
+      val u = SparqlUpdate(s, RdfBridge.triples(s, dir), RdfBridge.dictionary(s, dir),
+        "DELETE { } INSERT { ?n ':nation_of' ?c } WHERE { ?c :in_nation ?n }")
+      u.dict.decode(u.triples, Seq(graft.core.TripleSchema.predicate))
+        .groupBy(col(graft.core.TripleSchema.predicate).as("pred"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // ---- SPARQL 1.1 `WITH <g>`-scoped modify over the QUAD store
+    // (round-12): the WITH graph is the active graph for both the WHERE
+    // matching and the templates — the :in_nation graph's edges invert to
+    // :nation_has IN PLACE (same graph), every other graph's rows are
+    // re-unioned untouched. The graph filter is a point predicate —
+    // partition-prunable under the Graph-partitioned quad layout. ----
+    QueryDef("rdf_sparql_update_with",
+      """SELECT ':placed' AS g, ':placed' AS pred, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        |UNION ALL SELECT ':contains', ':contains', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT ':supplied_by', ':supplied_by', CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT ':in_nation', ':nation_has', CAST(COUNT(*) AS BIGINT) FROM customer"""
+        .stripMargin) { (s, dir) =>
+      import graft.sparql.SparqlUpdate
+      val u = SparqlUpdate.applyQuads(s, RdfBridge.quads(s, dir),
+        RdfBridge.dictionary(s, dir),
+        "WITH ':in_nation' DELETE { ?c ':in_nation' ?n } " +
+          "INSERT { ?n ':nation_has' ?c } WHERE { ?c :in_nation ?n }")
+      u.dict.decode(u.quads,
+          Seq(graft.core.TripleSchema.graph, graft.core.TripleSchema.predicate))
+        .groupBy(col(graft.core.TripleSchema.graph).as("g"),
+          col(graft.core.TripleSchema.predicate).as("pred"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ---- SPARQL 1.1 subquery (SubSelect as a group graph pattern): the
     // inner SELECT aggregates per-customer order counts; the outer BGP
     // joins it on the shared ?c — planned as a derived aggregate relation

@@ -767,7 +767,7 @@ object SparqlParser {
     out.toArray
   }
 
-  private def toTerm(tok: String): Term =
+  private[sparql] def toTerm(tok: String): Term =
     if (tok.startsWith("?")) Variable(tok.substring(1))
     else Constant(graft.core.Dictionary.normalizeTerm(tok))
 }

@@ -46,18 +46,75 @@ object SparqlUpdate {
     val insertWhereRe = "(?is)^\\s*INSERT\\s*\\{(.*?)\\}\\s*WHERE\\s*\\{(.*)\\}\\s*$".r
     val modifyRe =
       "(?is)^\\s*DELETE\\s*\\{(.*?)\\}\\s*INSERT\\s*\\{(.*?)\\}\\s*WHERE\\s*\\{(.*)\\}\\s*$".r
+    // 1.1 Modify with the InsertClause omitted: `DELETE { tpl } WHERE
+    // { bgp }` — distinct from `DELETE WHERE` (which has no template and
+    // removes the pattern's own matches). Matched AFTER deleteWhereRe, so
+    // the brace right after DELETE is what disambiguates.
+    val deleteModifyRe =
+      "(?is)^\\s*DELETE\\s*\\{(.*?)\\}\\s*WHERE\\s*\\{(.*)\\}\\s*$".r
     update match {
       case insertDataRe(body) => insertData(spark, triples, dict, body)
       case deleteDataRe(body) => deleteGround(spark, triples, dict, body)
       case deleteWhereRe(body) => deleteWhere(triples, dict, body)
       case modifyRe(dtpl, itpl, body) =>
         deleteInsertWhere(spark, triples, dict, dtpl, itpl, body)
+      case deleteModifyRe(dtpl, body) =>
+        deleteInsertWhere(spark, triples, dict, dtpl, "", body)
       case insertWhereRe(tpl, body) => insertWhere(spark, triples, dict, tpl, body)
       case other => throw new IllegalArgumentException(
         "unsupported update (subset is INSERT DATA, DELETE DATA, " +
-          s"DELETE WHERE, INSERT {tpl} WHERE {bgp}, " +
-          s"DELETE {tpl} INSERT {tpl} WHERE {bgp}): $other")
+          s"DELETE WHERE, INSERT {tpl} WHERE {bgp}, DELETE {tpl} WHERE {bgp}, " +
+          s"DELETE {tpl} INSERT {tpl} WHERE {bgp}, WITH <g> + modify via " +
+          s"applyQuads): $other")
     }
+  }
+
+  final case class UpdatedQuadStore(quads: DataFrame, dict: Dictionary)
+
+  /** SPARQL 1.1 `WITH <g>` graph-scoped modify over a QUAD store
+    * (Subject, Predicate, Object, Graph): the WITH graph is the active
+    * graph for BOTH the WHERE matching and the template instantiation
+    * (spec §3.1.3 — our subset has no USING/GRAPH override inside the
+    * update). Planned as: bind over the named graph's triple slice (a
+    * point filter — partition-prunable under a Graph-partitioned layout),
+    * apply the modify to that slice only, union the untouched graphs
+    * back. Copy-on-write like every other form; the untouched graphs'
+    * rows are never rewritten, only re-unioned.
+    */
+  def applyQuads(spark: SparkSession, quads: DataFrame, dict: Dictionary,
+      update: String): UpdatedQuadStore = {
+    val withRe = "(?is)^\\s*WITH\\s+(\\S+)\\s+(.*)$".r
+    val modifyRe =
+      "(?is)^\\s*DELETE\\s*\\{(.*?)\\}\\s*INSERT\\s*\\{(.*?)\\}\\s*WHERE\\s*\\{(.*)\\}\\s*$".r
+    val deleteModifyRe =
+      "(?is)^\\s*DELETE\\s*\\{(.*?)\\}\\s*WHERE\\s*\\{(.*)\\}\\s*$".r
+    val insertWhereRe = "(?is)^\\s*INSERT\\s*\\{(.*?)\\}\\s*WHERE\\s*\\{(.*)\\}\\s*$".r
+    val (gLex, rest) = update match {
+      case withRe(g, r) => (g, r)
+      case other => throw new IllegalArgumentException(
+        s"applyQuads takes a WITH <graph>-scoped modify: $other")
+    }
+    val (dtpl, itpl, body) = rest match {
+      case modifyRe(d, i, b) => (d, i, b)
+      case deleteModifyRe(d, b) => (d, "", b)
+      case insertWhereRe(i, b) => ("", i, b)
+      case other => throw new IllegalArgumentException(
+        s"WITH scopes a modify form (DELETE/INSERT/WHERE): $other")
+    }
+    // the graph term itself may be new vocabulary
+    val gTerm = SparqlParser.toTerm(gLex)
+    require(gTerm.isInstanceOf[Constant], s"WITH takes a constant graph: $gLex")
+    val (gEnc, gDict) = encodeMinting(spark, dict, Seq(lex(gTerm)))
+    val gId = gEnc(lex(gTerm))
+    val g = TripleSchema.graph
+    val active = quads.filter(col(g) === gId)
+      .select(TripleSchema.subject, TripleSchema.predicate, TripleSchema.objekt)
+    val (dels, ins, newDict) = modifyParts(spark, active, gDict, dtpl, itpl, body)
+    val key = Seq(TripleSchema.subject, TripleSchema.predicate, TripleSchema.objekt)
+    val kept = dels.map(d => active.join(d, key, "left_anti")).getOrElse(active)
+    val updated = ins.map(kept.unionAll).getOrElse(kept).withColumn(g, lit(gId))
+      .select(quads.columns.map(col).toSeq: _*)
+    UpdatedQuadStore(quads.filter(col(g) =!= gId).unionAll(updated), newDict)
   }
 
   /** Ground triples of a DATA block — every term must be a constant. */
@@ -174,10 +231,24 @@ object SparqlUpdate {
     */
   private def deleteInsertWhere(spark: SparkSession, triples: DataFrame,
       dict: Dictionary, dtpl: String, itpl: String, body: String): UpdatedStore = {
+    val (dels, ins, newDict) = modifyParts(spark, triples, dict, dtpl, itpl, body)
+    val key = Seq(TripleSchema.subject, TripleSchema.predicate, TripleSchema.objekt)
+    val kept = dels.map(d => triples.join(d, key, "left_anti")).getOrElse(triples)
+    UpdatedStore(ins.map(kept.unionAll).getOrElse(kept), newDict)
+  }
+
+  /** The modify core shared by the triple-store and WITH-scoped quad
+    * forms: one binding pass over the PRE-UPDATE snapshot, instantiated
+    * through both templates. Either template may be EMPTY (the 1.1
+    * grammar's `DELETE {tpl} WHERE` / `DELETE {} INSERT {tpl} WHERE`
+    * forms) — an empty template contributes no deletions/insertions. */
+  private def modifyParts(spark: SparkSession, triples: DataFrame,
+      dict: Dictionary, dtpl: String, itpl: String, body: String)
+      : (Option[DataFrame], Option[DataFrame], Dictionary) = {
     val dPats = splitTriples(dtpl).map(SparqlParser.parsePattern)
     val iPats = splitTriples(itpl).map(SparqlParser.parsePattern)
-    require(dPats.nonEmpty && iPats.nonEmpty,
-      "modify takes non-empty DELETE and INSERT templates")
+    require(dPats.nonEmpty || iPats.nonEmpty,
+      "modify takes at least one non-empty template")
     // mint ids for BOTH templates' constants before planning (a fresh
     // term in the DELETE template matches nothing — the anti-join no-ops)
     val consts = (dPats ++ iPats).flatMap(p => Seq(p.s, p.p, p.o))
@@ -191,8 +262,9 @@ object SparqlUpdate {
       .collect { case Variable(v) => v }.distinct
     vars.foreach(v => require(bindings.columns.contains(v),
       s"modify template variable ?$v is not bound by the WHERE group"))
-    def instantiate(pats: Seq[TriplePattern]): DataFrame =
-      pats.map { t =>
+    def instantiate(pats: Seq[TriplePattern]): Option[DataFrame] =
+      if (pats.isEmpty) None
+      else Some(pats.map { t =>
         def termCol(term: Term): Column = term match {
           case Variable(v) => col(v)
           case Constant(l) => lit(enc(l))
@@ -201,12 +273,8 @@ object SparqlUpdate {
           termCol(t.s).cast("int").as(TripleSchema.subject),
           termCol(t.p).cast("int").as(TripleSchema.predicate),
           termCol(t.o).cast("int").as(TripleSchema.objekt))
-      }.reduceLeft(_.unionAll(_)).distinct()
-    val key = Seq(TripleSchema.subject, TripleSchema.predicate, TripleSchema.objekt)
-    UpdatedStore(
-      triples.join(instantiate(dPats), key, "left_anti")
-        .unionAll(instantiate(iPats)),
-      newDict)
+      }.reduceLeft(_.unionAll(_)).distinct())
+    (instantiate(dPats), instantiate(iPats), newDict)
   }
 
   private def insertWhere(spark: SparkSession, triples: DataFrame,

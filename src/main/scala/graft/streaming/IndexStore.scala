@@ -134,21 +134,23 @@ final class IndexStore(ss: SparkSession, val dir: String, keyCol: String,
     val gen = new org.apache.hadoop.fs.Path(dir, s"batch=$gcBatchId")
     val parts = partsOf(tombs)
     val tmp = new org.apache.hadoop.fs.Path(dir, s".gc-tmp-$gcBatchId")
-    // (gen exists, temp absent) = the publish rename already happened — a
-    // crash landed between the rename and the caller recording success.
+    // A generation that carries the `_GC` marker (written into the temp
+    // before the delete loop, so the rename publishes it atomically) was
+    // created by a gcCompact publish: if it exists and the temp is gone,
+    // a crash landed between the rename and the caller recording success.
     // The documented recovery contract is "re-run with the SAME gcBatchId",
     // so this re-run must complete successfully as a no-op; throwing the
     // collision error here would invite recomputing survivors against an
-    // already-GC'd store under a fresh id (double-deleting nothing, but
-    // re-reading and re-writing every affected partition for no reason).
-    if (fs.exists(gen) && !fs.exists(tmp)) return parts
-    // Reusing a LIVE generation id (gen exists while this id's temp is
-    // also still present, i.e. not our own completed publish) would make
-    // the final rename silently clobber that generation's untouched
-    // buckets — refuse loudly.
-    require(!fs.exists(gen),
-      s"gcBatchId=$gcBatchId collides with an existing generation at $gen; " +
-        "pick a fresh id")
+    // already-GC'd store under a fresh id. A generation WITHOUT the marker
+    // is a live appended batch — reusing its id would make the final
+    // rename silently clobber its untouched buckets: refuse loudly.
+    if (fs.exists(gen)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(gen, "_GC")) && !fs.exists(tmp))
+        return parts
+      require(false,
+        s"gcBatchId=$gcBatchId collides with an existing generation at $gen; " +
+          "pick a fresh id")
+    }
     // Crash protocol: survivors are made DURABLE (parquet under a
     // dot-hidden temp dir, invisible to partition discovery) before any
     // store file is deleted. _SUCCESS marks the temp as complete; if it is
@@ -164,6 +166,10 @@ final class IndexStore(ss: SparkSession, val dir: String, keyCol: String,
       bucketed(survivors).sortWithinPartitions(partCol)
         .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
     }
+    // provenance marker: travels with the rename, so a future re-run can
+    // tell "our own published generation" from a live appended batch
+    val marker = new org.apache.hadoop.fs.Path(tmp, "_GC")
+    if (!fs.exists(marker)) fs.create(marker).close()
     fs.listStatus(p).filter(_.getPath.getName.startsWith("batch=")).foreach { b =>
       parts.foreach { v =>
         val bp = new org.apache.hadoop.fs.Path(b.getPath, s"$partCol=$v")

@@ -235,6 +235,60 @@ class BandStoreSpec extends SparkTestBase {
       "the temp generation must be renamed away")
   }
 
+  test("IndexStore.gcCompact: re-run after a crash-after-publish is a no-op") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("gcpub").toString + "/idx"
+    val store = new graft.streaming.IndexStore(spark, idx, "bkt", 4)
+    val rows = (1L to 16L).map(i => (i, i % 4)).toDF("id", "bkt")
+    store.appendBatch(rows, 0L)
+    val tombs = Seq((3L, 3L)).toDF("id", "bkt")
+    store.gcCompact(tombs, "id", rows.schema, gcBatchId = 99L)
+    val after = store.readAll(store.batchSchema(rows.schema))
+      .select("id").as[Long].collect().sorted.toSeq
+    // SIMULATED CRASH: the publish rename completed (batch=99 exists, temp
+    // gone) but the caller died before recording success. The documented
+    // recovery is a re-run with the SAME gcBatchId — it must complete as a
+    // no-op, NOT throw the live-generation collision error (which would
+    // invite recomputing survivors against the already-GC'd store).
+    val parts = store.gcCompact(tombs, "id", rows.schema, gcBatchId = 99L)
+    assert(parts == store.partsOf(tombs))
+    val rerun = store.readAll(store.batchSchema(rows.schema))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(rerun == after, "the recovery re-run must not change the store")
+  }
+
+  test("IndexStore.compactGenerations: crash between delete and publish is recoverable") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("cmpcrash").toString + "/idx"
+    val store = new graft.streaming.IndexStore(spark, idx, "bkt", 4)
+    val rows = (1L to 30L).map(i => (i, i % 8)).toDF("id", "bkt")
+    Seq(0L, 1L, 2L).foreach { b =>
+      store.appendBatch(rows.filter(col("id") % 3 === b), b)
+    }
+    // SIMULATED CRASH STATE: the durable compacted copy completed
+    // (_SUCCESS present in the dot-hidden temp) and the generation-drop
+    // loop ran PARTIALLY (batch=0 already deleted) before the process died
+    store.bucketed(rows).write.partitionBy(store.bucketCol)
+      .mode("overwrite").parquet(s"$idx/.gc-tmp-99")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(idx, "batch=0"))
+    // the re-run must NOT re-read the (partially deleted) generations —
+    // it finishes the idempotent drop + publishes the temp
+    store.compactGenerations(rows.schema, gcBatchId = 99L)
+    val gens = new java.io.File(idx).listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    assert(gens == Seq("batch=99"), "exactly the compacted generation remains")
+    val post = store.readAll(store.batchSchema(rows.schema))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(post == (1L to 30L),
+      "recovery must publish the full pre-crash compacted copy " +
+        "(a re-read of the deleted generations would lose batch=0's rows)")
+    assert(!new java.io.File(idx, ".gc-tmp-99").exists(),
+      "the temp generation must be renamed away")
+  }
+
   test("IndexStore.compactGenerations: content identical, one generation left") {
     import spark.implicits._
     val idx = Files.createTempDirectory("cmpstore").toString + "/idx"
