@@ -69,14 +69,17 @@ object Bench {
     // fixture lives at a deterministic /tmp/graft_scratch path, so the hash
     // is stable across sessions for unchanged code.
     def planFp(df: org.apache.spark.sql.DataFrame): String = try {
-      // ANALYZED (not raw logical: canonicalized throws on unresolved
-      // nodes), with JVM-session identity tokens stripped — typed
-      // operators (mapPartitions codecs, collected-model literals) print
-      // `$$Lambda$NNN/0xADDR@HASH` names that differ every boot and would
-      // reset those gates' bands each board.
-      val s = df.queryExecution.analyzed.canonicalized.toString
+      // The UNRESOLVED logical plan: exactly the tree the gate's code
+      // constructs, independent of catalog/session state (the analyzed
+      // plan was measured to drift across identical boards — resolution
+      // bakes in session artifacts). JVM identity tokens (typed-operator
+      // `$$Lambda$NNN/0xADDR@HASH` names) and exprIds (`#NNN`, allocated
+      // from a process-global counter) are normalized away.
+      val s = df.queryExecution.logical.toString
         .replaceAll("\\$\\$Lambda\\$[0-9]+/0x[0-9a-f]+", "\\$\\$Lambda")
-        .replaceAll("@[0-9a-f]{4,}", "@id")
+        .replaceAll("@[0-9a-f]{3,}", "@id")
+        .replaceAll("#[0-9]+", "#n")
+        .replaceAll("__graft_salt_[0-9a-f]+", "__graft_salt") // random per-join suffix
       val d = java.security.MessageDigest.getInstance("SHA-256")
         .digest(s.getBytes("UTF-8"))
       d.take(4).map(b => f"$b%02x").mkString

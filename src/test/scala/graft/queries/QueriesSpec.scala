@@ -739,6 +739,19 @@ class QueriesSpec extends SparkTestBase {
       s"true NN 55 must be rank 1 after beam expansion, got ${q0.toSeq}")
   }
 
+  test("autoCoarseCells: per-level fanout tracks corpus size, exact at boundaries") {
+    // k0 = smallest power of two with k0^3 >= ceil(n/256), clamped to >= 2;
+    // leaf cells = k0^2 (two levels)
+    assert(Pipeline.autoCoarseCells(256) == 2, "q=1 clamps to the minimum")
+    assert(Pipeline.autoCoarseCells(500) == 2)   // sf0.01 fixture -> 4 leaf cells
+    assert(Pipeline.autoCoarseCells(2000) == 2)  // sf0.1 fixture -> 4 leaf cells
+    assert(Pipeline.autoCoarseCells(2048) == 2, "exact 8^1 boundary (q=8)")
+    assert(Pipeline.autoCoarseCells(2049) == 4, "first step past the boundary")
+    assert(Pipeline.autoCoarseCells(20000) == 8)   // 10x randvec -> 64 cells
+    assert(Pipeline.autoCoarseCells(200000) == 16) // 100x randvec -> 256 cells
+    assert(Pipeline.autoCoarseCells(2000000) == 32)
+  }
+
   test("sim_knn_graph_auto: plane count tracks corpus size; edges are mutual") {
     import org.apache.spark.sql.functions._
     assert(Pipeline.autoPlanes(500) == 4)
