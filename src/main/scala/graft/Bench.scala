@@ -34,6 +34,16 @@ object Bench {
       // family ≤ both alternatives.
       .config("spark.cleaner.periodicGC.interval",
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "45s"))
+      // AQE partition coalescing, size-first (round-13, guide §2.2 "fewer,
+      // larger reduce partitions"): with the default parallelismFirst=true
+      // AQE refuses to coalesce below the core count, so EVERY tiny shuffle
+      // on this board runs `cpus` reduce tasks — measured ~0.3-0.5 s of pure
+      // task/scheduling overhead per shuffle at sf0.1. Size-first coalescing
+      // picks the partition count from actual shuffle bytes (advisory 64 MB
+      // default), which is also the right production setting at 100 TB —
+      // scale-adaptive, not a local[32] constant. Env-overridable.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Stable measurement order: sorted by name, so any downstream truncation

@@ -32,6 +32,15 @@ object Pipeline {
   private def views(s: SparkSession, dir: String, names: String*): Unit =
     names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
 
+  /** Dev-only stage timer (SPARK_GRAFT_STAGE_DEBUG=1): localizes staged-
+    * materialization cost without the Spark UI. No-op otherwise. */
+  private[queries] def stageTimed[T](label: String)(f: => T): T =
+    if (sys.env.get("SPARK_GRAFT_STAGE_DEBUG").contains("1")) {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[stage] $label%-20s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    } else f
+
   private def docQuery(name: String, sql: Dialect => String): QueryDef =
     QueryDef(name, sql(DuckDialect)) { (s, dir) =>
       views(s, dir, "documents"); s.sql(sql(SparkDialect))
@@ -852,9 +861,12 @@ object Pipeline {
     * the SCALE.md-named fix for the flat n·√n build pass that dominated
     * the 100× probe (106.7 s, Θ(n^1.5) total). Per base vector the scored
     * candidates are |l2| + GsAsgProbes·m2 ≈ n^(1/4) instead of √n, so the
-    * build is Θ(n^(5/4)). The routing relations are model-sized — Spark
-    * broadcasts them (hints), so the corpus never shuffles for the
-    * assignment. The n-side COSINE EVALUATION still dominates (measured
+    * build is Θ(n^(5/4)). The LAYER relations (lr, l) are model-sized —
+    * Spark broadcasts them (hints); the base-route relation (brRel,
+    * n·GsAsgProbes rows) is corpus-sized, so re-attaching the corpus
+    * vectors IS one large-large equi-join shuffle on vec_id — the win
+    * here is fewer scored pairs, not zero corpus shuffle. The n-side
+    * COSINE EVALUATION still dominates (measured
     * round-10: a max-join rewrite that avoided the rn=1 window shuffle
     * but scored pairs twice ran 1.7× SLOWER at 100×), so fewer scored
     * pairs is exactly the lever this pulls. Layer nodes still self-assign:
@@ -1511,12 +1523,15 @@ object Pipeline {
        |    FROM ${p}d$step) r WHERE rn = 1)""".stripMargin
 
   /** The TRAINING front of the subspace k-means chain (seeds → assign →
-    * recompute), ending at the `${p}c2` centroid relation. NOTE: an
-    * experiment that eagerly checkpointed both c2 relations before the
-    * post-training pipeline made the 10× probe SLOWER (15.1 → 19.2s) —
-    * Spark 4 already shares the multi-referenced CTE subtree, and the
-    * eager materialization only serialized extra jobs — so the Spark
-    * gates run the same single inline chain as the oracle.
+    * recompute), ending at the `${p}c2` centroid relation. This chain is
+    * LINEAR (each CTE referenced once; only the checkpointed lane view is
+    * re-scanned), so it is safe to inline. The multi-referenced MODEL
+    * relations downstream of it are a different story: Catalyst inlines
+    * those per reference (sim_ivf_pq_residual's one-shot plan measured
+    * 1220 Exchanges at sf0.1), which is why [[ivf2ModelViews]] /
+    * [[pqModelViews]] materialize them once on the Spark side (round-13;
+    * an earlier round-12 experiment that checkpointed ONLY the two c2
+    * relations, leaving the rest inline, was slower at the 10× probe).
     */
   private[queries] def pqTrainCtes(d: Dialect, xRef: String, p: String,
       subDim: Int, k: Int): String = pqTrainCtes(d, xRef, p, subDim, k.toString)
@@ -1592,7 +1607,13 @@ object Pipeline {
     val q = math.max(1L, (n + 255) >> 8) // ceil(n/256)
     val l = if (q <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
     val j = (l + 2) / 3 // smallest j with 8^j >= q
-    math.max(2, 1 << j)
+    val k0 = math.max(2, 1 << j)
+    // Composite leaf cid = scid*1024 + sub requires k0 <= 1024 for
+    // disjointness (n <= ~2.7e11 vectors); past that, sub ids would
+    // silently collide into the next super's cid space. Fail loudly.
+    require(k0 <= 1024,
+      s"autoCoarseCells: k0=$k0 > 1024 (n=$n) breaks composite-cid disjointness")
+    k0
   }
 
   /** DuckDB twin of [[autoCoarseCells]] as an aggregate over the exploded
@@ -1622,7 +1643,6 @@ object Pipeline {
     */
   private[queries] def ivf2CoarseCtes(d: Dialect, xRef: String,
       k0Lit: String = ""): String = {
-    val idiv = if (d == SparkDialect) "div" else "//"
     val (nvCte, k0) =
       if (d == SparkDialect) {
         require(k0Lit.nonEmpty, "Spark side must pass the auto-K literal")
@@ -1630,15 +1650,29 @@ object Pipeline {
       } else (autoCoarseCellsSql(xRef) + ",\n", "(SELECT k0 FROM nv)")
     s"""$nvCte${pqTrainCtes(d, xRef, "s1", DIM, k0)},
        |${pqAssignCtes(d, xRef, "s1", 2, "s1c2")},
-       |s2seed AS (SELECT vec_id, cid AS scid,
+       |${ivf2SubTrainCtes(d, xRef, "s1a2", k0)},
+       |${ivf2SubAssignCtes(d, xRef, "s1a2", "s2c2")},
+       |cvc2 AS (SELECT scid*1024 + sub AS cid, 0 AS m, i, c FROM s2c2),
+       |cva2 AS (SELECT vec_id, 0 AS m, scid*1024 + sub AS cid FROM s2a2)""".stripMargin
+  }
+
+  /** Level-2 TRAINING fragment of the two-level coarse quantizer (seeds →
+    * assign → recompute within each super), ending at the `s2c2` leaf
+    * centroids. `s1a2Ref` names the level-1 assignment relation so the
+    * Spark runner can pass a materialized view ([[ivf2ModelViews]]) while
+    * the oracle inlines the CTE — identical text, identical results. */
+  private def ivf2SubTrainCtes(d: Dialect, xRef: String, s1a2Ref: String,
+      k0: String): String = {
+    val idiv = if (d == SparkDialect) "div" else "//"
+    s"""s2seed AS (SELECT vec_id, cid AS scid,
        |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) - 1 AS sub
-       |  FROM s1a2),
+       |  FROM $s1a2Ref),
        |s2c0 AS (SELECT sd.scid, sd.sub, x.i, CAST(x.x*1000 AS BIGINT) AS c
        |  FROM $xRef x JOIN s2seed sd ON sd.vec_id = x.vec_id
        |  WHERE sd.sub < $k0),
        |s2d1 AS (SELECT x.vec_id, c.scid, c.sub,
        |    CAST(SUM((x.x*1000 - c.c)*(x.x*1000 - c.c)) AS BIGINT) AS dist
-       |  FROM $xRef x JOIN s1a2 a ON a.vec_id = x.vec_id
+       |  FROM $xRef x JOIN $s1a2Ref a ON a.vec_id = x.vec_id
        |  JOIN s2c0 c ON c.scid = a.cid AND c.i = x.i
        |  GROUP BY x.vec_id, c.scid, c.sub),
        |s2a1 AS (SELECT vec_id, scid, sub FROM (
@@ -1649,18 +1683,70 @@ object Pipeline {
        |    (CAST(SUM(x.x) AS BIGINT)*1000
        |      - ((CAST(SUM(x.x) AS BIGINT)*1000) % COUNT(*))) $idiv COUNT(*) AS c
        |  FROM $xRef x JOIN s2a1 a ON x.vec_id = a.vec_id
-       |  GROUP BY a.scid, a.sub, x.i),
-       |s2d2 AS (SELECT x.vec_id, c.scid, c.sub,
+       |  GROUP BY a.scid, a.sub, x.i)""".stripMargin
+  }
+
+  /** Level-2 final ASSIGNMENT fragment (one more argmin against the trained
+    * leaf centroids), ending at `s2a2`. Ref-parameterized like
+    * [[ivf2SubTrainCtes]]. */
+  private def ivf2SubAssignCtes(d: Dialect, xRef: String, s1a2Ref: String,
+      s2c2Ref: String): String =
+    s"""s2d2 AS (SELECT x.vec_id, c.scid, c.sub,
        |    CAST(SUM((x.x*1000 - c.c)*(x.x*1000 - c.c)) AS BIGINT) AS dist
-       |  FROM $xRef x JOIN s1a2 a ON a.vec_id = x.vec_id
-       |  JOIN s2c2 c ON c.scid = a.cid AND c.i = x.i
+       |  FROM $xRef x JOIN $s1a2Ref a ON a.vec_id = x.vec_id
+       |  JOIN $s2c2Ref c ON c.scid = a.cid AND c.i = x.i
        |  GROUP BY x.vec_id, c.scid, c.sub),
        |s2a2 AS (SELECT vec_id, scid, sub FROM (
        |    SELECT vec_id, scid, sub,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, sub) AS rn
-       |    FROM s2d2) r WHERE rn = 1),
-       |cvc2 AS (SELECT scid*1024 + sub AS cid, 0 AS m, i, c FROM s2c2),
-       |cva2 AS (SELECT vec_id, 0 AS m, scid*1024 + sub AS cid FROM s2a2)""".stripMargin
+       |    FROM s2d2) r WHERE rn = 1)""".stripMargin
+
+  /** STAGED Spark materialization of the two-level coarse model
+    * (round-13 optimization): Catalyst INLINES multi-reference CTEs, so
+    * the one-shot chain replicated the whole Lloyd recurrence per
+    * downstream reference — sim_ivf_pq_residual's physical plan measured
+    * 1220 Exchange nodes / 16.6k plan lines at sf0.1 (guide §2.4: remove
+    * shuffles outright; §7.2: read the plan). Each multiply-referenced
+    * model relation is localCheckpoint'ed ONCE and registered as a temp
+    * view; every stage runs the IDENTICAL per-relation SQL the oracle's
+    * CTEs define, so results stay bit-identical. Registers
+    * `graft_${tag}_{s1c2,s1a2,s2c2,cvc2,cva2}` (cvc2 is a pure projection
+    * over the checkpointed s2c2 — no extra job). */
+  private[queries] def ivf2ModelViews(s: SparkSession, xView: String,
+      k0: String, tag: String): Unit = {
+    val d = SparkDialect
+    def mat(sql: String, view: String): Unit = stageTimed(view) {
+      s.sql(sql).localCheckpoint().createOrReplaceTempView(view)
+    }
+    mat(s"WITH ${pqTrainCtes(d, xView, "s1", DIM, k0)} " +
+      "SELECT cid, m, i, c FROM s1c2", s"graft_${tag}_s1c2")
+    mat(s"WITH ${pqAssignCtes(d, xView, "s1", 2, s"graft_${tag}_s1c2")} " +
+      "SELECT vec_id, m, cid FROM s1a2", s"graft_${tag}_s1a2")
+    mat(s"WITH ${ivf2SubTrainCtes(d, xView, s"graft_${tag}_s1a2", k0)} " +
+      "SELECT scid, sub, i, c FROM s2c2", s"graft_${tag}_s2c2")
+    mat(s"WITH ${ivf2SubAssignCtes(d, xView, s"graft_${tag}_s1a2",
+        s"graft_${tag}_s2c2")} " +
+      s"SELECT vec_id, 0 AS m, scid*1024 + sub AS cid FROM s2a2",
+      s"graft_${tag}_cva2")
+    s.sql(s"SELECT scid*1024 + sub AS cid, 0 AS m, i, c FROM graft_${tag}_s2c2")
+      .createOrReplaceTempView(s"graft_${tag}_cvc2")
+  }
+
+  /** Staged PQ codebook/code materialization (same treatment): registers
+    * `graft_${tag}_pqc2` and (when `withCodes`) `graft_${tag}_pqa2`. */
+  private[queries] def pqModelViews(s: SparkSession, xView: String,
+      tag: String, scale: Int = 1000, withCodes: Boolean = true): Unit = {
+    val d = SparkDialect
+    stageTimed(s"graft_${tag}_pqc2") {
+      s.sql(s"WITH ${pqTrainCtes(d, xView, "pq", 8, "8", scale)} " +
+          "SELECT cid, m, i, c FROM pqc2")
+        .localCheckpoint().createOrReplaceTempView(s"graft_${tag}_pqc2")
+    }
+    if (withCodes) stageTimed(s"graft_${tag}_pqa2") {
+      s.sql(s"WITH ${pqAssignCtes(d, xView, "pq", 2, s"graft_${tag}_pqc2", scale)} " +
+          "SELECT vec_id, m, cid FROM pqa2")
+        .localCheckpoint().createOrReplaceTempView(s"graft_${tag}_pqa2")
+    }
   }
 
   /** Hierarchical ENCODE against an already-trained two-level model
@@ -1709,11 +1795,20 @@ object Pipeline {
   private def ivfPqPostCtes(d: Dialect, xRef: String,
       cvc2Ref: String, pqc2Ref: String): String =
     s"""${pqAssignCtes(d, xRef, "pq", 2, pqc2Ref)},
-       |${ivfPqServeStaticCtes(d, xRef, cvc2Ref, pqc2Ref)},
+       |${ivfPqServeCtes(d, xRef, cvc2Ref, pqc2Ref, "cva2", "pqa2")}""".stripMargin
+
+  /** The serve chain downstream of a trained model (probe → candidates →
+    * ADC → top-5), ref-parameterized over the model relations so the Spark
+    * runner can serve from materialized views while the oracle inlines the
+    * CTEs — identical text, identical results. */
+  private[queries] def ivfPqServeCtes(d: Dialect, xRef: String,
+      cvc2Ref: String, pqc2Ref: String, cva2Ref: String,
+      pqa2Ref: String): String =
+    s"""${ivfPqServeStaticCtes(d, xRef, cvc2Ref, pqc2Ref)},
        |cand AS (SELECT p.qid, a.vec_id AS nid
-       |  FROM probe p JOIN cva2 a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
+       |  FROM probe p JOIN $cva2Ref a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
        |adc AS (SELECT cd.qid, cd.nid, CAST(SUM(l.pd) AS BIGINT) AS adist
-       |  FROM cand cd JOIN pqa2 a ON a.vec_id = cd.nid
+       |  FROM cand cd JOIN $pqa2Ref a ON a.vec_id = cd.nid
        |  JOIN lut l ON l.qid = cd.qid AND l.m = a.m AND l.cid = a.cid
        |  GROUP BY cd.qid, cd.nid),
        |pqtop AS (SELECT qid, nid, adist, rnk FROM (
@@ -1728,11 +1823,16 @@ object Pipeline {
        |${pqTrainCtes(d, xRef, "pq", 8, 8)},
        |${ivfPqPostCtes(d, xRef, "cvc2", "pqc2")}""".stripMargin
 
-  /** Materialize the quantized lane matrix once and run `body` over it —
-    * the [[embKmeansLloyd]] lesson: the lane relation feeds every assign/
-    * recompute/LUT stage, and re-running its quantize fold per reference
-    * would dominate.
-    */
+  /** One-shot Spark runner for the IVF-PQ family: materialize the
+    * quantized lane matrix once (the [[embKmeansLloyd]] lesson), then run
+    * `body` as a single inline SQL — the oracle's own CTE chain. For the
+    * NON-residual gates this measured FASTER than staged materialization
+    * (round-13: sim_ivf_pq 3.9 s one-shot vs 6.8 s staged at sf0.1 under
+    * size-first AQE coalescing): the model relations are referenced at
+    * most once downstream, Spark's ReuseExchange dedupes the repeated
+    * training subtrees, and one DAG keeps independent stages running in
+    * parallel where eager per-stage checkpoints would serialize them. The
+    * RESIDUAL gates are the exception — see [[ivfPqResidualSpark]]. */
   private def ivfPqSpark(body: (String, String) => String): (SparkSession, String) => DataFrame =
     (s, dir) => {
       views(s, dir, "embeddings")
@@ -1746,6 +1846,43 @@ object Pipeline {
       // relation (the oracle's nv CTE computes the identical value)
       val k0 = autoCoarseCells(qz.count()).toString
       s.sql(body("graft_pq_x", k0))
+    }
+
+  /** STAGED Spark runner for the residual gates (round-13 optimization):
+    * the residual lane matrix `xr` feeds the whole PQ chain (4 references)
+    * and itself re-derives the two-level coarse model per reference —
+    * Catalyst inlines multi-reference CTEs, so the one-shot residual plan
+    * measured 1220 Exchanges / 16.6k plan lines at sf0.1 (19.4 s; 13.4 s
+    * under size-first AQE coalescing). Staging the model relations
+    * ([[ivf2ModelViews]]), the residual matrix, and the residual-trained
+    * PQ codebooks/codes ([[pqModelViews]]) collapses the plan to linear:
+    * 7.9 s at sf0.1. Every stage is the oracle's own CTE text against the
+    * previous stage's relation, so results are bit-identical. */
+  private def ivfPqResidualSpark(tail: String => String): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      views(s, dir, "embeddings")
+      val qz = stageTimed("qz") {
+        s.sql(s"WITH ${quantCte(SparkDialect)} SELECT vec_id, qv FROM qz")
+          .localCheckpoint()
+      }
+      qz.createOrReplaceTempView("graft_pq_qz")
+      val x = stageTimed("x") {
+        s.sql("SELECT vec_id, posexplode(qv) AS (i, x) FROM graft_pq_qz")
+          .localCheckpoint()
+      }
+      x.createOrReplaceTempView("graft_pq_x")
+      val k0 = stageTimed("k0count") { autoCoarseCells(qz.count()).toString }
+      ivf2ModelViews(s, "graft_pq_x", k0, "pq")
+      // residual lanes (already milli-unit): x − assigned leaf centroid
+      stageTimed("xr") {
+        s.sql(
+          """SELECT x.vec_id, x.i, x.x*1000 - c.c AS x
+            |FROM graft_pq_x x JOIN graft_pq_cva2 a ON a.vec_id = x.vec_id
+            |JOIN graft_pq_cvc2 c ON c.cid = a.cid AND c.i = x.i""".stripMargin)
+          .localCheckpoint().createOrReplaceTempView("graft_pq_xr")
+      }
+      pqModelViews(s, "graft_pq_xr", "pq", scale = 1)
+      s.sql(tail("graft_pq_x"))
     }
 
   private[queries] val duckPqX =
@@ -1767,23 +1904,29 @@ object Pipeline {
     * index-sized output (KM rows).
     */
   private def simIndexStats: QueryDef = {
-    def tail(d: Dialect, xRef: String, k0Lit: String = ""): String =
-      s"""${ivf2CoarseCtes(d, xRef, k0Lit)},
-         |${pqTrainCtes(d, xRef, "pq", 8, 8)},
-         |${pqAssignCtes(d, xRef, "pq", 2, "pqc2")},
-         |pd AS (SELECT d.vec_id, CAST(SUM(d.dist) AS BIGINT) AS dd
-         |  FROM pqd2 d JOIN pqa2 a
+    // the report tail over the assignment-step distance relation (pd) and
+    // the model relations, ref-parameterized for the staged Spark runner
+    def statsTail(pqd2Ref: String, pqa2Ref: String, cva2Ref: String): String =
+      s"""pd AS (SELECT d.vec_id, CAST(SUM(d.dist) AS BIGINT) AS dd
+         |  FROM $pqd2Ref d JOIN $pqa2Ref a
          |    ON a.vec_id = d.vec_id AND a.m = d.m AND a.cid = d.cid
          |  GROUP BY d.vec_id)
          |SELECT CAST(c.cid AS BIGINT) AS cell,
          |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
          |  CAST(SUM(pd.dd) AS BIGINT) AS pq_distortion
-         |FROM cva2 c JOIN pd ON pd.vec_id = c.vec_id
+         |FROM $cva2Ref c JOIN pd ON pd.vec_id = c.vec_id
          |GROUP BY c.cid""".stripMargin
     QueryDef("sim_index_stats",
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
-         |${tail(DuckDialect, "x")}""".stripMargin)(
-      ivfPqSpark((xRef, k0) => s"WITH ${tail(SparkDialect, xRef, k0)}"))
+         |${ivf2CoarseCtes(DuckDialect, "x")},
+         |${pqTrainCtes(DuckDialect, "x", "pq", 8, 8)},
+         |${pqAssignCtes(DuckDialect, "x", "pq", 2, "pqc2")},
+         |${statsTail("pqd2", "pqa2", "cva2")}""".stripMargin)(
+      ivfPqSpark((xRef, k0) =>
+        s"""WITH ${ivf2CoarseCtes(SparkDialect, xRef, k0)},
+           |${pqTrainCtes(SparkDialect, xRef, "pq", 8, 8)},
+           |${pqAssignCtes(SparkDialect, xRef, "pq", 2, "pqc2")},
+           |${statsTail("pqd2", "pqa2", "cva2")}""".stripMargin))
   }
 
   private def simIvfPq: QueryDef = {
@@ -1914,24 +2057,32 @@ object Pipeline {
        |  JOIN cvc2 c ON c.cid = a.cid AND c.i = x.i),
        |${pqTrainCtes(d, "xr", "pq", 8, "8", 1)},
        |${pqAssignCtes(d, "xr", "pq", 2, "pqc2", 1)},
-       |q AS (SELECT vec_id AS qid, i, CAST(x*1000 AS BIGINT) AS qx
+       |${ivfPqResidualServeCtes(d, xRef, "cvc2", "pqc2", "cva2", "pqa2")}""".stripMargin
+
+  /** The residual serve chain (per-probed-cell LUT variant of
+    * [[ivfPqServeCtes]]), ref-parameterized over the model relations for
+    * the staged Spark runner. */
+  private[queries] def ivfPqResidualServeCtes(d: Dialect, xRef: String,
+      cvc2Ref: String, pqc2Ref: String, cva2Ref: String,
+      pqa2Ref: String): String =
+    s"""q AS (SELECT vec_id AS qid, i, CAST(x*1000 AS BIGINT) AS qx
        |  FROM $xRef WHERE vec_id % 100 = 0),
        |qprobe AS (SELECT q.qid, c.cid,
        |    CAST(SUM((q.qx - c.c)*(q.qx - c.c)) AS BIGINT) AS dist
-       |  FROM q JOIN cvc2 c ON q.i = c.i GROUP BY q.qid, c.cid),
+       |  FROM q JOIN $cvc2Ref c ON q.i = c.i GROUP BY q.qid, c.cid),
        |probe AS (SELECT qid, cid FROM (
        |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
        |  FROM qprobe) r WHERE rn <= 3),
        |qr AS (SELECT p.qid, p.cid AS pcell, q.i, q.qx - c.c AS rx
        |  FROM probe p JOIN q ON q.qid = p.qid
-       |  JOIN cvc2 c ON c.cid = p.cid AND c.i = q.i),
+       |  JOIN $cvc2Ref c ON c.cid = p.cid AND c.i = q.i),
        |lut AS (SELECT r.qid, r.pcell, c.m, c.cid,
        |    CAST(SUM((r.rx - c.c)*(r.rx - c.c)) AS BIGINT) AS pd
-       |  FROM qr r JOIN pqc2 c ON r.i = c.i GROUP BY r.qid, r.pcell, c.m, c.cid),
+       |  FROM qr r JOIN $pqc2Ref c ON r.i = c.i GROUP BY r.qid, r.pcell, c.m, c.cid),
        |cand AS (SELECT p.qid, p.cid AS pcell, a.vec_id AS nid
-       |  FROM probe p JOIN cva2 a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
+       |  FROM probe p JOIN $cva2Ref a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
        |adc AS (SELECT cd.qid, cd.nid, CAST(SUM(l.pd) AS BIGINT) AS adist
-       |  FROM cand cd JOIN pqa2 a ON a.vec_id = cd.nid
+       |  FROM cand cd JOIN $pqa2Ref a ON a.vec_id = cd.nid
        |  JOIN lut l ON l.qid = cd.qid AND l.pcell = cd.pcell
        |    AND l.m = a.m AND l.cid = a.cid
        |  GROUP BY cd.qid, cd.nid),
@@ -2098,10 +2249,17 @@ object Pipeline {
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
          |${ivfPqResidualCtes(DuckDialect, "x")}
          |$sel""".stripMargin)(
-      ivfPqSpark((xRef, k0) =>
-        s"""WITH ${ivfPqResidualCtes(SparkDialect, xRef, k0)}
-           |$sel""".stripMargin))
+      ivfPqResidualSpark { xRef =>
+        s"""WITH ${stagedResidualServeCtes(xRef)}
+           |$sel""".stripMargin
+      })
   }
+
+  /** The staged Spark residual-serve CTEs over [[ivfPqSpark]]'s model
+    * views (PQ trained on the residual lane matrix). */
+  private def stagedResidualServeCtes(xRef: String): String =
+    ivfPqResidualServeCtes(SparkDialect, xRef, "graft_pq_cvc2",
+      "graft_pq_pqc2", "graft_pq_cva2", "graft_pq_pqa2")
 
   /** Recall@5 of the residual-encoded ADC against the same exact ground
     * truth as [[simIvfPqRecall]] — equal M/K/nprobe, so the per-query
@@ -2111,8 +2269,9 @@ object Pipeline {
     QueryDef("sim_ivf_pq_residual_recall",
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
          |${ivfPqResidualCtes(DuckDialect, "x")}${ivfPqRecallTail("x", "pqtop")}""".stripMargin)(
-      ivfPqSpark((xRef, k0) =>
-        s"""WITH ${ivfPqResidualCtes(SparkDialect, xRef, k0)}${ivfPqRecallTail(xRef, "pqtop")}""".stripMargin))
+      ivfPqResidualSpark { xRef =>
+        s"""WITH ${stagedResidualServeCtes(xRef)}${ivfPqRecallTail(xRef, "pqtop")}""".stripMargin
+      })
 
   /** SEQUENCE PACKING (round-7): the concat-and-chunk layout a pretraining
     * dataloader feeds the model — documents are concatenated in doc_id
