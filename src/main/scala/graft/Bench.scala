@@ -44,6 +44,18 @@ object Bench {
       // scale-adaptive, not a local[32] constant. Env-overridable.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+      // Advisory target for AQE coalescing. The 64 MB Spark default
+      // assumes byte-proportional work; this board's operators are
+      // compute-dense per input byte (integer-lane model joins fan out
+      // n·k0 scored pairs per lane row; n-gram/edit-distance gates explode
+      // per row), so 64 MB starved them of cores — measured 100× randvec:
+      // sim_ivf_pq_residual 247 s @64m vs 67 s @1m; sf0.1:
+      // dedup_ngram_jaccard 5.9 s @4m vs 3.7 s @1m. 1 MB keeps KB-scale
+      // model shuffles at 1 task while giving compute-heavy stages real
+      // parallelism at every probed scale; production at 100 TB raises it
+      // toward 64-256 MB for scan-bound stages via this same knob.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "1m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Stable measurement order: sorted by name, so any downstream truncation
@@ -187,6 +199,16 @@ object Bench {
         // band is stale by construction, so drop it (re-bases this board).
         def unchanged(k: String): Boolean =
           prevFps.get(k).forall(pf => pf == "na" || fps.get(k).forall(_ == pf))
+        // Visibility: a gate whose recorded or current fp is "na"/missing
+        // is treated as unchanged above, i.e. silently EXEMPT from band
+        // resets across real plan changes — log it so a permanently
+        // unfingerprintable gate is visible rather than silently exempt.
+        val unfingerprintable = (q.keySet ++ b.keySet).filter(k =>
+          prevFps.get(k).contains("na") || fps.get(k).forall(_ == "na")).toSeq.sorted
+        if (unfingerprintable.nonEmpty)
+          System.err.println(s"[bench] ${unfingerprintable.length} gate(s) with " +
+            s"na/missing plan fingerprint (band resets cannot fire for these): " +
+            unfingerprintable.take(10).mkString(","))
         // per-gate min of the last board and the ratcheted bands
         val merged = (q.keySet ++ b.keySet).filter(unchanged).map { k =>
           k -> math.min(q.getOrElse(k, Double.MaxValue),

@@ -1718,9 +1718,12 @@ object Pipeline {
     def mat(sql: String, view: String): Unit = stageTimed(view) {
       s.sql(sql).localCheckpoint().createOrReplaceTempView(view)
     }
-    mat(s"WITH ${pqTrainCtes(d, xView, "s1", DIM, k0)} " +
-      "SELECT cid, m, i, c FROM s1c2", s"graft_${tag}_s1c2")
-    mat(s"WITH ${pqAssignCtes(d, xView, "s1", 2, s"graft_${tag}_s1c2")} " +
+    // level-1 train + final assignment in ONE job: the chain is linear, so
+    // inlining it costs nothing, and only its END relation (s1a2, 3 refs
+    // downstream) needs materializing — a separate s1c2 barrier measured
+    // pure serialization overhead.
+    mat(s"WITH ${pqTrainCtes(d, xView, "s1", DIM, k0)}, " +
+      s"${pqAssignCtes(d, xView, "s1", 2, "s1c2")} " +
       "SELECT vec_id, m, cid FROM s1a2", s"graft_${tag}_s1a2")
     mat(s"WITH ${ivf2SubTrainCtes(d, xView, s"graft_${tag}_s1a2", k0)} " +
       "SELECT scid, sub, i, c FROM s2c2", s"graft_${tag}_s2c2")
@@ -1881,7 +1884,10 @@ object Pipeline {
             |JOIN graft_pq_cvc2 c ON c.cid = a.cid AND c.i = x.i""".stripMargin)
           .localCheckpoint().createOrReplaceTempView("graft_pq_xr")
       }
-      pqModelViews(s, "graft_pq_xr", "pq", scale = 1)
+      // codebooks only: the code relation (pqa2, ONE downstream reference)
+      // is inlined into the serve tail — a checkpoint there is a pure
+      // barrier (the assign compute runs once either way)
+      pqModelViews(s, "graft_pq_xr", "pq", scale = 1, withCodes = false)
       s.sql(tail("graft_pq_x"))
     }
 
@@ -2255,11 +2261,14 @@ object Pipeline {
       })
   }
 
-  /** The staged Spark residual-serve CTEs over [[ivfPqSpark]]'s model
-    * views (PQ trained on the residual lane matrix). */
+  /** The staged Spark residual-serve CTEs over [[ivfPqResidualSpark]]'s
+    * model views: the PQ code relation (pqa2) is the one single-reference
+    * chain, so it runs inline here (against the materialized residual
+    * lanes and codebooks) instead of paying a checkpoint barrier. */
   private def stagedResidualServeCtes(xRef: String): String =
-    ivfPqResidualServeCtes(SparkDialect, xRef, "graft_pq_cvc2",
-      "graft_pq_pqc2", "graft_pq_cva2", "graft_pq_pqa2")
+    s"""${pqAssignCtes(SparkDialect, "graft_pq_xr", "pq", 2, "graft_pq_pqc2", 1)},
+       |${ivfPqResidualServeCtes(SparkDialect, xRef, "graft_pq_cvc2",
+            "graft_pq_pqc2", "graft_pq_cva2", "pqa2")}""".stripMargin
 
   /** Recall@5 of the residual-encoded ADC against the same exact ground
     * truth as [[simIvfPqRecall]] — equal M/K/nprobe, so the per-query
@@ -2839,16 +2848,33 @@ object Pipeline {
   private def unigramHead(d: Dialect): String = {
     val tok = d.explodeSelect("doc_id", "documents", F.tokens(d, "text"), "w")
     s"""toks AS ($tok),
-       |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f,
+       |wf AS (${unigramWfSel("toks")}),
+       |${unigramSubCtes(d, "wf")},
+       |${unigramPcostCtes(d)},
+       |occ AS (${unigramOccSel("sub", "pcost")})""".stripMargin
+  }
+
+  /** Head fragments, ref-parameterized so the Spark runner can stage each
+    * relation INCREMENTALLY over the previous stage's view instead of
+    * re-deriving the whole head per materialization (measured: the four
+    * head checkpoints were 2.7 s of text_unigram_train's 4.9 s at sf0.1
+    * because each re-ran tokenize → wf → sub from scratch). Same text,
+    * same relations, bit-identical results. */
+  private def unigramWfSel(toksRef: String): String =
+    s"""SELECT w, CAST(COUNT(*) AS BIGINT) AS f,
        |    CAST(MAX(length(w)) AS BIGINT) AS wlen
-       |  FROM toks WHERE length(w) >= 1 AND length(w) <= 8 GROUP BY w),
-       |ii AS (${F.intRows(d, 8, "i0")}),
+       |  FROM $toksRef WHERE length(w) >= 1 AND length(w) <= 8 GROUP BY w""".stripMargin
+
+  private def unigramSubCtes(d: Dialect, wfRef: String): String =
+    s"""ii AS (${F.intRows(d, 8, "i0")}),
        |ll AS (${F.intRows(d, 4, "l0")}),
        |sub AS (SELECT wf.w, wf.f, ii.i0 + 1 AS i, ll.l0 + 1 AS l,
        |    substring(wf.w, ii.i0 + 1, ll.l0 + 1) AS p
-       |  FROM wf CROSS JOIN ii CROSS JOIN ll
-       |  WHERE ii.i0 + ll.l0 + 1 <= wf.wlen),
-       |pc AS (SELECT p, CAST(SUM(f) AS BIGINT) AS c FROM sub GROUP BY p),
+       |  FROM $wfRef wf CROSS JOIN ii CROSS JOIN ll
+       |  WHERE ii.i0 + ll.l0 + 1 <= wf.wlen)""".stripMargin
+
+  private def unigramPcostCtes(d: Dialect): String =
+    s"""pc AS (SELECT p, CAST(SUM(f) AS BIGINT) AS c FROM sub GROUP BY p),
        |voc AS (SELECT p, c FROM pc WHERE length(p) = 1
        |  UNION ALL
        |  SELECT p, c FROM (SELECT p, c,
@@ -2858,13 +2884,14 @@ object Pipeline {
        |pcost AS (SELECT voc.p, voc.c,
        |    CAST(${F.log2Micro(d, "tt.t")} - ${F.log2Micro(d, "voc.c")}
        |      AS BIGINT) AS pcost
-       |  FROM voc CROSS JOIN tt),
-       |occ AS (SELECT s.w, CAST(s.i - 1 AS BIGINT) AS j0,
+       |  FROM voc CROSS JOIN tt)""".stripMargin
+
+  private def unigramOccSel(subRef: String, pcostRef: String): String =
+    s"""SELECT s.w, CAST(s.i - 1 AS BIGINT) AS j0,
        |    CAST(s.i + s.l - 1 AS BIGINT) AS j1, CAST(s.l AS BIGINT) AS l,
        |    s.p, c.pcost
-       |  FROM (SELECT DISTINCT w, i, l, p FROM sub) s
-       |  JOIN pcost c ON s.p = c.p)""".stripMargin
-  }
+       |  FROM (SELECT DISTINCT w, i, l, p FROM $subRef) s
+       |  JOIN $pcostRef c ON s.p = c.p""".stripMargin
 
   /** One min-cost relax round of the Viterbi DP — identical text both
     * engines; `prev`/`occRef` name the previous-round and edge relations. */
@@ -2946,36 +2973,59 @@ object Pipeline {
   private[queries] def unigramViews(s: SparkSession, dir: String): Unit = {
     val d = SparkDialect
     views(s, dir, "documents")
-    val head = unigramHead(d)
-    def mat(sel: String, view: String): Unit =
-      s.sql(s"WITH $head $sel").localCheckpoint()
-        .createOrReplaceTempView(view)
-    mat("SELECT doc_id, w FROM toks", "graft_uni_toks")
-    mat("SELECT w, f, wlen FROM wf", "graft_uni_wf")
-    mat("SELECT p, c, pcost FROM pcost", "graft_uni_pcost")
-    mat("SELECT w, j0, j1, l, p, pcost FROM occ", "graft_uni_occ")
-    s.sql("SELECT w, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS cost " +
-        "FROM graft_uni_wf")
-      .localCheckpoint().createOrReplaceTempView("graft_uni_dp")
-    (1 to 8).foreach { _ =>
-      s.sql(uniDpRound("graft_uni_dp", "graft_uni_occ"))
+    def mat(sql: String, view: String): Unit = stageTimed(view) {
+      s.sql(sql).localCheckpoint().createOrReplaceTempView(view)
+    }
+    // INCREMENTAL head staging (round-13): each relation builds on the
+    // previous stage's checkpointed view — the old form re-ran the whole
+    // head (tokenize → wf → sub → …) inside every one of the four head
+    // materializations (2.7 s of train's 4.9 s at sf0.1). Same per-relation
+    // SQL text as the oracle's CTEs.
+    val tok = d.explodeSelect("doc_id", "documents", F.tokens(d, "text"), "w")
+    mat(s"SELECT doc_id, w FROM ($tok) toks", "graft_uni_toks")
+    mat(unigramWfSel("graft_uni_toks"), "graft_uni_wf")
+    mat(s"WITH ${unigramSubCtes(d, "graft_uni_wf")},\n${unigramPcostCtes(d)} " +
+      "SELECT p, c, pcost FROM pcost", "graft_uni_pcost")
+    mat(s"WITH ${unigramSubCtes(d, "graft_uni_wf")} " +
+      unigramOccSel("sub", "graft_uni_pcost"), "graft_uni_occ")
+    stageTimed("uni_dp0") {
+      s.sql("SELECT w, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS cost " +
+          "FROM graft_uni_wf")
         .localCheckpoint().createOrReplaceTempView("graft_uni_dp")
     }
-    s.sql(uniBedge("graft_uni_dp", "graft_uni_occ"))
-      .localCheckpoint().createOrReplaceTempView("graft_uni_bedge")
-    s.sql("SELECT w, wlen AS pos FROM graft_uni_wf")
-      .localCheckpoint().createOrReplaceTempView("graft_uni_wk")
-    val pieces = (1 to 8).map { _ =>
-      val step = s.sql(uniWalkRound("graft_uni_wk", "graft_uni_bedge"))
-        .localCheckpoint()
-      step.createOrReplaceTempView("graft_uni_wk")
-      step.select(org.apache.spark.sql.functions.col("w"),
-        org.apache.spark.sql.functions.col("p"))
+    // NOTE: composing two relax rounds per barrier (dp_{r+2} from dp_r via
+    // an inline CTE) trips a Catalyst constraint-rewrite bug on stacked
+    // unions (UnionBase.rewriteConstraints: "key not found" on the shared
+    // attribute) in Spark 4.1 — kept one barrier per round.
+    (1 to 8).foreach { r =>
+      stageTimed(s"uni_dp$r") {
+        s.sql(uniDpRound("graft_uni_dp", "graft_uni_occ"))
+          .localCheckpoint().createOrReplaceTempView("graft_uni_dp")
+      }
+    }
+    stageTimed("uni_bedge") {
+      s.sql(uniBedge("graft_uni_dp", "graft_uni_occ"))
+        .localCheckpoint().createOrReplaceTempView("graft_uni_bedge")
+    }
+    stageTimed("uni_wk0") {
+      s.sql("SELECT w, wlen AS pos FROM graft_uni_wf")
+        .localCheckpoint().createOrReplaceTempView("graft_uni_wk")
+    }
+    val pieces = (1 to 8).map { r =>
+      stageTimed(s"uni_wk$r") {
+        val step = s.sql(uniWalkRound("graft_uni_wk", "graft_uni_bedge"))
+          .localCheckpoint()
+        step.createOrReplaceTempView("graft_uni_wk")
+        step.select(org.apache.spark.sql.functions.col("w"),
+          org.apache.spark.sql.functions.col("p"))
+      }
     }.reduceLeft(_.unionAll(_))
     pieces.createOrReplaceTempView("graft_uni_seg")
-    s.sql("SELECT w, p, CAST(COUNT(*) AS BIGINT) AS k FROM graft_uni_seg " +
-        "GROUP BY w, p")
-      .localCheckpoint().createOrReplaceTempView("graft_uni_segc")
+    stageTimed("uni_segc") {
+      s.sql("SELECT w, p, CAST(COUNT(*) AS BIGINT) AS k FROM graft_uni_seg " +
+          "GROUP BY w, p")
+        .localCheckpoint().createOrReplaceTempView("graft_uni_segc")
+    }
   }
 
   /** DuckDB inlines every CTE per REFERENCE — the 8 self-referencing DP
@@ -3065,9 +3115,11 @@ object Pipeline {
     s.sql("SELECT w, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS cost " +
         "FROM graft_uni_wf")
       .localCheckpoint().createOrReplaceTempView("graft_uni2_dp")
-    (1 to 8).foreach { _ =>
-      s.sql(uniDpRound("graft_uni2_dp", "graft_uni2_occ"))
-        .localCheckpoint().createOrReplaceTempView("graft_uni2_dp")
+    (1 to 8).foreach { r =>
+      stageTimed(s"uni2_dp$r") {
+        s.sql(uniDpRound("graft_uni2_dp", "graft_uni2_occ"))
+          .localCheckpoint().createOrReplaceTempView("graft_uni2_dp")
+      }
     }
     s.sql(uniBedge("graft_uni2_dp", "graft_uni2_occ"))
       .localCheckpoint().createOrReplaceTempView("graft_uni2_bedge")

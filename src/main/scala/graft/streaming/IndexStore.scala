@@ -144,9 +144,33 @@ final class IndexStore(ss: SparkSession, val dir: String, keyCol: String,
     // already-GC'd store under a fresh id. A generation WITHOUT the marker
     // is a live appended batch — reusing its id would make the final
     // rename silently clobber its untouched buckets: refuse loudly.
+    // Digest of the tombstone PARTITION SET, recorded inside the _GC
+    // marker: the recovery no-op below must only fire for a re-run of the
+    // SAME gc — an accidental reuse of a completed gc's batch id with a
+    // DIFFERENT tombstone set would otherwise return success while
+    // silently skipping the new GC entirely.
+    val partsDigest = {
+      val s = parts.map(String.valueOf).sorted.mkString("\n")
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
     if (fs.exists(gen)) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(gen, "_GC")) && !fs.exists(tmp))
+      val markerPath = new org.apache.hadoop.fs.Path(gen, "_GC")
+      if (fs.exists(markerPath) && !fs.exists(tmp)) {
+        val recorded = {
+          val in = fs.open(markerPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        }
+        // empty marker = a pre-digest generation (legacy) — accept; a
+        // recorded digest that disagrees means this is NOT a re-run of
+        // the same gc: refuse instead of no-opping.
+        require(recorded.isEmpty || recorded == partsDigest,
+          s"gcBatchId=$gcBatchId was already used by a gc over a DIFFERENT " +
+            s"tombstone partition set (recorded digest $recorded, this run " +
+            s"$partsDigest); pick a fresh id")
         return parts
+      }
       require(false,
         s"gcBatchId=$gcBatchId collides with an existing generation at $gen; " +
           "pick a fresh id")
@@ -167,9 +191,13 @@ final class IndexStore(ss: SparkSession, val dir: String, keyCol: String,
         .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
     }
     // provenance marker: travels with the rename, so a future re-run can
-    // tell "our own published generation" from a live appended batch
+    // tell "our own published generation" from a live appended batch; its
+    // content is the tombstone-partition digest the recovery path verifies
     val marker = new org.apache.hadoop.fs.Path(tmp, "_GC")
-    if (!fs.exists(marker)) fs.create(marker).close()
+    if (!fs.exists(marker)) {
+      val out = fs.create(marker)
+      try out.write(partsDigest.getBytes("UTF-8")) finally out.close()
+    }
     fs.listStatus(p).filter(_.getPath.getName.startsWith("batch=")).foreach { b =>
       parts.foreach { v =>
         val bp = new org.apache.hadoop.fs.Path(b.getPath, s"$partCol=$v")

@@ -257,6 +257,28 @@ class BandStoreSpec extends SparkTestBase {
     assert(rerun == after, "the recovery re-run must not change the store")
   }
 
+  test("IndexStore.gcCompact: completed id reused with a DIFFERENT tombstone set is refused") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("gcdig").toString + "/idx"
+    val store = new graft.streaming.IndexStore(spark, idx, "bkt", 4)
+    val rows = (1L to 16L).map(i => (i, i % 4)).toDF("id", "bkt")
+    store.appendBatch(rows, 0L)
+    store.gcCompact(Seq((3L, 3L)).toDF("id", "bkt"), "id", rows.schema,
+      gcBatchId = 99L)
+    // NOT a recovery re-run: the same id with tombstones in a different
+    // partition set must error loudly — a silent no-op would report
+    // success while skipping this gc entirely (the _GC marker records the
+    // tombstone-partition digest exactly to catch this)
+    val e = intercept[IllegalArgumentException] {
+      store.gcCompact(Seq((6L, 2L)).toDF("id", "bkt"), "id", rows.schema,
+        gcBatchId = 99L)
+    }
+    assert(e.getMessage.contains("DIFFERENT"),
+      "id reuse across different tombstone sets must not no-op")
+    // the refused call must not have touched the store
+    assert(store.readAll(store.batchSchema(rows.schema)).count() == 15)
+  }
+
   test("IndexStore.compactGenerations: crash between delete and publish is recoverable") {
     import spark.implicits._
     val idx = Files.createTempDirectory("cmpcrash").toString + "/idx"
