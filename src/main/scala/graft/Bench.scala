@@ -58,6 +58,15 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "1m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Round-14: the staged localCheckpoints (residual/unigram gates) emit a
+    // WARN per checkpointed RDD when reapRdds unpersists them — thousands of
+    // lines per board (the r13 driver run's tail was 100% this flood, which
+    // can push the parseable stdout JSON line out of a tail window). They
+    // are expected-by-design here (we unpersist deliberately, recomputation
+    // is never needed), so silence the RDD loggers for the bench session.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
     // Stable measurement order: sorted by name, so any downstream truncation
     // of the report never systematically hides the same trailing queries.
     val picked = SparkEntry.queries.toSeq.filter(q => selected(q._1)).sortBy(_._1)
@@ -173,6 +182,23 @@ object Bench {
     val hostFp = try {
       java.net.InetAddress.getLocalHost.getHostName + "/" + cpus
     } catch { case _: Throwable => "unknown/" + cpus }
+    // Round-14: hash of the perf-relevant session config. The r13 board-wide
+    // AQE change altered every gate's runtime without altering any logical
+    // plan, so the per-gate plan fingerprints could not reset the bands —
+    // 34 gates became fresh-JVM fork suspects and the fork phase blew the
+    // driver's wall-clock budget. A config-only change must re-base ALL
+    // bands in one step instead: the band file records this hash, and a
+    // mismatch drops every prior (this board re-bases globally, 0 suspects).
+    val confHash = {
+      val keys = Seq("spark.sql.shuffle.partitions",
+        "spark.cleaner.periodicGC.interval",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      val s = keys.map(k => k + "=" + spark.conf.getOption(k).getOrElse(""))
+        .mkString(";")
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    }
     val (prevQueries: Map[String, Double], prevSameHost: Boolean) = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")), "UTF-8")
@@ -189,8 +215,17 @@ object Bench {
         section(tag).flatMap { case (k, v) => v.toDoubleOption.map(k -> _) }
       // sf guard: a prior report from a DIFFERENT scale factor (e.g. an
       // sf0.001 smoke run that clobbered the file) would flag every gate.
+      // Config guard (round-14): a prior report measured under a different
+      // session config re-bases globally — every band is stale by
+      // construction, not just the gates whose plans changed.
+      val prevConf = "\"confighash\":\"([0-9a-f]+)\"".r
+        .findFirstMatchIn(txt).map(_.group(1))
       if (!txt.contains("\"sf\":\"" + sfDir + "\"")) (Map.empty[String, Double], true)
-      else {
+      else if (prevConf.exists(_ != confHash)) {
+        System.err.println(s"[bench] session config changed " +
+          s"(${prevConf.get} -> $confHash): re-basing all bands")
+        (Map.empty[String, Double], true)
+      } else {
         val q = nums("\"queries\":{")
         val b = nums("\"bands\":{")
         val prevFps = section("\"fps\":{")
@@ -295,11 +330,100 @@ object Bench {
     // timing out; (d) forks stand down when the committed band file came
     // from a different host/core-count, where "slower than the band" mostly
     // measures the machine, not the gate.
+    // Round-14 additions: (e) the fork phase is COUNT-capped as well as
+    // budget-capped (default 8 forks, env-tunable) — the r13 driver board
+    // flagged 34 suspects after a config-only band invalidation and was
+    // killed mid fork phase; with the config-hash rebase above that cannot
+    // recur, and the count cap bounds the phase even if it does; (f) the
+    // one-line board JSON is printed BEFORE the fork phase (best-effort
+    // appendix), so a wall-clock kill during forks still leaves a parseable
+    // board on stdout — the final line, printed after adjudication, wins
+    // when the run completes.
     val freshJvmEnabled = sys.env.getOrElse("SPARK_GRAFT_FRESH_JVM", "1") != "0"
     val forkBudgetSecs = sys.env.get("SPARK_GRAFT_FRESH_JVM_BUDGET_SECS")
       .flatMap(_.toLongOption).getOrElse(600L)
+    val forkCountCap = sys.env.get("SPARK_GRAFT_FRESH_JVM_MAX")
+      .flatMap(_.toIntOption).getOrElse(8)
     val perForkCapSecs = 300L
     val freshReruns = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    // All reporting lives here so the board can be emitted twice: once
+    // before the fork phase (crash insurance) and once after (final word).
+    def emitBoard(board: Seq[(String, Double)]): Unit = {
+      def fmt(v: Double): String = BigDecimal(v)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      val total = if (board.nonEmpty) board.map(_._2).sum else 0.0
+      val sorted = board.map(_._2).sorted
+      // linear-interpolated percentile: the naive (p*n).toInt index
+      // over-reports at exact rank multiples (an even-count median would be
+      // the UPPER middle — the same bug the per-query median above fixes)
+      def pct(p: Double): Double =
+        if (sorted.isEmpty) 0.0
+        else {
+          val rank = p * (sorted.length - 1)
+          val lo = rank.toInt
+          val hi = math.min(sorted.length - 1, lo + 1)
+          sorted(lo) + (sorted(hi) - sorted(lo)) * (rank - lo)
+        }
+      def mapJson(rs: Seq[(String, Double)]): String =
+        rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      def envelope(qs: String, extra: String): String =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${board.length},""" +
+          s""""median":${fmt(pct(0.5))},"p90":${fmt(pct(0.9))},"queries":$qs$extra,"sf":"$sfDir"}"""
+      // Full per-query report goes to a file the repo keeps (NOT stdout: the
+      // consumer of stdout tails only the last ~2000 chars, which a 125-entry
+      // map overflows — BENCH_r02's `parsed: null` — and an extra stderr line
+      // could interleave after the parseable stdout line).
+      // Ledger the re-run evidence: for every flagged gate, the contaminated
+      // first median and the post-settle second, so a reader can distinguish
+      // "plan got slower" from "board co-tenancy" without an extra session.
+      val rerunJson = {
+        val inSession =
+          if (reruns.isEmpty) ""
+          else "," + "\"reruns\":" + reruns.map { case (k, (a, b)) =>
+            "\"" + k + "\":{\"first\":" + fmt(a) + ",\"rerun\":" + fmt(b) + "}"
+          }.mkString("{", ",", "}")
+        val fresh =
+          if (freshReruns.isEmpty) ""
+          else "," + "\"fresh_jvm\":" + freshReruns.map { case (k, (a, b)) =>
+            "\"" + k + "\":{\"worn\":" + fmt(a) + ",\"fresh\":" + fmt(b) + "}"
+          }.mkString("{", ",", "}")
+        inSession + fresh
+      }
+      val bandsJson =
+        if (prefixes.nonEmpty) ""
+        else "," + "\"bands\":" + mapJson(board.map { case (n, t) =>
+          n -> math.min(t, prevQueries.getOrElse(n, Double.MaxValue)) }) +
+          ",\"fps\":" + board.map { case (n, _) =>
+            "\"" + n + "\":\"" + fps.getOrElse(n, "na") + "\""
+          }.mkString("{", ",", "}") +
+          ",\"host\":\"" + hostFp + "\"" +
+          ",\"confighash\":\"" + confHash + "\""
+      val fullLine = envelope(mapJson(board), rerunJson + bandsJson)
+      // prefix-filtered runs must not clobber the committed full-board
+      // report: they default to a scratch path unless explicitly redirected
+      val defaultOut =
+        if (prefixes.isEmpty) "/root/repo/BENCH_FULL.json"
+        else "/tmp/graft_bench_partial.json"
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
+      // The stdout JSON line must survive a 2000-char tail window AND
+      // parse: pack queries slowest-first under a byte budget and roll the
+      // rest (all fast ones) into an `omitted` summary.
+      val budget = 1600
+      val bySlowest = board.sortBy(-_._2)
+      var used = 0
+      val kept = bySlowest.takeWhile { case (k, v) =>
+        used += k.length + fmt(v).length + 4; used <= budget
+      }
+      val dropped = bySlowest.drop(kept.length)
+      val omitted =
+        if (dropped.isEmpty) ""
+        else s""","omitted":{"n":${dropped.length},"sec":${fmt(dropped.map(_._2).sum)},"max_sec":${fmt(dropped.head._2)},"full_report":"$outPath"}"""
+      val rerunNote = if (reruns.isEmpty) "" else s""","reruns_n":${reruns.size}"""
+      println(envelope(mapJson(kept.sortBy(_._1)), omitted + rerunNote))
+    }
     val finalResults =
       if (prefixes.nonEmpty || prevQueries.isEmpty || !freshJvmEnabled || !prevSameHost) {
         if (prefixes.isEmpty && prevQueries.nonEmpty && (!freshJvmEnabled || !prevSameHost))
@@ -311,10 +435,14 @@ object Bench {
         val suspects = results.filter { case (n, t) =>
           prevQueries.get(n).exists(p => t > 1.5 * p && t - p > 0.4) }
           .sortBy { case (n, t) => -(t / prevQueries(n)) }
-        if (suspects.nonEmpty)
-          System.err.println(s"[bench] ${suspects.length} fresh-JVM suspects; " +
-            s"budget ${forkBudgetSecs}s, severity order: " +
+          .take(forkCountCap)
+        if (suspects.nonEmpty) {
+          System.err.println(s"[bench] ${suspects.length} fresh-JVM suspects " +
+            s"(count cap $forkCountCap); budget ${forkBudgetSecs}s, severity order: " +
             suspects.take(5).map(_._1).mkString(","))
+          // best-effort board: parseable even if the fork phase is killed
+          emitBoard(results)
+        }
         val deadline = System.nanoTime() + forkBudgetSecs * 1000000000L
         val fixed = suspects.flatMap { case (n, t) =>
           val remainingSecs = (deadline - System.nanoTime()) / 1000000000L
@@ -326,79 +454,7 @@ object Bench {
         }.toMap
         results.map { case (n, t) => n -> fixed.getOrElse(n, t) }
       }
-    def fmt(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val total = if (finalResults.nonEmpty) finalResults.map(_._2).sum else 0.0
-    val sorted = finalResults.map(_._2).sorted
-    // linear-interpolated percentile: the naive (p*n).toInt index
-    // over-reports at exact rank multiples (an even-count median would be
-    // the UPPER middle — the same bug the per-query median above fixes)
-    def pct(p: Double): Double =
-      if (sorted.isEmpty) 0.0
-      else {
-        val rank = p * (sorted.length - 1)
-        val lo = rank.toInt
-        val hi = math.min(sorted.length - 1, lo + 1)
-        sorted(lo) + (sorted(hi) - sorted(lo)) * (rank - lo)
-      }
-    def mapJson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    def envelope(qs: String, extra: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${finalResults.length},""" +
-        s""""median":${fmt(pct(0.5))},"p90":${fmt(pct(0.9))},"queries":$qs$extra,"sf":"$sfDir"}"""
-    // Full per-query report goes to a file the repo keeps (NOT stdout: the
-    // consumer of stdout tails only the last ~2000 chars, which a 125-entry
-    // map overflows — BENCH_r02's `parsed: null` — and an extra stderr line
-    // could interleave after the parseable stdout line).
-    // Ledger the re-run evidence: for every flagged gate, the contaminated
-    // first median and the post-settle second, so a reader can distinguish
-    // "plan got slower" from "board co-tenancy" without an extra session.
-    val rerunJson = {
-      val inSession =
-        if (reruns.isEmpty) ""
-        else "," + "\"reruns\":" + reruns.map { case (k, (a, b)) =>
-          "\"" + k + "\":{\"first\":" + fmt(a) + ",\"rerun\":" + fmt(b) + "}"
-        }.mkString("{", ",", "}")
-      val fresh =
-        if (freshReruns.isEmpty) ""
-        else "," + "\"fresh_jvm\":" + freshReruns.map { case (k, (a, b)) =>
-          "\"" + k + "\":{\"worn\":" + fmt(a) + ",\"fresh\":" + fmt(b) + "}"
-        }.mkString("{", ",", "}")
-      inSession + fresh
-    }
-    val bandsJson =
-      if (prefixes.nonEmpty) ""
-      else "," + "\"bands\":" + mapJson(finalResults.map { case (n, t) =>
-        n -> math.min(t, prevQueries.getOrElse(n, Double.MaxValue)) }) +
-        ",\"fps\":" + finalResults.map { case (n, _) =>
-          "\"" + n + "\":\"" + fps.getOrElse(n, "na") + "\""
-        }.mkString("{", ",", "}") +
-        ",\"host\":\"" + hostFp + "\""
-    val fullLine = envelope(mapJson(finalResults), rerunJson + bandsJson)
-    // prefix-filtered runs must not clobber the committed full-board
-    // report: they default to a scratch path unless explicitly redirected
-    val defaultOut =
-      if (prefixes.isEmpty) "/root/repo/BENCH_FULL.json"
-      else "/tmp/graft_bench_partial.json"
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (fullLine + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
-    // The single stdout JSON line must survive a 2000-char tail window AND
-    // parse: pack queries slowest-first under a byte budget and roll the
-    // rest (all fast ones) into an `omitted` summary.
-    val budget = 1600
-    val bySlowest = finalResults.sortBy(-_._2)
-    var used = 0
-    val kept = bySlowest.takeWhile { case (k, v) =>
-      used += k.length + fmt(v).length + 4; used <= budget
-    }
-    val dropped = bySlowest.drop(kept.length)
-    val omitted =
-      if (dropped.isEmpty) ""
-      else s""","omitted":{"n":${dropped.length},"sec":${fmt(dropped.map(_._2).sum)},"max_sec":${fmt(dropped.head._2)},"full_report":"$outPath"}"""
-    val rerunNote = if (reruns.isEmpty) "" else s""","reruns_n":${reruns.size}"""
-    println(envelope(mapJson(kept.sortBy(_._1)), omitted + rerunNote))
+    emitBoard(finalResults)
     spark.stop()
   }
 }
