@@ -182,6 +182,29 @@ final class IndexStore(ss: SparkSession, val dir: String, keyCol: String,
     // the store may be partially deleted, so we must NOT recompute
     // survivors, only finish the (idempotent) delete loop and publish.
     val tmpDone = fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+    // Same-gc guard for the CRASH WINDOW (round-14, ADVICE r13): temp
+    // complete (_SUCCESS + _GC written) but batch=<id> unpublished. A
+    // re-run of this gcBatchId with a DIFFERENT tombstone set would
+    // otherwise reuse the stale survivors (tmpDone skips the recompute),
+    // keep the stale digest (the marker is only written if absent), and
+    // then delete the NEW set's partitions from every generation —
+    // survivors for the difference were never written. Mirror the
+    // published-generation check BEFORE any delete: refuse on digest
+    // mismatch (empty marker = legacy, accept).
+    if (tmpDone) {
+      val tmpMarker = new org.apache.hadoop.fs.Path(tmp, "_GC")
+      if (fs.exists(tmpMarker)) {
+        val recorded = {
+          val in = fs.open(tmpMarker)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        }
+        require(recorded.isEmpty || recorded == partsDigest,
+          s"gcBatchId=$gcBatchId has an in-flight gc temp over a DIFFERENT " +
+            s"tombstone partition set (recorded digest $recorded, this run " +
+            s"$partsDigest); pick a fresh id")
+      }
+    }
     if (!tmpDone) {
       val dels = tombs.select(col(idCol).as("__gcdel")).distinct()
       val survivors = readBatches(batchSchema(rowSchema), parts)

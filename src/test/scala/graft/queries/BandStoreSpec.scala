@@ -279,6 +279,49 @@ class BandStoreSpec extends SparkTestBase {
     assert(store.readAll(store.batchSchema(rows.schema)).count() == 15)
   }
 
+  test("IndexStore.gcCompact: in-flight temp reused with a DIFFERENT tombstone set is refused") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("gctmpdig").toString + "/idx"
+    val store = new graft.streaming.IndexStore(spark, idx, "bkt", 4)
+    val rows = (1L to 16L).map(i => (i, i % 4)).toDF("id", "bkt")
+    store.appendBatch(rows, 0L)
+    // SIMULATED CRASH STATE (the window ADVICE r13 flagged): the durable
+    // temp for tombstone set S1 = {bkt 3} completed (_SUCCESS + _GC digest
+    // written) but the process died BEFORE the delete loop / publish —
+    // batch=99 does not exist, the temp does.
+    val s1 = Seq((3L, 3L)).toDF("id", "bkt")
+    val parts1 = store.partsOf(s1)
+    val surv1 = store.readBatches(store.batchSchema(rows.schema), parts1)
+      .filter(col("id") =!= 3L).select("id", "bkt")
+    store.bucketed(surv1).write.partitionBy(store.bucketCol)
+      .mode("overwrite").parquet(s"$idx/.gc-tmp-99")
+    val digest1 = {
+      val s = parts1.map(String.valueOf).sorted.mkString("\n")
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    val fos = new java.io.FileOutputStream(
+      new java.io.File(s"$idx/.gc-tmp-99", "_GC"))
+    try fos.write(digest1.getBytes("UTF-8")) finally fos.close()
+    // a re-run of the SAME id with a DIFFERENT tombstone set (bkt 2) must
+    // refuse BEFORE deleting anything: tmpDone would skip the survivor
+    // recompute, so S2's survivors were never written — proceeding would
+    // delete bkt 2 from every generation and silently lose its rows
+    val e = intercept[IllegalArgumentException] {
+      store.gcCompact(Seq((6L, 2L)).toDF("id", "bkt"), "id", rows.schema,
+        gcBatchId = 99L)
+    }
+    assert(e.getMessage.contains("DIFFERENT"),
+      "in-flight temp reuse across different tombstone sets must refuse")
+    // the refused call must not have deleted any store partition
+    assert(store.readAll(store.batchSchema(rows.schema)).count() == 16)
+    // the true recovery (same set S1) still completes from the temp
+    store.gcCompact(s1, "id", rows.schema, gcBatchId = 99L)
+    val post = store.readAll(store.batchSchema(rows.schema))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(post == (1L to 16L).filterNot(_ == 3L))
+  }
+
   test("IndexStore.compactGenerations: crash between delete and publish is recoverable") {
     import spark.implicits._
     val idx = Files.createTempDirectory("cmpcrash").toString + "/idx"
