@@ -1514,13 +1514,27 @@ object Pipeline {
     * centroid). */
   private[queries] def pqAssignCtes(d: Dialect, xRef: String, p: String, step: Int,
       cTable: String, scale: Int = 1000): String =
-    s"""${p}d$step AS (SELECT x.vec_id, c.m, c.cid,
+    s"""${p}d$step AS (SELECT ${bc(d, "c")}x.vec_id, c.m, c.cid,
        |    CAST(SUM((x.x*$scale - c.c)*(x.x*$scale - c.c)) AS BIGINT) AS dist
        |  FROM $xRef x JOIN $cTable c ON x.i = c.i GROUP BY x.vec_id, c.m, c.cid),
        |${p}a$step AS (SELECT vec_id, m, cid FROM (
        |    SELECT vec_id, m, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
        |    FROM ${p}d$step) r WHERE rn = 1)""".stripMargin
+
+  /** Spark-only BROADCAST hint over MODEL-SIZED relations (round-14, guide
+    * §3.1): every assign/probe/ADC join in the IVF-PQ chains pairs the
+    * corpus lane matrix with a model relation (centroids, codebooks, probe
+    * sets, LUTs — k·DIM-row state by construction). Spark cannot estimate
+    * their size through the aggregate chains and plans sort-merge joins,
+    * exchanging the CORPUS side; the hint pins the build side. Combined
+    * with the runners' one-time `repartition(vec_id)` of the lane matrix,
+    * every downstream GROUP BY / window keyed by vec_id then reuses that
+    * single exchange (guide §2.4 "two operations keyed the same way can
+    * share one exchange"). DuckDB needs no hint: empty there, so the
+    * declared oracle text is unchanged. */
+  private def bc(d: Dialect, rels: String): String =
+    if (d == SparkDialect) s"/*+ BROADCAST($rels) */ " else ""
 
   /** The TRAINING front of the subspace k-means chain (seeds → assign →
     * recompute), ending at the `${p}c2` centroid relation. This chain is
@@ -1617,7 +1631,16 @@ object Pipeline {
   }
 
   /** DuckDB twin of [[autoCoarseCells]] as an aggregate over the exploded
-    * lane relation (COUNT(DISTINCT vec_id) = corpus size). */
+    * lane relation (COUNT(DISTINCT vec_id) = corpus size).
+    *
+    * ASYMMETRY (documented per ADVICE r13): the Spark side `require`s
+    * k0 <= 1024 and fails loudly past n ≈ 2.7e11; this SQL twin computes k0
+    * with no equivalent check, so at that scale the oracle would silently
+    * collide composite cids where Spark errors. Deliberate: the oracle is a
+    * fixture-scale verification harness (n ≤ 2e5 across every committed SF
+    * and probe, k0 ≤ 16), and editing the declared oracle text to add an
+    * error CASE would change every downstream query's declared SQL for a
+    * bound 6 orders of magnitude beyond any oracle run. */
   private def autoCoarseCellsSql(xRef: String): String =
     s"""nv AS (SELECT GREATEST(2, CAST(POWER(2, CEIL(CEIL(LOG2(CAST(
        |    GREATEST(1, (COUNT(DISTINCT vec_id)+255)//256) AS DOUBLE)))/3.0)) AS BIGINT)) AS k0
@@ -1667,10 +1690,10 @@ object Pipeline {
     s"""s2seed AS (SELECT vec_id, cid AS scid,
        |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) - 1 AS sub
        |  FROM $s1a2Ref),
-       |s2c0 AS (SELECT sd.scid, sd.sub, x.i, CAST(x.x*1000 AS BIGINT) AS c
+       |s2c0 AS (SELECT ${bc(d, "sd")}sd.scid, sd.sub, x.i, CAST(x.x*1000 AS BIGINT) AS c
        |  FROM $xRef x JOIN s2seed sd ON sd.vec_id = x.vec_id
        |  WHERE sd.sub < $k0),
-       |s2d1 AS (SELECT x.vec_id, c.scid, c.sub,
+       |s2d1 AS (SELECT ${bc(d, "c")}x.vec_id, c.scid, c.sub,
        |    CAST(SUM((x.x*1000 - c.c)*(x.x*1000 - c.c)) AS BIGINT) AS dist
        |  FROM $xRef x JOIN $s1a2Ref a ON a.vec_id = x.vec_id
        |  JOIN s2c0 c ON c.scid = a.cid AND c.i = x.i
@@ -1691,7 +1714,7 @@ object Pipeline {
     * [[ivf2SubTrainCtes]]. */
   private def ivf2SubAssignCtes(d: Dialect, xRef: String, s1a2Ref: String,
       s2c2Ref: String): String =
-    s"""s2d2 AS (SELECT x.vec_id, c.scid, c.sub,
+    s"""s2d2 AS (SELECT ${bc(d, "c")}x.vec_id, c.scid, c.sub,
        |    CAST(SUM((x.x*1000 - c.c)*(x.x*1000 - c.c)) AS BIGINT) AS dist
        |  FROM $xRef x JOIN $s1a2Ref a ON a.vec_id = x.vec_id
        |  JOIN $s2c2Ref c ON c.scid = a.cid AND c.i = x.i
@@ -1763,14 +1786,14 @@ object Pipeline {
   private[queries] def ivf2EncodeCtes(d: Dialect, xRef: String,
       s1c2Ref: String, cvc2Ref: String): String = {
     val idiv = if (d == SparkDialect) "div" else "//"
-    s"""e1d AS (SELECT x.vec_id, c.cid,
+    s"""e1d AS (SELECT ${bc(d, "c")}x.vec_id, c.cid,
        |    CAST(SUM((x.x*1000 - c.c)*(x.x*1000 - c.c)) AS BIGINT) AS dist
        |  FROM $xRef x JOIN $s1c2Ref c ON c.i = x.i GROUP BY x.vec_id, c.cid),
        |e1a AS (SELECT vec_id, cid AS scid FROM (
        |    SELECT vec_id, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |    FROM e1d) r WHERE rn = 1),
-       |e2d AS (SELECT x.vec_id, c.cid,
+       |e2d AS (SELECT ${bc(d, "c")}x.vec_id, c.cid,
        |    CAST(SUM((x.x*1000 - c.c)*(x.x*1000 - c.c)) AS BIGINT) AS dist
        |  FROM $xRef x JOIN e1a a ON a.vec_id = x.vec_id
        |  JOIN $cvc2Ref c ON c.i = x.i AND c.cid $idiv 1024 = a.scid
@@ -1785,13 +1808,13 @@ object Pipeline {
       cvc2Ref: String, pqc2Ref: String): String =
     s"""q AS (SELECT vec_id AS qid, i, CAST(x*1000 AS BIGINT) AS qx
        |  FROM $xRef WHERE vec_id % 100 = 0),
-       |qprobe AS (SELECT q.qid, c.cid,
+       |qprobe AS (SELECT ${bc(d, "c")}q.qid, c.cid,
        |    CAST(SUM((q.qx - c.c)*(q.qx - c.c)) AS BIGINT) AS dist
        |  FROM q JOIN $cvc2Ref c ON q.i = c.i GROUP BY q.qid, c.cid),
        |probe AS (SELECT qid, cid FROM (
        |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
        |  FROM qprobe) r WHERE rn <= 3),
-       |lut AS (SELECT q.qid, c.m, c.cid,
+       |lut AS (SELECT ${bc(d, "c")}q.qid, c.m, c.cid,
        |    CAST(SUM((q.qx - c.c)*(q.qx - c.c)) AS BIGINT) AS pd
        |  FROM q JOIN $pqc2Ref c ON q.i = c.i GROUP BY q.qid, c.m, c.cid)""".stripMargin
 
@@ -1808,9 +1831,9 @@ object Pipeline {
       cvc2Ref: String, pqc2Ref: String, cva2Ref: String,
       pqa2Ref: String): String =
     s"""${ivfPqServeStaticCtes(d, xRef, cvc2Ref, pqc2Ref)},
-       |cand AS (SELECT p.qid, a.vec_id AS nid
+       |cand AS (SELECT ${bc(d, "p")}p.qid, a.vec_id AS nid
        |  FROM probe p JOIN $cva2Ref a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
-       |adc AS (SELECT cd.qid, cd.nid, CAST(SUM(l.pd) AS BIGINT) AS adist
+       |adc AS (SELECT ${bc(d, "l")}cd.qid, cd.nid, CAST(SUM(l.pd) AS BIGINT) AS adist
        |  FROM cand cd JOIN $pqa2Ref a ON a.vec_id = cd.nid
        |  JOIN lut l ON l.qid = cd.qid AND l.m = a.m AND l.cid = a.cid
        |  GROUP BY cd.qid, cd.nid),
@@ -1961,9 +1984,9 @@ object Pipeline {
     */
   /** Recall tail vs the exact ground truth, parameterized by which top-5
     * relation is being evaluated (`pqtop` = raw ADC, `rtop` = refined). */
-  private def ivfPqRecallTail(xRef: String, topTable: String): String =
+  private def ivfPqRecallTail(d: Dialect, xRef: String, topTable: String): String =
     s""",
-       |exd AS (SELECT q.qid, e.vec_id AS nid,
+       |exd AS (SELECT ${bc(d, "q")}q.qid, e.vec_id AS nid,
        |    CAST(SUM((q.qx - e.x*1000)*(q.qx - e.x*1000)) AS BIGINT) AS dist
        |  FROM q JOIN $xRef e ON e.i = q.i AND e.vec_id <> q.qid
        |  GROUP BY q.qid, e.vec_id),
@@ -1983,9 +2006,9 @@ object Pipeline {
   private def simIvfPqRecall: QueryDef =
     QueryDef("sim_ivf_pq_recall",
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
-         |${ivfPqCtes(DuckDialect, "x")}${ivfPqRecallTail("x", "pqtop")}""".stripMargin)(
+         |${ivfPqCtes(DuckDialect, "x")}${ivfPqRecallTail(DuckDialect, "x", "pqtop")}""".stripMargin)(
       ivfPqSpark((xRef, k0) =>
-        s"""WITH ${ivfPqCtes(SparkDialect, xRef, k0)}${ivfPqRecallTail(xRef, "pqtop")}""".stripMargin))
+        s"""WITH ${ivfPqCtes(SparkDialect, xRef, k0)}${ivfPqRecallTail(SparkDialect, xRef, "pqtop")}""".stripMargin))
 
   /** TWO-STAGE REFINE — the production IVF-PQ serving shape: the ADC pass
     * produces a cheap top-`$RefineN` SHORTLIST (code lookups only), then
@@ -2002,12 +2025,12 @@ object Pipeline {
     */
   private val RefineN = 20
 
-  private def ivfPqRefineCtes(xRef: String): String =
+  private def ivfPqRefineCtes(d: Dialect, xRef: String): String =
     s""",
        |short AS (SELECT qid, nid FROM (
        |    ${rankTopN("SELECT qid, nid, adist FROM adc", "adist",
                        desc = false, RefineN, "rn")}) s0),
-       |rfd AS (SELECT s.qid, s.nid,
+       |rfd AS (SELECT ${bc(d, "s, q")}s.qid, s.nid,
        |    CAST(SUM((q.qx - e.x*1000)*(q.qx - e.x*1000)) AS BIGINT) AS dist
        |  FROM short s JOIN q ON q.qid = s.qid
        |  JOIN $xRef e ON e.vec_id = s.nid AND e.i = q.i
@@ -2022,19 +2045,19 @@ object Pipeline {
         |FROM rtop""".stripMargin
     QueryDef("sim_ivf_pq_refine",
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
-         |${ivfPqCtes(DuckDialect, "x")}${ivfPqRefineCtes("x")}
+         |${ivfPqCtes(DuckDialect, "x")}${ivfPqRefineCtes(DuckDialect, "x")}
          |$sel""".stripMargin)(
       ivfPqSpark((xRef, k0) =>
-        s"""WITH ${ivfPqCtes(SparkDialect, xRef, k0)}${ivfPqRefineCtes(xRef)}
+        s"""WITH ${ivfPqCtes(SparkDialect, xRef, k0)}${ivfPqRefineCtes(SparkDialect, xRef)}
            |$sel""".stripMargin))
   }
 
   private def simIvfPqRefineRecall: QueryDef =
     QueryDef("sim_ivf_pq_refine_recall",
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
-         |${ivfPqCtes(DuckDialect, "x")}${ivfPqRefineCtes("x")}${ivfPqRecallTail("x", "rtop")}""".stripMargin)(
+         |${ivfPqCtes(DuckDialect, "x")}${ivfPqRefineCtes(DuckDialect, "x")}${ivfPqRecallTail(DuckDialect, "x", "rtop")}""".stripMargin)(
       ivfPqSpark((xRef, k0) =>
-        s"""WITH ${ivfPqCtes(SparkDialect, xRef, k0)}${ivfPqRefineCtes(xRef)}${ivfPqRecallTail(xRef, "rtop")}""".stripMargin))
+        s"""WITH ${ivfPqCtes(SparkDialect, xRef, k0)}${ivfPqRefineCtes(SparkDialect, xRef)}${ivfPqRecallTail(SparkDialect, xRef, "rtop")}""".stripMargin))
 
   /** IVF-PQ with RESIDUAL encoding (round-10): the PQ codebooks are
     * trained on — and the codes encode — the residual
@@ -2073,21 +2096,21 @@ object Pipeline {
       pqa2Ref: String): String =
     s"""q AS (SELECT vec_id AS qid, i, CAST(x*1000 AS BIGINT) AS qx
        |  FROM $xRef WHERE vec_id % 100 = 0),
-       |qprobe AS (SELECT q.qid, c.cid,
+       |qprobe AS (SELECT ${bc(d, "c")}q.qid, c.cid,
        |    CAST(SUM((q.qx - c.c)*(q.qx - c.c)) AS BIGINT) AS dist
        |  FROM q JOIN $cvc2Ref c ON q.i = c.i GROUP BY q.qid, c.cid),
        |probe AS (SELECT qid, cid FROM (
        |    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rn
        |  FROM qprobe) r WHERE rn <= 3),
-       |qr AS (SELECT p.qid, p.cid AS pcell, q.i, q.qx - c.c AS rx
+       |qr AS (SELECT ${bc(d, "p, c")}p.qid, p.cid AS pcell, q.i, q.qx - c.c AS rx
        |  FROM probe p JOIN q ON q.qid = p.qid
        |  JOIN $cvc2Ref c ON c.cid = p.cid AND c.i = q.i),
-       |lut AS (SELECT r.qid, r.pcell, c.m, c.cid,
+       |lut AS (SELECT ${bc(d, "c")}r.qid, r.pcell, c.m, c.cid,
        |    CAST(SUM((r.rx - c.c)*(r.rx - c.c)) AS BIGINT) AS pd
        |  FROM qr r JOIN $pqc2Ref c ON r.i = c.i GROUP BY r.qid, r.pcell, c.m, c.cid),
-       |cand AS (SELECT p.qid, p.cid AS pcell, a.vec_id AS nid
+       |cand AS (SELECT ${bc(d, "p")}p.qid, p.cid AS pcell, a.vec_id AS nid
        |  FROM probe p JOIN $cva2Ref a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
-       |adc AS (SELECT cd.qid, cd.nid, CAST(SUM(l.pd) AS BIGINT) AS adist
+       |adc AS (SELECT ${bc(d, "l")}cd.qid, cd.nid, CAST(SUM(l.pd) AS BIGINT) AS adist
        |  FROM cand cd JOIN $pqa2Ref a ON a.vec_id = cd.nid
        |  JOIN lut l ON l.qid = cd.qid AND l.pcell = cd.pcell
        |    AND l.m = a.m AND l.cid = a.cid
@@ -2157,7 +2180,7 @@ object Pipeline {
        |lr AS (SELECT i, v, ROW_NUMBER() OVER (ORDER BY v DESC, i) AS r FROM lv),
        |pp AS (SELECT hi.i AS la, lo.i AS lb, hi.v AS va, lo.v AS vb, hi.r AS p
        |  FROM lr hi JOIN lr lo ON lo.r = ${DIM + 1} - hi.r WHERE hi.r <= ${DIM / 2}),
-       |cx AS (SELECT pp.p,
+       |cx AS (SELECT ${bc(d, "pp")}pp.p,
        |    CAST(COUNT(*) AS BIGINT) * CAST(SUM(CAST(xa.x AS BIGINT)*xb.x) AS BIGINT)
        |      - CAST(SUM(xa.x) AS BIGINT) * CAST(SUM(xb.x) AS BIGINT) AS c
        |  FROM pp JOIN $xRef xa ON xa.i = pp.la
@@ -2178,11 +2201,11 @@ object Pipeline {
        |      FROM sel0 s) z WHERE rn = 1) b
        |  JOIN (SELECT p, obj FROM sel0 WHERE a = 65 AND b = 0) i ON i.p = b.p),
        |xrot AS (
-       |  SELECT va.vec_id, r.j1 AS i, CAST(r.a*va.x + r.b*vb.x AS BIGINT) AS x
+       |  SELECT ${bc(d, "r")}va.vec_id, r.j1 AS i, CAST(r.a*va.x + r.b*vb.x AS BIGINT) AS x
        |  FROM opq r JOIN $xRef va ON va.i = r.la
        |  JOIN $xRef vb ON vb.i = r.lb AND vb.vec_id = va.vec_id
        |  UNION ALL
-       |  SELECT va.vec_id, r.j2 AS i, CAST(r.a*vb.x - r.b*va.x AS BIGINT) AS x
+       |  SELECT ${bc(d, "r")}va.vec_id, r.j2 AS i, CAST(r.a*vb.x - r.b*va.x AS BIGINT) AS x
        |  FROM opq r JOIN $xRef va ON va.i = r.la
        |  JOIN $xRef vb ON vb.i = r.lb AND vb.vec_id = va.vec_id)""".stripMargin
   }
@@ -2242,9 +2265,9 @@ object Pipeline {
     QueryDef("sim_ivf_pq_rotated_recall",
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
          |${ivfPqOpqCtes(DuckDialect, "x")},
-         |${ivfPqCtes(DuckDialect, "xrot")}${ivfPqRecallTail("xrot", "pqtop")}""".stripMargin)(
+         |${ivfPqCtes(DuckDialect, "xrot")}${ivfPqRecallTail(DuckDialect, "xrot", "pqtop")}""".stripMargin)(
       opqSpark((xRef, k0) =>
-        s"""WITH ${ivfPqCtes(SparkDialect, xRef, k0)}${ivfPqRecallTail(xRef, "pqtop")}""".stripMargin))
+        s"""WITH ${ivfPqCtes(SparkDialect, xRef, k0)}${ivfPqRecallTail(SparkDialect, xRef, "pqtop")}""".stripMargin))
 
   private def simIvfPqResidual: QueryDef = {
     val sel =
@@ -2277,9 +2300,9 @@ object Pipeline {
   private def simIvfPqResidualRecall: QueryDef =
     QueryDef("sim_ivf_pq_residual_recall",
       s"""WITH ${quantCte(DuckDialect)}, x AS ($duckPqX),
-         |${ivfPqResidualCtes(DuckDialect, "x")}${ivfPqRecallTail("x", "pqtop")}""".stripMargin)(
+         |${ivfPqResidualCtes(DuckDialect, "x")}${ivfPqRecallTail(DuckDialect, "x", "pqtop")}""".stripMargin)(
       ivfPqResidualSpark { xRef =>
-        s"""WITH ${stagedResidualServeCtes(xRef)}${ivfPqRecallTail(xRef, "pqtop")}""".stripMargin
+        s"""WITH ${stagedResidualServeCtes(xRef)}${ivfPqRecallTail(SparkDialect, xRef, "pqtop")}""".stripMargin
       })
 
   /** SEQUENCE PACKING (round-7): the concat-and-chunk layout a pretraining
