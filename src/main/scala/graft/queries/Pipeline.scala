@@ -2989,10 +2989,10 @@ object Pipeline {
        |FROM dt JOIN pw ON pw.w = dt.w
        |GROUP BY dt.doc_id""".stripMargin
 
-  /** Spark-side runner: the SAME round SQL as the oracle, executed as an
-    * iterative localCheckpoint loop (truncated lineage per round — the
-    * text_bpe_train runner discipline). Registers graft_uni_{toks, wf,
-    * pcost, segc} temp views for the gate tails. */
+  /** Spark-side runner. Registers graft_uni_{toks, wf, pcost, segc} temp
+    * views for the gate tails — the same VALUES as the oracle's CTE chain,
+    * via a staged head (round-13) and min-plus path doubling for the DP +
+    * backtrack (round-14, [[uniDpWalkViews]]). */
   private[queries] def unigramViews(s: SparkSession, dir: String): Unit = {
     val d = SparkDialect
     views(s, dir, "documents")
@@ -3007,48 +3007,106 @@ object Pipeline {
     val tok = d.explodeSelect("doc_id", "documents", F.tokens(d, "text"), "w")
     mat(s"SELECT doc_id, w FROM ($tok) toks", "graft_uni_toks")
     mat(unigramWfSel("graft_uni_toks"), "graft_uni_wf")
-    mat(s"WITH ${unigramSubCtes(d, "graft_uni_wf")},\n${unigramPcostCtes(d)} " +
-      "SELECT p, c, pcost FROM pcost", "graft_uni_pcost")
+    // Round-14 head refinement (guide §2.4: eliminate recomputation): the
+    // round-13 head still derived the substring explosion `sub` twice (once
+    // inside the pcost statement, once inside occ), and the piece-count
+    // aggregate `pc` twice more within the pcost statement (`voc`
+    // references pc twice and Catalyst inlines CTEs per reference) —
+    // measured 1.2-1.4 s + 0.4 s of the head's ~2.2 s at sf0.1. Stage sub
+    // and pc once each, and compute the vocabulary total as a global
+    // window (SUM(c) OVER ()) instead of the oracle's CROSS JOIN over a
+    // separate tt aggregate, so `voc` is evaluated once — SUM is
+    // associative, so tt and therefore pcost are the identical integers.
     mat(s"WITH ${unigramSubCtes(d, "graft_uni_wf")} " +
-      unigramOccSel("sub", "graft_uni_pcost"), "graft_uni_occ")
-    stageTimed("uni_dp0") {
-      s.sql("SELECT w, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS cost " +
-          "FROM graft_uni_wf")
-        .localCheckpoint().createOrReplaceTempView("graft_uni_dp")
+      "SELECT w, f, i, l, p FROM sub", "graft_uni_sub")
+    mat("SELECT p, CAST(SUM(f) AS BIGINT) AS c FROM graft_uni_sub GROUP BY p",
+      "graft_uni_pc")
+    mat(s"""WITH voc AS (SELECT p, c FROM graft_uni_pc WHERE length(p) = 1
+          |  UNION ALL
+          |  SELECT p, c FROM (SELECT p, c,
+          |      ROW_NUMBER() OVER (ORDER BY c DESC, p) AS rn
+          |    FROM graft_uni_pc WHERE length(p) > 1 AND c >= 2) vm WHERE rn <= 64)
+          |SELECT p, c, CAST(${F.log2Micro(d, "tt")} - ${F.log2Micro(d, "c")}
+          |  AS BIGINT) AS pcost
+          |FROM (SELECT p, c, SUM(c) OVER () AS tt FROM voc) v""".stripMargin,
+      "graft_uni_pcost")
+    mat(unigramOccSel("graft_uni_sub", "graft_uni_pcost"), "graft_uni_occ")
+    uniDpWalkViews(s, "graft_uni_occ", "graft_uni_wf", "graft_uni")
+  }
+
+  /** DP + backtrack by MIN-PLUS PATH DOUBLING (round-14, guide §2: fewer
+    * passes/barriers). The oracle unrolls 8 relax rounds
+    * (dp_r = min(dp_{r-1}, dp_{r-1} ⋈ occ)) and 8 walk rounds; with word
+    * length ≤ 8 every segmentation path has ≤ 8 edges of length ≥ 1, so
+    * dp8(w, j) is the min-cost path 0→j over the occ edge set —
+    * computable by three min-plus edge squarings
+    * (E₂ₖ(a,b) = MIN(Eₖ(a,b), MIN_m Eₖ(a,m)+Eₖ(m,b)); min-plus path
+    * composition is associative, so Eₖ covers paths of 1..k edges and the
+    * integers are identical to the relax recurrence). The backtrack's
+    * traversed-edge multiset equals the chosen-edge relation (`bedge`,
+    * one edge per (w, j1)) joined to the ≤8-step reachability closure of
+    * wlen under those edges (three reachability doublings): pos strictly
+    * decreases along the walk, so every node is visited at most once and
+    * each traversed edge contributes exactly one (w, p) row, exactly like
+    * the 8 unrolled walk rounds. 19 sequential checkpoint barriers
+    * (dp0 + 8 relax + bedge + wk0 + 8 walks) become 9 (3 squarings + dp +
+    * bedge + 3 closures + segc) — measured ~3.0 s of text_unigram_train's
+    * 6.4 s at sf0.1 was these barriers. NOTE: each doubling stays one
+    * barrier — composing two inline via CTEs trips a Catalyst
+    * constraint-rewrite bug on stacked unions (UnionBase.rewriteConstraints
+    * "key not found") in Spark 4.1.
+    * Reads occView/wfView; registers `${out}_{e2,e4,e8,dp,bedge,r2,r4,r8,segc}`.
+    */
+  private def uniDpWalkViews(s: SparkSession, occView: String,
+      wfView: String, out: String): Unit = {
+    def mat(sql: String, view: String): Unit = stageTimed(view) {
+      s.sql(sql).localCheckpoint().createOrReplaceTempView(view)
     }
-    // NOTE: composing two relax rounds per barrier (dp_{r+2} from dp_r via
-    // an inline CTE) trips a Catalyst constraint-rewrite bug on stacked
-    // unions (UnionBase.rewriteConstraints: "key not found" on the shared
-    // attribute) in Spark 4.1 — kept one barrier per round.
-    (1 to 8).foreach { r =>
-      stageTimed(s"uni_dp$r") {
-        s.sql(uniDpRound("graft_uni_dp", "graft_uni_occ"))
-          .localCheckpoint().createOrReplaceTempView("graft_uni_dp")
-      }
-    }
-    stageTimed("uni_bedge") {
-      s.sql(uniBedge("graft_uni_dp", "graft_uni_occ"))
-        .localCheckpoint().createOrReplaceTempView("graft_uni_bedge")
-    }
-    stageTimed("uni_wk0") {
-      s.sql("SELECT w, wlen AS pos FROM graft_uni_wf")
-        .localCheckpoint().createOrReplaceTempView("graft_uni_wk")
-    }
-    val pieces = (1 to 8).map { r =>
-      stageTimed(s"uni_wk$r") {
-        val step = s.sql(uniWalkRound("graft_uni_wk", "graft_uni_bedge"))
-          .localCheckpoint()
-        step.createOrReplaceTempView("graft_uni_wk")
-        step.select(org.apache.spark.sql.functions.col("w"),
-          org.apache.spark.sql.functions.col("p"))
-      }
-    }.reduceLeft(_.unionAll(_))
-    pieces.createOrReplaceTempView("graft_uni_seg")
-    stageTimed("uni_segc") {
-      s.sql("SELECT w, p, CAST(COUNT(*) AS BIGINT) AS k FROM graft_uni_seg " +
-          "GROUP BY w, p")
-        .localCheckpoint().createOrReplaceTempView("graft_uni_segc")
-    }
+    def square(eRef: String): String =
+      s"""SELECT w, j0, j1, MIN(cost) AS cost FROM (
+         |    SELECT w, j0, j1, cost FROM $eRef
+         |    UNION ALL
+         |    SELECT a.w, a.j0, b.j1 AS j1, a.cost + b.cost AS cost
+         |    FROM $eRef a JOIN $eRef b ON b.w = a.w AND b.j0 = a.j1) u
+         |  GROUP BY w, j0, j1""".stripMargin
+    // E1 = the occ edges (unique per (w, j0, j1): (i, l) ↔ (j0, j1) is a
+    // bijection) — a pure projection over the checkpointed occ view, so a
+    // plain temp view, no barrier.
+    s.sql(s"SELECT w, j0, j1, pcost AS cost FROM $occView")
+      .createOrReplaceTempView(s"${out}_e1")
+    mat(square(s"${out}_e1"), s"${out}_e2")
+    mat(square(s"${out}_e2"), s"${out}_e4")
+    mat(square(s"${out}_e4"), s"${out}_e8")
+    // dp8: cost 0 at j = 0 (edges never end at 0: j1 ≥ 1), E8(0, j) else.
+    mat(s"""SELECT w, j, MIN(cost) AS cost FROM (
+          |    SELECT w, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS cost
+          |    FROM $wfView
+          |    UNION ALL
+          |    SELECT w, j1 AS j, cost FROM ${out}_e8 WHERE j0 = 0) u
+          |  GROUP BY w, j""".stripMargin, s"${out}_dp")
+    mat(uniBedge(s"${out}_dp", occView), s"${out}_bedge")
+    def reach(rRef: String): String =
+      s"""SELECT w, src, dst FROM (
+         |    SELECT w, src, dst FROM $rRef
+         |    UNION ALL
+         |    SELECT a.w, a.src, b.dst AS dst FROM $rRef a JOIN $rRef b
+         |      ON b.w = a.w AND b.src = a.dst) u
+         |  GROUP BY w, src, dst""".stripMargin
+    s.sql(s"SELECT w, j1 AS src, j0 AS dst FROM ${out}_bedge")
+      .createOrReplaceTempView(s"${out}_r1")
+    mat(reach(s"${out}_r1"), s"${out}_r2")
+    mat(reach(s"${out}_r2"), s"${out}_r4")
+    mat(reach(s"${out}_r4"), s"${out}_r8")
+    // traversed edges = bedge at the path nodes {wlen} ∪ reach(wlen);
+    // dst = 0 rows match no edge (j1 ≥ 1) — the walk's pos > 0 guard.
+    mat(s"""SELECT b.w, b.p, CAST(COUNT(*) AS BIGINT) AS k
+          |FROM ${out}_bedge b JOIN (
+          |    SELECT w, wlen AS pos FROM $wfView
+          |    UNION ALL
+          |    SELECT r.w, r.dst AS pos FROM ${out}_r8 r
+          |    JOIN $wfView wf ON wf.w = r.w AND r.src = wf.wlen) n
+          |  ON n.w = b.w AND n.pos = b.j1
+          |GROUP BY b.w, b.p""".stripMargin, s"${out}_segc")
   }
 
   /** DuckDB inlines every CTE per REFERENCE — the 8 self-referencing DP
@@ -3107,58 +3165,43 @@ object Pipeline {
       .stripMargin
 
   /** Round-2 Spark runner: round 1's views, then the pruned/re-scored
-    * model and a second iterative DP — same localCheckpoint discipline.
-    * Registers graft_uni2_{pcost, segc}. */
+    * model and a second DP + backtrack via the same path-doubling runner
+    * ([[uniDpWalkViews]]). Registers graft_uni2_{pcost, segc}. */
   private[queries] def unigram2Views(s: SparkSession, dir: String): Unit = {
     unigramViews(s, dir)
-    s.sql(
-      """SELECT sc.p, CAST(SUM(sc.k * wf.f) AS BIGINT) AS em_count
-        |FROM graft_uni_segc sc JOIN graft_uni_wf wf ON wf.w = sc.w
-        |GROUP BY sc.p""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView("graft_uni_newc")
-    val d = SparkDialect
-    s.sql(
-      s"""WITH voc2 AS (SELECT pc.p,
-         |    GREATEST(COALESCE(n.em_count, 0), 1) AS c2,
-         |    COALESCE(n.em_count, 0) AS emc
-         |  FROM graft_uni_pcost pc
-         |  LEFT JOIN graft_uni_newc n ON n.p = pc.p
-         |  WHERE length(pc.p) = 1 OR COALESCE(n.em_count, 0) > 0),
-         |tt2 AS (SELECT CAST(SUM(c2) AS BIGINT) AS t FROM voc2)
-         |SELECT voc2.p, voc2.c2, voc2.emc,
-         |  CAST(${F.log2Micro(d, "tt2.t")} - ${F.log2Micro(d, "voc2.c2")}
-         |    AS BIGINT) AS pcost
-         |FROM voc2 CROSS JOIN tt2""".stripMargin)
-      .localCheckpoint().createOrReplaceTempView("graft_uni2_pcost")
-    s.sql(
-      """SELECT o.w, o.j0, o.j1, o.l, o.p, c.pcost
-        |FROM graft_uni_occ o JOIN graft_uni2_pcost c ON c.p = o.p"""
-        .stripMargin)
-      .localCheckpoint().createOrReplaceTempView("graft_uni2_occ")
-    s.sql("SELECT w, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS cost " +
-        "FROM graft_uni_wf")
-      .localCheckpoint().createOrReplaceTempView("graft_uni2_dp")
-    (1 to 8).foreach { r =>
-      stageTimed(s"uni2_dp$r") {
-        s.sql(uniDpRound("graft_uni2_dp", "graft_uni2_occ"))
-          .localCheckpoint().createOrReplaceTempView("graft_uni2_dp")
-      }
+    stageTimed("graft_uni_newc") {
+      s.sql(
+        """SELECT sc.p, CAST(SUM(sc.k * wf.f) AS BIGINT) AS em_count
+          |FROM graft_uni_segc sc JOIN graft_uni_wf wf ON wf.w = sc.w
+          |GROUP BY sc.p""".stripMargin)
+        .localCheckpoint().createOrReplaceTempView("graft_uni_newc")
     }
-    s.sql(uniBedge("graft_uni2_dp", "graft_uni2_occ"))
-      .localCheckpoint().createOrReplaceTempView("graft_uni2_bedge")
-    s.sql("SELECT w, wlen AS pos FROM graft_uni_wf")
-      .localCheckpoint().createOrReplaceTempView("graft_uni2_wk")
-    val pieces = (1 to 8).map { _ =>
-      val step = s.sql(uniWalkRound("graft_uni2_wk", "graft_uni2_bedge"))
-        .localCheckpoint()
-      step.createOrReplaceTempView("graft_uni2_wk")
-      step.select(org.apache.spark.sql.functions.col("w"),
-        org.apache.spark.sql.functions.col("p"))
-    }.reduceLeft(_.unionAll(_))
-    pieces.createOrReplaceTempView("graft_uni2_seg")
-    s.sql("SELECT w, p, CAST(COUNT(*) AS BIGINT) AS k FROM graft_uni2_seg " +
-        "GROUP BY w, p")
-      .localCheckpoint().createOrReplaceTempView("graft_uni2_segc")
+    val d = SparkDialect
+    // vocabulary total as a window, like round 1's pcost — tt2 is the same
+    // integer by SUM associativity, and voc2 is evaluated once.
+    stageTimed("graft_uni2_pcost") {
+      s.sql(
+        s"""WITH voc2 AS (SELECT pc.p,
+           |    GREATEST(COALESCE(n.em_count, 0), 1) AS c2,
+           |    COALESCE(n.em_count, 0) AS emc
+           |  FROM graft_uni_pcost pc
+           |  LEFT JOIN graft_uni_newc n ON n.p = pc.p
+           |  WHERE length(pc.p) = 1 OR COALESCE(n.em_count, 0) > 0)
+           |SELECT p, c2, emc,
+           |  CAST(${F.log2Micro(d, "tt")} - ${F.log2Micro(d, "c2")}
+           |    AS BIGINT) AS pcost
+           |FROM (SELECT p, c2, emc, SUM(c2) OVER () AS tt FROM voc2) v"""
+          .stripMargin)
+        .localCheckpoint().createOrReplaceTempView("graft_uni2_pcost")
+    }
+    stageTimed("graft_uni2_occ") {
+      s.sql(
+        """SELECT o.w, o.j0, o.j1, o.l, o.p, c.pcost
+          |FROM graft_uni_occ o JOIN graft_uni2_pcost c ON c.p = o.p"""
+          .stripMargin)
+        .localCheckpoint().createOrReplaceTempView("graft_uni2_occ")
+    }
+    uniDpWalkViews(s, "graft_uni2_occ", "graft_uni_wf", "graft_uni2")
   }
 
   private def textUnigramEm2Def: QueryDef =
